@@ -1,0 +1,112 @@
+"""Length-aware RNN scans over time (TPU: static shapes, `lax.scan`).
+
+Reimplements what the reference delegated to tf.nn.(bidirectional_)dynamic_rnn
+(/root/reference/encoder.py:76-89, lm_encoder.py:93-96):
+- outputs at t >= seq_len are zeroed (dynamic_rnn zero-pads past the length),
+- the backward direction of a bidirectional layer processes each example's
+  frames reversed *within its true length* (reverse-with-length, then re-reverse).
+
+The LSTM hot path hoists the input projection x@W_x out of the scan as one
+large MXU matmul (see cells.py); only the [B,H]@[H,4H] recurrent matmul stays
+sequential.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_tpu.core import cells
+
+Array = jax.Array
+
+
+def reverse_sequence(x: Array, lens: Array) -> Array:
+    """Reverse x [T, B, ...] along time within each example's length.
+
+    Frames at t >= lens[b] keep their position (they are padding).
+    Matches tf.reverse_sequence semantics with seq_axis=0, batch_axis=1.
+    """
+    T = x.shape[0]
+    t = jnp.arange(T)[:, None]                      # [T, 1]
+    lens = lens.astype(jnp.int32)[None, :]          # [1, B]
+    idx = jnp.where(t < lens, lens - 1 - t, t)      # [T, B]
+    return jnp.take_along_axis(
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=0)
+
+
+def length_mask(lens: Array, T: int, dtype=jnp.float32) -> Array:
+    """[T, B] mask, 1.0 where t < lens[b]."""
+    t = jnp.arange(T)[:, None]
+    return (t < lens.astype(jnp.int32)[None, :]).astype(dtype)
+
+
+def lstm_scan(params: dict, x_seq: Array, lens: Array,
+              *, compute_dtype=None) -> Array:
+    """Unidirectional LSTM over x_seq [T, B, F] -> outputs [T, B, H].
+
+    Outputs at t >= lens are zeroed. Final state is not returned (the
+    reference never consumes RNN final states).
+    """
+    T, B, in_dim = x_seq.shape
+    hidden = params["bias"].shape[0] // 4
+    x_proj = cells.lstm_precompute_inputs(params, x_seq, in_dim,
+                                          compute_dtype=compute_dtype)
+    w_h = params["kernel"][in_dim:]
+    if compute_dtype is not None:
+        w_h = w_h.astype(compute_dtype)
+
+    def step(state, xp):
+        hh = state.h.astype(w_h.dtype) if compute_dtype is not None else state.h
+        gates = xp + jnp.dot(hh, w_h, preferred_element_type=jnp.float32)
+        out, new_state = cells._lstm_apply_gates(gates, state.c, hidden)
+        return new_state, out
+
+    init = cells.lstm_zero_state((B,), hidden)
+    _, outputs = jax.lax.scan(step, init, x_proj)
+    return outputs * length_mask(lens, T)[:, :, None]
+
+
+def gru_scan(params: dict, x_seq: Array, lens: Array,
+             *, compute_dtype=None) -> Array:
+    """Unidirectional GRU over x_seq [T, B, F] -> outputs [T, B, H]."""
+    T, B, _ = x_seq.shape
+    hidden = params["candidate"]["bias"].shape[0]
+
+    def step(h, x):
+        out, new_h = cells.gru_step(params, x, h, compute_dtype=compute_dtype)
+        return new_h, out
+
+    init = cells.gru_zero_state((B,), hidden)
+    _, outputs = jax.lax.scan(step, init, x_seq)
+    return outputs * length_mask(lens, T)[:, :, None]
+
+
+def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
+              bidirectional: bool = True, compute_dtype=None) -> Array:
+    """One (optionally bidirectional) RNN layer.
+
+    params: {"fw": cell_params[, "bw": cell_params]}.
+    x_seq: [T, B, F] time-major. Returns [T, B, H] or [T, B, 2H] (fw;bw concat,
+    matching encoder.py:83-84).
+    """
+    scan = lstm_scan if cell == "lstm" else gru_scan
+    fw_out = scan(params["fw"], x_seq, lens, compute_dtype=compute_dtype)
+    if not bidirectional:
+        return fw_out
+    x_rev = reverse_sequence(x_seq, lens)
+    bw_out_rev = scan(params["bw"], x_rev, lens, compute_dtype=compute_dtype)
+    bw_out = reverse_sequence(bw_out_rev, lens)
+    return jnp.concatenate([fw_out, bw_out], axis=-1)
+
+
+def rnn_layer_init(key: Array, in_dim: int, hidden: int, *, cell: str = "lstm",
+                   bidirectional: bool = True, init=None, dtype=jnp.float32) -> dict:
+    cell_init = cells.lstm_init if cell == "lstm" else cells.gru_init
+    kw = {} if init is None else {"init": init}
+    if bidirectional:
+        k_fw, k_bw = jax.random.split(key)
+        return {"fw": cell_init(k_fw, in_dim, hidden, dtype=dtype, **kw),
+                "bw": cell_init(k_bw, in_dim, hidden, dtype=dtype, **kw)}
+    return {"fw": cell_init(key, in_dim, hidden, dtype=dtype, **kw)}

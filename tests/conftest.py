@@ -1,0 +1,37 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-world "fake backend" the reference lacked (SURVEY.md §4):
+multi-chip sharding code paths are exercised on host CPU devices via
+--xla_force_host_platform_device_count.
+
+Note: the environment pre-sets JAX_PLATFORMS=axon via a sitecustomize hook that
+imports jax config at interpreter startup, so plain os.environ assignment is
+too late — we must go through jax.config.update.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    devices = jax.devices()
+    assert devices[0].platform == "cpu", devices
+    assert len(devices) == 8, devices
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
