@@ -1,0 +1,311 @@
+"""Typed configuration system.
+
+Replaces the reference's Bunch-based BaseParams protocol
+(/root/reference/base_params.py:10-28) with dataclasses. Flag names, defaults,
+and the run-directory naming scheme (main.py:62-87 — load-bearing for resume
+and best_models/ layout) are preserved.
+
+Defaults reflect the *effective* reference defaults, i.e. after CLI parsing:
+e.g. use_lstm is True (encoder.py:187 sets the argparse default to True even
+though class_params says False — main.py always routes through argparse).
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class EncoderConfig:
+    """Pyramidal (Bi)LSTM/GRU encoder (reference encoder.py:18-31)."""
+    bi_dir: bool = True
+    hidden_size: int = 256
+    out_prob: float = 0.9            # dropout keep prob
+    skip_step: int = 2               # pyramid time-reduction factor per layer
+    initial_res_fac: int = 1         # initial strided subsampling
+    use_lstm: bool = True
+    stack_cons: int = 1              # frame stacking at input
+    max_scaling_down: int = 8        # max total time reduction
+
+
+@dataclass
+class DecoderConfig:
+    """Attention decoder (reference decoder.py:21-34, attn_decoder.py:21-28)."""
+    out_prob_dec: float = 0.9
+    hidden_size_dec: int = 256
+    num_layers_dec: int = 1
+    emb_size: int = 256
+    vocab_size: int = 1000
+    samp_prob: float = 0.1           # scheduled sampling prob
+    max_output: int = 120
+    use_lstm: bool = True
+    attention_vec_size: int = 128
+    lm_hidden_size: int = 256        # internal "LM LSTM" inside the decoder
+    ind_softmax: bool = False        # independent (non-LM-shared) softmax
+
+
+@dataclass
+class LMConfig:
+    """RNN-LM task (reference lm_model.py:26-37, lm_encoder.py:22-33)."""
+    lm_batch_size: int = 128
+    lm_learning_rate: float = 1e-4
+    lm_learning_rate_decay_factor: float = 0.5
+    max_gradient_norm: float = 5.0
+    out_prob: float = 0.9
+    lm_hidden_size: int = 256
+    proj_size: int = 256
+    num_layers: int = 1
+    emb_size: int = 256
+    vocab_size: int = 1000
+
+
+@dataclass
+class Seq2SeqConfig:
+    """Multitask seq2seq assembly (reference seq2seq_model.py:29-48)."""
+    tasks: list[str] = field(default_factory=lambda: ["char"])
+    num_layers: dict[str, int] = field(default_factory=lambda: {"char": 4})
+    max_output: dict[str, int] = field(default_factory=lambda: {"char": 120})
+    learning_rate: float = 1e-3
+    learning_rate_decay_factor: float = 0.5
+    max_gradient_norm: float = 5.0
+    avg: bool = True                 # average loss across tasks
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoders: dict[str, DecoderConfig] = field(default_factory=dict)
+    feat_length: int = 80
+
+    def __post_init__(self):
+        if not self.decoders:
+            self.decoders = {t: DecoderConfig(max_output=self.max_output.get(t, 120))
+                             for t in self.tasks}
+
+
+@dataclass
+class BeamConfig:
+    """Beam search (reference beam_search.py:19-29, flags :340-350)."""
+    beam_size: int = 4
+    lm_weight: float = 0.0
+    lm_path: str = ""
+    word_ins_penalty: float = 0.0
+    cov_penalty: float = 0.0         # parsed, never applied (beam_search.py:210)
+    max_steps: int = 120             # hard cap (beam_search.py:269)
+
+
+@dataclass
+class TrainConfig:
+    """Training driver (reference train.py:39-72)."""
+    batch_size: int = 128
+    buck_batch_size: list[int] = field(
+        default_factory=lambda: [128, 128, 64, 64, 32])
+    max_epochs: int = 30
+    min_steps: int = 25000
+    feat_length: int = 80
+    data_dir: str = "data/tfrecords"
+    lm_data_dir: str = "data/tfrecords/lm"
+    vocab_dir: str = "data/vocab"
+    train_base_dir: str = "models"
+    train_dir: str = ""              # derived by process_args
+    best_model_dir: str = ""         # derived by process_args
+    lm_prob: float = 0.0
+    run_id: int = 1
+    steps_per_checkpoint: int = 500
+    pretrain_lm_path: str = ""
+    pretrain_phone_path: str = ""
+    chaos: bool = False
+    subset_file: str = ""
+    num_buckets: int = 5
+    lr_floor: float = 1e-4           # LR decay floor (train.py:340,346)
+    early_stop_window: int = 10      # checkpoints without improvement (train.py:154)
+    # TPU-specific
+    data_axis: int = -1              # -1: use all devices for data parallelism
+    compute_dtype: str = "bfloat16"  # matmul compute dtype on TPU
+
+
+@dataclass
+class ExperimentConfig:
+    model: Seq2SeqConfig = field(default_factory=Seq2SeqConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    lm: LMConfig = field(default_factory=LMConfig)
+    beam: BeamConfig = field(default_factory=BeamConfig)
+    dev: bool = False
+    test: bool = False
+
+
+def get_run_dir_name(opts: dict[str, Any]) -> str:
+    """Derive the run-identity directory name from the config — identical
+    scheme to the reference (main.py:62-87)."""
+    num_layer_string = ""
+    for task in opts["tasks"]:
+        if task == "char":
+            continue
+        num_layer_string += task + "_" + str(opts["num_layers_" + task]) + "_"
+    skip_string = ""
+    if opts["skip_step"] != 1:
+        skip_string = "skip_" + str(opts["skip_step"]) + "_"
+    return (skip_string + num_layer_string +
+            ("lstm_" if opts["use_lstm"] else "") +
+            (("stack_" + str(opts["stack_cons"]) + "_")
+             if opts["stack_cons"] > 1 else "") +
+            (("base_stride_" + str(opts["initial_res_fac"]) + "_")
+             if opts["initial_res_fac"] > 1 else "") +
+            (("char_dec_dep_" + str(opts["num_layers_dec"]) + "_")
+             if opts["num_layers_dec"] > 1 else "") +
+            ("lm_prob_" + str(opts["lm_prob"]) + "_") +
+            "run_id_" + str(opts["run_id"]) +
+            ("_avg_" if opts["avg"] else ""))
+
+
+def add_parse_options(parser: argparse.ArgumentParser) -> None:
+    """Register every reference CLI flag (same names/defaults; main.py:41-57)."""
+    # Train (train.py:397-430)
+    parser.add_argument("-lm_prob", default=0.0, type=float)
+    parser.add_argument("-run_id", "--run_id", default=0, type=int)
+    parser.add_argument("-data_dir", default="data/tfrecords", type=str)
+    parser.add_argument("-lm_data_dir", default="data/tfrecords/lm", type=str)
+    parser.add_argument("-vocab_dir", "--vocab_dir", default="data/vocab", type=str)
+    parser.add_argument("-tb_dir", "--train_base_dir", default="models", type=str)
+    parser.add_argument("-feat_len", "--feat_length", default=80, type=int)
+    parser.add_argument("-steps_per_checkpoint", default=500, type=int)
+    parser.add_argument("-min_steps", "--min_steps", default=25000, type=int)
+    parser.add_argument("-max_epochs", default=30, type=int)
+    parser.add_argument("-pretrain_lm_path", default="", type=str)
+    parser.add_argument("-pretrain_phone_path", default="", type=str)
+    parser.add_argument("-chaos", default=False, action="store_true")
+    parser.add_argument("-subset_file", default="", type=str)
+    # Encoder (encoder.py:182-200)
+    parser.add_argument("-out_prob", "--out_prob", default=0.9, type=float)
+    parser.add_argument("-use_lstm", "--use_lstm", default=True,
+                        action="store_true")
+    parser.add_argument("-hsize", "--hidden_size", default=256, type=int)
+    parser.add_argument("-skip_step", "--skip_step", default=2, type=int)
+    parser.add_argument("-init_res_fac", "--initial_res_fac", default=1, type=int)
+    parser.add_argument("-stack_cons", default=1, type=int)
+    parser.add_argument("-max_scaling_down", default=8, type=int)
+    # Decoder (decoder.py:182-193, attn_decoder.py:174-186)
+    parser.add_argument("-hsize_dec", "--hidden_size_dec", default=256, type=int)
+    parser.add_argument("-emb_size", "--emb_size", default=256, type=int)
+    parser.add_argument("-num_layers_dec", "--num_layers_dec", default=1, type=int)
+    parser.add_argument("-out_prob_dec", "--out_prob_dec", default=0.9, type=float)
+    parser.add_argument("-samp_prob", "--samp_prob", default=0.1, type=float)
+    parser.add_argument("-attn_vec_size", "--attention_vec_size", default=128, type=int)
+    parser.add_argument("-lm_hsize", "--lm_hidden_size", default=256, type=int)
+    parser.add_argument("-ind_softmax", "--ind_softmax", default=False,
+                        action="store_true")
+    # Seq2seq (seq2seq_model.py:199-216)
+    parser.add_argument("-tasks", "--tasks", default="", type=str)
+    parser.add_argument("-nlc", "--num_layers_char", default=4, type=int)
+    parser.add_argument("-nlp", "--num_layers_phone", default=3, type=int)
+    parser.add_argument("-max_out_char", "--max_output_char", default=120, type=int)
+    parser.add_argument("-max_out_phone", "--max_output_phone", default=250, type=int)
+    parser.add_argument("-lr_decay", "--learning_rate_decay_factor", default=0.5,
+                        type=float)
+    parser.add_argument("-avg", "--avg", default=False, action="store_true")
+    # LM (lm_model.py:118-121)
+    parser.add_argument("-lm_learning_rate", default=1e-4, type=float)
+    # Beam search (beam_search.py:340-350)
+    parser.add_argument("-beam_size", default=1, type=int)
+    parser.add_argument("-lm_weight", default=0.0, type=float)
+    parser.add_argument("-lm_path", default="", type=str)
+    parser.add_argument("-cov_penalty", default=0.0, type=float)
+    parser.add_argument("-word_ins_penalty", default=0.0, type=float)
+    # Eval mode
+    parser.add_argument("-dev", default=False, action="store_true")
+    parser.add_argument("-test", default=False, action="store_true")
+    # TPU-specific additions
+    parser.add_argument("-compute_dtype", default="bfloat16", type=str,
+                        choices=["bfloat16", "float32"])
+
+
+def parse_tasks(task_string: str) -> list[str]:
+    tasks = ["char"]
+    if "p" in task_string:
+        tasks.append("phone")
+    return tasks
+
+
+def process_args(options: dict[str, Any],
+                 vocab_sizes: dict[str, int] | None = None) -> ExperimentConfig:
+    """Build the nested config tree from flat CLI options (main.py:60-164).
+
+    vocab_sizes: per-task vocab size; when None, sizes stay at defaults (the
+    CLI loads them from the vocab files).
+    """
+    options = dict(options)
+    options["tasks"] = parse_tasks(options.get("tasks", ""))
+
+    run_dir = get_run_dir_name(options)
+    train_dir = os.path.join(options["train_base_dir"], run_dir)
+    best_model_dir = os.path.join(options["train_base_dir"], "best_models", run_dir)
+
+    num_layers = {t: options[f"num_layers_{t}"] for t in options["tasks"]}
+    max_output = {t: options[f"max_output_{t}"] for t in options["tasks"]}
+
+    encoder = _from_options(EncoderConfig, options)
+    decoders: dict[str, DecoderConfig] = {}
+    for task in options["tasks"]:
+        dec = _from_options(DecoderConfig, options)
+        dec.max_output = max_output[task]
+        if vocab_sizes and task in vocab_sizes:
+            dec.vocab_size = vocab_sizes[task]
+        if task != "char":
+            # Only the char decoder can be deep (main.py:127-131).
+            dec.num_layers_dec = 1
+        decoders[task] = dec
+
+    model = _from_options(Seq2SeqConfig, options)
+    model.tasks = options["tasks"]
+    model.num_layers = num_layers
+    model.max_output = max_output
+    model.encoder = encoder
+    model.decoders = decoders
+    model.feat_length = options.get("feat_length", 80)
+
+    train = _from_options(TrainConfig, options)
+    train.train_dir = train_dir
+    train.best_model_dir = best_model_dir
+
+    lm = _from_options(LMConfig, options)
+    if vocab_sizes and "char" in vocab_sizes:
+        lm.vocab_size = vocab_sizes["char"]
+
+    beam = _from_options(BeamConfig, options)
+    return ExperimentConfig(model=model, train=train, lm=lm, beam=beam,
+                            dev=options.get("dev", False),
+                            test=options.get("test", False))
+
+
+def _from_options(cls, options: dict[str, Any]):
+    """Build a dataclass from flat options, with the reference's type-equality
+    override guard (base_params.py:22-28)."""
+    cfg = cls()
+    for f in dataclasses.fields(cls):
+        if f.name in options and options[f.name] is not None:
+            default = getattr(cfg, f.name)
+            if type(default) is type(options[f.name]):
+                setattr(cfg, f.name, options[f.name])
+    return cfg
+
+
+def config_to_text(cfg: Any, indent: int = 0) -> str:
+    """Sorted flat dump for parameters.txt (main.py:146-155)."""
+    lines = []
+    for f in sorted(dataclasses.fields(cfg), key=lambda f: f.name):
+        v = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(v):
+            lines.append(" " * indent + f.name + ":")
+            lines.append(config_to_text(v, indent + 2))
+        elif isinstance(v, dict) and v and dataclasses.is_dataclass(
+                next(iter(v.values()))):
+            for k, sub in sorted(v.items()):
+                lines.append(" " * indent + f"{f.name}[{k}]:")
+                lines.append(config_to_text(sub, indent + 2))
+        else:
+            lines.append(" " * indent + f"{f.name}\t{v}")
+    return "\n".join(lines)
+
+
+def clone(cfg):
+    return copy.deepcopy(cfg)

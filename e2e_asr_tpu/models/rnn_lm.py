@@ -1,0 +1,82 @@
+"""RNN language model with parameters shared with the ASR decoder.
+
+The reference ties the LM's LSTM + softmax to the char decoder's internal
+"LM LSTM" and OutputProjection through TF variable-scope reuse
+(/root/reference/lm_model.py:102, lm_encoder.py:101-109). Here the sharing is
+explicit: the LM apply function reads the SAME pytree leaves under
+params["decoder_char"] — lm_cell, simple_proj (if any), output_proj, and the
+embedding. Training the LM task therefore updates the decoder's weights
+directly, which is what makes `lm_prob` interleaving and `pretrain_lm_path`
+transfer work (train.py:268-291, beam_search.py:111-134).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_tpu.config import DecoderConfig, LMConfig
+from e2e_asr_tpu.core import cells, losses
+from e2e_asr_tpu.core.layers import dense, dropout
+
+Array = jax.Array
+
+
+def shared_lm_params(params: dict) -> dict:
+    """View of the char-decoder leaves the LM shares."""
+    dec = params["decoder_char"]
+    out = {"lstm": dec["lm_cell"], "output_proj": dec["output_proj"],
+           "embedding": dec["embedding"]}
+    if "simple_proj" in dec:
+        out["simple_proj"] = dec["simple_proj"]
+    return out
+
+
+def apply(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,
+          train: bool = False, rng: Array | None = None,
+          compute_dtype=None) -> Array:
+    """LM forward: logits over shifted positions.
+
+    token_ids: [T, B] time-major ids (row 0 is <go>); the model consumes
+    rows [0, T-1) and predicts rows [1, T) (lm_encoder.py:93).
+    Returns logits [T-1, B, V].
+    """
+    lm = shared_lm_params(params)
+    emb_in = lm["embedding"][token_ids[:-1]]          # [T-1, B, emb]
+    T, B = emb_in.shape[0], emb_in.shape[1]
+    hidden = cfg.lm_hidden_size
+
+    w = lm["lstm"]["kernel"]
+    in_dim = cfg.emb_size
+    x_proj = cells.lstm_precompute_inputs(lm["lstm"], emb_in, in_dim,
+                                          compute_dtype=compute_dtype)
+    w_h = w[in_dim:]
+    if compute_dtype is not None:
+        w_h = w_h.astype(compute_dtype)
+
+    def scan_step(state, xp):
+        hh = state.h.astype(w_h.dtype) if compute_dtype is not None else state.h
+        gates = xp + jnp.dot(hh, w_h, preferred_element_type=jnp.float32)
+        out, new_state = cells._lstm_apply_gates(gates, state.c, hidden)
+        return new_state, out
+
+    init = cells.lstm_zero_state((B,), hidden)
+    _, outputs = jax.lax.scan(scan_step, init, x_proj)   # [T-1, B, H]
+
+    if train and cfg.out_prob < 1.0:
+        assert rng is not None
+        outputs = dropout(rng, outputs, cfg.out_prob)
+
+    if "simple_proj" in lm:
+        outputs = dense(lm["simple_proj"], outputs, compute_dtype=compute_dtype)
+    logits = dense(lm["output_proj"], outputs, compute_dtype=compute_dtype)
+    return logits
+
+
+def loss(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,
+         train: bool = True, rng: Array | None = None,
+         compute_dtype=None) -> Array:
+    """Shifted-target CE with the reference normalization (lm_model.py:94-106)."""
+    logits = apply(params, cfg, token_ids, seq_len, train=train, rng=rng,
+                   compute_dtype=compute_dtype)
+    targets, _ = losses.shifted_targets(token_ids, seq_len)
+    return losses.cross_entropy_loss(logits, targets, seq_len)

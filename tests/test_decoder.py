@@ -1,0 +1,154 @@
+"""Attention decoder tests: step semantics, masking, scan vs manual loop."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.config import DecoderConfig
+from e2e_asr_tpu.models import attn_decoder
+
+
+def _cfg(**kw):
+    base = dict(hidden_size_dec=8, emb_size=6, vocab_size=11,
+                attention_vec_size=5, lm_hidden_size=8, samp_prob=0.0,
+                out_prob_dec=1.0, max_output=7)
+    base.update(kw)
+    return DecoderConfig(**base)
+
+
+def _setup(cfg, rng, B=2, T_enc=6, H_enc=10):
+    params = attn_decoder.init(jax.random.PRNGKey(0), cfg, attn_size=H_enc)
+    enc = jnp.asarray(rng.normal(size=(B, T_enc, H_enc)).astype(np.float32))
+    enc_lens = jnp.array([T_enc, T_enc - 2])
+    return params, enc, enc_lens
+
+
+def test_attention_mask_renormalizes(rng):
+    cfg = _cfg()
+    params, enc, enc_lens = _setup(cfg, rng)
+    ctx = attn_decoder.make_attn_context(params, enc, enc_lens)
+    query = jnp.asarray(rng.normal(size=(2, cfg.hidden_size_dec)).astype(np.float32))
+    context, alpha = attn_decoder.attention(params, ctx, query)
+    a = np.asarray(alpha)
+    np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-5)
+    assert np.all(a[1, 4:] == 0.0)  # masked past enc_lens[1]=4
+    # Context is a convex combination of encoder states.
+    manual = (a[1][:, None] * np.asarray(enc)[1]).sum(0)
+    np.testing.assert_allclose(np.asarray(context)[1], manual, rtol=1e-5)
+
+
+def test_attention_matches_unmasked_softmax_renorm(rng):
+    """Pin the reference formulation: softmax over all positions, then mask,
+    then renormalize (attn_decoder.py:85-88) == our masked softmax."""
+    cfg = _cfg()
+    params, enc, enc_lens = _setup(cfg, rng)
+    ctx = attn_decoder.make_attn_context(params, enc, enc_lens)
+    query = jnp.asarray(rng.normal(size=(2, cfg.hidden_size_dec)).astype(np.float32))
+    _, alpha = attn_decoder.attention(params, ctx, query)
+
+    # Reference-style computation in NumPy.
+    hf = np.asarray(ctx.hidden_features)
+    y = np.asarray(query) @ np.asarray(params["attn_query"]["kernel"]) + \
+        np.asarray(params["attn_query"]["bias"])
+    s = (np.asarray(params["attn_v"]) * np.tanh(hf + y[:, None, :])).sum(-1)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    soft = e / e.sum(-1, keepdims=True)
+    masked = soft * np.asarray(ctx.mask)
+    ref_alpha = masked / masked.sum(-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(alpha), ref_alpha, rtol=1e-5, atol=1e-6)
+
+
+def test_train_teacher_forcing_matches_manual_loop(rng):
+    """With samp_prob=0 and no dropout, scan == explicit per-step loop."""
+    cfg = _cfg()
+    params, enc, enc_lens = _setup(cfg, rng)
+    T, B = 5, 2
+    dec_inputs = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(T, B)))
+    logits = attn_decoder.apply_train(params, cfg, dec_inputs, enc, enc_lens,
+                                      rng=jax.random.PRNGKey(1))
+    assert logits.shape == (T - 1, B, cfg.vocab_size)
+
+    ctx = attn_decoder.make_attn_context(params, enc, enc_lens)
+    state = attn_decoder.zero_state(cfg, B, ctx)
+    emb = params["embedding"]
+    lm_input = emb[dec_inputs[0]]
+    for t in range(T - 1):
+        state, step_logits = attn_decoder.step(params, cfg, ctx, state, lm_input)
+        np.testing.assert_allclose(np.asarray(logits[t]), np.asarray(step_logits),
+                                   rtol=1e-4, atol=1e-5)
+        lm_input = emb[dec_inputs[t + 1]]
+
+
+def test_batch_element_independence(rng):
+    """Example 0's logits must not depend on example 1's data."""
+    cfg = _cfg()
+    params, enc, enc_lens = _setup(cfg, rng)
+    T = 5
+    dec = np.asarray(rng.integers(0, cfg.vocab_size, size=(T, 2)))
+    out_a = attn_decoder.apply_train(params, cfg, jnp.asarray(dec), enc,
+                                     enc_lens, rng=jax.random.PRNGKey(1))
+    dec2 = dec.copy()
+    dec2[:, 1] = (dec2[:, 1] + 1) % cfg.vocab_size
+    enc2 = np.asarray(enc).copy()
+    enc2[1] += 1.0
+    out_b = attn_decoder.apply_train(params, cfg, jnp.asarray(dec2),
+                                     jnp.asarray(enc2), enc_lens,
+                                     rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out_a[:, 0]), np.asarray(out_b[:, 0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_scheduled_sampling_changes_outputs(rng):
+    cfg_tf = _cfg(samp_prob=0.0)
+    cfg_ss = _cfg(samp_prob=1.0)  # always sample
+    params, enc, enc_lens = _setup(cfg_tf, rng)
+    T = 6
+    dec_inputs = jnp.asarray(rng.integers(3, cfg_tf.vocab_size, size=(T, 2)))
+    a = attn_decoder.apply_train(params, cfg_tf, dec_inputs, enc, enc_lens,
+                                 rng=jax.random.PRNGKey(2))
+    b = attn_decoder.apply_train(params, cfg_ss, dec_inputs, enc, enc_lens,
+                                 rng=jax.random.PRNGKey(2))
+    # Step 0 is identical (same <go> input)…
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-5)
+    # …later steps diverge because sampled feedback replaces ground truth.
+    assert not np.allclose(np.asarray(a[1:]), np.asarray(b[1:]))
+
+
+def test_greedy_infer_consistent_with_step(rng):
+    cfg = _cfg()
+    params, enc, enc_lens = _setup(cfg, rng)
+    go = jnp.array([1, 1], dtype=jnp.int32)
+    logits, ids = attn_decoder.apply_infer(params, cfg, go, enc, enc_lens,
+                                           max_output=4)
+    assert logits.shape == (4, 2, cfg.vocab_size)
+    assert ids.shape == (4, 2)
+    np.testing.assert_array_equal(np.asarray(ids),
+                                  np.asarray(jnp.argmax(logits, -1)))
+    # Manual replay.
+    ctx = attn_decoder.make_attn_context(params, enc, enc_lens)
+    state = attn_decoder.zero_state(cfg, 2, ctx)
+    lm_input = params["embedding"][go]
+    for t in range(4):
+        state, lg = attn_decoder.step(params, cfg, ctx, state, lm_input)
+        np.testing.assert_allclose(np.asarray(logits[t]), np.asarray(lg),
+                                   rtol=1e-4, atol=1e-5)
+        lm_input = params["embedding"][jnp.argmax(lg, -1)]
+
+
+def test_multilayer_decoder(rng):
+    cfg = _cfg(num_layers_dec=2)
+    params, enc, enc_lens = _setup(cfg, rng)
+    assert len(params["dec_cells"]) == 2
+    dec_inputs = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(4, 2)))
+    logits = attn_decoder.apply_train(params, cfg, dec_inputs, enc, enc_lens,
+                                      rng=jax.random.PRNGKey(3))
+    assert logits.shape == (3, 2, cfg.vocab_size)
+
+
+def test_simple_projection_present_only_when_sizes_differ():
+    cfg_eq = _cfg()
+    p_eq = attn_decoder.init(jax.random.PRNGKey(0), cfg_eq, attn_size=10)
+    assert "simple_proj" not in p_eq
+    cfg_ne = _cfg(lm_hidden_size=12)
+    p_ne = attn_decoder.init(jax.random.PRNGKey(0), cfg_ne, attn_size=10)
+    assert "simple_proj" in p_ne
+    assert p_ne["simple_proj"]["kernel"].shape == (12, cfg_ne.hidden_size_dec)
