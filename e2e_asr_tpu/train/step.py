@@ -1,0 +1,105 @@
+"""Jitted training steps: ASR multitask and the interleaved LM task.
+
+The reference's per-step sess.run (train.py:297-299) becomes one compiled
+train_step(state, batch, rng) -> (state, metrics) per bucket shape. Optimizer:
+Adam behind global-norm clipping at 5.0 (seq2seq_model.py:137-155). The LM task
+keeps its own Adam slots and step counter ("AdamLM", lm_model.py:76) but
+updates the same parameter tree — gradients are nonzero only on the leaves the
+LM shares with the char decoder, so Adam's zero-gradient updates are exact
+no-ops on the rest.
+
+The learning rate is a dynamic hyperparameter (optax.inject_hyperparams) so
+the decay-on-plateau policy (train.py:334-343) can halve it without
+recompiling.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from e2e_asr_tpu.config import LMConfig, Seq2SeqConfig
+from e2e_asr_tpu.models import rnn_lm, seq2seq
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any          # ASR Adam (+clip) state
+    lm_opt_state: Any       # LM Adam (+clip) state
+    global_step: Array      # int32 scalar — ASR updates (train.py:80)
+    lm_global_step: Array   # int32 scalar (lm_model.py:60)
+    epoch: Array            # int32 scalar
+
+
+def make_optimizer(learning_rate: float, max_grad_norm: float):
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate),
+    )
+
+
+def create_state(params, model_cfg: Seq2SeqConfig, lm_cfg: LMConfig) -> TrainState:
+    asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
+    lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
+    return TrainState(
+        params=params,
+        opt_state=asr_opt.init(params),
+        lm_opt_state=lm_opt.init(params),
+        global_step=jnp.zeros((), jnp.int32),
+        lm_global_step=jnp.zeros((), jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+def get_lr(state: TrainState) -> float:
+    return float(state.opt_state[1].hyperparams["learning_rate"])
+
+
+def set_lr(state: TrainState, lr: float) -> TrainState:
+    """Set the ASR learning rate (the decay op, seq2seq_model.py:76-77)."""
+    inner = state.opt_state[1]
+    hyper = dict(inner.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    new_inner = inner._replace(hyperparams=hyper)
+    return state._replace(opt_state=(state.opt_state[0], new_inner))
+
+
+def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
+                    compute_dtype=None):
+    """Build jittable (asr_step, lm_step) closures."""
+    asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
+    lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
+
+    def asr_step(state: TrainState, batch: dict, rng: Array):
+        def loss_fn(params):
+            total, per_task = seq2seq.apply_train(
+                params, model_cfg, batch, rng=rng, compute_dtype=compute_dtype)
+            return total, per_task
+
+        (total, per_task), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = asr_opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(params=new_params, opt_state=new_opt,
+                                   global_step=state.global_step + 1)
+        metrics = {"loss": total, **{f"loss_{t}": v for t, v in per_task.items()}}
+        return new_state, metrics
+
+    def lm_step(state: TrainState, token_ids: Array, seq_len: Array, rng: Array):
+        def loss_fn(params):
+            return rnn_lm.loss(params, lm_cfg, token_ids, seq_len, train=True,
+                               rng=rng, compute_dtype=compute_dtype)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = lm_opt.update(grads, state.lm_opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(params=new_params, lm_opt_state=new_opt,
+                                   lm_global_step=state.lm_global_step + 1)
+        return new_state, {"lm_loss": loss}
+
+    return asr_step, lm_step

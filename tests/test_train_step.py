@@ -1,0 +1,110 @@
+"""Training-step tests: optimization, LM interleave semantics, LR control,
+and data-parallel execution on the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.config import LMConfig
+from e2e_asr_tpu.core import mesh as mesh_lib
+from e2e_asr_tpu.models import seq2seq
+from e2e_asr_tpu.train import step as train_step_lib
+
+from tests.test_seq2seq import make_batch, tiny_cfg
+
+
+def _lm_cfg():
+    return LMConfig(lm_hidden_size=8, proj_size=8, emb_size=6, vocab_size=11,
+                    out_prob=1.0)
+
+
+def test_asr_step_decreases_loss(rng):
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = train_step_lib.create_state(params, cfg, _lm_cfg())
+    asr_step, _ = train_step_lib.make_train_step(cfg, _lm_cfg())
+    asr_step = jax.jit(asr_step)
+    batch = make_batch(rng, cfg)
+    losses = []
+    for i in range(120):
+        state, metrics = asr_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::20]
+    assert int(state.global_step) == 120
+
+
+def test_lm_step_updates_only_shared_leaves(rng):
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = train_step_lib.create_state(params, cfg, _lm_cfg())
+    _, lm_step = train_step_lib.make_train_step(cfg, _lm_cfg())
+    lm_step = jax.jit(lm_step)
+    ids = rng.integers(3, 11, size=(6, 4))
+    ids[0] = 1
+    new_state, metrics = lm_step(state, jnp.asarray(ids), jnp.array([5, 5, 4, 5]),
+                                 jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["lm_loss"]))
+    assert int(new_state.lm_global_step) == 1
+    assert int(new_state.global_step) == 0
+    # Encoder unchanged; shared decoder leaves changed.
+    for (p0, p1) in zip(jax.tree_util.tree_leaves(state.params["encoder"]),
+                        jax.tree_util.tree_leaves(new_state.params["encoder"])):
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    assert not np.allclose(
+        np.asarray(state.params["decoder_char"]["lm_cell"]["kernel"]),
+        np.asarray(new_state.params["decoder_char"]["lm_cell"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder_char"]["attn_w"]),
+        np.asarray(new_state.params["decoder_char"]["attn_w"]))
+
+
+def test_lr_get_set(rng):
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = train_step_lib.create_state(params, cfg, _lm_cfg())
+    assert abs(train_step_lib.get_lr(state) - 1e-3) < 1e-9
+    state = train_step_lib.set_lr(state, 5e-4)
+    assert abs(train_step_lib.get_lr(state) - 5e-4) < 1e-9
+    # The new LR must drive subsequent updates (larger LR -> bigger param delta).
+    asr_step, _ = train_step_lib.make_train_step(cfg, _lm_cfg())
+    batch = make_batch(np.random.default_rng(0), cfg)
+    s_small, _ = jax.jit(asr_step)(train_step_lib.set_lr(state, 1e-5), batch,
+                                   jax.random.PRNGKey(0))
+    s_big, _ = jax.jit(asr_step)(train_step_lib.set_lr(state, 1e-2), batch,
+                                 jax.random.PRNGKey(0))
+    d_small = np.abs(np.asarray(s_small.params["encoder"]["layer_1"]["fw"]["kernel"]) -
+                     np.asarray(state.params["encoder"]["layer_1"]["fw"]["kernel"])).max()
+    d_big = np.abs(np.asarray(s_big.params["encoder"]["layer_1"]["fw"]["kernel"]) -
+                   np.asarray(state.params["encoder"]["layer_1"]["fw"]["kernel"])).max()
+    assert d_big > d_small * 10
+
+
+def test_data_parallel_step_matches_single_device(rng):
+    """The sharded step on an 8-device mesh must produce (numerically) the
+    same loss and updated params as single-device execution."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = train_step_lib.create_state(params, cfg, _lm_cfg())
+    asr_step, _ = train_step_lib.make_train_step(cfg, _lm_cfg())
+
+    batch = make_batch(rng, cfg, B=8, T=12, T_dec=5)
+    batch["logmel_len"] = jnp.full((8,), 12)
+    for t in cfg.tasks:
+        batch[f"{t}_len"] = jnp.full((8,), 4)
+
+    # Single device.
+    s1, m1 = jax.jit(asr_step)(state, batch, jax.random.PRNGKey(7))
+
+    # 8-device data parallel.
+    m = mesh_lib.make_mesh()
+    assert m.shape["data"] == 8
+    sharded_batch = mesh_lib.shard_batch(m, batch)
+    sharded_state = mesh_lib.replicate(m, state)
+    s8, m8 = jax.jit(asr_step)(sharded_state, sharded_batch, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4, atol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
