@@ -1,0 +1,270 @@
+"""On-device batched beam search with optional RNN-LM shallow fusion.
+
+Replaces the reference's CPU/NumPy batch-size-1 beam search
+(/root/reference/beam_search.py, eval_model.py:120-197) with a single jitted,
+fixed-shape function: a static beam axis k over every utterance in the batch,
+`lax.while_loop` over at most 120 steps (beam_search.py:269), early-exiting
+when every hypothesis in the batch has finished.
+
+Semantics preserved from the reference:
+- the beam *shrinks* when a hypothesis emits <eos> (beam_search.py:264,327):
+  finished hypotheses move to a k-slot finished buffer and can never be
+  displaced; subsequent steps select only (k - #finished) continuations.
+- shallow fusion: score = log p_dec + lm_weight * log p_lm
+  (beam_search.py:208), both accumulated.
+- word_ins_penalty applied per-step on the cumulative score
+  (beam_search.py:320-322). We apply it uniformly from step 0, which differs
+  from the reference by a constant `penalty * 1` on EVERY hypothesis — since
+  all live hypotheses at a step share the same length, selection and the final
+  argmax are unaffected.
+- the final answer is the max-score member of finished ∪ live
+  (beam_search.py:334-338).
+- cov_penalty is accepted and ignored, as in the reference
+  (beam_search.py:210 hardcodes length_loss = 0).
+
+Documented divergence: the reference selects ties via np.argpartition
+(unordered); we use ordered lax.top_k, so exact-tie cases may pick a
+different (equally scored) hypothesis.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_tpu.config import BeamConfig, DecoderConfig
+from e2e_asr_tpu.core import cells
+from e2e_asr_tpu.core.layers import dense
+from e2e_asr_tpu.data.text import EOS_ID, GO_ID
+from e2e_asr_tpu.models.attn_decoder import AttnContext, make_attn_context
+
+Array = jax.Array
+NEG_INF = -1e30
+
+
+class BeamState(NamedTuple):
+    t: Array                 # scalar int32: steps completed
+    alive: Array             # [B, k] bool
+    scores: Array            # [B, k] cumulative score S (NEG_INF when dead)
+    seqs: Array              # [B, k, max_steps] int32
+    dec_cell_states: Any     # tuple of LSTMState/[B,k,H] per decoder layer
+    dec_lm_state: Any        # internal decoder LM LSTM state [B,k,H]
+    context: Array           # [B, k, H_enc]
+    inputs: Array            # [B, k, emb] next decoder-LM input embedding
+    lm_state: Any            # external fusion LM state (or () when unused)
+    lm_inputs: Any           # [B, k, emb_lm] (or ())
+    num_finished: Array      # [B] int32
+    fin_scores: Array        # [B, k]
+    fin_seqs: Array          # [B, k, max_steps]
+    fin_lens: Array          # [B] -> [B, k] int32
+
+
+def _cell_step(use_lstm: bool, params, x, state):
+    if use_lstm:
+        return cells.lstm_step(params, x, state)
+    return cells.gru_step(params, x, state)
+
+
+def _zero_cell_state(use_lstm: bool, shape, hidden):
+    if use_lstm:
+        return cells.lstm_zero_state(shape, hidden)
+    return cells.gru_zero_state(shape, hidden)
+
+
+def _beam_attention(params: dict, ctx: AttnContext, query: Array
+                    ) -> tuple[Array, Array]:
+    """Attention with a beam axis: query [B,k,Q] -> (context [B,k,H], alpha)."""
+    y = dense(params["attn_query"], query)                     # [B,k,A]
+    s = jnp.sum(params["attn_v"] *
+                jnp.tanh(ctx.hidden_features[:, None, :, :] + y[:, :, None, :]),
+                axis=-1)                                       # [B,k,T]
+    s = jnp.where(ctx.mask[:, None, :] > 0, s, NEG_INF)
+    alpha = jax.nn.softmax(s, axis=-1)
+    context = jnp.einsum("bkt,bth->bkh", alpha, ctx.enc_states)
+    return context, alpha
+
+
+def _dec_step(params: dict, cfg: DecoderConfig, ctx: AttnContext,
+              state: BeamState) -> tuple[Any, Any, Array, Array]:
+    """One decoder step over the whole [B,k] beam. Returns
+    (new_cell_states, new_dec_lm_state, new_context, log_probs [B,k,V])."""
+    lm_out, new_dec_lm = _cell_step(cfg.use_lstm, params["lm_cell"],
+                                    state.inputs, state.dec_lm_state)
+    if "simple_proj" in params:
+        lm_out = dense(params["simple_proj"], lm_out)
+    x = dense(params["input_proj"],
+              jnp.concatenate([lm_out, state.context], axis=-1))
+    new_cell_states = []
+    h = x
+    for layer, cp in enumerate(params["dec_cells"]):
+        h, new_s = _cell_step(cfg.use_lstm, cp, h,
+                              state.dec_cell_states[layer])
+        new_cell_states.append(new_s)
+    new_cell_states = tuple(new_cell_states)
+    top = new_cell_states[-1]
+    query = top.c if cfg.use_lstm else top
+    context, _ = _beam_attention(params, ctx, query)
+    proj = dense(params["attn_proj"], jnp.concatenate([query, context], -1))
+    logits = dense(params["output_proj"], proj)
+    return new_cell_states, new_dec_lm, context, jax.nn.log_softmax(logits, -1)
+
+
+def _lm_step(lm_params: dict, state, x) -> tuple[Any, Array]:
+    """External fusion LM step: returns (new_state, log_probs [B,k,V])."""
+    out, new_state = cells.lstm_step(lm_params["lstm"], x, state)
+    if "simple_proj" in lm_params:
+        out = dense(lm_params["simple_proj"], out)
+    logits = dense(lm_params["output_proj"], out)
+    return new_state, jax.nn.log_softmax(logits, -1)
+
+
+def _gather_beam(tree, idx: Array):
+    """Gather along the beam axis (1): leaf [B,k,...] selected by idx [B,k]."""
+    def g(leaf):
+        expand = idx.reshape(idx.shape + (1,) * (leaf.ndim - 2))
+        return jnp.take_along_axis(leaf, expand, axis=1)
+    return jax.tree_util.tree_map(g, tree)
+
+
+def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
+                enc_states: Array, enc_lens: Array,
+                lm_params: dict | None = None,
+                ) -> tuple[Array, Array, Array]:
+    """Batched beam search.
+
+    Args:
+        dec_params: char decoder params (models/attn_decoder.init layout).
+        enc_states: [B, T_enc, H_enc]; enc_lens: [B].
+        lm_params: fusion LM ({"embedding","lstm","output_proj"[,"simple_proj"]})
+            — used when beam_cfg.lm_weight != 0.
+    Returns:
+        (tokens [B, max_steps] int32, lens [B] int32, scores [B] f32).
+    """
+    B = enc_states.shape[0]
+    k = beam_cfg.beam_size
+    V = dec_cfg.vocab_size
+    max_steps = beam_cfg.max_steps
+    use_lm = lm_params is not None and beam_cfg.lm_weight != 0.0
+    penalty = beam_cfg.word_ins_penalty
+
+    ctx = make_attn_context(dec_params, enc_states, enc_lens)
+    emb = dec_params["embedding"]
+    go = jnp.full((B, k), GO_ID, dtype=jnp.int32)
+
+    init = BeamState(
+        t=jnp.zeros((), jnp.int32),
+        alive=jnp.zeros((B, k), bool).at[:, 0].set(True),
+        scores=jnp.full((B, k), NEG_INF).at[:, 0].set(0.0),
+        seqs=jnp.zeros((B, k, max_steps), jnp.int32),
+        dec_cell_states=tuple(
+            _zero_cell_state(dec_cfg.use_lstm, (B, k), dec_cfg.hidden_size_dec)
+            for _ in range(dec_cfg.num_layers_dec)),
+        dec_lm_state=_zero_cell_state(dec_cfg.use_lstm, (B, k),
+                                      dec_cfg.lm_hidden_size),
+        context=jnp.zeros((B, k, enc_states.shape[-1])),
+        inputs=emb[go],
+        lm_state=(cells.lstm_zero_state(
+            (B, k), lm_params["lstm"]["bias"].shape[0] // 4) if use_lm else ()),
+        lm_inputs=(lm_params["embedding"][go] if use_lm else ()),
+        num_finished=jnp.zeros((B,), jnp.int32),
+        fin_scores=jnp.full((B, k), NEG_INF),
+        fin_seqs=jnp.zeros((B, k, max_steps), jnp.int32),
+        fin_lens=jnp.zeros((B, k), jnp.int32),
+    )
+
+    b_idx = jnp.arange(B)[:, None]
+    ranks = jnp.arange(k)[None, :]
+
+    def cond(state: BeamState):
+        return jnp.logical_and(state.t < max_steps, jnp.any(state.alive))
+
+    def body(state: BeamState) -> BeamState:
+        new_cell_states, new_dec_lm, new_context, logp = _dec_step(
+            dec_params, dec_cfg, ctx, state)
+        if use_lm:
+            new_lm_state, lm_logp = _lm_step(lm_params, state.lm_state,
+                                             state.lm_inputs)
+            combined = logp + beam_cfg.lm_weight * lm_logp
+        else:
+            new_lm_state = state.lm_state
+            combined = logp
+
+        cand = jnp.where(state.alive[:, :, None],
+                         state.scores[:, :, None] + combined, NEG_INF)
+        vals, flat_idx = jax.lax.top_k(cand.reshape(B, k * V), k)  # [B,k]
+        parent = flat_idx // V
+        token = flat_idx % V
+        new_len = state.t + 1
+        stored = vals + penalty * new_len.astype(vals.dtype)
+
+        num_live = k - state.num_finished                          # [B]
+        accept = ranks < num_live[:, None]
+        is_eos = token == EOS_ID
+        fin_sel = accept & is_eos
+        live_sel = accept & ~is_eos
+
+        # Candidate sequences for all k ranks: parent seq + token at position t.
+        cand_seqs = jnp.take_along_axis(state.seqs, parent[:, :, None], axis=1)
+        cand_seqs = cand_seqs.at[b_idx, ranks, state.t].set(token)
+
+        # --- finished buffer: append newly finished in rank order ----------
+        fin_rank = jnp.cumsum(fin_sel, axis=1) - 1                 # [B,k]
+        fin_dest = jnp.where(fin_sel, state.num_finished[:, None] + fin_rank, k)
+        fin_scores = state.fin_scores.at[b_idx, fin_dest].set(
+            stored, mode="drop")
+        fin_seqs = state.fin_seqs.at[b_idx, fin_dest].set(
+            cand_seqs, mode="drop")
+        fin_lens = state.fin_lens.at[b_idx, fin_dest].set(
+            jnp.broadcast_to(new_len, (B, k)), mode="drop")
+        num_finished = state.num_finished + jnp.sum(fin_sel, axis=1)
+
+        # --- live beam: compact accepted non-EOS candidates in rank order --
+        order = jnp.argsort(~live_sel, axis=1, stable=True)        # live first
+        slot_valid = jnp.take_along_axis(live_sel, order, axis=1)
+        sel_parent = jnp.take_along_axis(parent, order, axis=1)
+        sel_token = jnp.take_along_axis(token, order, axis=1)
+        sel_scores = jnp.take_along_axis(stored, order, axis=1)
+
+        new_state_tree = _gather_beam(
+            (new_cell_states, new_dec_lm, new_context, new_lm_state),
+            sel_parent)
+        g_cell_states, g_dec_lm, g_context, g_lm_state = new_state_tree
+
+        safe_token = jnp.where(slot_valid, sel_token, 0)
+        new_inputs = emb[safe_token]
+        new_lm_inputs = (lm_params["embedding"][safe_token] if use_lm else ())
+
+        new_seqs = jnp.take_along_axis(cand_seqs, order[:, :, None], axis=1)
+
+        return BeamState(
+            t=state.t + 1,
+            alive=slot_valid,
+            scores=jnp.where(slot_valid, sel_scores, NEG_INF),
+            seqs=new_seqs,
+            dec_cell_states=g_cell_states,
+            dec_lm_state=g_dec_lm,
+            context=g_context,
+            inputs=new_inputs,
+            lm_state=g_lm_state,
+            lm_inputs=new_lm_inputs,
+            num_finished=num_finished,
+            fin_scores=fin_scores,
+            fin_seqs=fin_seqs,
+            fin_lens=fin_lens,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Final candidates: finished ∪ still-live (beam_search.py:334-338).
+    live_scores = jnp.where(final.alive, final.scores, NEG_INF)
+    all_scores = jnp.concatenate([final.fin_scores, live_scores], axis=1)
+    all_seqs = jnp.concatenate([final.fin_seqs, final.seqs], axis=1)
+    live_lens = jnp.broadcast_to(final.t, (B, k)).astype(jnp.int32)
+    all_lens = jnp.concatenate([final.fin_lens, live_lens], axis=1)
+
+    best = jnp.argmax(all_scores, axis=1)                          # [B]
+    tokens = jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0]
+    lens = jnp.take_along_axis(all_lens, best[:, None], axis=1)[:, 0]
+    scores = jnp.take_along_axis(all_scores, best[:, None], axis=1)[:, 0]
+    return tokens, lens, scores

@@ -1,0 +1,70 @@
+"""Greedy decoding evaluator: batched on-device argmax decode + WER scoring.
+
+Replaces Eval.greedy_decode (/root/reference/eval_model.py:56-118): runs the
+jitted greedy decode per batch, detokenizes, filters fillers, accumulates the
+edit distance, and writes the gold / raw / decoded artifact files.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import numpy as np
+
+from e2e_asr_tpu.config import Seq2SeqConfig
+from e2e_asr_tpu.data import text
+from e2e_asr_tpu.eval.score import WerAccumulator
+from e2e_asr_tpu.models import seq2seq
+
+
+class GreedyEvaluator:
+    def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
+                 out_dir: str, *, compute_dtype=None, file_prefix: str = "asr"):
+        self.cfg = cfg
+        self.rev_vocab = rev_vocab
+        self.out_dir = out_dir
+        self.file_prefix = file_prefix
+        self._decode = jax.jit(partial(
+            seq2seq.apply_greedy, cfg=cfg, task="char", go_id=text.GO_ID,
+            compute_dtype=compute_dtype))
+
+    def __call__(self, params, batches, *, write_files: bool = True) -> float:
+        """Returns the filler-filtered WER over `batches` (an iterable of
+        dataset batches with `valid` masks)."""
+        acc = WerAccumulator()
+        os.makedirs(self.out_dir, exist_ok=True)
+        gold_path = os.path.join(self.out_dir, f"gold_{self.file_prefix}.txt")
+        raw_path = os.path.join(self.out_dir, f"raw_{self.file_prefix}.txt")
+        dec_path = os.path.join(self.out_dir, f"decoded_{self.file_prefix}.txt")
+        gold_f = open(gold_path, "w") if write_files else None
+        raw_f = open(raw_path, "w") if write_files else None
+        dec_f = open(dec_path, "w") if write_files else None
+        try:
+            for batch in batches:
+                ids = np.asarray(self._decode(
+                    params=params, feats=batch["logmel"],
+                    feat_lens=batch["logmel_len"]))           # [B, T_out]
+                for i in range(ids.shape[0]):
+                    if not batch["valid"][i]:
+                        continue
+                    gold_sent = text.ids_to_sentence(batch["char"][i, 1:],
+                                                     self.rev_vocab)
+                    hyp_sent = text.ids_to_sentence(ids[i], self.rev_vocab)
+                    raw_words, hyp_words = text.get_relevant_words(hyp_sent)
+                    _, gold_words = text.get_relevant_words(gold_sent)
+                    acc.add(hyp_words, gold_words)
+                    if write_files:
+                        uid = batch["utt_ids"][i]
+                        gold_f.write(f"{uid}\t{' '.join(gold_words)}\n")
+                        raw_f.write(f"{uid}\t{' '.join(raw_words)}\n")
+                        dec_f.write(f"{uid}\t{' '.join(hyp_words)}\n")
+        finally:
+            for f in (gold_f, raw_f, dec_f):
+                if f:
+                    f.close()
+        print(f"Total sentences: {acc.sentences}")
+        if write_files:
+            print(f"Output at: {raw_path}")
+        print(f"Score: {acc.score:f}")
+        return acc.score
