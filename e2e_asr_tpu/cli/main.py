@@ -1,0 +1,125 @@
+"""CLI entry point: train or evaluate (dev/test).
+
+Mirrors /root/reference/main.py: aggregates every component's flags, derives
+the run-name-encoding train directory, loads vocabularies to size the
+decoders, writes parameters.txt, and dispatches train vs dev/test eval
+(greedy when beam_size==1 and lm_weight==0, beam search otherwise —
+main.py:217-222).
+
+Usage:
+    python -m e2e_asr_tpu.cli.main [flags]          # train
+    python -m e2e_asr_tpu.cli.main -dev  [flags]    # dev eval
+    python -m e2e_asr_tpu.cli.main -test [flags]    # test (eval2000*) eval
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+from os import path
+
+from e2e_asr_tpu import config as config_lib
+from e2e_asr_tpu.config import ExperimentConfig
+
+
+def parse_options(argv=None) -> ExperimentConfig:
+    parser = argparse.ArgumentParser()
+    config_lib.add_parse_options(parser)
+    args = vars(parser.parse_args(argv))
+
+    # Load vocabularies to size the decoders (main.py:108-113).
+    tasks = config_lib.parse_tasks(args.get("tasks", ""))
+    vocab_sizes = {}
+    from e2e_asr_tpu.data import text
+    for task in tasks:
+        vocab_path = path.join(args["vocab_dir"], f"{task}.vocab")
+        if path.isfile(vocab_path):
+            vocab, _ = text.initialize_vocabulary(vocab_path)
+            vocab_sizes[task] = len(vocab)
+
+    cfg = config_lib.process_args(args, vocab_sizes)
+
+    if not cfg.dev and not cfg.test:
+        os.makedirs(cfg.train.train_dir, exist_ok=True)
+        os.makedirs(cfg.train.best_model_dir, exist_ok=True)
+        with open(path.join(cfg.train.train_dir, "parameters.txt"), "w") as f:
+            f.write(config_lib.config_to_text(cfg) + "\n")
+    return cfg
+
+
+def launch_train(cfg: ExperimentConfig) -> None:
+    from e2e_asr_tpu.train.loop import Trainer
+    Trainer(cfg).train()
+
+
+def launch_eval(cfg: ExperimentConfig) -> None:
+    import jax.numpy as jnp
+
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.data.speech import SpeechDataset
+    from e2e_asr_tpu.eval.beam_eval import BeamEvaluator
+    from e2e_asr_tpu.eval.greedy import GreedyEvaluator
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.train import step as step_lib
+    from e2e_asr_tpu.train.loop import Trainer
+
+    tc = cfg.train
+    trainer = Trainer(cfg, use_mesh=False)
+    if cfg.dev:
+        _, dev_set = trainer.get_data_sets()
+    else:
+        test_files = sorted(glob.glob(path.join(tc.data_dir, "eval2000*")))
+        print(f"Total test files: {len(test_files)}")
+        dev_set = SpeechDataset(test_files, 64, tc.feat_length,
+                                is_training=False, tasks=("char",))
+
+    # Restore: prefer best_model_dir, else train_dir, else fresh init
+    # (main.py:203-215).
+    import jax
+    params = seq2seq.init(jax.random.PRNGKey(10), cfg.model)
+    state = step_lib.create_state(params, cfg.model, cfg.lm)
+    ckpt_path = None
+    for d in (tc.best_model_dir, tc.train_dir):
+        found = ckpt_lib.latest_path(d)
+        if found:
+            ckpt_path = found[0]
+            state = ckpt_lib.restore(ckpt_path, state)
+            break
+    print(f"Using the model from: {ckpt_path}")
+
+    _, rev_vocab = text.initialize_vocabulary(
+        path.join(tc.vocab_dir, "char.vocab"))
+    compute_dtype = (jnp.bfloat16 if tc.compute_dtype == "bfloat16" else None)
+
+    lm_params = None
+    if cfg.beam.lm_path:
+        from e2e_asr_tpu.models import rnn_lm
+        lm_state = ckpt_lib.restore(cfg.beam.lm_path, state)
+        lm_params = rnn_lm.shared_lm_params(lm_state.params)
+
+    start = time.time()
+    if cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0:
+        evaluator = GreedyEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
+                                    compute_dtype=compute_dtype)
+        evaluator(state.params, dev_set.epoch())
+    else:
+        evaluator = BeamEvaluator(cfg.model, cfg.beam, rev_vocab,
+                                  tc.best_model_dir,
+                                  compute_dtype=compute_dtype,
+                                  lm_params=lm_params)
+        evaluator(state.params, dev_set.epoch())
+    print(f"Total decoding time: {time.time() - start:.1f}s")
+
+
+def main(argv=None) -> None:
+    cfg = parse_options(argv)
+    if cfg.dev or cfg.test:
+        launch_eval(cfg)
+    else:
+        launch_train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Beam-search evaluation driver: encoder + batched on-device beam decode +
+WER with insertion/deletion/substitution breakdown.
+
+Replaces Eval.beam_search_decode (/root/reference/eval_model.py:155-247). The
+reference ran the encoder on-device, pickled hidden states to disk, then ran a
+serial CPU beam per utterance; here the whole pipeline stays on-device and
+batched, so the pickle cache disappears.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import numpy as np
+
+from e2e_asr_tpu.config import BeamConfig, Seq2SeqConfig
+from e2e_asr_tpu.data import text
+from e2e_asr_tpu.eval.beam import beam_decode
+from e2e_asr_tpu.eval.score import WerAccumulator
+from e2e_asr_tpu.models import rnn_lm, seq2seq
+
+
+def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
+                      *, compute_dtype=None, lm_params=None):
+    """Build a jitted batch -> (tokens, lens, scores) closure."""
+    dec_cfg = cfg.decoders["char"]
+
+    @jax.jit
+    def run(params, feats, feat_lens, lm_p):
+        attn_states, _, enc_lens = seq2seq.encode(
+            params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
+        depth = cfg.num_layers["char"]
+        return beam_decode(params["decoder_char"], dec_cfg, beam_cfg,
+                           attn_states[depth], enc_lens[depth],
+                           lm_params=lm_p)
+
+    def decode(params, batch):
+        lm_p = lm_params
+        if lm_p is None and beam_cfg.lm_weight != 0.0:
+            lm_p = rnn_lm.shared_lm_params(params)
+        return run(params, batch["logmel"], batch["logmel_len"], lm_p)
+
+    return decode
+
+
+class BeamEvaluator:
+    def __init__(self, cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
+                 rev_vocab: list[str], out_dir: str, *, compute_dtype=None,
+                 lm_params=None):
+        self.beam_cfg = beam_cfg
+        self.rev_vocab = rev_vocab
+        self.out_dir = out_dir
+        self._decode = make_beam_decoder(cfg, beam_cfg,
+                                         compute_dtype=compute_dtype,
+                                         lm_params=lm_params)
+
+    def __call__(self, params, batches, *, write_files: bool = True) -> float:
+        acc = WerAccumulator()
+        os.makedirs(self.out_dir, exist_ok=True)
+        gold_path = os.path.join(self.out_dir, "gold.txt")
+        raw_path = os.path.join(self.out_dir,
+                                f"raw_{self.beam_cfg.beam_size}.txt")
+        gold_f = open(gold_path, "w") if write_files else None
+        raw_f = open(raw_path, "w") if write_files else None
+        try:
+            for batch in batches:
+                tokens, lens, _ = self._decode(params, batch)
+                tokens = np.asarray(tokens)
+                lens = np.asarray(lens)
+                for i in range(tokens.shape[0]):
+                    if not batch["valid"][i]:
+                        continue
+                    hyp_ids = tokens[i, : lens[i]]
+                    hyp_sent = text.ids_to_sentence(hyp_ids, self.rev_vocab)
+                    gold_sent = text.ids_to_sentence(batch["char"][i, 1:],
+                                                     self.rev_vocab)
+                    raw_words, hyp_words = text.get_relevant_words(hyp_sent)
+                    _, gold_words = text.get_relevant_words(gold_sent)
+                    acc.add(hyp_words, gold_words)
+                    if write_files:
+                        uid = batch["utt_ids"][i]
+                        gold_f.write(f"{uid}\t{' '.join(gold_words)}\n")
+                        raw_f.write(f"{uid}\t{' '.join(raw_words)}\n")
+        finally:
+            for f in (gold_f, raw_f):
+                if f:
+                    f.close()
+        if write_files:
+            print(f"Output at: {raw_path}")
+        print(f"Score: {acc.score:f}")
+        print(f"Insertion: {acc.insertions}, Deletion: {acc.deletions}, "
+              f"Substitution: {acc.substitutions}")
+        return acc.score

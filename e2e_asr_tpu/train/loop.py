@@ -1,0 +1,310 @@
+"""Training driver: bucket scheduling, LM/ASR interleave, checkpoint /
+LR-decay / early-stop policies.
+
+Re-implements /root/reference/train.py:160-395 around jitted train steps:
+
+- 5 length-bucketed training sets with per-bucket batch sizes, drained
+  smallest-first each epoch (train.py:294-299, 379-383). Each bucket's fixed
+  shape compiles exactly one step variant.
+- per step, an `lm_prob` coin picks the LM task (train.py:269); the LM has its
+  own optimizer slots and step counter but shares the parameter tree (§3.5).
+- every `steps_per_checkpoint` ASR steps: log perplexity/LR, greedy dev WER,
+  append to asr_err.txt, LR halving when the dev error is worse than the worst
+  of the previous 3 checkpoints after min_steps (train.py:334-343), early stop
+  when the best hasn't improved over 10 checkpoints at floor LR
+  (train.py:153-158, 346-349), best-model save (best 2 kept) + periodic save.
+- resume from the latest checkpoint; pretrained partial init via pytree-path
+  merge (train.py:205-215, tf_utils.py:17-63).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import random
+import time
+from os import path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.config import ExperimentConfig
+from e2e_asr_tpu.core import checkpoint as ckpt_lib
+from e2e_asr_tpu.core import mesh as mesh_lib
+from e2e_asr_tpu.core.summary import SummaryWriter
+from e2e_asr_tpu.data import text
+from e2e_asr_tpu.data.lm import LMDataset
+from e2e_asr_tpu.data.speech import SpeechDataset
+from e2e_asr_tpu.eval.greedy import GreedyEvaluator
+from e2e_asr_tpu.models import seq2seq
+from e2e_asr_tpu.train import step as step_lib
+
+
+def check_progress(previous_errs: list[float], num: int = 10) -> bool:
+    """False when the best error hasn't improved in the last `num`
+    checkpoints (train.py:153-158)."""
+    if len(previous_errs) > num:
+        if min(previous_errs) != min(previous_errs[-num:]):
+            return False
+    return True
+
+
+def _device_batch(batch: dict) -> dict:
+    return {k: v for k, v in batch.items() if k not in ("utt_ids",)}
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, *, use_mesh: bool = True):
+        self.cfg = cfg
+        self.model_cfg = cfg.model
+        self.train_cfg = cfg.train
+        self.lm_cfg = cfg.lm
+        dtype = (jnp.bfloat16 if self.train_cfg.compute_dtype == "bfloat16"
+                 else None)
+        self.compute_dtype = dtype
+        self.mesh = mesh_lib.make_mesh() if use_mesh else None
+        asr_step, lm_step = step_lib.make_train_step(
+            self.model_cfg, self.lm_cfg, compute_dtype=dtype)
+        self.asr_step = jax.jit(asr_step, donate_argnums=0)
+        self.lm_step = jax.jit(lm_step, donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    # Data
+    # ------------------------------------------------------------------
+    def get_data_sets(self, logging=True):
+        tc = self.train_cfg
+        tasks = tuple(self.model_cfg.tasks)
+        buckets = []
+        total = 0
+        for bucket_id, batch_size in enumerate(
+                tc.buck_batch_size[: tc.num_buckets]):
+            files = sorted(glob.glob(
+                path.join(tc.data_dir, f"train_1k.{bucket_id}.*")))
+            if tc.subset_file:
+                keep = set()
+                try:
+                    with open(tc.subset_file) as f:
+                        keep = {line.strip() for line in f}
+                except OSError:
+                    keep = set()
+                if keep:
+                    files = [f for f in files if path.basename(f) in keep]
+            total += len(files)
+            if not files:
+                continue
+            buckets.append(SpeechDataset(
+                files, batch_size, tc.feat_length, is_training=True,
+                tasks=tasks, seed=self._seed()))
+        if logging:
+            print(f"Total train files: {total}")
+        dev_files = sorted(glob.glob(path.join(tc.data_dir, "dev*")))
+        if logging:
+            print(f"Total dev files: {len(dev_files)}")
+        dev_set = (SpeechDataset(dev_files, tc.batch_size, tc.feat_length,
+                                 is_training=False, tasks=("char",))
+                   if dev_files else None)
+        return buckets, dev_set
+
+    def get_lm_dataset(self):
+        files = sorted(glob.glob(path.join(self.train_cfg.lm_data_dir, "lm*")))
+        if not files:
+            return None
+        return LMDataset(files, self.lm_cfg.lm_batch_size, seed=self._seed())
+
+    def _seed(self) -> int:
+        return int(time.time()) if self.train_cfg.chaos else 10
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        cfg, tc = self.model_cfg, self.train_cfg
+        if not tc.chaos:
+            random.seed(10)
+            np.random.seed(10)
+        else:
+            random.seed(int(time.time()))
+
+        os.makedirs(tc.train_dir, exist_ok=True)
+        os.makedirs(tc.best_model_dir, exist_ok=True)
+
+        params = seq2seq.init(jax.random.PRNGKey(10 if not tc.chaos
+                                                 else int(time.time())), cfg)
+        state = step_lib.create_state(params, cfg, self.lm_cfg)
+
+        restored = ckpt_lib.restore_latest(tc.train_dir, state)
+        if restored is not None:
+            state, meta = restored
+            print(f"Resumed from step {int(state.global_step)}")
+        else:
+            if tc.pretrain_lm_path:
+                state = state._replace(params=ckpt_lib.partial_restore(
+                    state.params, tc.pretrain_lm_path))
+            if tc.pretrain_phone_path:
+                state = state._replace(params=ckpt_lib.partial_restore(
+                    state.params, tc.pretrain_phone_path))
+        if self.mesh is not None:
+            state = mesh_lib.replicate(self.mesh, state)
+
+        buckets, dev_set = self.get_data_sets()
+        lm_data = self.get_lm_dataset() if tc.lm_prob > 0 else None
+        lm_iter = None
+
+        rev_vocab = self._load_rev_vocab()
+        evaluator = (GreedyEvaluator(cfg, rev_vocab, tc.best_model_dir,
+                                     compute_dtype=self.compute_dtype)
+                     if dev_set is not None and rev_vocab else None)
+
+        writer = SummaryWriter(path.join(tc.train_dir, "summary"))
+
+        # best score + error history (train.py:221-253)
+        asr_err_best = self._read_best()
+        previous_errs = self._read_err_history()
+        if previous_errs and not (step_lib.get_lr(state) > tc.lr_floor):
+            if not check_progress(previous_errs, tc.early_stop_window):
+                print("No improvement in 10 checkpoints")
+                return
+
+        print(f"\nBest ASR error rate - {asr_err_best:f}")
+        rng = jax.random.PRNGKey(self._seed())
+        epoch = int(state.epoch)
+        current_step = 0
+        loss_acc, lm_loss_acc, lm_steps = 0.0, 0.0, 0
+        ckpt_start = time.time()
+        stop = False
+
+        while epoch <= tc.max_epochs and not stop:
+            print(f"\nEpochs done: {epoch}")
+            epc_start = time.time()
+            # Smallest-utterance buckets drain first (train.py:294-299).
+            bucket_iters = [b.epoch() for b in buckets]
+            bucket_idx = 0
+            while bucket_idx < len(bucket_iters) and not stop:
+                task = "lm" if (tc.lm_prob > random.random()) else "asr"
+                if task == "lm" and lm_data is not None:
+                    if lm_iter is None:
+                        lm_iter = iter(lm_data.epoch())
+                    lm_batch = next(lm_iter, None)
+                    if lm_batch is None:
+                        lm_iter = iter(lm_data.epoch())  # reshuffle
+                        print("LM Epoch done !!")
+                        continue
+                    rng, sub = jax.random.split(rng)
+                    state, metrics = self.lm_step(
+                        state, jnp.asarray(lm_batch["char"].T),
+                        jnp.asarray(lm_batch["char_len"]), sub)
+                    lm_loss_acc += float(metrics["lm_loss"]) / tc.steps_per_checkpoint
+                    lm_steps += 1
+                    if lm_steps % tc.steps_per_checkpoint == 0:
+                        ppl = math.exp(lm_loss_acc) if lm_loss_acc < 300 else float("inf")
+                        print(f"LM steps: {int(state.lm_global_step)}, "
+                              f"Perplexity: {ppl:f}")
+                        writer.scalar("LM Perplexity", ppl,
+                                      int(state.global_step))
+                        lm_loss_acc = 0.0
+                    continue
+
+                batch = next(bucket_iters[bucket_idx], None)
+                if batch is None:
+                    bucket_idx += 1
+                    continue
+                dev_b = _device_batch(batch)
+                if self.mesh is not None:
+                    dev_b = mesh_lib.shard_batch(self.mesh, dev_b)
+                rng, sub = jax.random.split(rng)
+                state, metrics = self.asr_step(state, dev_b, sub)
+                current_step += 1
+                loss_acc += float(metrics["loss_char"]) / tc.steps_per_checkpoint
+
+                if current_step % tc.steps_per_checkpoint == 0:
+                    state, asr_err_best, stop = self._checkpoint_cadence(
+                        state, writer, evaluator, dev_set, loss_acc,
+                        previous_errs, asr_err_best, ckpt_start)
+                    loss_acc = 0.0
+                    ckpt_start = time.time()
+
+            print(f"Total steps: {int(state.global_step)}")
+            state = state._replace(epoch=state.epoch + 1)
+            epoch += 1
+            print(f"\nEPOCH TIME: {time.time() - epc_start:.1f}s\n")
+            print("Reshuffling ASR training data!")
+            # SpeechDataset reshuffles per epoch() call; nothing to rebuild.
+
+        writer.close()
+
+    # ------------------------------------------------------------------
+    def _checkpoint_cadence(self, state, writer, evaluator, dev_set,
+                            loss_acc, previous_errs, asr_err_best,
+                            ckpt_start):
+        tc = self.train_cfg
+        stop = False
+        gstep = int(state.global_step)
+        lr = step_lib.get_lr(state)
+        ppl = math.exp(loss_acc) if loss_acc < 300 else float("inf")
+        print(f"Step {gstep} Learning rate {lr:.4f} Checkpoint time "
+              f"{time.time() - ckpt_start:.2f} Perplexity {ppl:.2f}")
+        writer.scalar("ASR Perplexity", ppl, gstep)
+        writer.scalar("Learning rate", lr, gstep)
+
+        if evaluator is not None and dev_set is not None:
+            t0 = time.time()
+            asr_err_cur = evaluator(state.params, dev_set.epoch())
+            print(f"ASR error: {asr_err_cur:.4f}, Decoding time: "
+                  f"{time.time() - t0:.1f}s")
+            with open(path.join(tc.train_dir, "asr_err.txt"), "a") as f:
+                f.write(str(asr_err_cur) + "\n")
+            writer.scalar("ASR Error", asr_err_cur, gstep)
+
+            if gstep >= tc.min_steps:
+                if (len(previous_errs) > 3
+                        and asr_err_cur >= max(previous_errs[-3:])):
+                    if lr > tc.lr_floor:
+                        state = step_lib.set_lr(
+                            state, lr * self.model_cfg.learning_rate_decay_factor)
+                        print("Learning rate decreased !!")
+            previous_errs.append(asr_err_cur)
+            if not (step_lib.get_lr(state) > tc.lr_floor):
+                if not check_progress(previous_errs, tc.early_stop_window):
+                    print("No improvement in 10 checkpoints")
+                    stop = True
+
+            if asr_err_best > asr_err_cur:
+                asr_err_best = asr_err_cur
+                print(f"Best ASR Error rate: {asr_err_best:.4f}")
+                print("Saving the best model !!")
+                with open(path.join(tc.train_dir, "best.txt"), "w") as f:
+                    f.write(str(asr_err_best))
+                ckpt_lib.save(tc.best_model_dir, "asr.ckpt", gstep, state,
+                              meta={"best": asr_err_best}, max_to_keep=2)
+
+        ckpt_lib.save(tc.train_dir, "asr.ckpt", gstep, state,
+                      meta={"best": asr_err_best})
+        return state, asr_err_best, stop
+
+    def _read_best(self) -> float:
+        score_file = path.join(self.train_cfg.train_dir, "best.txt")
+        if path.isfile(score_file):
+            try:
+                return float(open(score_file).readline().strip())
+            except ValueError:
+                pass
+        return 1.0
+
+    def _read_err_history(self) -> list[float]:
+        errs = []
+        try:
+            with open(path.join(self.train_cfg.train_dir, "asr_err.txt")) as f:
+                errs = [float(line.strip()) for line in f]
+            print(f"Previous perf. log of {len(errs)} checkpoints loaded")
+        except (OSError, ValueError):
+            pass
+        return errs
+
+    def _load_rev_vocab(self):
+        vocab_path = path.join(self.train_cfg.vocab_dir, "char.vocab")
+        if not path.isfile(vocab_path):
+            return None
+        _, rev = text.initialize_vocabulary(vocab_path)
+        return rev
