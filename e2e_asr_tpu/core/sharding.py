@@ -1,0 +1,59 @@
+"""Sharding rules for the parameter tree over a ("data", "model") mesh.
+
+Data parallelism shards the batch axis; the "model" axis (when > 1) shards
+the vocabulary-sized projections — the decoder output softmax kernel/bias and
+the embedding tables — which are the only leaves that grow with vocab size.
+Everything else is replicated (the recurrent cells are latency-bound and far
+too small to benefit from TP at reference scale). XLA inserts the all-gathers
+/ reduce-scatters implied by these placements.
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _spec_for(path_str: str, ndim: int, n_model: int) -> P:
+    if n_model > 1:
+        if path_str.endswith("output_proj/kernel"):
+            return P(None, "model")        # [H, V] sharded on vocab
+        if path_str.endswith("output_proj/bias"):
+            return P("model")              # [V]
+        if path_str.endswith("embedding"):
+            return P("model", None)        # [V, emb] sharded on vocab
+    return P(*([None] * ndim))
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching `params`."""
+    n_model = mesh.shape.get("model", 1)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    def name_of(path):
+        from e2e_asr_tpu.core.checkpoint import _key_name
+        return "/".join(_key_name(k) for k in path)
+
+    shardings = [NamedSharding(mesh, _spec_for(name_of(p), leaf.ndim, n_model))
+                 for p, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def state_shardings(state, mesh: Mesh):
+    """Shardings for a full TrainState: params + optimizer slots follow the
+    same rules (Adam moments have the same shapes as their params); scalar
+    counters replicated."""
+    def spec(path, leaf):
+        from e2e_asr_tpu.core.checkpoint import _key_name
+        name = "/".join(_key_name(k) for k in path)
+        return NamedSharding(
+            mesh, _spec_for(name, getattr(leaf, "ndim", 0),
+                            mesh.shape.get("model", 1)))
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    return jax.tree_util.tree_unflatten(
+        treedef, [spec(p, l) for p, l in flat])
+
+
+def place_state(state, mesh: Mesh):
+    sh = state_shardings(state, mesh)
+    return jax.tree_util.tree_map(jax.device_put, state, sh)
