@@ -42,17 +42,35 @@ def length_mask(lens: Array, T: int, dtype=jnp.float32) -> Array:
     return (t < lens.astype(jnp.int32)[None, :]).astype(dtype)
 
 
+def use_pallas_lstm() -> bool:
+    """Fused Pallas kernel on TPU (and under interpret-mode tests); the XLA
+    scan below is the always-correct fallback and test oracle."""
+    import os
+    if os.environ.get("E2E_ASR_NO_PALLAS"):
+        return False
+    return True
+
+
 def lstm_scan(params: dict, x_seq: Array, lens: Array,
-              *, compute_dtype=None) -> Array:
+              *, compute_dtype=None, impl: str = "auto") -> Array:
     """Unidirectional LSTM over x_seq [T, B, F] -> outputs [T, B, H].
 
     Outputs at t >= lens are zeroed. Final state is not returned (the
     reference never consumes RNN final states).
+
+    impl: "auto" (Pallas fused kernel where available), "pallas", or "xla".
     """
     T, B, in_dim = x_seq.shape
     hidden = params["bias"].shape[0] // 4
     x_proj = cells.lstm_precompute_inputs(params, x_seq, in_dim,
                                           compute_dtype=compute_dtype)
+
+    if impl == "pallas" or (impl == "auto" and use_pallas_lstm()):
+        from e2e_asr_tpu.ops import lstm_pallas
+        outputs = lstm_pallas.lstm_seq(x_proj, params["kernel"][in_dim:],
+                                       compute_dtype is not None)
+        return outputs * length_mask(lens, T)[:, :, None]
+
     w_h = params["kernel"][in_dim:]
     if compute_dtype is not None:
         w_h = w_h.astype(compute_dtype)

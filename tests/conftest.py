@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU tests default to the XLA scan (Pallas interpret mode is slow); the
+# dedicated kernel tests in test_lstm_pallas.py call the Pallas impl
+# explicitly and verify parity.
+os.environ.setdefault("E2E_ASR_NO_PALLAS", "1")
 
 import jax  # noqa: E402
 

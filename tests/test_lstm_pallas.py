@@ -1,0 +1,61 @@
+"""Pallas fused-LSTM kernel vs the XLA scan oracle (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_tpu.core import cells, rnn
+from e2e_asr_tpu.ops import lstm_pallas
+
+
+@pytest.mark.parametrize("T,B,F,H", [(7, 8, 5, 8), (5, 3, 9, 16)])
+def test_pallas_fwd_matches_scan(T, B, F, H):
+    params = cells.lstm_init(jax.random.PRNGKey(0), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
+    lens = jnp.full((B,), T)
+    x_proj = cells.lstm_precompute_inputs(params, x, F)
+    h_pallas = lstm_pallas.lstm_seq(x_proj, params["kernel"][F:])
+    h_scan = rnn.lstm_scan(params, x, lens, impl="xla")
+    np.testing.assert_allclose(np.asarray(h_pallas), np.asarray(h_scan),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_grad_matches_scan_grad():
+    T, B, F, H = 6, 4, 5, 8
+    params = cells.lstm_init(jax.random.PRNGKey(2), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(3), (T, B, F))
+    lens = jnp.full((B,), T)
+
+    def loss_pallas(xp, wh):
+        return jnp.sum(jnp.sin(lstm_pallas.lstm_seq(xp, wh)))
+
+    def loss_scan(p):
+        return jnp.sum(jnp.sin(rnn.lstm_scan(p, x, lens, impl="xla")))
+
+    x_proj = cells.lstm_precompute_inputs(params, x, F)
+    w_h = params["kernel"][F:]
+    dxp, dwh = jax.grad(loss_pallas, argnums=(0, 1))(x_proj, w_h)
+    g = jax.grad(loss_scan)(params)
+    # Map x_proj cotangent back to W_x / bias gradients.
+    dwx = jnp.einsum("tbf,tbg->fg", x, dxp)
+    db = dxp.sum((0, 1))
+    np.testing.assert_allclose(np.asarray(dwh), np.asarray(g["kernel"][F:]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dwx), np.asarray(g["kernel"][:F]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(g["bias"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_scan_pallas_impl_matches_xla_with_masking():
+    """The Pallas impl (interpret mode here) must agree with XLA including
+    length masking."""
+    T, B, F, H = 8, 3, 4, 8
+    params = cells.lstm_init(jax.random.PRNGKey(4), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(5), (T, B, F))
+    lens = jnp.array([5, 8, 2])
+    out_pal = rnn.lstm_scan(params, x, lens, impl="pallas")
+    out_xla = rnn.lstm_scan(params, x, lens, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(out_pal)[2:, 2] == 0.0)
