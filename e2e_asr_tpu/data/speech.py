@@ -60,13 +60,23 @@ def parse_utterance(record: bytes, feat_length: int) -> Utterance:
 
 def load_files(files: list[str], feat_length: int,
                *, process_index: int = 0, process_count: int = 1,
-               ) -> list[Utterance]:
+               use_native: bool = True) -> list[Utterance]:
+    """Load utterances, preferring the native C++ reader (runtime/), with the
+    pure-Python codec as fallback."""
+    from e2e_asr_tpu.data import native
     utts = []
     for i, path in enumerate(sorted(files)):
         if i % process_count != process_index:
             continue
-        for rec in tfrecord.read_records(path):
-            utts.append(parse_utterance(rec, feat_length))
+        parsed = native.load_speech_file(path, feat_length) if use_native else None
+        if parsed is not None:
+            for utt_id, logmel, cint, pint in parsed:
+                utts.append(Utterance(utt_id=utt_id, logmel=logmel,
+                                      char=cint.astype(np.int32),
+                                      phone=pint.astype(np.int32)))
+        else:
+            for rec in tfrecord.read_records(path):
+                utts.append(parse_utterance(rec, feat_length))
     return utts
 
 

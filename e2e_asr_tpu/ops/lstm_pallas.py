@@ -106,7 +106,8 @@ def _seq_kernel_dispatch(x_proj_ref, w_h_ref, *refs, save_c: bool,
 
 
 def _bwd_kernel(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref, g_ref,
-                dx_ref, dwh_acc_ref, dc_ref, dh_ref):
+                dx_ref, dwh_acc_ref, dc_ref, dh_ref, *,
+                bf16_matmul: bool = False):
     """Reverse-time step: recompute gates, backprop through the cell.
 
     Grid step r walks t = T-1-r. Carries dc/dh in scratch; accumulates dW_h.
@@ -126,7 +127,11 @@ def _bwd_kernel(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref, g_ref,
     c_prev = c_prev_ref[0]
     c_t = c_t_ref[0]
 
-    gates = x_proj_ref[0] + jnp.dot(h_prev, w_h_ref[:],
+    w = w_h_ref[:]
+    h_prev_mm = h_prev
+    if bf16_matmul:
+        w, h_prev_mm = w.astype(jnp.bfloat16), h_prev.astype(jnp.bfloat16)
+    gates = x_proj_ref[0] + jnp.dot(h_prev_mm, w,
                                     preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(gates[:, :H])
     j = jnp.tanh(gates[:, H:2 * H])
@@ -143,16 +148,16 @@ def _bwd_kernel(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref, g_ref,
 
     dgates = jnp.concatenate([di, dj, df, do], axis=-1)     # [B, 4H]
     dx_ref[0] = dgates
+    dgates_mm = dgates.astype(jnp.bfloat16) if bf16_matmul else dgates
     # dh_{t-1} = dgates @ W_h^T ; dW_h += h_{t-1}^T @ dgates
-    dh_ref[:] = jnp.dot(dgates, w_h_ref[:].T,
-                        preferred_element_type=jnp.float32)
+    dh_ref[:] = jnp.dot(dgates_mm, w.T, preferred_element_type=jnp.float32)
     dc_ref[:] = dc_total * f
-    dwh_acc_ref[:] += jnp.dot(h_prev.T, dgates,
+    dwh_acc_ref[:] += jnp.dot(h_prev_mm.T, dgates_mm,
                               preferred_element_type=jnp.float32)
 
 
 def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
-             g: Array) -> tuple[Array, Array]:
+             g: Array, *, bf16_matmul: bool = False) -> tuple[Array, Array]:
     """Returns (dx_proj [T,B,4H], dw_h [H,4H])."""
     T, B, H = h_seq.shape
     H4 = 4 * H
@@ -164,7 +169,7 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     rev = lambda r: (T - 1 - r, 0, 0)          # noqa: E731 — t = T-1-r
     rev_next = lambda r: (T - r, 0, 0)         # noqa: E731 — t+1 in padded seq
     dx, dwh = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, bf16_matmul=bf16_matmul),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((H, H4), lambda r: (0, 0), memory_space=pltpu.VMEM),
@@ -213,7 +218,7 @@ def _lstm_seq_fwd(x_proj, w_h, bf16_matmul):
 
 def _lstm_seq_bwd(bf16_matmul, res, g):
     x_proj, w_h, h_seq, c_seq = res
-    dx, dwh = _bwd_seq(w_h, h_seq, c_seq, x_proj, g)
+    dx, dwh = _bwd_seq(w_h, h_seq, c_seq, x_proj, g, bf16_matmul=bf16_matmul)
     return dx, dwh
 
 
