@@ -122,6 +122,7 @@ class TrainConfig:
     # TPU-specific
     data_axis: int = -1              # -1: use all devices for data parallelism
     compute_dtype: str = "bfloat16"  # matmul compute dtype on TPU
+    profile_dir: str = ""            # jax.profiler trace output (steps 10..15)
 
 
 @dataclass

@@ -106,7 +106,8 @@ def _dec_step(params: dict, cfg: DecoderConfig, ctx: AttnContext,
     query = top.c if cfg.use_lstm else top
     context, _ = _beam_attention(params, ctx, query)
     proj = dense(params["attn_proj"], jnp.concatenate([query, context], -1))
-    logits = dense(params["output_proj"], proj)
+    out_proj = params["output_proj_ind" if cfg.ind_softmax else "output_proj"]
+    logits = dense(out_proj, proj)
     return new_cell_states, new_dec_lm, context, jax.nn.log_softmax(logits, -1)
 
 

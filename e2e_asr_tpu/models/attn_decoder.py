@@ -68,6 +68,10 @@ def init(key: Array, cfg: DecoderConfig, attn_size: int) -> dict:
         "attn_proj": dense_params(next(ks), hid + attn_size, hid),
         "output_proj": dense_params(next(ks), hid, cfg.vocab_size),
     }
+    if cfg.ind_softmax:
+        # Decoder keeps its own softmax, decoupled from the LM-shared one
+        # (OutputProjection2, attn_decoder.py:119-122).
+        params["output_proj_ind"] = dense_params(next(ks), hid, cfg.vocab_size)
     if cfg.lm_hidden_size != hid:
         params["simple_proj"] = dense_params(next(ks), cfg.lm_hidden_size, hid)
     dec_cells = []
@@ -171,7 +175,8 @@ def step(params: dict, cfg: DecoderConfig, ctx: AttnContext, state: DecState,
 
     proj = dense(params["attn_proj"],
                  jnp.concatenate([query, context], axis=-1), compute_dtype=cd)
-    logits = dense(params["output_proj"], proj, compute_dtype=cd)
+    out_proj = params["output_proj_ind" if cfg.ind_softmax else "output_proj"]
+    logits = dense(out_proj, proj, compute_dtype=cd)
 
     return DecState(new_cell_states, new_lm_state, context, alpha), logits
 

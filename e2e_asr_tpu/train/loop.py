@@ -172,6 +172,7 @@ class Trainer:
         epoch = int(state.epoch)
         current_step = 0
         loss_acc, lm_loss_acc, lm_steps = 0.0, 0.0, 0
+        self._frames_acc = 0
         ckpt_start = time.time()
         stop = False
 
@@ -214,8 +215,14 @@ class Trainer:
                 if self.mesh is not None:
                     dev_b = mesh_lib.shard_batch(self.mesh, dev_b)
                 rng, sub = jax.random.split(rng)
+                if tc.profile_dir and current_step == 10:
+                    jax.profiler.start_trace(tc.profile_dir)
                 state, metrics = self.asr_step(state, dev_b, sub)
                 current_step += 1
+                if tc.profile_dir and current_step == 15:
+                    float(metrics["loss"])  # sync before stopping the trace
+                    jax.profiler.stop_trace()
+                self._frames_acc += int(np.sum(batch["logmel_len"]))
                 loss_acc += float(metrics["loss_char"]) / tc.steps_per_checkpoint
 
                 if current_step % tc.steps_per_checkpoint == 0:
@@ -243,10 +250,15 @@ class Trainer:
         gstep = int(state.global_step)
         lr = step_lib.get_lr(state)
         ppl = math.exp(loss_acc) if loss_acc < 300 else float("inf")
+        elapsed = time.time() - ckpt_start
+        frames_per_sec = self._frames_acc / max(elapsed, 1e-9)
+        self._frames_acc = 0
         print(f"Step {gstep} Learning rate {lr:.4f} Checkpoint time "
-              f"{time.time() - ckpt_start:.2f} Perplexity {ppl:.2f}")
+              f"{elapsed:.2f} Perplexity {ppl:.2f} "
+              f"Frames/sec {frames_per_sec:,.0f}")
         writer.scalar("ASR Perplexity", ppl, gstep)
         writer.scalar("Learning rate", lr, gstep)
+        writer.scalar("Frames per sec", frames_per_sec, gstep)
 
         if evaluator is not None and dev_set is not None:
             t0 = time.time()
