@@ -102,20 +102,47 @@ def gru_scan(params: dict, x_seq: Array, lens: Array,
 
 
 def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
-              bidirectional: bool = True, compute_dtype=None) -> Array:
+              bidirectional: bool = True, compute_dtype=None,
+              impl: str = "auto") -> Array:
     """One (optionally bidirectional) RNN layer.
 
     params: {"fw": cell_params[, "bw": cell_params]}.
     x_seq: [T, B, F] time-major. Returns [T, B, H] or [T, B, 2H] (fw;bw concat,
     matching encoder.py:83-84).
+
+    The backward direction must see each example reversed within its own
+    length. The XLA path uses reverse_sequence gathers; the Pallas path flips
+    the whole array (cheap) and runs the carry-through-masked kernel, which is
+    mathematically identical.
     """
     scan = lstm_scan if cell == "lstm" else gru_scan
-    fw_out = scan(params["fw"], x_seq, lens, compute_dtype=compute_dtype)
+    fw_out = scan(params["fw"], x_seq, lens, compute_dtype=compute_dtype,
+                  **({"impl": impl} if cell == "lstm" else {}))
     if not bidirectional:
         return fw_out
-    x_rev = reverse_sequence(x_seq, lens)
-    bw_out_rev = scan(params["bw"], x_rev, lens, compute_dtype=compute_dtype)
-    bw_out = reverse_sequence(bw_out_rev, lens)
+
+    use_pal = cell == "lstm" and (
+        impl == "pallas" or (impl == "auto" and use_pallas_lstm()))
+    if use_pal:
+        from e2e_asr_tpu.core import cells as cells_mod
+        from e2e_asr_tpu.ops import lstm_pallas
+        T, B, in_dim = x_seq.shape
+        x_flip = jnp.flip(x_seq, axis=0)
+        x_proj = cells_mod.lstm_precompute_inputs(
+            params["bw"], x_flip, in_dim, compute_dtype=compute_dtype)
+        # After the flip, example b's padding occupies positions < T - len[b].
+        t = jnp.arange(T)[:, None]
+        valid = (t >= T - lens.astype(jnp.int32)[None, :]).astype(jnp.float32)
+        h_flip = lstm_pallas.lstm_seq_masked(
+            x_proj, params["bw"]["kernel"][in_dim:], valid[:, :, None],
+            compute_dtype is not None)
+        bw_out = jnp.flip(h_flip * valid[:, :, None], axis=0)
+    else:
+        x_rev = reverse_sequence(x_seq, lens)
+        bw_out_rev = scan(params["bw"], x_rev, lens,
+                          compute_dtype=compute_dtype,
+                          **({"impl": "xla"} if cell == "lstm" else {}))
+        bw_out = reverse_sequence(bw_out_rev, lens)
     return jnp.concatenate([fw_out, bw_out], axis=-1)
 
 

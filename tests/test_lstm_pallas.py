@@ -47,6 +47,29 @@ def test_pallas_grad_matches_scan_grad():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_bidir_layer_pallas_matches_xla_ragged_lengths():
+    """The flip+carry-through-mask backward direction must equal the
+    reverse_sequence/XLA formulation for ragged lengths, fwd and grad."""
+    T, B, F, H = 9, 4, 5, 8
+    params = rnn.rnn_layer_init(jax.random.PRNGKey(7), F, H, cell="lstm")
+    x = jax.random.normal(jax.random.PRNGKey(8), (T, B, F))
+    lens = jnp.array([9, 4, 7, 1])
+    out_pal = rnn.rnn_layer(params, x, lens, impl="pallas")
+    out_xla = rnn.rnn_layer(params, x, lens, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, impl):
+        return jnp.sum(jnp.sin(rnn.rnn_layer(p, x, lens, impl=impl)))
+
+    g_pal = jax.grad(lambda p: loss(p, "pallas"))(params)
+    g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_lstm_scan_pallas_impl_matches_xla_with_masking():
     """The Pallas impl (interpret mode here) must agree with XLA including
     length masking."""
