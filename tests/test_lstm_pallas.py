@@ -8,7 +8,8 @@ from e2e_asr_tpu.core import cells, rnn
 from e2e_asr_tpu.ops import lstm_pallas
 
 
-@pytest.mark.parametrize("T,B,F,H", [(7, 8, 5, 8), (5, 3, 9, 16)])
+@pytest.mark.parametrize("T,B,F,H", [(7, 8, 5, 8), (5, 3, 9, 16),
+                                     (8, 4, 5, 8)])
 def test_pallas_fwd_matches_scan(T, B, F, H):
     params = cells.lstm_init(jax.random.PRNGKey(0), F, H)
     x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
@@ -47,13 +48,14 @@ def test_pallas_grad_matches_scan_grad():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_bidir_layer_pallas_matches_xla_ragged_lengths():
+@pytest.mark.parametrize("T", [9, 10])  # odd -> 1-step blocks, even -> 2-step
+def test_bidir_layer_pallas_matches_xla_ragged_lengths(T):
     """The flip+carry-through-mask backward direction must equal the
     reverse_sequence/XLA formulation for ragged lengths, fwd and grad."""
-    T, B, F, H = 9, 4, 5, 8
+    B, F, H = 4, 5, 8
     params = rnn.rnn_layer_init(jax.random.PRNGKey(7), F, H, cell="lstm")
     x = jax.random.normal(jax.random.PRNGKey(8), (T, B, F))
-    lens = jnp.array([9, 4, 7, 1])
+    lens = jnp.array([T, 4, 7, 1])
     out_pal = rnn.rnn_layer(params, x, lens, impl="pallas")
     out_xla = rnn.rnn_layer(params, x, lens, impl="xla")
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
