@@ -218,6 +218,11 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     # TPU-specific additions
     parser.add_argument("-compute_dtype", default="bfloat16", type=str,
                         choices=["bfloat16", "float32"])
+    parser.add_argument("-buck_batch_sizes", default="128,128,64,64,32",
+                        type=str, help="Per-bucket batch sizes (the reference "
+                        "hardcodes these at train.py:44)")
+    parser.add_argument("-profile_dir", default="", type=str,
+                        help="jax.profiler trace output directory")
 
 
 def parse_tasks(task_string: str) -> list[str]:
@@ -267,6 +272,11 @@ def process_args(options: dict[str, Any],
     train = _from_options(TrainConfig, options)
     train.train_dir = train_dir
     train.best_model_dir = best_model_dir
+    if options.get("buck_batch_sizes"):
+        train.buck_batch_size = [int(x) for x in
+                                 str(options["buck_batch_sizes"]).split(",")]
+        train.num_buckets = len(train.buck_batch_size)
+        train.batch_size = train.buck_batch_size[0]
 
     lm = _from_options(LMConfig, options)
     if vocab_sizes and "char" in vocab_sizes:

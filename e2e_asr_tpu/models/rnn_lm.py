@@ -12,10 +12,9 @@ transfer work (train.py:268-291, beam_search.py:111-134).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from e2e_asr_tpu.config import DecoderConfig, LMConfig
-from e2e_asr_tpu.core import cells, losses
+from e2e_asr_tpu.core import losses
 from e2e_asr_tpu.core.layers import dense, dropout
 
 Array = jax.Array
@@ -40,27 +39,14 @@ def apply(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,
     rows [0, T-1) and predicts rows [1, T) (lm_encoder.py:93).
     Returns logits [T-1, B, V].
     """
+    from e2e_asr_tpu.core import rnn
+
     lm = shared_lm_params(params)
     emb_in = lm["embedding"][token_ids[:-1]]          # [T-1, B, emb]
-    T, B = emb_in.shape[0], emb_in.shape[1]
-    hidden = cfg.lm_hidden_size
-
-    w = lm["lstm"]["kernel"]
-    in_dim = cfg.emb_size
-    x_proj = cells.lstm_precompute_inputs(lm["lstm"], emb_in, in_dim,
-                                          compute_dtype=compute_dtype)
-    w_h = w[in_dim:]
-    if compute_dtype is not None:
-        w_h = w_h.astype(compute_dtype)
-
-    def scan_step(state, xp):
-        hh = state.h.astype(w_h.dtype) if compute_dtype is not None else state.h
-        gates = xp + jnp.dot(hh, w_h, preferred_element_type=jnp.float32)
-        out, new_state = cells._lstm_apply_gates(gates, state.c, hidden)
-        return new_state, out
-
-    init = cells.lstm_zero_state((B,), hidden)
-    _, outputs = jax.lax.scan(scan_step, init, x_proj)   # [T-1, B, H]
+    # Length-aware LSTM scan (Pallas fused kernel on TPU); output masking past
+    # seq_len matches dynamic_rnn (lm_encoder.py:93-96) — the loss masks too.
+    outputs = rnn.lstm_scan(lm["lstm"], emb_in, seq_len,
+                            compute_dtype=compute_dtype)
 
     if train and cfg.out_prob < 1.0:
         assert rng is not None

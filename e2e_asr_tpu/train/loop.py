@@ -64,11 +64,24 @@ class Trainer:
         dtype = (jnp.bfloat16 if self.train_cfg.compute_dtype == "bfloat16"
                  else None)
         self.compute_dtype = dtype
-        self.mesh = mesh_lib.make_mesh() if use_mesh else None
+        self.mesh = self._make_mesh() if use_mesh else None
         asr_step, lm_step = step_lib.make_train_step(
             self.model_cfg, self.lm_cfg, compute_dtype=dtype)
         self.asr_step = jax.jit(asr_step, donate_argnums=0)
         self.lm_step = jax.jit(lm_step, donate_argnums=0)
+
+    def _make_mesh(self):
+        """Data-parallel mesh whose size divides every bucket's batch size
+        (so each fixed-shape batch shards evenly); honors cfg.data_axis."""
+        import math
+
+        n_dev = jax.device_count()
+        if self.train_cfg.data_axis > 0:
+            n_data = min(self.train_cfg.data_axis, n_dev)
+        else:
+            sizes = self.train_cfg.buck_batch_size[: self.train_cfg.num_buckets]
+            n_data = math.gcd(math.gcd(*sizes) if sizes else n_dev, n_dev)
+        return mesh_lib.make_mesh(n_data=max(n_data, 1))
 
     # ------------------------------------------------------------------
     # Data

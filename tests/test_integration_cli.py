@@ -1,0 +1,84 @@
+"""Full CLI integration: train -> resume/eval dev (greedy) -> beam eval, all
+through `python -m e2e_asr_tpu.cli.main`-equivalent entry points on a
+synthetic on-disk corpus. Mirrors the reference workflows of main.py."""
+import glob
+import os
+
+import pytest
+
+from e2e_asr_tpu.cli.main import launch_eval, launch_train, parse_options
+from e2e_asr_tpu.data.synth import (make_vocab_dir, write_lm_corpus,
+                                    write_speech_corpus)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli"))
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir)
+    make_vocab_dir(os.path.join(root, "vocab"))
+    write_speech_corpus(os.path.join(data_dir, "train_1k.0.0001"), 12,
+                        feat_length=8, char_vocab=20, min_tokens=3,
+                        max_tokens=5, frames_per_token=4)
+    write_speech_corpus(os.path.join(data_dir, "dev.0001"), 6,
+                        feat_length=8, char_vocab=20, min_tokens=3,
+                        max_tokens=5, frames_per_token=4, seed=2)
+    write_speech_corpus(os.path.join(data_dir, "eval2000.0001"), 6,
+                        feat_length=8, char_vocab=20, min_tokens=3,
+                        max_tokens=5, frames_per_token=4, seed=3)
+    return root
+
+
+def _args(root, extra=()):
+    return ["-data_dir", os.path.join(root, "data"),
+            "-vocab_dir", os.path.join(root, "vocab"),
+            "-tb_dir", os.path.join(root, "models"),
+            "-hsize", "8", "-hsize_dec", "8", "-emb_size", "8",
+            "-attn_vec_size", "4", "-lm_hsize", "8",
+            "-feat_len", "8", "-max_out_char", "8",
+            "-buck_batch_sizes", "4",
+            "-steps_per_checkpoint", "3", "-max_epochs", "1",
+            "-compute_dtype", "float32", "-run_id", "9"] + list(extra)
+
+
+def test_cli_train_then_eval(workspace):
+    root = workspace
+    cfg = parse_options(_args(root))
+    assert cfg.train.buck_batch_size == [4]
+    launch_train(cfg)
+    assert glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
+    assert os.path.isfile(os.path.join(cfg.train.train_dir, "parameters.txt"))
+
+    # Greedy dev eval (beam_size 1, lm_weight 0 -> greedy path).
+    cfg_dev = parse_options(_args(root, ["-dev"]))
+    launch_eval(cfg_dev)
+    assert os.path.isfile(os.path.join(cfg_dev.train.best_model_dir,
+                                       "decoded_asr.txt"))
+
+    # Beam dev eval.
+    cfg_beam = parse_options(_args(root, ["-dev", "-beam_size", "2"]))
+    launch_eval(cfg_beam)
+    assert os.path.isfile(os.path.join(cfg_beam.train.best_model_dir,
+                                       "raw_2.txt"))
+
+    # Test-set (eval2000 glob) eval.
+    cfg_test = parse_options(_args(root, ["-test", "-beam_size", "2"]))
+    launch_eval(cfg_test)
+
+
+def test_cli_multitask_gru(workspace, tmp_path):
+    """Multitask (char+phone) with a GRU encoder through the CLI train path —
+    exercises the non-default cell and aux-decoder wiring end to end."""
+    root = workspace
+    import e2e_asr_tpu.config as config_lib
+    import argparse
+    parser = argparse.ArgumentParser()
+    config_lib.add_parse_options(parser)
+    args = vars(parser.parse_args(_args(root, ["-tasks", "p", "-run_id", "10"])))
+    cfg = config_lib.process_args(args, {"char": 37, "phone": 45})
+    cfg.model.encoder.use_lstm = False  # GRU encoder
+    cfg.train.max_epochs = 0
+    from e2e_asr_tpu.train.loop import Trainer
+    Trainer(cfg, use_mesh=False).train()  # epoch 0 only
+    # (no assertion beyond "runs without error" — the per-layer math is
+    # covered by unit tests; this guards the assembly.)
