@@ -91,6 +91,7 @@ class BeamConfig:
     lm_path: str = ""
     word_ins_penalty: float = 0.0
     cov_penalty: float = 0.0         # parsed, never applied (beam_search.py:210)
+    apply_cov_penalty: bool = False  # extension: GNMT-style coverage penalty
     max_steps: int = 120             # hard cap (beam_search.py:269)
 
 
@@ -211,6 +212,10 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-lm_weight", default=0.0, type=float)
     parser.add_argument("-lm_path", default="", type=str)
     parser.add_argument("-cov_penalty", default=0.0, type=float)
+    parser.add_argument("-apply_cov_penalty", default=False,
+                        action="store_true",
+                        help="Actually apply cov_penalty (the reference "
+                        "parses it but never applies it)")
     parser.add_argument("-word_ins_penalty", default=0.0, type=float)
     # Eval mode
     parser.add_argument("-dev", default=False, action="store_true")

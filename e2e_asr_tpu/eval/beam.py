@@ -19,8 +19,12 @@ Semantics preserved from the reference:
   argmax are unaffected.
 - the final answer is the max-score member of finished ∪ live
   (beam_search.py:334-338).
-- cov_penalty is accepted and ignored, as in the reference
-  (beam_search.py:210 hardcodes length_loss = 0).
+- cov_penalty is accepted and ignored BY DEFAULT, as in the reference
+  (beam_search.py:210 hardcodes length_loss = 0; cum_attn_probs is carried
+  but never used, beam_entry.py:8). Setting apply_cov_penalty=True enables a
+  working GNMT-style coverage penalty as an extension: the final comparison
+  adds cov_penalty * sum_t log(min(cum_alpha_t, 1)) over valid encoder
+  positions.
 
 Documented divergence: the reference selects ties via np.argpartition
 (unordered); we use ordered lax.top_k, so exact-tie cases may pick a
@@ -57,7 +61,9 @@ class BeamState(NamedTuple):
     num_finished: Array      # [B] int32
     fin_scores: Array        # [B, k]
     fin_seqs: Array          # [B, k, max_steps]
-    fin_lens: Array          # [B] -> [B, k] int32
+    fin_lens: Array          # [B, k] int32
+    cum_alpha: Array         # [B, k, T_enc] accumulated attention (coverage)
+    fin_cov: Array           # [B, k] coverage term frozen at finalization
 
 
 def _cell_step(use_lstm: bool, params, x, state):
@@ -104,11 +110,12 @@ def _dec_step(params: dict, cfg: DecoderConfig, ctx: AttnContext,
     new_cell_states = tuple(new_cell_states)
     top = new_cell_states[-1]
     query = top.c if cfg.use_lstm else top
-    context, _ = _beam_attention(params, ctx, query)
+    context, alpha = _beam_attention(params, ctx, query)
     proj = dense(params["attn_proj"], jnp.concatenate([query, context], -1))
     out_proj = params["output_proj_ind" if cfg.ind_softmax else "output_proj"]
     logits = dense(out_proj, proj)
-    return new_cell_states, new_dec_lm, context, jax.nn.log_softmax(logits, -1)
+    return (new_cell_states, new_dec_lm, context, alpha,
+            jax.nn.log_softmax(logits, -1))
 
 
 def _lm_step(lm_params: dict, state, x) -> tuple[Any, Array]:
@@ -148,6 +155,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     max_steps = beam_cfg.max_steps
     use_lm = lm_params is not None and beam_cfg.lm_weight != 0.0
     penalty = beam_cfg.word_ins_penalty
+    use_cov = beam_cfg.apply_cov_penalty and beam_cfg.cov_penalty != 0.0
+    T_enc = enc_states.shape[1]
 
     ctx = make_attn_context(dec_params, enc_states, enc_lens)
     emb = dec_params["embedding"]
@@ -172,7 +181,15 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         fin_scores=jnp.full((B, k), NEG_INF),
         fin_seqs=jnp.zeros((B, k, max_steps), jnp.int32),
         fin_lens=jnp.zeros((B, k), jnp.int32),
+        cum_alpha=jnp.zeros((B, k, T_enc)),
+        fin_cov=jnp.zeros((B, k)),
     )
+
+    def cov_term(cum_alpha):
+        """GNMT-style coverage: sum_t log(min(cum_alpha_t, 1)) over valid
+        encoder positions (extension; off unless apply_cov_penalty)."""
+        clipped = jnp.clip(cum_alpha, 1e-6, 1.0)
+        return jnp.sum(jnp.log(clipped) * ctx.mask[:, None, :], axis=-1)
 
     b_idx = jnp.arange(B)[:, None]
     ranks = jnp.arange(k)[None, :]
@@ -181,8 +198,9 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         return jnp.logical_and(state.t < max_steps, jnp.any(state.alive))
 
     def body(state: BeamState) -> BeamState:
-        new_cell_states, new_dec_lm, new_context, logp = _dec_step(
+        new_cell_states, new_dec_lm, new_context, alpha, logp = _dec_step(
             dec_params, dec_cfg, ctx, state)
+        cum_all = state.cum_alpha + alpha        # per parent hyp [B,k,T]
         if use_lm:
             new_lm_state, lm_logp = _lm_step(lm_params, state.lm_state,
                                              state.lm_inputs)
@@ -219,6 +237,13 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         fin_lens = state.fin_lens.at[b_idx, fin_dest].set(
             jnp.broadcast_to(new_len, (B, k)), mode="drop")
         num_finished = state.num_finished + jnp.sum(fin_sel, axis=1)
+        if use_cov:
+            cand_cov = cov_term(jnp.take_along_axis(
+                cum_all, parent[:, :, None], axis=1))
+            fin_cov = state.fin_cov.at[b_idx, fin_dest].set(
+                cand_cov, mode="drop")
+        else:
+            fin_cov = state.fin_cov
 
         # --- live beam: compact accepted non-EOS candidates in rank order --
         order = jnp.argsort(~live_sel, axis=1, stable=True)        # live first
@@ -228,9 +253,10 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         sel_scores = jnp.take_along_axis(stored, order, axis=1)
 
         new_state_tree = _gather_beam(
-            (new_cell_states, new_dec_lm, new_context, new_lm_state),
+            (new_cell_states, new_dec_lm, new_context, new_lm_state, cum_all),
             sel_parent)
-        g_cell_states, g_dec_lm, g_context, g_lm_state = new_state_tree
+        (g_cell_states, g_dec_lm, g_context, g_lm_state,
+         g_cum_alpha) = new_state_tree
 
         safe_token = jnp.where(slot_valid, sel_token, 0)
         new_inputs = emb[safe_token]
@@ -253,6 +279,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             fin_scores=fin_scores,
             fin_seqs=fin_seqs,
             fin_lens=fin_lens,
+            cum_alpha=g_cum_alpha,
+            fin_cov=fin_cov,
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -260,6 +288,10 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     # Final candidates: finished ∪ still-live (beam_search.py:334-338).
     live_scores = jnp.where(final.alive, final.scores, NEG_INF)
     all_scores = jnp.concatenate([final.fin_scores, live_scores], axis=1)
+    if use_cov:
+        live_cov = cov_term(final.cum_alpha)
+        all_scores = all_scores + beam_cfg.cov_penalty * jnp.concatenate(
+            [final.fin_cov, live_cov], axis=1)
     all_seqs = jnp.concatenate([final.fin_seqs, final.seqs], axis=1)
     live_lens = jnp.broadcast_to(final.t, (B, k)).astype(jnp.int32)
     all_lens = jnp.concatenate([final.fin_lens, live_lens], axis=1)

@@ -178,6 +178,27 @@ def test_beam_eos_shrinking():
     assert float(scores[0]) > -1.0  # ~log(1)
 
 
+def test_cov_penalty_off_by_default_and_changes_scores_when_on(rng):
+    """cov_penalty alone is a no-op (reference parity); with
+    apply_cov_penalty=True the coverage term perturbs final scores."""
+    cfg = _cfg()
+    params, enc, enc_lens = _setup(cfg, rng, B=2)
+    base = beam_lib.beam_decode(params, cfg,
+                                BeamConfig(beam_size=3, max_steps=10), enc,
+                                enc_lens)
+    noop = beam_lib.beam_decode(params, cfg,
+                                BeamConfig(beam_size=3, max_steps=10,
+                                           cov_penalty=0.5), enc, enc_lens)
+    np.testing.assert_allclose(np.asarray(base[2]), np.asarray(noop[2]),
+                               rtol=1e-6)
+    on = beam_lib.beam_decode(params, cfg,
+                              BeamConfig(beam_size=3, max_steps=10,
+                                         cov_penalty=0.5,
+                                         apply_cov_penalty=True), enc,
+                              enc_lens)
+    assert not np.allclose(np.asarray(base[2]), np.asarray(on[2]))
+
+
 def test_beam_batch_independence(rng):
     cfg = _cfg()
     params, enc, enc_lens = _setup(cfg, rng, B=2)
