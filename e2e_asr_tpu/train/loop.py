@@ -107,9 +107,13 @@ class Trainer:
             total += len(files)
             if not files:
                 continue
+            # Multi-host: each process loads every k-th file (the host-side
+            # data sharding of SURVEY §5; single-process -> 0/1).
             buckets.append(SpeechDataset(
                 files, batch_size, tc.feat_length, is_training=True,
-                tasks=tasks, seed=self._seed()))
+                tasks=tasks, seed=self._seed(),
+                process_index=jax.process_index(),
+                process_count=jax.process_count()))
         if logging:
             print(f"Total train files: {total}")
         dev_files = sorted(glob.glob(path.join(tc.data_dir, "dev*")))
