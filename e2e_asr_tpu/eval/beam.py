@@ -91,10 +91,49 @@ def _beam_attention(params: dict, ctx: AttnContext, query: Array
     return context, alpha
 
 
+def _alpha_context(params: dict, ctx: AttnContext, y: Array
+                   ) -> tuple[Array, Array]:
+    """Attention from a precomputed query projection y [B,k,A]."""
+    s = jnp.sum(params["attn_v"] *
+                jnp.tanh(ctx.hidden_features[:, None, :, :] + y[:, :, None, :]),
+                axis=-1)
+    s = jnp.where(ctx.mask[:, None, :] > 0, s, NEG_INF)
+    alpha = jax.nn.softmax(s, axis=-1)
+    context = jnp.einsum("bkt,bth->bkh", alpha, ctx.enc_states)
+    return context, alpha
+
+
+def _dec_step_fused(params: dict, cfg: DecoderConfig, ctx: AttnContext,
+                    state: BeamState):
+    """Fused-kernel variant of _dec_step (inference fast path)."""
+    from e2e_asr_tpu.ops import dec_step_pallas as dsp
+
+    B, k, E = state.inputs.shape
+    flat = lambda a: a.reshape((B * k,) + a.shape[2:])        # noqa: E731
+    unflat = lambda a: a.reshape((B, k) + a.shape[1:])        # noqa: E731
+    lm_state = jax.tree_util.tree_map(flat, state.dec_lm_state)
+    dec_state = jax.tree_util.tree_map(flat, state.dec_cell_states[0])
+    new_lm, new_dec, y = dsp.cells_fused(
+        params, flat(state.inputs), flat(state.context), lm_state, dec_state,
+        bf16=False)
+    context, alpha = _alpha_context(params, ctx, unflat(y))
+    logp = dsp.output_fused(params, cfg, new_dec.c, flat(context), bf16=False)
+    new_cell_states = (jax.tree_util.tree_map(unflat, new_dec),)
+    new_dec_lm = jax.tree_util.tree_map(unflat, new_lm)
+    return new_cell_states, new_dec_lm, context, alpha, unflat(logp)
+
+
 def _dec_step(params: dict, cfg: DecoderConfig, ctx: AttnContext,
               state: BeamState) -> tuple[Any, Any, Array, Array]:
     """One decoder step over the whole [B,k] beam. Returns
-    (new_cell_states, new_dec_lm_state, new_context, log_probs [B,k,V])."""
+    (new_cell_states, new_dec_lm_state, new_context, alpha,
+    log_probs [B,k,V])."""
+    from e2e_asr_tpu.core.rnn import use_pallas_lstm
+    from e2e_asr_tpu.ops import dec_step_pallas as dsp
+
+    if use_pallas_lstm() and dsp.supported(cfg, params):
+        return _dec_step_fused(params, cfg, ctx, state)
+
     lm_out, new_dec_lm = _cell_step(cfg.use_lstm, params["lm_cell"],
                                     state.inputs, state.dec_lm_state)
     if "simple_proj" in params:

@@ -248,16 +248,38 @@ def apply_infer(params: dict, cfg: DecoderConfig, go_ids: Array,
     (seq2seq_model.py:191-193 forces this at eval).
     Returns (logits [max_output, B, V], token_ids [max_output, B]).
     """
+    from e2e_asr_tpu.core.rnn import use_pallas_lstm
+    from e2e_asr_tpu.ops import dec_step_pallas as dsp
+
     B = go_ids.shape[0]
     emb = params["embedding"]
     ctx = make_attn_context(params, enc_states, enc_lens,
                             compute_dtype=compute_dtype)
     state0 = zero_state(cfg, B, ctx)
+    fused = use_pallas_lstm() and dsp.supported(cfg, params)
+
+    def plain_step(state, lm_input):
+        return step(params, cfg, ctx, state, lm_input,
+                    compute_dtype=compute_dtype)
+
+    def fused_step(state, lm_input):
+        """Two-launch fused inference step; emits log-probs (argmax-equal)."""
+        new_lm, new_dec, y = dsp.cells_fused(
+            params, lm_input, state.context, state.lm_state,
+            state.cell_states[0], bf16=compute_dtype is not None)
+        s = jnp.sum(params["attn_v"] *
+                    jnp.tanh(ctx.hidden_features + y[:, None, :]), axis=-1)
+        s = jnp.where(ctx.mask > 0, s, -1e30)
+        alpha = jax.nn.softmax(s, axis=-1)
+        context = jnp.einsum("bt,bth->bh", alpha, ctx.enc_states)
+        logp = dsp.output_fused(params, cfg, new_dec.c, context,
+                                bf16=compute_dtype is not None)
+        return DecState((new_dec,), new_lm, context, alpha), logp
 
     def scan_step(carry, _):
         state, lm_input = carry
-        new_state, logits = step(params, cfg, ctx, state, lm_input,
-                                 compute_dtype=compute_dtype)
+        new_state, logits = (fused_step if fused else plain_step)(state,
+                                                                  lm_input)
         ids = jnp.argmax(logits, axis=-1)
         return (new_state, emb[ids]), (logits, ids)
 

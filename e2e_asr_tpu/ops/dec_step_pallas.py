@@ -1,0 +1,155 @@
+"""Pallas TPU kernels: fused attention-decoder inference step.
+
+Greedy and beam decoding run ~120 sequential steps of small matmuls
+(attn_decoder.py per-step structure); on TPU the wall time is dominated by
+kernel-launch latency, not FLOPs. These kernels collapse the step into two
+launches around the (XLA-fused) additive-attention block:
+
+  kernel 1 `cells_fused`:  decoder-LM LSTM -> InputProjection -> decoder LSTM
+                           -> attention query projection         (5 matmuls)
+  kernel 2 `output_fused`: AttnProjection -> OutputProjection -> log_softmax
+
+Fast-path requirements (fall back to the plain XLA step otherwise):
+LSTM cells, single decoder layer, no SimpleProjection
+(lm_hidden_size == hidden_size_dec). Inference only — no VJP.
+
+The vocab axis is padded to a multiple of 128 lanes inside kernel 2; padded
+logits get -1e30 so downstream log-softmax/top-k ignore them.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def supported(cfg, params) -> bool:
+    return (cfg.use_lstm and cfg.num_layers_dec == 1
+            and "simple_proj" not in params)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _lstm_gate_math(gates: Array, c: Array, H: int) -> tuple[Array, Array]:
+    i, j, f, o = (gates[:, :H], gates[:, H:2 * H], gates[:, 2 * H:3 * H],
+                  gates[:, 3 * H:])
+    new_c = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    return new_c, new_h
+
+
+def _dot(a: Array, b: Array, bf16: bool) -> Array:
+    if bf16:
+        a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _cells_kernel(x_emb, ctx_prev, lm_c, lm_h, dec_c, dec_h,
+                  wlm, blm, winp, binp, wdec, bdec, wq, bq,
+                  lm_c_o, lm_h_o, dec_c_o, dec_h_o, y_o, *, E, Hl, H,
+                  bf16: bool):
+    lm_gates = (_dot(x_emb[:], wlm[:E], bf16) +
+                _dot(lm_h[:], wlm[E:], bf16) + blm[:])
+    new_lm_c, new_lm_h = _lstm_gate_math(lm_gates, lm_c[:], Hl)
+
+    x_dec = (_dot(new_lm_h, winp[:Hl], bf16) +
+             _dot(ctx_prev[:], winp[Hl:], bf16) + binp[:])
+
+    dec_gates = (_dot(x_dec, wdec[:E], bf16) +
+                 _dot(dec_h[:], wdec[E:], bf16) + bdec[:])
+    new_dec_c, new_dec_h = _lstm_gate_math(dec_gates, dec_c[:], H)
+
+    y = _dot(new_dec_c, wq[:], bf16) + bq[:]
+
+    lm_c_o[:] = new_lm_c
+    lm_h_o[:] = new_lm_h
+    dec_c_o[:] = new_dec_c
+    dec_h_o[:] = new_dec_h
+    y_o[:] = y
+
+
+def cells_fused(params: dict, x_emb: Array, ctx_prev: Array,
+                lm_state, dec_state, *, bf16: bool = True):
+    """Fused decoder-LM + InputProjection + decoder cell + query projection.
+
+    All arrays [N, .]. Returns (new_lm_state, new_dec_state, query_y [N, A]).
+    """
+    from e2e_asr_tpu.core.cells import LSTMState
+
+    N, E = x_emb.shape
+    Hl = lm_state.h.shape[-1]
+    H = dec_state.h.shape[-1]
+    H_enc = ctx_prev.shape[-1]
+    A = params["attn_query"]["kernel"].shape[-1]
+
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    out_shape = [jax.ShapeDtypeStruct((N, Hl), jnp.float32),
+                 jax.ShapeDtypeStruct((N, Hl), jnp.float32),
+                 jax.ShapeDtypeStruct((N, H), jnp.float32),
+                 jax.ShapeDtypeStruct((N, H), jnp.float32),
+                 jax.ShapeDtypeStruct((N, A), jnp.float32)]
+    kernel = functools.partial(_cells_kernel, E=E, Hl=Hl, H=H, bf16=bf16)
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[vspec() for _ in range(14)],
+        out_specs=[vspec() for _ in range(5)],
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(x_emb, ctx_prev, lm_state.c, lm_state.h, dec_state.c, dec_state.h,
+      params["lm_cell"]["kernel"], params["lm_cell"]["bias"],
+      params["input_proj"]["kernel"], params["input_proj"]["bias"],
+      params["dec_cells"][0]["kernel"], params["dec_cells"][0]["bias"],
+      params["attn_query"]["kernel"], params["attn_query"]["bias"])
+    lm_c, lm_h, dec_c, dec_h, y = outs
+    return LSTMState(lm_c, lm_h), LSTMState(dec_c, dec_h), y
+
+
+def _output_kernel(query, context, wap, bap, wout, bout, logp_o, *, H,
+                   V: int, Vp: int, bf16: bool):
+    proj = (_dot(query[:], wap[:H], bf16) +
+            _dot(context[:], wap[H:], bf16) + bap[:])
+    logits = _dot(proj, wout[:], bf16) + bout[:]      # [N, Vp] (weights padded)
+    if Vp > V:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < V, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    z = jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    logp_o[:] = logits - m - z
+
+
+def output_fused(params: dict, cfg, query: Array, context: Array,
+                 *, bf16: bool = True) -> Array:
+    """AttnProjection + OutputProjection + log_softmax. Returns [N, V]."""
+    N, H = query.shape
+    out = params["output_proj_ind" if cfg.ind_softmax else "output_proj"]
+    V = out["kernel"].shape[-1]
+    Vp = _round_up(V, 128)
+    w_out = out["kernel"]
+    b_out = out["bias"]
+    if Vp > V:
+        w_out = jnp.pad(w_out, ((0, 0), (0, Vp - V)))
+        b_out = jnp.pad(b_out, (0, Vp - V))
+
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    kernel = functools.partial(_output_kernel, H=H, V=V, Vp=Vp, bf16=bf16)
+    logp = pl.pallas_call(
+        kernel,
+        in_specs=[vspec() for _ in range(6)],
+        out_specs=vspec(),
+        out_shape=jax.ShapeDtypeStruct((N, Vp), jnp.float32),
+        interpret=_interpret(),
+    )(query, context, params["attn_proj"]["kernel"],
+      params["attn_proj"]["bias"], w_out, b_out)
+    return logp[:, :V]

@@ -1,0 +1,94 @@
+"""Fused decoder-step kernels vs the plain XLA step (interpret mode)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_tpu.config import BeamConfig, DecoderConfig
+from e2e_asr_tpu.data.text import GO_ID
+from e2e_asr_tpu.eval import beam as beam_lib
+from e2e_asr_tpu.models import attn_decoder
+from e2e_asr_tpu.ops import dec_step_pallas as dsp
+
+
+def _cfg(**kw):
+    base = dict(hidden_size_dec=8, emb_size=8, vocab_size=9,
+                attention_vec_size=8, lm_hidden_size=8, samp_prob=0.0,
+                out_prob_dec=1.0, max_output=6)
+    base.update(kw)
+    return DecoderConfig(**base)
+
+
+def _setup(rng, B=3, T_enc=5, H_enc=8):
+    cfg = _cfg()
+    params = attn_decoder.init(jax.random.PRNGKey(0), cfg, attn_size=H_enc)
+    enc = jnp.asarray(rng.normal(size=(B, T_enc, H_enc)).astype(np.float32))
+    enc_lens = jnp.array([T_enc] * (B - 1) + [T_enc - 2])
+    return cfg, params, enc, enc_lens
+
+
+def test_supported_gate():
+    cfg = _cfg()
+    p = attn_decoder.init(jax.random.PRNGKey(0), cfg, attn_size=8)
+    assert dsp.supported(cfg, p)
+    cfg2 = _cfg(num_layers_dec=2)
+    p2 = attn_decoder.init(jax.random.PRNGKey(0), cfg2, attn_size=8)
+    assert not dsp.supported(cfg2, p2)
+    cfg3 = _cfg(lm_hidden_size=12)
+    p3 = attn_decoder.init(jax.random.PRNGKey(0), cfg3, attn_size=8)
+    assert not dsp.supported(cfg3, p3)
+
+
+def test_cells_fused_matches_plain_step(rng):
+    cfg, params, enc, enc_lens = _setup(rng)
+    ctx = attn_decoder.make_attn_context(params, enc, enc_lens)
+    state = attn_decoder.zero_state(cfg, 3, ctx)
+    lm_input = params["embedding"][jnp.array([GO_ID] * 3)]
+
+    # Plain step.
+    new_state, logits = attn_decoder.step(params, cfg, ctx, state, lm_input)
+
+    # Fused kernels (f32 for exact comparison).
+    new_lm, new_dec, y = dsp.cells_fused(params, lm_input, state.context,
+                                         state.lm_state,
+                                         state.cell_states[0], bf16=False)
+    np.testing.assert_allclose(np.asarray(new_lm.c),
+                               np.asarray(new_state.lm_state.c),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_dec.c),
+                               np.asarray(new_state.cell_states[0].c),
+                               rtol=1e-5, atol=1e-6)
+    logp = dsp.output_fused(params, cfg, new_dec.c,
+                            new_state.context, bf16=False)
+    want = jax.nn.log_softmax(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_greedy_fused_matches_plain(rng, monkeypatch):
+    """apply_infer with the fused path must emit the same token sequence as
+    the XLA path."""
+    cfg, params, enc, enc_lens = _setup(rng)
+    go = jnp.array([GO_ID] * 3, dtype=jnp.int32)
+    _, ids_plain = attn_decoder.apply_infer(params, cfg, go, enc, enc_lens,
+                                            max_output=6)
+    monkeypatch.delenv("E2E_ASR_NO_PALLAS", raising=False)
+    _, ids_fused = attn_decoder.apply_infer(params, cfg, go, enc, enc_lens,
+                                            max_output=6)
+    np.testing.assert_array_equal(np.asarray(ids_plain), np.asarray(ids_fused))
+
+
+def test_beam_fused_matches_plain(rng, monkeypatch):
+    cfg, params, enc, enc_lens = _setup(rng)
+    beam_cfg = BeamConfig(beam_size=3, max_steps=6)
+    t0, l0, s0 = beam_lib.beam_decode(params, cfg, beam_cfg, enc, enc_lens)
+    monkeypatch.delenv("E2E_ASR_NO_PALLAS", raising=False)
+    t1, l1, s1 = beam_lib.beam_decode(params, cfg, beam_cfg, enc, enc_lens)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for b in range(3):
+        np.testing.assert_array_equal(np.asarray(t0[b][: int(l0[b])]),
+                                      np.asarray(t1[b][: int(l1[b])]))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4,
+                               atol=1e-4)
