@@ -15,7 +15,6 @@ fields are also handled. No protobuf runtime dependency.
 """
 from __future__ import annotations
 
-import struct
 from typing import Iterator
 
 import numpy as np

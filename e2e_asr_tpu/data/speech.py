@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import threading
 import queue as queue_mod
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -9,7 +9,6 @@ batched, so the pickle cache disappears.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import numpy as np

@@ -15,7 +15,6 @@ Kaldi/librosa-style setup: 25 ms windows, 10 ms hop, 80 mels.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax
 
-from e2e_asr_tpu.config import DecoderConfig, LMConfig
+from e2e_asr_tpu.config import LMConfig
 from e2e_asr_tpu.core import losses
 from e2e_asr_tpu.core.layers import dense, dropout
 

@@ -17,7 +17,6 @@ the reference scorer and here, but stays in the sweep for parity of artifacts.
 from __future__ import annotations
 
 import os
-from dataclasses import replace
 from os import path
 
 import numpy as np

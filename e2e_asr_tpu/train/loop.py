@@ -19,7 +19,6 @@ Re-implements /root/reference/train.py:160-395 around jitted train steps:
 from __future__ import annotations
 
 import glob
-import json
 import math
 import os
 import random

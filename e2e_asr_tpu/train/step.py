@@ -14,7 +14,6 @@ recompiling.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
