@@ -39,13 +39,11 @@ _TABLE = _make_crc32c_table()
 
 
 def crc32c(data: bytes) -> int:
-    crc = np.uint32(0xFFFFFFFF)
+    """Table-driven CRC32C; fine for the write path (reads skip verification
+    by default — the native C++ reader handles bulk IO)."""
     table = _TABLE
-    buf = np.frombuffer(data, dtype=np.uint8)
-    # Table-driven, vectorized over chunks via Python loop on bytes; fine for
-    # the write path (reads skip verification by default).
     crc_val = 0xFFFFFFFF
-    for b in buf.tolist():
+    for b in data:
         crc_val = (crc_val >> 8) ^ int(table[(crc_val ^ b) & 0xFF])
     return crc_val ^ 0xFFFFFFFF
 
