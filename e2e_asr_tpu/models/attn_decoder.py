@@ -286,3 +286,60 @@ def apply_infer(params: dict, cfg: DecoderConfig, go_ids: Array,
     (_, _), (logits, ids) = jax.lax.scan(scan_step, (state0, emb[go_ids]),
                                          None, length=max_output)
     return logits, ids
+
+
+def apply_infer_early(params: dict, cfg: DecoderConfig, go_ids: Array,
+                      enc_states: Array, enc_lens: Array, *, max_output: int,
+                      eos_id: int = 2, compute_dtype=None) -> Array:
+    """Greedy decode with batch-wide early exit.
+
+    Emits exactly the same sentences as apply_infer after <eos> truncation
+    (the reference always runs max_output steps, seq2seq_model.py:191-193;
+    tokens after each utterance's first <eos> never reach the scorer), but the
+    loop stops once EVERY utterance has emitted <eos> — a large win for the
+    in-training dev evals. Positions past <eos> are <pad>.
+    Returns ids [max_output, B].
+    """
+    from e2e_asr_tpu.core.rnn import use_pallas_lstm
+    from e2e_asr_tpu.ops import dec_step_pallas as dsp
+
+    B = go_ids.shape[0]
+    emb = params["embedding"]
+    ctx = make_attn_context(params, enc_states, enc_lens,
+                            compute_dtype=compute_dtype)
+    state0 = zero_state(cfg, B, ctx)
+    fused = use_pallas_lstm() and dsp.supported(cfg, params)
+
+    def one_step(state, lm_input):
+        if fused:
+            new_lm, new_dec, y = dsp.cells_fused(
+                params, lm_input, state.context, state.lm_state,
+                state.cell_states[0], bf16=compute_dtype is not None)
+            s = jnp.sum(params["attn_v"] *
+                        jnp.tanh(ctx.hidden_features + y[:, None, :]), axis=-1)
+            s = jnp.where(ctx.mask > 0, s, -1e30)
+            alpha = jax.nn.softmax(s, axis=-1)
+            context = jnp.einsum("bt,bth->bh", alpha, ctx.enc_states)
+            logits = dsp.output_fused(params, cfg, new_dec.c, context,
+                                      bf16=compute_dtype is not None)
+            return DecState((new_dec,), new_lm, context, alpha), logits
+        return step(params, cfg, ctx, state, lm_input,
+                    compute_dtype=compute_dtype)
+
+    def cond(carry):
+        _, _, t, done, _ = carry
+        return jnp.logical_and(t < max_output, ~jnp.all(done))
+
+    def body(carry):
+        state, lm_input, t, done, out = carry
+        new_state, logits = one_step(state, lm_input)
+        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        ids = jnp.where(done, 0, ids)                 # <pad> after <eos>
+        out = out.at[t].set(ids)
+        done = jnp.logical_or(done, ids == eos_id)
+        return (new_state, emb[ids], t + 1, done, out)
+
+    init = (state0, emb[go_ids], jnp.zeros((), jnp.int32),
+            jnp.zeros((B,), bool), jnp.zeros((max_output, B), jnp.int32))
+    _, _, _, _, out = jax.lax.while_loop(cond, body, init)
+    return out

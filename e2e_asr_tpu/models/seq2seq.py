@@ -84,17 +84,29 @@ def apply_train(params: dict, cfg: Seq2SeqConfig, batch: dict, *, rng: Array,
 
 def apply_greedy(params: dict, cfg: Seq2SeqConfig, feats: Array,
                  feat_lens: Array, *, task: str = "char", go_id: int = 1,
-                 compute_dtype=None) -> Array:
-    """Greedy decode for a batch: returns token ids [B, max_output]."""
+                 compute_dtype=None, early_exit: bool = True) -> Array:
+    """Greedy decode for a batch: returns token ids [B, max_output].
+
+    early_exit stops decoding once every utterance emitted <eos> — sentence
+    output is identical to the fixed-length reference loop (which always runs
+    max_output steps, seq2seq_model.py:191-193) because the scorer truncates
+    at <eos> anyway.
+    """
     attn_states, _, enc_lens = encode(params, cfg, feats, feat_lens,
                                       compute_dtype=compute_dtype)
     depth = cfg.num_layers[task]
     B = feats.shape[0]
     go_ids = jnp.full((B,), go_id, dtype=jnp.int32)
-    _, ids = attn_decoder.apply_infer(
-        params[f"decoder_{task}"], cfg.decoders[task], go_ids,
-        attn_states[depth], enc_lens[depth],
-        max_output=cfg.max_output[task], compute_dtype=compute_dtype)
+    if early_exit:
+        ids = attn_decoder.apply_infer_early(
+            params[f"decoder_{task}"], cfg.decoders[task], go_ids,
+            attn_states[depth], enc_lens[depth],
+            max_output=cfg.max_output[task], compute_dtype=compute_dtype)
+    else:
+        _, ids = attn_decoder.apply_infer(
+            params[f"decoder_{task}"], cfg.decoders[task], go_ids,
+            attn_states[depth], enc_lens[depth],
+            max_output=cfg.max_output[task], compute_dtype=compute_dtype)
     return jnp.transpose(ids, (1, 0))  # [B, T]
 
 

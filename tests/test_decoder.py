@@ -134,6 +134,31 @@ def test_greedy_infer_consistent_with_step(rng):
         lm_input = params["embedding"][jnp.argmax(lg, -1)]
 
 
+def test_early_exit_matches_full_decode_after_eos_truncation(rng):
+    """apply_infer_early must produce the same sentences as the fixed-length
+    loop: identical tokens up to and including the first <eos>, <pad> after."""
+    from e2e_asr_tpu.data.text import EOS_ID
+
+    cfg = _cfg()
+    params, enc, enc_lens = _setup(cfg, rng, B=4, T_enc=6)
+    enc_lens = jnp.array([6, 4, 6, 5])
+    go = jnp.full((4,), 1, jnp.int32)
+    _, full_ids = attn_decoder.apply_infer(params, cfg, go, enc, enc_lens,
+                                           max_output=7)
+    early_ids = attn_decoder.apply_infer_early(params, cfg, go, enc, enc_lens,
+                                               max_output=7)
+    full = np.asarray(full_ids).T
+    early = np.asarray(early_ids).T
+    for b in range(4):
+        f, e = list(full[b]), list(early[b])
+        f_trunc = f[: f.index(EOS_ID) + 1] if EOS_ID in f else f
+        e_trunc = e[: e.index(EOS_ID) + 1] if EOS_ID in e else e
+        assert f_trunc == e_trunc, (b, f, e)
+        # padding after EOS in the early variant
+        if EOS_ID in e:
+            assert all(x == 0 for x in e[e.index(EOS_ID) + 1:])
+
+
 def test_multilayer_decoder(rng):
     cfg = _cfg(num_layers_dec=2)
     params, enc, enc_lens = _setup(cfg, rng)
