@@ -66,9 +66,11 @@ def lstm_scan(params: dict, x_seq: Array, lens: Array,
 
     if impl == "pallas" or (impl == "auto" and use_pallas_lstm()):
         from e2e_asr_tpu.ops import lstm_pallas
-        outputs = lstm_pallas.lstm_seq(x_proj, params["kernel"][in_dim:],
-                                       compute_dtype is not None)
-        return outputs * length_mask(lens, T)[:, :, None]
+        if impl == "pallas" or lstm_pallas.fwd_fits(T, B, hidden):
+            outputs = lstm_pallas.lstm_seq(x_proj, params["kernel"][in_dim:],
+                                           compute_dtype is not None)
+            return outputs * length_mask(lens, T)[:, :, None]
+        # Layer too wide for the kernel's VMEM budget: XLA scan below.
 
     w_h = params["kernel"][in_dim:]
     if compute_dtype is not None:
@@ -122,6 +124,10 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
 
     use_pal = cell == "lstm" and (
         impl == "pallas" or (impl == "auto" and use_pallas_lstm()))
+    if use_pal and impl == "auto":
+        from e2e_asr_tpu.ops import lstm_pallas
+        hidden = params["bw"]["bias"].shape[0] // 4
+        use_pal = lstm_pallas.fwd_fits(x_seq.shape[0], x_seq.shape[1], hidden)
     if use_pal:
         from e2e_asr_tpu.core import cells as cells_mod
         from e2e_asr_tpu.ops import lstm_pallas

@@ -39,8 +39,37 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the ~16MB scoped limit
+
+
 def _steps_per_block(T: int) -> int:
     return 2 if T % 2 == 0 else 1
+
+
+def _bwd_vmem_bytes(S: int, B: int, H: int) -> int:
+    """Rough VMEM estimate for the backward kernel: double-buffered blocked
+    refs (x_proj, g, three state rows, dx) + resident weights/accumulator/
+    scratch. Used to fall back to an XLA backward when a wide model would
+    blow the scoped-vmem limit (observed at H=512, B=128, S=2)."""
+    blocked = S * B * (4 * H + H + H + H + H + 4 * H)   # 12*S*B*H floats
+    resident = 8 * H * H + 2 * B * H
+    return 4 * (2 * blocked + resident)
+
+
+def _bwd_fits(S: int, B: int, H: int) -> bool:
+    return _bwd_vmem_bytes(S, B, H) <= VMEM_BUDGET
+
+
+def _fwd_vmem_bytes(S: int, B: int, H: int) -> int:
+    blocked = S * B * (4 * H + 2 * H)                   # x_proj + out + c_out
+    resident = 4 * H * H + 2 * B * H
+    return 4 * (2 * blocked + resident)
+
+
+def fwd_fits(T: int, B: int, H: int) -> bool:
+    """Whether the forward kernel fits VMEM for some step-block size; used by
+    core/rnn.py to fall back to the XLA scan for very wide layers."""
+    return _fwd_vmem_bytes(1, B, H) <= VMEM_BUDGET
 
 
 def _cell_math(gates: Array, c: Array, H: int) -> tuple[Array, Array]:
@@ -100,6 +129,8 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
     T, B, H4 = x_proj.shape
     H = H4 // 4
     S = _steps_per_block(T)
+    if S == 2 and _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
+        S = 1
     out_shapes = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
     out_specs = [pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
                               memory_space=pltpu.VMEM)]
@@ -138,6 +169,49 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
 # Backward
 # ---------------------------------------------------------------------------
 
+def _bwd_seq_xla(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
+                 g: Array, *, mask: Array | None = None
+                 ) -> tuple[Array, Array]:
+    """Reverse-time backward as an XLA scan (VMEM-safe fallback for wide
+    layers where the Pallas backward kernel would exceed the scoped limit)."""
+    T, B, H = h_seq.shape
+    zrow = jnp.zeros((1, B, H), h_seq.dtype)
+    h_prev_seq = jnp.concatenate([zrow, h_seq[:-1]], axis=0)
+    c_prev_seq = jnp.concatenate([zrow, c_seq[:-1]], axis=0)
+    mask_seq = (mask if mask is not None
+                else jnp.ones((T, B, 1), h_seq.dtype))
+
+    def body(carry, xs):
+        dc, dh, dwh = carry
+        h_prev, c_prev, c_t, xp, g_t, valid = xs
+        gates = xp + jnp.dot(h_prev, w_h, preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :H])
+        j = jnp.tanh(gates[:, H:2 * H])
+        f = jax.nn.sigmoid(gates[:, 2 * H:3 * H] + 1.0)
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        tanh_c = jnp.tanh(c_t)
+        dh_total = g_t * valid + dh
+        do = dh_total * tanh_c * o * (1.0 - o)
+        dc_total = dh_total * o * (1.0 - tanh_c * tanh_c) + dc
+        df = dc_total * c_prev * f * (1.0 - f)
+        di = dc_total * j * i * (1.0 - i)
+        dj = dc_total * i * (1.0 - j * j)
+        dgates = jnp.concatenate([di, dj, df, do], axis=-1) * valid
+        dh_new = jnp.dot(dgates, w_h.T, preferred_element_type=jnp.float32)
+        dc_new = dc_total * f
+        dh_new = valid * dh_new + (1.0 - valid) * dh_total
+        dc_new = valid * dc_new + (1.0 - valid) * dc
+        dwh = dwh + jnp.dot(h_prev.T, dgates,
+                            preferred_element_type=jnp.float32)
+        return (dc_new, dh_new, dwh), dgates
+
+    init = (jnp.zeros((B, H)), jnp.zeros((B, H)), jnp.zeros_like(w_h))
+    (_, _, dwh), dx = jax.lax.scan(
+        body, init, (h_prev_seq, c_prev_seq, c_seq, x_proj, g, mask_seq),
+        reverse=True)
+    return dx, dwh
+
+
 def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
              g: Array, *, bf16_matmul: bool = False,
              mask: Array | None = None) -> tuple[Array, Array]:
@@ -145,6 +219,10 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     T, B, H = h_seq.shape
     H4 = 4 * H
     S = _steps_per_block(T)
+    if S == 2 and not _bwd_fits(2, B, H):
+        S = 1
+    if not _bwd_fits(S, B, H):
+        return _bwd_seq_xla(w_h, h_seq, c_seq, x_proj, g, mask=mask)
     # pad[t] = state_{t-1} (pad[0] = zeros). An extra trailing zero row keeps
     # the c window (which reads local s+1) in-bounds at the last block.
     zrow = jnp.zeros((1, B, H), h_seq.dtype)

@@ -1,0 +1,80 @@
+"""VMEM-budget fallbacks: wide layers must route around the Pallas kernels
+(and the XLA backward fallback must be numerically identical)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.core import cells, rnn
+from e2e_asr_tpu.ops import lstm_pallas
+
+
+def test_fit_predicates():
+    # Flagship config fits both directions of the kernel.
+    assert lstm_pallas.fwd_fits(384, 128, 256)
+    assert lstm_pallas._bwd_fits(2, 128, 256)
+    # H=512 at B=128 blows the backward budget (observed OOM on v5e).
+    assert not lstm_pallas._bwd_fits(2, 128, 512)
+    assert not lstm_pallas._bwd_fits(1, 128, 512)
+    # Very wide forward falls back too.
+    assert not lstm_pallas.fwd_fits(384, 128, 1024)
+
+
+def test_xla_backward_fallback_matches_pallas_backward():
+    """Force the XLA backward path and compare against the (interpret-mode)
+    Pallas backward on a small problem."""
+    T, B, F, H = 6, 4, 5, 8
+    params = cells.lstm_init(jax.random.PRNGKey(0), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
+    x_proj = cells.lstm_precompute_inputs(params, x, F)
+    w_h = params["kernel"][F:]
+    h_seq, c_seq = lstm_pallas._fwd_seq(x_proj, w_h, save_c=True)
+    g = jax.random.normal(jax.random.PRNGKey(2), (T, B, H))
+
+    dx_p, dwh_p = lstm_pallas._bwd_seq(w_h, h_seq, c_seq, x_proj, g)
+    dx_x, dwh_x = lstm_pallas._bwd_seq_xla(w_h, h_seq, c_seq, x_proj, g)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dwh_p), np.asarray(dwh_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_xla_backward_fallback_masked():
+    T, B, F, H = 6, 3, 4, 8
+    params = cells.lstm_init(jax.random.PRNGKey(3), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(4), (T, B, F))
+    x_proj = cells.lstm_precompute_inputs(params, x, F)
+    w_h = params["kernel"][F:]
+    lens = jnp.array([6, 3, 5])
+    t = jnp.arange(T)[:, None]
+    valid = (t >= T - lens[None, :]).astype(jnp.float32)[:, :, None]
+    h_seq, c_seq = lstm_pallas._fwd_seq(x_proj, w_h, save_c=True, mask=valid)
+    g = jax.random.normal(jax.random.PRNGKey(5), (T, B, H))
+    dx_p, dwh_p = lstm_pallas._bwd_seq(w_h, h_seq, c_seq, x_proj, g,
+                                       mask=valid)
+    dx_x, dwh_x = lstm_pallas._bwd_seq_xla(w_h, h_seq, c_seq, x_proj, g,
+                                           mask=valid)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dwh_p), np.asarray(dwh_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wide_layer_trains_via_fallback(rng, monkeypatch):
+    """With Pallas enabled but every kernel 'too big' for the VMEM budget,
+    the auto path must route to the XLA scan and still produce grads."""
+    monkeypatch.delenv("E2E_ASR_NO_PALLAS", raising=False)
+    old = lstm_pallas.VMEM_BUDGET
+    try:
+        lstm_pallas.VMEM_BUDGET = 1  # force every kernel to "not fit"
+        T, B, F, H = 5, 2, 3, 8
+        params = cells.lstm_init(jax.random.PRNGKey(6), F, H)
+        x = jnp.asarray(rng.normal(size=(T, B, F)).astype(np.float32))
+        lens = jnp.array([5, 4])
+
+        def loss(p):
+            return jnp.sum(rnn.lstm_scan(p, x, lens, impl="auto") ** 2)
+
+        g = jax.grad(loss)(params)
+        assert np.isfinite(np.asarray(g["kernel"])).all()
+    finally:
+        lstm_pallas.VMEM_BUDGET = old
