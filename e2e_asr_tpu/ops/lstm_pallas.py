@@ -218,11 +218,21 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     """Returns (dx_proj [T,B,4H], dw_h [H,4H])."""
     T, B, H = h_seq.shape
     H4 = 4 * H
-    S = _steps_per_block(T)
-    if S == 2 and not _bwd_fits(2, B, H):
-        S = 1
-    if not _bwd_fits(S, B, H):
+    # Pick (steps-per-block, batch-chunk) to fit the VMEM budget: prefer
+    # 2-step blocks and the full batch; chunk the batch before giving up.
+    choice = None
+    for div in (1, 2, 4, 8):
+        if B % div:
+            continue
+        for s_try in ((2, 1) if T % 2 == 0 else (1,)):
+            if _bwd_fits(s_try, B // div, H):
+                choice = (s_try, B // div)
+                break
+        if choice:
+            break
+    if choice is None:
         return _bwd_seq_xla(w_h, h_seq, c_seq, x_proj, g, mask=mask)
+    S, BC_sel = choice
     # pad[t] = state_{t-1} (pad[0] = zeros). An extra trailing zero row keeps
     # the c window (which reads local s+1) in-bounds at the last block.
     zrow = jnp.zeros((1, B, H), h_seq.dtype)
@@ -233,48 +243,53 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
         c_pad = jnp.concatenate([c_pad, zrow], axis=0)          # [T+2]
 
     n_blocks = T // S
+    BC = BC_sel
+    n_bc = B // BC
+    # Grid (batch-chunk, time-block): the batch axis is the OUTER loop so the
+    # dc/dh carries restart cleanly at each chunk; dW_h accumulates across
+    # both axes into the same resident block.
     # Block r covers times [T - (r+1)*S, T - r*S); the h/c windows read the
     # padded arrays at matching aligned offsets (pad[t] = state_{t-1}).
-    rev_x = lambda r: (n_blocks - 1 - r, 0, 0)      # noqa: E731
+    rev_x = lambda bc, r: (n_blocks - 1 - r, bc, 0)      # noqa: E731
     if S == 1:
         # Single-row views: h_{t-1}/c_{t-1} at pad[t], c_t at pad[t+1].
-        c_prev_spec = pl.BlockSpec((1, B, H), lambda r: (T - 1 - r, 0, 0),
-                                   memory_space=pltpu.VMEM)
-        c_t_spec = pl.BlockSpec((1, B, H), lambda r: (T - r, 0, 0),
-                                memory_space=pltpu.VMEM)
         in_specs = [
-            pl.BlockSpec((H, H4), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda r: (T - 1 - r, 0, 0),
+            pl.BlockSpec((H, H4), lambda bc, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            c_prev_spec,
-            c_t_spec,
-            pl.BlockSpec((1, B, H4), rev_x, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BC, H), lambda bc, r: (T - 1 - r, bc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BC, H), lambda bc, r: (T - 1 - r, bc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BC, H), lambda bc, r: (T - r, bc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BC, H4), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BC, H), rev_x, memory_space=pltpu.VMEM),
         ]
         args = [w_h, h_pad, c_pad, c_pad, x_proj, g]
         kernel = functools.partial(_bwd_kernel_s1, bf16_matmul=bf16_matmul,
                                    with_mask=mask is not None)
-        mask_spec = pl.BlockSpec((1, B, 1), rev_x, memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((1, BC, 1), rev_x, memory_space=pltpu.VMEM)
     else:
         # S == 2: padded arrays have T+2 rows; block r needs window
         # [t0, t0+3] where t0 = T-2-2r. We pass h_pad with a 2-row block at
         # element offset t0 (block index (T-2-2r)/2 = n_blocks-1-r) and c_pad
         # with TWO 2-row blocks: [t0, t0+2) and [t0+2, t0+4); the kernel
         # views them as a 4-row logical window.
-        blk = lambda r: (n_blocks - 1 - r, 0, 0)    # noqa: E731
-        blk1 = lambda r: (n_blocks - r, 0, 0)       # noqa: E731
+        blk = lambda bc, r: (n_blocks - 1 - r, bc, 0)    # noqa: E731
+        blk1 = lambda bc, r: (n_blocks - r, bc, 0)       # noqa: E731
         in_specs = [
-            pl.BlockSpec((H, H4), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, B, H), blk, memory_space=pltpu.VMEM),   # h_pad
-            pl.BlockSpec((2, B, H), blk, memory_space=pltpu.VMEM),   # c lo
-            pl.BlockSpec((2, B, H), blk1, memory_space=pltpu.VMEM),  # c hi
-            pl.BlockSpec((2, B, H4), rev_x, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, B, H), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda bc, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BC, H), blk, memory_space=pltpu.VMEM),   # h_pad
+            pl.BlockSpec((2, BC, H), blk, memory_space=pltpu.VMEM),   # c lo
+            pl.BlockSpec((2, BC, H), blk1, memory_space=pltpu.VMEM),  # c hi
+            pl.BlockSpec((2, BC, H4), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BC, H), rev_x, memory_space=pltpu.VMEM),
         ]
         args = [w_h, h_pad, c_pad, c_pad, x_proj, g]
         kernel = functools.partial(_bwd_kernel_s2, bf16_matmul=bf16_matmul,
                                    with_mask=mask is not None)
-        mask_spec = pl.BlockSpec((2, B, 1), rev_x, memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((2, BC, 1), rev_x, memory_space=pltpu.VMEM)
 
     if mask is not None:
         in_specs.append(mask_spec)
@@ -282,19 +297,20 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
 
     dx, dwh = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(n_bc, n_blocks),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((S, B, H4), rev_x, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda bc, r: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
             jax.ShapeDtypeStruct((H, H4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),   # dc carry
-            pltpu.VMEM((B, H), jnp.float32),   # dh carry
+            pltpu.VMEM((BC, H), jnp.float32),   # dc carry
+            pltpu.VMEM((BC, H), jnp.float32),   # dh carry
         ],
         interpret=_interpret(),
     )(*args)
@@ -343,12 +359,16 @@ def _bwd_kernel_s1(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref,
         mask_ref, refs = refs[0], refs[1:]
     dx_ref, dwh_acc_ref, dc_ref, dh_ref = refs
 
-    r = pl.program_id(0)
+    bc = pl.program_id(0)
+    r = pl.program_id(1)
 
     @pl.when(r == 0)
-    def _init():
+    def _init_carries():
         dc_ref[:] = jnp.zeros_like(dc_ref)
         dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    @pl.when(jnp.logical_and(bc == 0, r == 0))
+    def _init_acc():
         dwh_acc_ref[:] = jnp.zeros_like(dwh_acc_ref)
 
     H = dh_ref.shape[-1]
@@ -380,12 +400,16 @@ def _bwd_kernel_s2(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
         mask_ref, refs = refs[0], refs[1:]
     dx_ref, dwh_acc_ref, dc_ref, dh_ref = refs
 
-    r = pl.program_id(0)
+    bc = pl.program_id(0)
+    r = pl.program_id(1)
 
     @pl.when(r == 0)
-    def _init():
+    def _init_carries():
         dc_ref[:] = jnp.zeros_like(dc_ref)
         dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    @pl.when(jnp.logical_and(bc == 0, r == 0))
+    def _init_acc():
         dwh_acc_ref[:] = jnp.zeros_like(dwh_acc_ref)
 
     H = dh_ref.shape[-1]

@@ -59,6 +59,35 @@ def test_xla_backward_fallback_masked():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_batch_chunked_backward_matches():
+    """Force batch chunking (BC < B) in the Pallas backward and compare with
+    the full-batch result."""
+    T, B, F, H = 6, 8, 5, 8
+    params = cells.lstm_init(jax.random.PRNGKey(7), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(8), (T, B, F))
+    x_proj = cells.lstm_precompute_inputs(params, x, F)
+    w_h = params["kernel"][F:]
+    h_seq, c_seq = lstm_pallas._fwd_seq(x_proj, w_h, save_c=True)
+    g = jax.random.normal(jax.random.PRNGKey(9), (T, B, H))
+
+    dx_full, dwh_full = lstm_pallas._bwd_seq(w_h, h_seq, c_seq, x_proj, g)
+    old = lstm_pallas.VMEM_BUDGET
+    try:
+        # Shrink the budget so only BC = B/2 (or smaller) fits.
+        full_cost = lstm_pallas._bwd_vmem_bytes(2, B, H)
+        half_cost = lstm_pallas._bwd_vmem_bytes(2, B // 2, H)
+        lstm_pallas.VMEM_BUDGET = (full_cost + half_cost) // 2
+        assert not lstm_pallas._bwd_fits(2, B, H)
+        assert lstm_pallas._bwd_fits(2, B // 2, H)
+        dx_c, dwh_c = lstm_pallas._bwd_seq(w_h, h_seq, c_seq, x_proj, g)
+    finally:
+        lstm_pallas.VMEM_BUDGET = old
+    np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_full),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dwh_c), np.asarray(dwh_full),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_wide_layer_trains_via_fallback(rng, monkeypatch):
     """With Pallas enabled but every kernel 'too big' for the VMEM budget,
     the auto path must route to the XLA scan and still produce grads."""
