@@ -105,22 +105,37 @@ def _alpha_context(params: dict, ctx: AttnContext, y: Array
 
 def _dec_step_fused(params: dict, cfg: DecoderConfig, ctx: AttnContext,
                     state: BeamState):
-    """Fused-kernel variant of _dec_step (inference fast path)."""
+    """Fused-kernel variant of _dec_step (inference fast path).
+
+    Rows are flattened k-major (row = j*B + b) so the fused attention kernel
+    can slice per-beam blocks contiguously.
+    """
     from e2e_asr_tpu.ops import dec_step_pallas as dsp
 
     B, k, E = state.inputs.shape
-    flat = lambda a: a.reshape((B * k,) + a.shape[2:])        # noqa: E731
-    unflat = lambda a: a.reshape((B, k) + a.shape[1:])        # noqa: E731
+    flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(        # noqa: E731
+        (B * k,) + a.shape[2:])
+    unflat = lambda a: jnp.swapaxes(                       # noqa: E731
+        a.reshape((k, B) + a.shape[1:]), 0, 1)
     lm_state = jax.tree_util.tree_map(flat, state.dec_lm_state)
     dec_state = jax.tree_util.tree_map(flat, state.dec_cell_states[0])
     new_lm, new_dec, y = dsp.cells_fused(
         params, flat(state.inputs), flat(state.context), lm_state, dec_state,
         bf16=False)
-    context, alpha = _alpha_context(params, ctx, unflat(y))
-    logp = dsp.output_fused(params, cfg, new_dec.c, flat(context), bf16=False)
+    A = y.shape[-1]
+    if dsp.attn_output_fits(B, k, ctx.enc_states.shape[1], A,
+                            ctx.enc_states.shape[-1]):
+        logp_f, ctx_f, alpha_f = dsp.attn_output_fused(
+            params, cfg, y, new_dec.c, ctx.hidden_features, ctx.enc_states,
+            ctx.mask, k=k, bf16=False)
+        context, alpha, logp = unflat(ctx_f), unflat(alpha_f), unflat(logp_f)
+    else:
+        context, alpha = _alpha_context(params, ctx, unflat(y))
+        logp = unflat(dsp.output_fused(params, cfg, new_dec.c, flat(context),
+                                       bf16=False))
     new_cell_states = (jax.tree_util.tree_map(unflat, new_dec),)
     new_dec_lm = jax.tree_util.tree_map(unflat, new_lm)
-    return new_cell_states, new_dec_lm, context, alpha, unflat(logp)
+    return new_cell_states, new_dec_lm, context, alpha, logp
 
 
 def _dec_step(params: dict, cfg: DecoderConfig, ctx: AttnContext,

@@ -263,17 +263,24 @@ def apply_infer(params: dict, cfg: DecoderConfig, go_ids: Array,
                     compute_dtype=compute_dtype)
 
     def fused_step(state, lm_input):
-        """Two-launch fused inference step; emits log-probs (argmax-equal)."""
+        """Fused inference step; emits log-probs (argmax-equal)."""
+        bf16 = compute_dtype is not None
         new_lm, new_dec, y = dsp.cells_fused(
             params, lm_input, state.context, state.lm_state,
-            state.cell_states[0], bf16=compute_dtype is not None)
-        s = jnp.sum(params["attn_v"] *
-                    jnp.tanh(ctx.hidden_features + y[:, None, :]), axis=-1)
-        s = jnp.where(ctx.mask > 0, s, -1e30)
-        alpha = jax.nn.softmax(s, axis=-1)
-        context = jnp.einsum("bt,bth->bh", alpha, ctx.enc_states)
-        logp = dsp.output_fused(params, cfg, new_dec.c, context,
-                                bf16=compute_dtype is not None)
+            state.cell_states[0], bf16=bf16)
+        Bn, A = y.shape
+        if dsp.attn_output_fits(Bn, 1, ctx.enc_states.shape[1], A,
+                                ctx.enc_states.shape[-1]):
+            logp, context, alpha = dsp.attn_output_fused(
+                params, cfg, y, new_dec.c, ctx.hidden_features,
+                ctx.enc_states, ctx.mask, k=1, bf16=bf16)
+        else:
+            s = jnp.sum(params["attn_v"] *
+                        jnp.tanh(ctx.hidden_features + y[:, None, :]), axis=-1)
+            s = jnp.where(ctx.mask > 0, s, -1e30)
+            alpha = jax.nn.softmax(s, axis=-1)
+            context = jnp.einsum("bt,bth->bh", alpha, ctx.enc_states)
+            logp = dsp.output_fused(params, cfg, new_dec.c, context, bf16=bf16)
         return DecState((new_dec,), new_lm, context, alpha), logp
 
     def scan_step(carry, _):
@@ -312,16 +319,25 @@ def apply_infer_early(params: dict, cfg: DecoderConfig, go_ids: Array,
 
     def one_step(state, lm_input):
         if fused:
+            bf16 = compute_dtype is not None
             new_lm, new_dec, y = dsp.cells_fused(
                 params, lm_input, state.context, state.lm_state,
-                state.cell_states[0], bf16=compute_dtype is not None)
-            s = jnp.sum(params["attn_v"] *
-                        jnp.tanh(ctx.hidden_features + y[:, None, :]), axis=-1)
-            s = jnp.where(ctx.mask > 0, s, -1e30)
-            alpha = jax.nn.softmax(s, axis=-1)
-            context = jnp.einsum("bt,bth->bh", alpha, ctx.enc_states)
-            logits = dsp.output_fused(params, cfg, new_dec.c, context,
-                                      bf16=compute_dtype is not None)
+                state.cell_states[0], bf16=bf16)
+            Bn, A = y.shape
+            if dsp.attn_output_fits(Bn, 1, ctx.enc_states.shape[1], A,
+                                    ctx.enc_states.shape[-1]):
+                logits, context, alpha = dsp.attn_output_fused(
+                    params, cfg, y, new_dec.c, ctx.hidden_features,
+                    ctx.enc_states, ctx.mask, k=1, bf16=bf16)
+            else:
+                s = jnp.sum(params["attn_v"] *
+                            jnp.tanh(ctx.hidden_features + y[:, None, :]),
+                            axis=-1)
+                s = jnp.where(ctx.mask > 0, s, -1e30)
+                alpha = jax.nn.softmax(s, axis=-1)
+                context = jnp.einsum("bt,bth->bh", alpha, ctx.enc_states)
+                logits = dsp.output_fused(params, cfg, new_dec.c, context,
+                                          bf16=bf16)
             return DecState((new_dec,), new_lm, context, alpha), logits
         return step(params, cfg, ctx, state, lm_input,
                     compute_dtype=compute_dtype)

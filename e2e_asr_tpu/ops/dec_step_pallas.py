@@ -116,6 +116,84 @@ def cells_fused(params: dict, x_emb: Array, ctx_prev: Array,
     return LSTMState(lm_c, lm_h), LSTMState(dec_c, dec_h), y
 
 
+def _attn_output_kernel(y, dec_c, hf, enc, mask, v, wap, bap, wout, bout,
+                        logp_o, ctx_o, alpha_o, *, B: int, k: int, T: int,
+                        H: int, V: int, Vp: int, bf16: bool):
+    """Fused additive attention + AttnProjection + OutputProjection +
+    log_softmax for all k beams (rows are k-major: row = j*B + b)."""
+    hf_all = hf[:]                                   # [B, T, A]
+    enc_all = enc[:]                                 # [B, T, H_enc]
+    m = mask[:]                                      # [B, T]
+    vv = v[:]                                        # [A]
+    for j in range(k):
+        y_j = y[j * B:(j + 1) * B]                   # [B, A]
+        s = jnp.sum(vv * jnp.tanh(hf_all + y_j[:, None, :]), axis=-1)  # [B,T]
+        s = jnp.where(m > 0, s, NEG_INF)
+        smax = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - smax)
+        alpha = e / jnp.sum(e, axis=-1, keepdims=True)
+        ctx_j = jnp.sum(alpha[:, :, None] * enc_all, axis=1)  # [B, H_enc]
+        q_j = dec_c[j * B:(j + 1) * B]
+        proj = (_dot(q_j, wap[:H], bf16) +
+                _dot(ctx_j, wap[H:], bf16) + bap[:])
+        logits = _dot(proj, wout[:], bf16) + bout[:]
+        if Vp > V:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < V, logits, NEG_INF)
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        z = jnp.log(jnp.sum(jnp.exp(logits - lmax), axis=-1, keepdims=True))
+        logp_o[j * B:(j + 1) * B] = logits - lmax - z
+        ctx_o[j * B:(j + 1) * B] = ctx_j
+        alpha_o[j * B:(j + 1) * B] = alpha
+
+
+def attn_output_fits(B: int, k: int, T_enc: int, A: int, H_enc: int) -> bool:
+    """VMEM estimate for the fused attention+output kernel."""
+    hf = B * T_enc * A
+    enc = B * T_enc * H_enc
+    scratch_like = B * T_enc * A            # tanh intermediate
+    rows = B * k * (A + H_enc + 256)
+    return 4 * (hf + enc + scratch_like + rows) <= 12 * 1024 * 1024
+
+
+def attn_output_fused(params: dict, cfg, y: Array, dec_c: Array,
+                      hidden_features: Array, enc_states: Array, mask: Array,
+                      *, k: int, bf16: bool = False) -> tuple[Array, Array]:
+    """Fused attention + projections + log_softmax.
+
+    y, dec_c: [k*B, .] k-major rows; hidden_features [B,T,A]; enc [B,T,H_enc];
+    mask [B,T]. Returns (logp [k*B, V], context [k*B, H_enc],
+    alpha [k*B, T]).
+    """
+    N, A = y.shape
+    B = N // k
+    T = hidden_features.shape[1]
+    H = dec_c.shape[-1]
+    H_enc = enc_states.shape[-1]
+    out = params["output_proj_ind" if cfg.ind_softmax else "output_proj"]
+    V = out["kernel"].shape[-1]
+    Vp = _round_up(V, 128)
+    w_out, b_out = out["kernel"], out["bias"]
+    if Vp > V:
+        w_out = jnp.pad(w_out, ((0, 0), (0, Vp - V)))
+        b_out = jnp.pad(b_out, (0, Vp - V))
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    kernel = functools.partial(_attn_output_kernel, B=B, k=k, T=T, H=H, V=V,
+                               Vp=Vp, bf16=bf16)
+    logp, ctx, alpha = pl.pallas_call(
+        kernel,
+        in_specs=[vspec() for _ in range(10)],
+        out_specs=[vspec(), vspec(), vspec()],
+        out_shape=[jax.ShapeDtypeStruct((N, Vp), jnp.float32),
+                   jax.ShapeDtypeStruct((N, H_enc), jnp.float32),
+                   jax.ShapeDtypeStruct((N, T), jnp.float32)],
+        interpret=_interpret(),
+    )(y, dec_c, hidden_features, enc_states, mask, params["attn_v"],
+      params["attn_proj"]["kernel"], params["attn_proj"]["bias"],
+      w_out, b_out)
+    return logp[:, :V], ctx, alpha
+
+
 def _output_kernel(query, context, wap, bap, wout, bout, logp_o, *, H,
                    V: int, Vp: int, bf16: bool):
     proj = (_dot(query[:], wap[:H], bf16) +
