@@ -113,18 +113,24 @@ def _dec_step_fused(params: dict, cfg: DecoderConfig, ctx: AttnContext,
     from e2e_asr_tpu.ops import dec_step_pallas as dsp
 
     B, k, E = state.inputs.shape
-    flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(        # noqa: E731
-        (B * k,) + a.shape[2:])
-    unflat = lambda a: jnp.swapaxes(                       # noqa: E731
-        a.reshape((k, B) + a.shape[1:]), 0, 1)
+    A = params["attn_query"]["kernel"].shape[-1]
+    use_fused_attn = dsp.attn_output_fits(B, k, ctx.enc_states.shape[1], A,
+                                          ctx.enc_states.shape[-1])
+    if use_fused_attn:
+        # k-major rows so the fused attention kernel slices beams contiguously.
+        flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(    # noqa: E731
+            (B * k,) + a.shape[2:])
+        unflat = lambda a: jnp.swapaxes(                   # noqa: E731
+            a.reshape((k, B) + a.shape[1:]), 0, 1)
+    else:
+        flat = lambda a: a.reshape((B * k,) + a.shape[2:])    # noqa: E731
+        unflat = lambda a: a.reshape((B, k) + a.shape[1:])    # noqa: E731
     lm_state = jax.tree_util.tree_map(flat, state.dec_lm_state)
     dec_state = jax.tree_util.tree_map(flat, state.dec_cell_states[0])
     new_lm, new_dec, y = dsp.cells_fused(
         params, flat(state.inputs), flat(state.context), lm_state, dec_state,
         bf16=False)
-    A = y.shape[-1]
-    if dsp.attn_output_fits(B, k, ctx.enc_states.shape[1], A,
-                            ctx.enc_states.shape[-1]):
+    if use_fused_attn:
         logp_f, ctx_f, alpha_f = dsp.attn_output_fused(
             params, cfg, y, new_dec.c, ctx.hidden_features, ctx.enc_states,
             ctx.mask, k=k, bf16=False)

@@ -148,7 +148,16 @@ def _attn_output_kernel(y, dec_c, hf, enc, mask, v, wap, bap, wout, bout,
 
 
 def attn_output_fits(B: int, k: int, T_enc: int, A: int, H_enc: int) -> bool:
-    """VMEM estimate for the fused attention+output kernel."""
+    """Gate for the fused attention+output kernel: VMEM estimate + opt-in.
+
+    Measured on v5e: the fused kernel LOST to XLA's batched attention for the
+    beam shapes tried (B=64, k=4: 45.4 -> 51.7 ms per 120-step decode — the
+    per-beam serial loop underutilizes the VPU vs one [B,k,T,A] batched op),
+    so it is opt-in via E2E_ASR_FUSED_ATTN=1 pending a batched formulation.
+    """
+    import os
+    if not os.environ.get("E2E_ASR_FUSED_ATTN"):
+        return False
     hf = B * T_enc * A
     enc = B * T_enc * H_enc
     scratch_like = B * T_enc * A            # tanh intermediate

@@ -80,6 +80,23 @@ def test_greedy_fused_matches_plain(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ids_plain), np.asarray(ids_fused))
 
 
+def test_beam_fused_attn_kernel_matches_plain(rng, monkeypatch):
+    """The opt-in fused attention+output kernel (E2E_ASR_FUSED_ATTN) must
+    produce the same beam results as the XLA-attention fused path."""
+    cfg, params, enc, enc_lens = _setup(rng)
+    beam_cfg = BeamConfig(beam_size=3, max_steps=6)
+    t0, l0, s0 = beam_lib.beam_decode(params, cfg, beam_cfg, enc, enc_lens)
+    monkeypatch.delenv("E2E_ASR_NO_PALLAS", raising=False)
+    monkeypatch.setenv("E2E_ASR_FUSED_ATTN", "1")
+    t1, l1, s1 = beam_lib.beam_decode(params, cfg, beam_cfg, enc, enc_lens)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for b in range(3):
+        np.testing.assert_array_equal(np.asarray(t0[b][: int(l0[b])]),
+                                      np.asarray(t1[b][: int(l1[b])]))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_beam_fused_matches_plain(rng, monkeypatch):
     cfg, params, enc, enc_lens = _setup(rng)
     beam_cfg = BeamConfig(beam_size=3, max_steps=6)
