@@ -78,6 +78,38 @@ def test_lr_get_set(rng):
     assert d_big > d_small * 10
 
 
+def test_data_model_sharded_step_matches_single_device(rng):
+    """(data=4, model=2) mesh with vocab projections sharded on the model
+    axis must match single-device numerics."""
+    from e2e_asr_tpu.core import sharding as sharding_lib
+
+    cfg = tiny_cfg()
+    # Vocab 11 isn't divisible by 2; bump to a shardable vocab.
+    cfg.decoders["char"].vocab_size = 12
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = train_step_lib.create_state(params, cfg, _lm_cfg())
+    asr_step, _ = train_step_lib.make_train_step(cfg, _lm_cfg())
+
+    batch = make_batch(rng, cfg, B=8, T=12, T_dec=5)
+    batch["char"] = jnp.clip(batch["char"], 0, 11)
+    batch["logmel_len"] = jnp.full((8,), 12)
+    batch["char_len"] = jnp.full((8,), 4)
+
+    s1, m1 = jax.jit(asr_step)(state, batch, jax.random.PRNGKey(7))
+
+    m = mesh_lib.make_mesh(n_data=4, n_model=2)
+    sharded_state = sharding_lib.place_state(state, m)
+    sharded_batch = mesh_lib.shard_batch(m, batch)
+    s2, m2 = jax.jit(asr_step)(sharded_state, sharded_batch,
+                               jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_data_parallel_step_matches_single_device(rng):
     """The sharded step on an 8-device mesh must produce (numerically) the
     same loss and updated params as single-device execution."""
