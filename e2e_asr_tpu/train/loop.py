@@ -192,11 +192,15 @@ class Trainer:
         ckpt_start = time.time()
         stop = False
 
+        from e2e_asr_tpu.data.speech import prefetch
+
         while epoch <= tc.max_epochs and not stop:
             print(f"\nEpochs done: {epoch}")
             epc_start = time.time()
-            # Smallest-utterance buckets drain first (train.py:294-299).
-            bucket_iters = [b.epoch() for b in buckets]
+            # Smallest-utterance buckets drain first (train.py:294-299);
+            # host batch assembly overlaps device compute via prefetch
+            # (the tf.data-thread analogue).
+            bucket_iters = [prefetch(b.epoch(), size=2) for b in buckets]
             bucket_idx = 0
             while bucket_idx < len(bucket_iters) and not stop:
                 task = "lm" if (tc.lm_prob > random.random()) else "asr"
