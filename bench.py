@@ -29,6 +29,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # rbg PRNG for dropout/sampling, matching the Trainer default
+    # (config.TrainConfig.rng_impl) — ~2x cheaper than threefry on TPU.
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from __graft_entry__ import _batch, _model_cfg
     from e2e_asr_tpu.config import BeamConfig, LMConfig
     from e2e_asr_tpu.eval.beam_eval import make_beam_decoder

@@ -124,6 +124,10 @@ class TrainConfig:
     data_axis: int = -1              # -1: use all devices for data parallelism
     compute_dtype: str = "bfloat16"  # matmul compute dtype on TPU
     profile_dir: str = ""            # jax.profiler trace output (steps 10..15)
+    rng_impl: str = "rbg"            # dropout/sampling PRNG ("rbg" is ~2x
+                                     # cheaper than threefry on TPU; set
+                                     # "threefry2x32" for cross-version
+                                     # reproducibility)
 
 
 @dataclass

@@ -63,6 +63,9 @@ class Trainer:
         dtype = (jnp.bfloat16 if self.train_cfg.compute_dtype == "bfloat16"
                  else None)
         self.compute_dtype = dtype
+        if self.train_cfg.rng_impl:
+            jax.config.update("jax_default_prng_impl",
+                              self.train_cfg.rng_impl)
         self.mesh = self._make_mesh() if use_mesh else None
         asr_step, lm_step = step_lib.make_train_step(
             self.model_cfg, self.lm_cfg, compute_dtype=dtype)
