@@ -9,12 +9,18 @@ launches around the (XLA-fused) additive-attention block:
                            -> attention query projection         (5 matmuls)
   kernel 2 `output_fused`: AttnProjection -> OutputProjection -> log_softmax
 
+A third variant, `attn_output_fused`, additionally folds the additive
+attention into kernel 2. Measured on v5e it LOST to XLA's batched attention
+for the shapes tried (the per-beam serial loop underutilizes the VPU), so it
+is opt-in via E2E_ASR_FUSED_ATTN=1 (see attn_output_fits) — kept as the
+starting point for a batched reformulation.
+
 Fast-path requirements (fall back to the plain XLA step otherwise):
 LSTM cells, single decoder layer, no SimpleProjection
 (lm_hidden_size == hidden_size_dec). Inference only — no VJP.
 
-The vocab axis is padded to a multiple of 128 lanes inside kernel 2; padded
-logits get -1e30 so downstream log-softmax/top-k ignore them.
+The vocab axis is padded to a multiple of 128 lanes; padded logits get -1e30
+so downstream log-softmax/top-k ignore them.
 """
 from __future__ import annotations
 

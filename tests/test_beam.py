@@ -199,6 +199,23 @@ def test_cov_penalty_off_by_default_and_changes_scores_when_on(rng):
     assert not np.allclose(np.asarray(base[2]), np.asarray(on[2]))
 
 
+def test_beam_gru_decoder_matches_oracle(rng):
+    """Beam search over a GRU decoder (use_lstm=False: query is h, GRU
+    states) must match the oracle too."""
+    cfg = _cfg(use_lstm=False)
+    beam_cfg = BeamConfig(beam_size=3, max_steps=8)
+    params, enc, enc_lens = _setup(cfg, rng, B=2)
+    tokens, lens, scores = beam_lib.beam_decode(params, cfg, beam_cfg, enc,
+                                                enc_lens)
+    for b in range(2):
+        seq, score = oracle_beam(params, cfg, beam_cfg, enc[b:b + 1],
+                                 enc_lens[b:b + 1])
+        got = list(np.asarray(tokens[b][: int(lens[b])]))
+        assert got == seq, (got, seq)
+        np.testing.assert_allclose(float(scores[b]), score, rtol=1e-4,
+                                   atol=1e-4)
+
+
 def test_beam_batch_independence(rng):
     cfg = _cfg()
     params, enc, enc_lens = _setup(cfg, rng, B=2)
