@@ -190,7 +190,11 @@ class Trainer:
         rng = jax.random.PRNGKey(self._seed())
         epoch = int(state.epoch)
         current_step = 0
-        loss_acc, lm_loss_acc, lm_steps = 0.0, 0.0, 0
+        # Loss accumulators live on device: fetching them per step would
+        # force a host sync that serializes the step pipeline.
+        loss_acc = jnp.zeros(())
+        lm_loss_acc = jnp.zeros(())
+        lm_steps = 0
         self._frames_acc = 0
         ckpt_start = time.time()
         stop = False
@@ -219,15 +223,16 @@ class Trainer:
                     state, metrics = self.lm_step(
                         state, jnp.asarray(lm_batch["char"].T),
                         jnp.asarray(lm_batch["char_len"]), sub)
-                    lm_loss_acc += float(metrics["lm_loss"]) / tc.steps_per_checkpoint
+                    lm_loss_acc = lm_loss_acc + metrics["lm_loss"]
                     lm_steps += 1
                     if lm_steps % tc.steps_per_checkpoint == 0:
-                        ppl = math.exp(lm_loss_acc) if lm_loss_acc < 300 else float("inf")
+                        mean_l = float(lm_loss_acc) / tc.steps_per_checkpoint
+                        ppl = math.exp(mean_l) if mean_l < 300 else float("inf")
                         print(f"LM steps: {int(state.lm_global_step)}, "
                               f"Perplexity: {ppl:f}")
                         writer.scalar("LM Perplexity", ppl,
                                       int(state.global_step))
-                        lm_loss_acc = 0.0
+                        lm_loss_acc = jnp.zeros(())
                     continue
 
                 batch = next(bucket_iters[bucket_idx], None)
@@ -246,13 +251,14 @@ class Trainer:
                     float(metrics["loss"])  # sync before stopping the trace
                     jax.profiler.stop_trace()
                 self._frames_acc += int(np.sum(batch["logmel_len"]))
-                loss_acc += float(metrics["loss_char"]) / tc.steps_per_checkpoint
+                loss_acc = loss_acc + metrics["loss_char"]
 
                 if current_step % tc.steps_per_checkpoint == 0:
+                    mean_loss = float(loss_acc) / tc.steps_per_checkpoint
                     state, asr_err_best, stop = self._checkpoint_cadence(
-                        state, writer, evaluator, dev_set, loss_acc,
+                        state, writer, evaluator, dev_set, mean_loss,
                         previous_errs, asr_err_best, ckpt_start)
-                    loss_acc = 0.0
+                    loss_acc = jnp.zeros(())
                     ckpt_start = time.time()
 
             print(f"Total steps: {int(state.global_step)}")
