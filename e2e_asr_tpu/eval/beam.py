@@ -42,6 +42,7 @@ from e2e_asr_tpu.core import cells
 from e2e_asr_tpu.core.layers import dense
 from e2e_asr_tpu.data.text import EOS_ID, GO_ID
 from e2e_asr_tpu.models.attn_decoder import AttnContext, make_attn_context
+from e2e_asr_tpu.ops import beam_select_pallas
 
 Array = jax.Array
 NEG_INF = -1e30
@@ -217,6 +218,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     penalty = beam_cfg.word_ins_penalty
     use_cov = beam_cfg.apply_cov_penalty and beam_cfg.cov_penalty != 0.0
     T_enc = enc_states.shape[1]
+    from e2e_asr_tpu.core.rnn import use_pallas_lstm
+    use_sel_kernel = use_pallas_lstm()
 
     ctx = make_attn_context(dec_params, enc_states, enc_lens)
     emb = dec_params["embedding"]
@@ -269,27 +272,42 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             new_lm_state = state.lm_state
             combined = logp
 
-        cand = jnp.where(state.alive[:, :, None],
-                         state.scores[:, :, None] + combined, NEG_INF)
-        vals, flat_idx = jax.lax.top_k(cand.reshape(B, k * V), k)  # [B,k]
-        parent = flat_idx // V
-        token = flat_idx % V
+        if use_sel_kernel:
+            # One-launch fused selection (ops/beam_select_pallas.py).
+            sel = beam_select_pallas.beam_select(
+                state.scores, combined, state.alive, state.num_finished,
+                eos_id=EOS_ID)
+            vals, parent, token = sel["vals"], sel["parent"], sel["token"]
+            fin_sel = sel["fin_sel"] > 0
+            live_sel = (sel["accept"] > 0) & ~fin_sel
+            fin_dest = sel["fin_dest"]
+            order = sel["order"]
+            slot_valid = sel["slot_valid"] > 0
+        else:
+            cand = jnp.where(state.alive[:, :, None],
+                             state.scores[:, :, None] + combined, NEG_INF)
+            vals, flat_idx = jax.lax.top_k(cand.reshape(B, k * V), k)  # [B,k]
+            parent = flat_idx // V
+            token = flat_idx % V
+            num_live = k - state.num_finished                      # [B]
+            accept = ranks < num_live[:, None]
+            is_eos = token == EOS_ID
+            fin_sel = accept & is_eos
+            live_sel = accept & ~is_eos
+            fin_rank = jnp.cumsum(fin_sel, axis=1) - 1             # [B,k]
+            fin_dest = jnp.where(fin_sel,
+                                 state.num_finished[:, None] + fin_rank, k)
+            order = jnp.argsort(~live_sel, axis=1, stable=True)    # live first
+            slot_valid = jnp.take_along_axis(live_sel, order, axis=1)
+
         new_len = state.t + 1
         stored = vals + penalty * new_len.astype(vals.dtype)
-
-        num_live = k - state.num_finished                          # [B]
-        accept = ranks < num_live[:, None]
-        is_eos = token == EOS_ID
-        fin_sel = accept & is_eos
-        live_sel = accept & ~is_eos
 
         # Candidate sequences for all k ranks: parent seq + token at position t.
         cand_seqs = jnp.take_along_axis(state.seqs, parent[:, :, None], axis=1)
         cand_seqs = cand_seqs.at[b_idx, ranks, state.t].set(token)
 
         # --- finished buffer: append newly finished in rank order ----------
-        fin_rank = jnp.cumsum(fin_sel, axis=1) - 1                 # [B,k]
-        fin_dest = jnp.where(fin_sel, state.num_finished[:, None] + fin_rank, k)
         fin_scores = state.fin_scores.at[b_idx, fin_dest].set(
             stored, mode="drop")
         fin_seqs = state.fin_seqs.at[b_idx, fin_dest].set(
@@ -306,8 +324,7 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             fin_cov = state.fin_cov
 
         # --- live beam: compact accepted non-EOS candidates in rank order --
-        order = jnp.argsort(~live_sel, axis=1, stable=True)        # live first
-        slot_valid = jnp.take_along_axis(live_sel, order, axis=1)
+        # (order / slot_valid computed above, by the selection kernel or XLA)
         sel_parent = jnp.take_along_axis(parent, order, axis=1)
         sel_token = jnp.take_along_axis(token, order, axis=1)
         sel_scores = jnp.take_along_axis(stored, order, axis=1)
