@@ -49,6 +49,21 @@ def test_max_to_keep_gc(tmp_path):
     assert files == ["asr.ckpt-200.npz", "asr.ckpt-300.npz"]
 
 
+def test_lr_decay_survives_checkpoint_roundtrip(tmp_path):
+    """The decayed LR lives in the optimizer hyperparams and must persist
+    through save/restore (the reference stores it as a TF variable)."""
+    from e2e_asr_tpu.train.step import get_lr, set_lr
+
+    state, cfg, lm_cfg = _state()
+    state = set_lr(state, 2.5e-4)
+    d = str(tmp_path)
+    ckpt.save(d, "asr.ckpt", 1000, state)
+    template = train_step_lib.create_state(
+        seq2seq.init(jax.random.PRNGKey(5), cfg), cfg, lm_cfg)
+    restored, _ = ckpt.restore_latest(d, template)
+    assert abs(get_lr(restored) - 2.5e-4) < 1e-9
+
+
 def test_partial_restore_merges_matching_leaves(tmp_path):
     """Pretraining transfer: leaves present in the checkpoint are merged,
     missing leaves keep their init (tf_utils.py:53-63)."""
