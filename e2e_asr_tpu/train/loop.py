@@ -50,8 +50,13 @@ def check_progress(previous_errs: list[float], num: int = 10) -> bool:
     return True
 
 
-def _device_batch(batch: dict) -> dict:
-    return {k: v for k, v in batch.items() if k not in ("utt_ids",)}
+def _device_batch(batch: dict, feats_dtype=None) -> dict:
+    """Strip host-only fields; optionally ship features in bfloat16 (halves
+    host->device transfer bytes — they feed bf16 matmuls anyway)."""
+    out = {k: v for k, v in batch.items() if k not in ("utt_ids",)}
+    if feats_dtype is not None:
+        out["logmel"] = out["logmel"].astype(feats_dtype)
+    return out
 
 
 class Trainer:
@@ -239,7 +244,7 @@ class Trainer:
                 if batch is None:
                     bucket_idx += 1
                     continue
-                dev_b = _device_batch(batch)
+                dev_b = _device_batch(batch, feats_dtype=self.compute_dtype)
                 if self.mesh is not None:
                     dev_b = mesh_lib.shard_batch(self.mesh, dev_b)
                 rng, sub = jax.random.split(rng)
