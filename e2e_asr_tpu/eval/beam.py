@@ -79,22 +79,10 @@ def _zero_cell_state(use_lstm: bool, shape, hidden):
     return cells.gru_zero_state(shape, hidden)
 
 
-def _beam_attention(params: dict, ctx: AttnContext, query: Array
-                    ) -> tuple[Array, Array]:
-    """Attention with a beam axis: query [B,k,Q] -> (context [B,k,H], alpha)."""
-    y = dense(params["attn_query"], query)                     # [B,k,A]
-    s = jnp.sum(params["attn_v"] *
-                jnp.tanh(ctx.hidden_features[:, None, :, :] + y[:, :, None, :]),
-                axis=-1)                                       # [B,k,T]
-    s = jnp.where(ctx.mask[:, None, :] > 0, s, NEG_INF)
-    alpha = jax.nn.softmax(s, axis=-1)
-    context = jnp.einsum("bkt,bth->bkh", alpha, ctx.enc_states)
-    return context, alpha
-
-
 def _alpha_context(params: dict, ctx: AttnContext, y: Array
                    ) -> tuple[Array, Array]:
-    """Attention from a precomputed query projection y [B,k,A]."""
+    """Attention over the beam axis from a precomputed query projection
+    y [B,k,A] -> (context [B,k,H_enc], alpha [B,k,T])."""
     s = jnp.sum(params["attn_v"] *
                 jnp.tanh(ctx.hidden_features[:, None, :, :] + y[:, :, None, :]),
                 axis=-1)
@@ -102,6 +90,12 @@ def _alpha_context(params: dict, ctx: AttnContext, y: Array
     alpha = jax.nn.softmax(s, axis=-1)
     context = jnp.einsum("bkt,bth->bkh", alpha, ctx.enc_states)
     return context, alpha
+
+
+def _beam_attention(params: dict, ctx: AttnContext, query: Array
+                    ) -> tuple[Array, Array]:
+    """Attention with a beam axis: query [B,k,Q] -> (context, alpha)."""
+    return _alpha_context(params, ctx, dense(params["attn_query"], query))
 
 
 def _dec_step_fused(params: dict, cfg: DecoderConfig, ctx: AttnContext,
