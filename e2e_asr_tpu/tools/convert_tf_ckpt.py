@@ -168,3 +168,37 @@ def convert_npz(npz_path: str, params: dict, **kw) -> dict:
     with np.load(npz_path) as z:
         tf_arrays = {k: z[k] for k in z.files}
     return convert(tf_arrays, params, **kw)
+
+
+def main(argv=None) -> None:
+    """CLI: convert a TF-named npz dump into an e2e_asr_tpu checkpoint.
+
+    python -m e2e_asr_tpu.tools.convert_tf_ckpt dump.npz out_dir \\
+        [reference CLI flags to describe the model, e.g. -tasks p -hsize 256]
+    """
+    import argparse
+    import sys
+
+    import jax
+
+    from e2e_asr_tpu import config as config_lib
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+    from e2e_asr_tpu.models import seq2seq
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    npz_path, out_dir = argv[0], argv[1]
+    parser = argparse.ArgumentParser()
+    config_lib.add_parse_options(parser)
+    opts = vars(parser.parse_args(argv[2:]))
+    cfg = config_lib.process_args(opts)
+
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg.model)
+    converted = convert_npz(npz_path, params, tasks=tuple(cfg.model.tasks),
+                            use_lstm=cfg.model.encoder.use_lstm)
+    path = ckpt_lib.save(out_dir, "asr.ckpt", 0, converted,
+                         meta={"converted_from": npz_path})
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
