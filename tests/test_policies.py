@@ -1,0 +1,105 @@
+"""Training-policy tests: LR halving on dev plateau and early stopping
+(train.py:334-349 parity), exercised through Trainer._checkpoint_cadence with
+a scripted evaluator."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from e2e_asr_tpu.config import ExperimentConfig, LMConfig
+from e2e_asr_tpu.core.summary import SummaryWriter
+from e2e_asr_tpu.models import seq2seq
+from e2e_asr_tpu.train import step as step_lib
+from e2e_asr_tpu.train.loop import Trainer, check_progress
+
+from tests.test_seq2seq import tiny_cfg
+
+
+class ScriptedEvaluator:
+    """Stands in for GreedyEvaluator: returns a scripted error sequence."""
+
+    def __init__(self, errs):
+        self.errs = list(errs)
+
+    def __call__(self, params, batches, **kw):
+        return self.errs.pop(0)
+
+
+class _FakeDevSet:
+    def epoch(self):
+        return iter(())
+
+
+def _trainer(tmp_path, min_steps=0):
+    cfg = ExperimentConfig(model=tiny_cfg(),
+                           lm=LMConfig(vocab_size=11, lm_hidden_size=8,
+                                       proj_size=8, emb_size=6))
+    cfg.train.train_dir = os.path.join(str(tmp_path), "run")
+    cfg.train.best_model_dir = os.path.join(str(tmp_path), "best")
+    cfg.train.min_steps = min_steps
+    cfg.train.compute_dtype = "float32"
+    os.makedirs(cfg.train.train_dir, exist_ok=True)
+    os.makedirs(cfg.train.best_model_dir, exist_ok=True)
+    t = Trainer(cfg, use_mesh=False)
+    t._frames_acc = 0
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg.model)
+    state = step_lib.create_state(params, cfg.model, cfg.lm)
+    writer = SummaryWriter(os.path.join(cfg.train.train_dir, "summary"))
+    return t, state, writer, cfg
+
+
+def test_lr_halves_when_dev_error_plateaus(tmp_path):
+    t, state, writer, cfg = _trainer(tmp_path, min_steps=0)
+    # History of 4 checkpoints; the new error (0.50) >= max of the last 3
+    # (0.45) -> decay (train.py:334-343).
+    previous = [0.6, 0.45, 0.42, 0.40]
+    evaluator = ScriptedEvaluator([0.50])
+    import time
+    state2, best, stop = t._checkpoint_cadence(
+        state, writer, evaluator, _FakeDevSet(), 0.0, previous, 1.0,
+        time.time())
+    assert abs(step_lib.get_lr(state2) - 5e-4) < 1e-9
+    assert not stop
+    assert previous[-1] == 0.50  # appended to history
+
+
+def test_lr_does_not_decay_before_min_steps(tmp_path):
+    t, state, writer, cfg = _trainer(tmp_path, min_steps=10**9)
+    previous = [0.6, 0.45, 0.42, 0.40]
+    state2, _, stop = t._checkpoint_cadence(
+        state, writer, ScriptedEvaluator([0.50]), _FakeDevSet(), 0.0,
+        previous, 1.0, __import__("time").time())
+    assert abs(step_lib.get_lr(state2) - 1e-3) < 1e-9
+    assert not stop
+
+
+def test_early_stop_at_floor_lr_without_improvement(tmp_path):
+    t, state, writer, cfg = _trainer(tmp_path, min_steps=0)
+    state = step_lib.set_lr(state, cfg.train.lr_floor)  # at the floor
+    # Best (0.10) is older than the 10-checkpoint window -> stop
+    # (train.py:153-158, 346-349).
+    previous = [0.10] + [0.30 + i * 0.001 for i in range(10)]
+    state2, _, stop = t._checkpoint_cadence(
+        state, writer, ScriptedEvaluator([0.35]), _FakeDevSet(), 0.0,
+        previous, 0.10, __import__("time").time())
+    assert stop
+
+
+def test_best_model_saved_on_improvement(tmp_path):
+    t, state, writer, cfg = _trainer(tmp_path, min_steps=10**9)
+    state2, best, stop = t._checkpoint_cadence(
+        state, writer, ScriptedEvaluator([0.25]), _FakeDevSet(), 0.0,
+        [0.9, 0.5], 0.30, __import__("time").time())
+    assert best == 0.25
+    assert os.path.isfile(os.path.join(cfg.train.train_dir, "best.txt"))
+    import glob
+    assert glob.glob(os.path.join(cfg.train.best_model_dir, "asr.ckpt-*.npz"))
+
+
+def test_check_progress_window():
+    assert check_progress([0.5] * 5)
+    # Best inside the last-10 window -> keep going.
+    assert check_progress([0.9, 0.6, 0.55, 0.5] + [0.52] * 8)
+    # Best strictly older than the last 10 -> stop.
+    assert not check_progress([0.10] + [0.5 + i * 0.001 for i in range(11)])
