@@ -103,3 +103,29 @@ def test_check_progress_window():
     assert check_progress([0.9, 0.6, 0.55, 0.5] + [0.52] * 8)
     # Best strictly older than the last 10 -> stop.
     assert not check_progress([0.10] + [0.5 + i * 0.001 for i in range(11)])
+
+
+def test_training_is_deterministic_with_fixed_seed(tmp_path, rng):
+    """Two runs from the same seed produce bit-identical parameters (the
+    reference's seeded-run contract, train.py:167-174; `chaos` opts out)."""
+    from e2e_asr_tpu.models import seq2seq as s2s
+    from tests.test_seq2seq import make_batch
+
+    cfg = tiny_cfg()
+    lm_cfg = LMConfig(vocab_size=11, lm_hidden_size=8, proj_size=8, emb_size=6)
+
+    def run():
+        params = s2s.init(jax.random.PRNGKey(10), cfg)
+        state = step_lib.create_state(params, cfg, lm_cfg)
+        asr, _ = step_lib.make_train_step(cfg, lm_cfg)
+        asr = jax.jit(asr)
+        batch = make_batch(np.random.default_rng(0), cfg)
+        key = jax.random.PRNGKey(10)
+        for i in range(5):
+            key, sub = jax.random.split(key)
+            state, _ = asr(state, batch, sub)
+        return state.params
+
+    a, b = run(), run()
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
