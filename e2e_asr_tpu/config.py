@@ -128,6 +128,8 @@ class TrainConfig:
                                      # cheaper than threefry on TPU; set
                                      # "threefry2x32" for cross-version
                                      # reproducibility)
+    spec_augment: bool = False       # on-device SpecAugment masking (off by
+                                     # default for reference parity)
 
 
 @dataclass
@@ -232,6 +234,8 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         "hardcodes these at train.py:44)")
     parser.add_argument("-profile_dir", default="", type=str,
                         help="jax.profiler trace output directory")
+    parser.add_argument("-spec_augment", default=False, action="store_true",
+                        help="Enable on-device SpecAugment feature masking")
 
 
 def parse_tasks(task_string: str) -> list[str]:

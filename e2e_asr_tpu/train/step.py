@@ -69,12 +69,23 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
 
 
 def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
-                    compute_dtype=None):
-    """Build jittable (asr_step, lm_step) closures."""
+                    compute_dtype=None, spec_augment: bool = False):
+    """Build jittable (asr_step, lm_step) closures.
+
+    spec_augment applies on-device time/frequency masking to the features
+    before the encoder (frontend/specaugment.py) — a training-only
+    augmentation the reference predates."""
     asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
 
     def asr_step(state: TrainState, batch: dict, rng: Array):
+        if spec_augment:
+            from e2e_asr_tpu.frontend.specaugment import spec_augment as sa
+            rng, sa_rng = jax.random.split(rng)
+            batch = dict(batch)
+            batch["logmel"] = sa(sa_rng, batch["logmel"],
+                                 batch["logmel_len"])
+
         def loss_fn(params):
             total, per_task = seq2seq.apply_train(
                 params, model_cfg, batch, rng=rng, compute_dtype=compute_dtype)
