@@ -100,3 +100,16 @@ def test_encoder_dropout_train_vs_eval(rng):
     # Eval path is deterministic.
     c, _, _ = encoder.apply(params, cfg, x, lens, {"char": 2})
     np.testing.assert_allclose(np.asarray(b[2]), np.asarray(c[2]))
+
+
+def test_unidirectional_encoder(rng):
+    """bi_dir=False: outputs are H (not 2H) wide and layer inputs follow."""
+    cfg = EncoderConfig(hidden_size=6, bi_dir=False, out_prob=1.0)
+    assert encoder.layer_input_dims(cfg, 3, feat_dim=4) == [4, 12, 12]
+    params = encoder.init(jax.random.PRNGKey(5), cfg, 2, feat_dim=4)
+    assert "bw" not in params["layer_1"]
+    x = jnp.asarray(rng.normal(size=(2, 8, 4)).astype(np.float32))
+    attn, _, out_lens = encoder.apply(params, cfg, x, jnp.array([8, 5]),
+                                      {"char": 2})
+    assert attn[2].shape[2] == 6
+    assert np.all(np.asarray(attn[2])[1, 3:] == 0.0)  # ceil(5/2)=3 valid
