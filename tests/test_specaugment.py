@@ -35,13 +35,18 @@ def test_time_masks_respect_lengths(rng):
 
 
 def test_deterministic_per_key(rng):
-    feats = jnp.asarray(rng.normal(size=(2, 40, 16)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(2, 40, 80)).astype(np.float32))
     lens = jnp.array([40, 30])
     a = spec_augment(jax.random.PRNGKey(7), feats, lens)
     b = spec_augment(jax.random.PRNGKey(7), feats, lens)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    c = spec_augment(jax.random.PRNGKey(8), feats, lens)
-    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    # Some other key produces a different mask (checked over several keys so
+    # the assertion is robust to the globally-configured PRNG impl).
+    diff = any(not np.array_equal(
+        np.asarray(a), np.asarray(spec_augment(jax.random.PRNGKey(k),
+                                               feats, lens)))
+               for k in range(8, 14))
+    assert diff
 
 
 def test_train_step_with_spec_augment(rng):
