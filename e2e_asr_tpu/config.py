@@ -73,6 +73,7 @@ class Seq2SeqConfig:
     learning_rate_decay_factor: float = 0.5
     max_gradient_norm: float = 5.0
     avg: bool = True                 # average loss across tasks
+    label_smoothing: float = 0.0     # extension; 0.0 = reference behavior
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoders: dict[str, DecoderConfig] = field(default_factory=dict)
     feat_length: int = 80
@@ -236,6 +237,8 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="jax.profiler trace output directory")
     parser.add_argument("-spec_augment", default=False, action="store_true",
                         help="Enable on-device SpecAugment feature masking")
+    parser.add_argument("-label_smoothing", default=0.0, type=float,
+                        help="Label smoothing for the attention CE (extension)")
 
 
 def parse_tasks(task_string: str) -> list[str]:

@@ -25,14 +25,22 @@ def shifted_targets(dec_inputs: Array, seq_len: Array) -> tuple[Array, Array]:
     return targets, mask
 
 
-def cross_entropy_loss(logits: Array, targets: Array, seq_len: Array) -> Array:
+def cross_entropy_loss(logits: Array, targets: Array, seq_len: Array,
+                       label_smoothing: float = 0.0) -> Array:
     """Length-normalized masked CE.
 
     logits: [T, B, V] time-major; targets: [T, B]; seq_len: [B].
     Per-example: sum_t mask*CE / seq_len; returns batch mean.
+
+    label_smoothing e (extension; 0.0 = reference behavior): the target
+    distribution becomes (1-e)*onehot + e/V uniform.
     """
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        V = logits.shape[-1]
+        uniform_nll = -jnp.mean(log_probs, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * uniform_nll
     T = targets.shape[0]
     t = jnp.arange(T)[:, None]
     mask = (t < seq_len.astype(jnp.int32)[None, :]).astype(logits.dtype)

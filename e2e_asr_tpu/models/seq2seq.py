@@ -74,7 +74,8 @@ def apply_train(params: dict, cfg: Seq2SeqConfig, batch: dict, *, rng: Array,
             rng=jax.random.fold_in(rng_dec, i), compute_dtype=compute_dtype)
         targets, _ = losses.shifted_targets(dec_inputs, batch[f"{task}_len"])
         task_losses[task] = losses.cross_entropy_loss(
-            logits, targets, batch[f"{task}_len"])
+            logits, targets, batch[f"{task}_len"],
+            label_smoothing=cfg.label_smoothing)
 
     total = sum(task_losses.values())
     if cfg.avg:
