@@ -10,10 +10,12 @@ launches around the (XLA-fused) additive-attention block:
   kernel 2 `output_fused`: AttnProjection -> OutputProjection -> log_softmax
 
 A third variant, `attn_output_fused`, additionally folds the additive
-attention into kernel 2. Measured on v5e it LOST to XLA's batched attention
-for the shapes tried (the per-beam serial loop underutilizes the VPU), so it
-is opt-in via E2E_ASR_FUSED_ATTN=1 (see attn_output_fits) — kept as the
-starting point for a batched reformulation.
+attention into kernel 2. Measured on v5e it LOSES to XLA's attention for the
+shapes tried even after batching the score computation (serial per-beam
+loop: 51.7 ms/120-step decode; batched scores: 46.6 ms; XLA attention +
+output kernel: ~42 ms — the k-major relayouts and in-kernel reshape overhead
+outweigh the saved launches). Opt-in via E2E_ASR_FUSED_ATTN=1; kept as a
+documented negative result and a base for future work.
 
 Fast-path requirements (fall back to the plain XLA step otherwise):
 LSTM cells, single decoder layer, no SimpleProjection
@@ -126,18 +128,28 @@ def _attn_output_kernel(y, dec_c, hf, enc, mask, v, wap, bap, wout, bout,
                         logp_o, ctx_o, alpha_o, *, B: int, k: int, T: int,
                         H: int, V: int, Vp: int, bf16: bool):
     """Fused additive attention + AttnProjection + OutputProjection +
-    log_softmax for all k beams (rows are k-major: row = j*B + b)."""
+    log_softmax for all k beams (rows are k-major: row = j*B + b).
+
+    The score tensor is computed as ONE batched [k*B, T, A] op (the per-beam
+    serial-loop variant measurably underutilized the VPU); only the
+    context-weighting falls back to a per-beam loop (batched dot_general is
+    not available in-kernel)."""
     hf_all = hf[:]                                   # [B, T, A]
     enc_all = enc[:]                                 # [B, T, H_enc]
     m = mask[:]                                      # [B, T]
     vv = v[:]                                        # [A]
+
+    # --- batched scores for all beams at once ------------------------------
+    y4 = y[:].reshape(k, B, 1, y.shape[-1])          # [k, B, 1, A]
+    scores4 = jnp.sum(vv * jnp.tanh(hf_all[None] + y4), axis=-1)  # [k, B, T]
+    s = jnp.where(m[None] > 0, scores4, NEG_INF)
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - smax)
+    alpha_kbt = e / jnp.sum(e, axis=-1, keepdims=True)            # [k, B, T]
+    alpha_o[:] = alpha_kbt.reshape(k * B, T)
+
     for j in range(k):
-        y_j = y[j * B:(j + 1) * B]                   # [B, A]
-        s = jnp.sum(vv * jnp.tanh(hf_all + y_j[:, None, :]), axis=-1)  # [B,T]
-        s = jnp.where(m > 0, s, NEG_INF)
-        smax = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - smax)
-        alpha = e / jnp.sum(e, axis=-1, keepdims=True)
+        alpha = alpha_kbt[j]
         ctx_j = jnp.sum(alpha[:, :, None] * enc_all, axis=1)  # [B, H_enc]
         q_j = dec_c[j * B:(j + 1) * B]
         proj = (_dot(q_j, wap[:H], bf16) +
@@ -150,7 +162,6 @@ def _attn_output_kernel(y, dec_c, hf, enc, mask, v, wap, bap, wout, bout,
         z = jnp.log(jnp.sum(jnp.exp(logits - lmax), axis=-1, keepdims=True))
         logp_o[j * B:(j + 1) * B] = logits - lmax - z
         ctx_o[j * B:(j + 1) * B] = ctx_j
-        alpha_o[j * B:(j + 1) * B] = alpha
 
 
 def attn_output_fits(B: int, k: int, T_enc: int, A: int, H_enc: int) -> bool:
