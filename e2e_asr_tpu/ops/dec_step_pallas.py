@@ -167,10 +167,8 @@ def _attn_output_kernel(y, dec_c, hf, enc, mask, v, wap, bap, wout, bout,
 def attn_output_fits(B: int, k: int, T_enc: int, A: int, H_enc: int) -> bool:
     """Gate for the fused attention+output kernel: VMEM estimate + opt-in.
 
-    Measured on v5e: the fused kernel LOST to XLA's batched attention for the
-    beam shapes tried (B=64, k=4: 45.4 -> 51.7 ms per 120-step decode — the
-    per-beam serial loop underutilizes the VPU vs one [B,k,T,A] batched op),
-    so it is opt-in via E2E_ASR_FUSED_ATTN=1 pending a batched formulation.
+    Measured on v5e the kernel loses to XLA's attention for the shapes tried
+    (see module docstring), so it is opt-in via E2E_ASR_FUSED_ATTN=1.
     """
     import os
     if not os.environ.get("E2E_ASR_FUSED_ATTN"):
