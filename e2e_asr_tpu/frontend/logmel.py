@@ -59,6 +59,13 @@ def log_mel_spectrogram(waveform: Array, *, sample_rate: int = 16000,
     T = 1 + (n_samples - frame_length) // hop_length (no padding).
     """
     n_samples = waveform.shape[-1]
+    if n_samples < frame_length:
+        # Zero-pad sub-frame inputs to one full window (a silent jnp gather
+        # clamp would otherwise produce a garbage frame).
+        waveform = jnp.pad(
+            waveform, [(0, 0)] * (waveform.ndim - 1)
+            + [(0, frame_length - n_samples)])
+        n_samples = frame_length
     T = 1 + max(0, (n_samples - frame_length)) // hop_length
     # Static framing: gather by a precomputed [T, frame_length] index grid.
     idx = (np.arange(T)[:, None] * hop_length +

@@ -64,3 +64,15 @@ def test_tone_peaks_in_expected_mel_band():
     bin_1k = int(round(1000.0 / (sr / 2) * 256))
     expected = int(np.argmax(fb[bin_1k]))
     assert abs(peak_mel - expected) <= 1
+
+
+def test_subframe_waveform_padded_not_garbage(rng):
+    """Inputs shorter than one window are zero-padded to a single frame."""
+    short = rng.normal(size=(100,)).astype(np.float32)
+    feats = featurize_utterance(short)
+    assert feats.shape == (1, 80)
+    # Equivalent to explicitly zero-padding to the window length.
+    padded = np.zeros(400, np.float32)
+    padded[:100] = short
+    np.testing.assert_allclose(feats, featurize_utterance(padded),
+                               rtol=1e-5, atol=1e-5)
