@@ -2,9 +2,11 @@
 
 The canonical TF variable naming is pinned by the reference's own NumPy
 runtime, which reloads checkpoint tensors by name
-(/root/reference/beam_search.py:53-134, tf_utils.py:66-90). This module maps
-those names onto the e2e_asr_tpu pytree so reference-trained models can be
-evaluated here for WER parity.
+(/root/reference/beam_search.py:53-134, tf_utils.py:66-90), and was verified
+against ground-truth checkpoints produced by real TF cells under the
+reference's scopes (tools/tf_fixture.py, tests/test_tf_fixture.py) — in
+particular the deep-decoder MultiRNNCell scope
+`rnn/multi_rnn_cell/cell_{i}/basic_lstm_cell/...` (decoder.py:66-70).
 
 Input format: an .npz archive of {tf_variable_name: array}. TensorFlow's
 checkpoint bundle format requires TF to read; dump it once wherever TF is
@@ -16,24 +18,21 @@ available:
                             for n in r.get_variable_to_shape_map()
                             if "Adam" not in n})
 
+(tools/tf_fixture.py automates this when TF is importable.)
+
 Kernel layouts transfer 1:1: TF BasicLSTMCell kernels are [in+h, 4h] with
 gate order i,j,f,o and a zero bias (+1 forget bias applied in-cell), exactly
-this framework's convention (core/cells.py).
+this framework's convention (core/cells.py). TF GRUCell splits into
+gates/candidate sub-layers, also this framework's layout.
 """
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
-# Decoder-side map (beam_search.py:53-98). {tf_name: pytree path}
+# Simple decoder-side tensors (beam_search.py:53-98). {tf_name: pytree path}
 _DEC_MAP = {
-    "model/rnn_decoder_{task}/rnn/basic_lstm_cell/kernel":
-        ("decoder_{task}", "lm_cell", "kernel"),
-    "model/rnn_decoder_{task}/rnn/basic_lstm_cell/bias":
-        ("decoder_{task}", "lm_cell", "bias"),
-    "model/rnn_decoder_{task}/rnn/basic_lstm_cell_1/kernel":
-        ("decoder_{task}", "dec_cells", 0, "kernel"),
-    "model/rnn_decoder_{task}/rnn/basic_lstm_cell_1/bias":
-        ("decoder_{task}", "dec_cells", 0, "bias"),
     "model/rnn_decoder_{task}/rnn/Attention/kernel":
         ("decoder_{task}", "attn_query", "kernel"),
     "model/rnn_decoder_{task}/rnn/Attention/bias":
@@ -66,27 +65,42 @@ _DEC_MAP = {
     "model/rnn_decoder_{task}/AttnV": ("decoder_{task}", "attn_v"),
 }
 
+# TF cell leaf name -> our pytree sub-path, per cell type.
+_CELL_LEAVES = {
+    True: {("kernel",): ("kernel",), ("bias",): ("bias",)},   # BasicLSTMCell
+    False: {("gates", "kernel"): ("gates", "kernel"),         # GRUCell
+            ("gates", "bias"): ("gates", "bias"),
+            ("candidate", "kernel"): ("candidate", "kernel"),
+            ("candidate", "bias"): ("candidate", "bias")},
+}
 
-def _encoder_names(layer: int, direction: str, use_lstm: bool):
-    cell = "basic_lstm_cell" if use_lstm else "gru_cell"
-    base = (f"model/encoder/RNNLayer{layer}/bidirectional_rnn/{direction}/"
-            f"{cell}")
-    return base
+# Checkpoint tensors that are never model parameters: optimizer slots
+# ("Adam", "AdamLM", beta powers — tf_utils.py:88 excludes slots too) and the
+# unnamed scalar counters (seq2seq_model.py:74-82, lm_model.py:54-62 create
+# learning_rate/global_step/epoch as anonymous model/Variable{,_N}).
+_NONPARAM = re.compile(
+    r"(.*Adam.*|.*beta[12]_power.*|(.*/)?Variable(_\d+)?|.*global_step.*)$")
+
+
+def _cell_name(use_lstm: bool) -> str:
+    return "basic_lstm_cell" if use_lstm else "gru_cell"
 
 
 def convert(tf_arrays: dict[str, np.ndarray], params: dict,
             *, tasks=("char",), use_lstm: bool = True,
-            verbose: bool = True) -> dict:
+            verbose: bool = True, strict: bool = False) -> dict:
     """Merge TF-named arrays into a pytree initialized by seq2seq.init.
 
     Returns a new params dict; leaves absent from the dump keep their values.
+    Every tensor in `tf_arrays` must either be consumed or match the
+    known-nonparameter patterns; leftovers are reported (and raise when
+    `strict=True`) so silent drift in the name map cannot pass unnoticed.
     """
     import copy
     out = copy.deepcopy(jax_to_numpy(params))
-    n = 0
+    consumed: set[str] = set()
 
-    def assign(path, value):
-        nonlocal n
+    def assign(tf_name: str, path, value) -> None:
         node = out
         for key in path[:-1]:
             if isinstance(key, int):
@@ -110,7 +124,10 @@ def convert(tf_arrays: dict[str, np.ndarray], params: dict,
                       f"{value.shape} vs {np.asarray(target).shape} — skipped")
             return
         node[last] = value.astype(np.float32)
-        n += 1
+        consumed.add(tf_name)
+
+    cell = _cell_name(use_lstm)
+    cell_leaves = _CELL_LEAVES[use_lstm]
 
     for task in tasks:
         for tf_name_tpl, path_tpl in _DEC_MAP.items():
@@ -119,43 +136,54 @@ def convert(tf_arrays: dict[str, np.ndarray], params: dict,
                 continue
             value = np.asarray(tf_arrays[tf_name])
             if tf_name.endswith("AttnW"):
-                value = np.squeeze(value)     # [1,1,H,A] -> [H,A]
+                value = np.squeeze(value, axis=(0, 1))  # [1,1,H,A] -> [H,A]
             path = tuple(k.format(task=task) if isinstance(k, str) else k
                          for k in path_tpl)
-            assign(path, value)
-        # Deep decoders: basic_lstm_cell_{i+1} -> dec_cells[i]
-        for i in range(1, 8):
-            for leaf in ("kernel", "bias"):
-                tf_name = (f"model/rnn_decoder_{task}/rnn/"
-                           f"basic_lstm_cell_{i + 1}/{leaf}")
-                if tf_name in tf_arrays:
-                    assign((f"decoder_{task}", "dec_cells", i, leaf),
-                           np.asarray(tf_arrays[tf_name]))
+            assign(tf_name, path, value)
+
+        dec_scope = f"model/rnn_decoder_{task}/rnn"
+        for tf_sub, our_sub in cell_leaves.items():
+            # Internal "LM LSTM" (attn_decoder.py:47): first cell under rnn/.
+            name = "/".join((dec_scope, cell) + tf_sub)
+            if name in tf_arrays:
+                assign(name, (f"decoder_{task}", "lm_cell") + our_sub,
+                       np.asarray(tf_arrays[name]))
+            # Single-layer main cell: uniquified to {cell}_1 because the lm
+            # cell claimed the base name (beam_search.py:74-77).
+            name = "/".join((dec_scope, f"{cell}_1") + tf_sub)
+            if name in tf_arrays:
+                assign(name, (f"decoder_{task}", "dec_cells", 0) + our_sub,
+                       np.asarray(tf_arrays[name]))
+            # Deep main cell: MultiRNNCell scopes (decoder.py:66-70), names
+            # verified ground-truth by tools/tf_fixture.py.
+            for i in range(16):
+                name = "/".join(
+                    (dec_scope, "multi_rnn_cell", f"cell_{i}", cell) + tf_sub)
+                if name in tf_arrays:
+                    assign(name, (f"decoder_{task}", "dec_cells", i) + our_sub,
+                           np.asarray(tf_arrays[name]))
 
     # Encoder bidirectional layers (encoder.py:73-84 scope structure).
     for layer in range(1, 16):
-        for tf_dir, ours in (("fw", "fw"), ("bw", "bw")):
-            base = _encoder_names(layer, tf_dir, use_lstm)
-            if use_lstm:
-                leaves = {"kernel": "kernel", "bias": "bias"}
-                for tf_leaf, our_leaf in leaves.items():
-                    name = f"{base}/{tf_leaf}"
-                    if name in tf_arrays:
-                        assign(("encoder", f"layer_{layer}", ours, our_leaf),
-                               np.asarray(tf_arrays[name]))
-            else:
-                for tf_leaf, path_leaf in (
-                        ("gates/kernel", ("gates", "kernel")),
-                        ("gates/bias", ("gates", "bias")),
-                        ("candidate/kernel", ("candidate", "kernel")),
-                        ("candidate/bias", ("candidate", "bias"))):
-                    name = f"{base}/{tf_leaf}"
-                    if name in tf_arrays:
-                        assign(("encoder", f"layer_{layer}", ours) +
-                               path_leaf, np.asarray(tf_arrays[name]))
+        for direction in ("fw", "bw"):
+            base = (f"model/encoder/RNNLayer{layer}/bidirectional_rnn/"
+                    f"{direction}/{cell}")
+            for tf_sub, our_sub in cell_leaves.items():
+                name = "/".join((base,) + tf_sub)
+                if name in tf_arrays:
+                    assign(name, ("encoder", f"layer_{layer}", direction)
+                           + our_sub, np.asarray(tf_arrays[name]))
 
+    unmatched = sorted(n for n in tf_arrays
+                       if n not in consumed and not _NONPARAM.match(n))
     if verbose:
-        print(f"convert: merged {n} tensors")
+        print(f"convert: merged {len(consumed)} tensors")
+        for n in unmatched:
+            print(f"convert: UNMATCHED reference tensor: {n} "
+                  f"{np.asarray(tf_arrays[n]).shape}")
+    if strict and unmatched:
+        raise ValueError(
+            f"{len(unmatched)} reference tensors not consumed: {unmatched}")
     return out
 
 
@@ -185,16 +213,31 @@ def main(argv=None) -> None:
     from e2e_asr_tpu.core import checkpoint as ckpt_lib
     from e2e_asr_tpu.models import seq2seq
 
+    # Conversion is pure host work; don't spin up an accelerator runtime.
+    jax.config.update("jax_platforms", "cpu")
+
     argv = list(sys.argv[1:] if argv is None else argv)
     npz_path, out_dir = argv[0], argv[1]
     parser = argparse.ArgumentParser()
     config_lib.add_parse_options(parser)
+    parser.add_argument("-strict", default=False, action="store_true",
+                        help="Fail if any reference tensor goes unconsumed")
+    parser.add_argument("-vocab_size", default=0, type=int,
+                        help="Decoder vocab size (the reference CLI derives "
+                        "it from the vocab files; set it explicitly here)")
     opts = vars(parser.parse_args(argv[2:]))
+    strict = opts.pop("strict")
+    vocab_size = opts.pop("vocab_size")
     cfg = config_lib.process_args(opts)
+    if vocab_size > 0:
+        for dec in cfg.model.decoders.values():
+            dec.vocab_size = vocab_size
+        cfg.lm.vocab_size = vocab_size
 
     params = seq2seq.init(jax.random.PRNGKey(0), cfg.model)
     converted = convert_npz(npz_path, params, tasks=tuple(cfg.model.tasks),
-                            use_lstm=cfg.model.encoder.use_lstm)
+                            use_lstm=cfg.model.encoder.use_lstm,
+                            strict=strict)
     path = ckpt_lib.save(out_dir, "asr.ckpt", 0, converted,
                          meta={"converted_from": npz_path})
     print(f"wrote {path}")
