@@ -96,8 +96,15 @@ def launch_eval(cfg: ExperimentConfig) -> None:
     lm_params = None
     if cfg.beam.lm_path:
         from e2e_asr_tpu.models import rnn_lm
-        lm_state = ckpt_lib.restore(cfg.beam.lm_path, state)
-        lm_params = rnn_lm.shared_lm_params(lm_state.params)
+        # The fusion LM may come from a differently-shaped run (an external
+        # LM checkpoint, main.py:220-223; beam_search.py:111-134 reads the
+        # rnn_decoder_char tensors by name): merge the name-matching
+        # decoder_char leaves into a fresh params template instead of a
+        # strict full-state restore.
+        lm_tree = ckpt_lib.partial_restore(
+            seq2seq.init(jax.random.PRNGKey(0), cfg.model),
+            cfg.beam.lm_path, scope="decoder_char")
+        lm_params = rnn_lm.shared_lm_params(lm_tree)
 
     start = time.time()
     if cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0:

@@ -26,7 +26,8 @@ def shifted_targets(dec_inputs: Array, seq_len: Array) -> tuple[Array, Array]:
 
 
 def cross_entropy_loss(logits: Array, targets: Array, seq_len: Array,
-                       label_smoothing: float = 0.0) -> Array:
+                       label_smoothing: float = 0.0,
+                       weights: Array | None = None) -> Array:
     """Length-normalized masked CE.
 
     logits: [T, B, V] time-major; targets: [T, B]; seq_len: [B].
@@ -34,6 +35,10 @@ def cross_entropy_loss(logits: Array, targets: Array, seq_len: Array,
 
     label_smoothing e (extension; 0.0 = reference behavior): the target
     distribution becomes (1-e)*onehot + e/V uniform.
+
+    weights: optional [B] per-example validity (padded tail-batch rows get 0);
+    when given, the batch mean runs over valid rows only. weights=1 everywhere
+    is exactly the unweighted mean.
     """
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
@@ -46,4 +51,7 @@ def cross_entropy_loss(logits: Array, targets: Array, seq_len: Array,
     mask = (t < seq_len.astype(jnp.int32)[None, :]).astype(logits.dtype)
     per_example = jnp.sum(nll * mask, axis=0) / jnp.maximum(
         seq_len.astype(logits.dtype), 1.0)
+    if weights is not None:
+        w = weights.astype(per_example.dtype)
+        return jnp.sum(per_example * w) / jnp.maximum(jnp.sum(w), 1.0)
     return jnp.mean(per_example)

@@ -29,20 +29,25 @@ class LMDataset:
         return len(self.seqs)
 
     def epoch(self):
-        """Shuffled fixed-shape batches, drop remainder.
+        """Shuffled fixed-shape batches; the final partial batch is padded to
+        the full batch size with `valid=0` rows (the reference's padded_batch
+        keeps the remainder, lm_dataset.py:38 — fixed shapes here demand
+        padding instead of a ragged tail batch).
 
-        Returns dicts {"char": [B, cap] int32, "char_len": [B] int32} with
-        char_len counting shifted targets (len-1)."""
+        Returns dicts {"char": [B, cap] int32, "char_len": [B] int32,
+        "valid": [B] float32} with char_len counting shifted targets (len-1).
+        """
         order = np.arange(len(self.seqs))
         self._rng.shuffle(order)
         B = self.batch_size
-        n_full = len(order) // B
-        for bi in range(n_full):
-            chunk = order[bi * B:(bi + 1) * B]
+        for start in range(0, len(order), B):
+            chunk = order[start:start + B]
             batch_ids = np.zeros((B, self.cap), np.int32)
-            lens = np.zeros((B,), np.int32)
+            lens = np.ones((B,), np.int32)
+            valid = np.zeros((B,), np.float32)
             for i, idx in enumerate(chunk):
                 seq = self.seqs[idx][: self.cap]
                 batch_ids[i, : len(seq)] = seq
                 lens[i] = max(len(seq) - 1, 1)
-            yield {"char": batch_ids, "char_len": lens}
+                valid[i] = 1.0
+            yield {"char": batch_ids, "char_len": lens, "valid": valid}

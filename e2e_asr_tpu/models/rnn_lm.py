@@ -60,9 +60,11 @@ def apply(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,
 
 def loss(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,
          train: bool = True, rng: Array | None = None,
-         compute_dtype=None) -> Array:
-    """Shifted-target CE with the reference normalization (lm_model.py:94-106)."""
+         valid: Array | None = None, compute_dtype=None) -> Array:
+    """Shifted-target CE with the reference normalization (lm_model.py:94-106).
+
+    valid: optional [B] row validity for padded tail batches (data/lm.py)."""
     logits = apply(params, cfg, token_ids, seq_len, train=train, rng=rng,
                    compute_dtype=compute_dtype)
     targets, _ = losses.shifted_targets(token_ids, seq_len)
-    return losses.cross_entropy_loss(logits, targets, seq_len)
+    return losses.cross_entropy_loss(logits, targets, seq_len, weights=valid)

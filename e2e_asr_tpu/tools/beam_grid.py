@@ -45,10 +45,14 @@ def grid_search(params, model_cfg: Seq2SeqConfig, rev_vocab, dev_batches_fn,
                 compute_dtype=None,
                 beam_sizes=(4, 8, 16),
                 cov_penalties=None,
-                lm_weights=None) -> tuple[BeamConfig, float]:
+                lm_weights=None,
+                test_batches_fn=None) -> tuple[BeamConfig, float]:
     """dev_batches_fn: () -> iterable of dataset batches (fresh per config).
 
-    Returns (best BeamConfig, best score)."""
+    Returns (best BeamConfig, best dev score). When `test_batches_fn` is
+    given, the best dev config is then run on the test set with full scoring
+    artifacts written to {out_dir}/final_eval (the reference's last step,
+    grid_search_for_beam.py:113-124)."""
     if cov_penalties is None:
         cov_penalties = list(np.linspace(0.05, 0.25, num=5))
     if lm_weights is None:
@@ -91,4 +95,19 @@ def grid_search(params, model_cfg: Seq2SeqConfig, rev_vocab, dev_batches_fn,
                         best_cfg = BeamConfig(beam_size=beam_size,
                                               cov_penalty=float(cov),
                                               lm_weight=float(lmw))
+
+    if test_batches_fn is not None:
+        final_dir = path.join(out_dir, "final_eval")
+        os.makedirs(final_dir, exist_ok=True)
+        evaluator = BeamEvaluator(model_cfg, best_cfg, rev_vocab, final_dir,
+                                  compute_dtype=compute_dtype,
+                                  lm_params=lm_params)
+        test_err = evaluator(params, test_batches_fn(), write_files=True)
+        print(f"Final test ASR Error: {test_err:.4f} "
+              f"(beam {best_cfg.beam_size}, lm_weight {best_cfg.lm_weight})")
+        with open(path.join(final_dir, "score.txt"), "w") as f:
+            f.write(f"beam_size {best_cfg.beam_size} "
+                    f"cov_penalty {best_cfg.cov_penalty:.4f} "
+                    f"lm_weight {best_cfg.lm_weight:.4f} "
+                    f"dev_err {best_err:f} test_err {test_err:f}\n")
     return best_cfg, best_err

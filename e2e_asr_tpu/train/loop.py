@@ -223,12 +223,14 @@ class Trainer:
                     lm_batch = next(lm_iter, None)
                     if lm_batch is None:
                         lm_iter = iter(lm_data.epoch())  # reshuffle
-                        print("LM Epoch done !!")
+                        state = state._replace(lm_epoch=state.lm_epoch + 1)
+                        print(f"LM Epoch done !! (epoch {int(state.lm_epoch)})")
                         continue
                     rng, sub = jax.random.split(rng)
                     state, metrics = self.lm_step(
                         state, jnp.asarray(lm_batch["char"].T),
-                        jnp.asarray(lm_batch["char_len"]), sub)
+                        jnp.asarray(lm_batch["char_len"]), sub,
+                        jnp.asarray(lm_batch["valid"]))
                     lm_loss_acc = lm_loss_acc + metrics["lm_loss"]
                     lm_steps += 1
                     if lm_steps % tc.steps_per_checkpoint == 0:

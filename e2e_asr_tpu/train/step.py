@@ -33,6 +33,8 @@ class TrainState(NamedTuple):
     global_step: Array      # int32 scalar — ASR updates (train.py:80)
     lm_global_step: Array   # int32 scalar (lm_model.py:60)
     epoch: Array            # int32 scalar
+    lm_epoch: Array         # int32 scalar — resume-visible LM epoch counter
+                            # (lm_model.py:62, train.py:289-291)
 
 
 def make_optimizer(learning_rate: float, max_grad_norm: float):
@@ -52,6 +54,7 @@ def create_state(params, model_cfg: Seq2SeqConfig, lm_cfg: LMConfig) -> TrainSta
         global_step=jnp.zeros((), jnp.int32),
         lm_global_step=jnp.zeros((), jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
+        lm_epoch=jnp.zeros((), jnp.int32),
     )
 
 
@@ -100,10 +103,12 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
         metrics = {"loss": total, **{f"loss_{t}": v for t, v in per_task.items()}}
         return new_state, metrics
 
-    def lm_step(state: TrainState, token_ids: Array, seq_len: Array, rng: Array):
+    def lm_step(state: TrainState, token_ids: Array, seq_len: Array,
+                rng: Array, valid: Array | None = None):
         def loss_fn(params):
             return rnn_lm.loss(params, lm_cfg, token_ids, seq_len, train=True,
-                               rng=rng, compute_dtype=compute_dtype)
+                               rng=rng, valid=valid,
+                               compute_dtype=compute_dtype)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, new_opt = lm_opt.update(grads, state.lm_opt_state, state.params)

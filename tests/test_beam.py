@@ -140,6 +140,56 @@ def test_beam_with_lm_fusion_matches_oracle(rng):
     assert not np.allclose(np.asarray(s0), np.asarray(scores))
 
 
+@pytest.mark.parametrize("penalty", [0.35, -0.25])
+def test_beam_word_ins_penalty_matches_oracle(rng, penalty):
+    """word_ins_penalty != 0: the per-step cumulative penalty (uniform-offset
+    form documented in eval/beam.py:16-19) must match the oracle, and must
+    actually perturb the outcome vs penalty=0."""
+    cfg = _cfg()
+    beam_cfg = BeamConfig(beam_size=3, max_steps=10, word_ins_penalty=penalty)
+    params, enc, enc_lens = _setup(cfg, rng, B=2)
+    tokens, lens, scores = beam_lib.beam_decode(params, cfg, beam_cfg, enc,
+                                                enc_lens)
+    for b in range(2):
+        seq, score = oracle_beam(params, cfg, beam_cfg, enc[b:b + 1],
+                                 enc_lens[b:b + 1])
+        got = list(np.asarray(tokens[b][: int(lens[b])]))
+        assert got == seq, (got, seq)
+        np.testing.assert_allclose(float(scores[b]), score, rtol=1e-4,
+                                   atol=1e-4)
+    base = beam_lib.beam_decode(params, cfg,
+                                BeamConfig(beam_size=3, max_steps=10), enc,
+                                enc_lens)
+    assert not np.allclose(np.asarray(base[2]), np.asarray(scores))
+
+
+def test_beam_fusion_plus_penalty_matches_oracle(rng):
+    """Mixed case: shallow fusion AND word_ins_penalty together."""
+    cfg = _cfg()
+    beam_cfg = BeamConfig(beam_size=3, lm_weight=0.3, word_ins_penalty=0.3,
+                          max_steps=10)
+    params, enc, enc_lens = _setup(cfg, rng, B=2)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    lm_params = {
+        "embedding": jax.random.uniform(k1, (cfg.vocab_size, cfg.emb_size),
+                                        minval=-1, maxval=1),
+        "lstm": cells.lstm_init(k2, cfg.emb_size, cfg.lm_hidden_size),
+        "output_proj": {
+            "kernel": jax.random.normal(k3, (cfg.lm_hidden_size,
+                                             cfg.vocab_size)) * 0.2,
+            "bias": jnp.zeros((cfg.vocab_size,))},
+    }
+    tokens, lens, scores = beam_lib.beam_decode(params, cfg, beam_cfg, enc,
+                                                enc_lens, lm_params=lm_params)
+    for b in range(2):
+        seq, score = oracle_beam(params, cfg, beam_cfg, enc[b:b + 1],
+                                 enc_lens[b:b + 1], lm_params=lm_params)
+        got = list(np.asarray(tokens[b][: int(lens[b])]))
+        assert got == seq, (got, seq)
+        np.testing.assert_allclose(float(scores[b]), score, rtol=1e-4,
+                                   atol=1e-4)
+
+
 def test_beam1_matches_greedy(rng):
     """beam(k=1, lm_weight=0) must produce the greedy argmax sequence
     (the property implied by main.py:217-222)."""

@@ -100,10 +100,16 @@ def test_lm_dataset(tmp_path):
     ds = LMDataset([path], batch_size=4)
     assert len(ds) == 9
     batches = list(ds.epoch())
-    assert len(batches) == 2
+    # 9 seqs at batch 4 -> 2 full + 1 padded tail batch (reference keeps the
+    # remainder, lm_dataset.py:38; fixed shapes pad it with valid=0 rows).
+    assert len(batches) == 3
     b = batches[0]
     assert b["char"].shape == (4, ds.cap)
     assert (b["char"][:, 0] == text.GO_ID).all()
+    assert b["valid"].tolist() == [1, 1, 1, 1]
+    tail = batches[-1]
+    assert tail["valid"].tolist() == [1, 0, 0, 0]
+    assert (tail["char"][1:] == 0).all()
 
 
 def test_prefetch_preserves_order():

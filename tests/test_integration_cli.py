@@ -66,6 +66,29 @@ def test_cli_train_then_eval(workspace):
     launch_eval(cfg_test)
 
 
+def test_cli_beam_with_external_lm(workspace):
+    """-lm_path pointing at a checkpoint from a DIFFERENTLY-SHAPED run must
+    load via name-matching partial restore (beam_search.py:111-134 semantics;
+    a strict full-state restore would raise on the encoder shape mismatch)."""
+    root = workspace
+    cfg = parse_options(_args(root))
+    if not glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg)
+
+    # Second run: wider encoder, same decoder (= same shared-LM shapes).
+    cfg2 = parse_options(_args(root, ["-hsize", "12", "-run_id", "11"]))
+    launch_train(cfg2)
+    lm_ckpt = sorted(glob.glob(os.path.join(cfg2.train.train_dir,
+                                            "asr.ckpt-*.npz")))[-1]
+
+    cfg_beam = parse_options(_args(root, [
+        "-dev", "-beam_size", "2", "-lm_weight", "0.05",
+        "-lm_path", lm_ckpt]))
+    launch_eval(cfg_beam)
+    assert os.path.isfile(os.path.join(cfg_beam.train.best_model_dir,
+                                       "raw_2.txt"))
+
+
 def test_cli_multitask_gru(workspace, tmp_path):
     """Multitask (char+phone) with a GRU encoder through the CLI train path —
     exercises the non-default cell and aux-decoder wiring end to end."""

@@ -72,3 +72,34 @@ def test_grid_search_resumable(tmp_path, rng):
     grid_search(params, cfg, rev_vocab, lambda: [batch], out_dir,
                 beam_sizes=(2,), cov_penalties=[0.05], lm_weights=[0])
     assert os.path.getsize(os.path.join(out_dir, "perf.txt")) == size
+
+
+def test_grid_search_final_test_eval(tmp_path, rng):
+    """With test_batches_fn the best dev config runs on the test set and the
+    final_eval/ scoring artifacts are written (the reference's last step,
+    grid_search_for_beam.py:113-124)."""
+    from e2e_asr_tpu.tools.beam_grid import grid_search
+    from tests.test_seq2seq import make_batch, tiny_cfg
+    from e2e_asr_tpu.models import seq2seq
+
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    rev_vocab = ["<pad>", "<go>", "<eos>"] + list("abcdefgh")
+    dev_batch = make_batch(rng, cfg)
+    dev_batch["valid"] = np.array([True, True])
+    dev_batch["utt_ids"] = ["u0", "u1"]
+    test_batch = make_batch(np.random.default_rng(7), cfg)
+    test_batch["valid"] = np.array([True, True])
+    test_batch["utt_ids"] = ["t0", "t1"]
+
+    out_dir = str(tmp_path)
+    grid_search(params, cfg, rev_vocab, lambda: [dev_batch], out_dir,
+                beam_sizes=(2,), cov_penalties=[0.05], lm_weights=[0],
+                test_batches_fn=lambda: [test_batch])
+    final = os.path.join(out_dir, "final_eval")
+    assert os.path.isfile(os.path.join(final, "score.txt"))
+    line = open(os.path.join(final, "score.txt")).read()
+    assert "test_err" in line and "beam_size" in line
+    # Decoded-output artifacts for the test set exist.
+    assert any(f.startswith(("decoded", "raw", "gold"))
+               for f in os.listdir(final))
