@@ -123,6 +123,7 @@ class TrainConfig:
     early_stop_window: int = 10      # checkpoints without improvement (train.py:154)
     # TPU-specific
     data_axis: int = -1              # -1: use all devices for data parallelism
+    model_axis: int = 1              # devices sharding vocab-sized projections
     compute_dtype: str = "bfloat16"  # matmul compute dtype on TPU
     profile_dir: str = ""            # jax.profiler trace output (steps 10..15)
     rng_impl: str = "rbg"            # dropout/sampling PRNG ("rbg" is ~2x
@@ -237,6 +238,12 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="jax.profiler trace output directory")
     parser.add_argument("-spec_augment", default=False, action="store_true",
                         help="Enable on-device SpecAugment feature masking")
+    parser.add_argument("-data_axis", default=-1, type=int,
+                        help="Mesh data-parallel axis size (-1: derive from "
+                        "device count and bucket batch sizes)")
+    parser.add_argument("-model_axis", default=1, type=int,
+                        help="Mesh model axis size: shards the vocab-sized "
+                        "projections/embeddings (core/sharding.py)")
     parser.add_argument("-label_smoothing", default=0.0, type=float,
                         help="Label smoothing for the attention CE (extension)")
 

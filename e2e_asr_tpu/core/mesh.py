@@ -26,6 +26,55 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+# ---------------------------------------------------------------------------
+# Multi-slice (DCN-aware) meshes
+# ---------------------------------------------------------------------------
+
+def slice_groups(devices) -> list[list]:
+    """Group devices by slice (= DCN domain), slice-id order. Returns a single
+    group when slice information is absent (CPU / single slice)."""
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", None), []).append(d)
+    if None in groups or len(groups) <= 1:
+        return [list(devices)]
+    return [groups[k] for k in sorted(groups)]
+
+
+def hybrid_device_grid(devices, n_model: int = 1) -> np.ndarray:
+    """Arrange devices on a (data, model) grid, slice-major on the data axis.
+
+    The model axis never crosses a slice boundary (its collectives stay on
+    ICI); consecutive data rows sit inside a slice, so the gradient
+    all-reduce over "data" crosses DCN only between slice blocks — XLA lowers
+    it hierarchically (reduce-scatter on ICI, all-reduce on DCN, all-gather
+    on ICI). This is the dp-across-slices recipe; the reference has no
+    distributed backend at all (SURVEY §2.2).
+    """
+    groups = slice_groups(devices)
+    per = len(groups[0])
+    if any(len(g) != per for g in groups):
+        raise ValueError(
+            f"uneven devices per slice: {[len(g) for g in groups]}")
+    if n_model < 1 or per % n_model:
+        raise ValueError(f"model axis {n_model} must divide the per-slice "
+                         f"device count {per}")
+    blocks = [np.array(g, dtype=object).reshape(per // n_model, n_model)
+              for g in groups]
+    return np.concatenate(blocks, axis=0)
+
+
+def make_hybrid_mesh(n_data: int | None = None, n_model: int = 1,
+                     devices=None) -> Mesh:
+    """DCN-aware ("data", "model") mesh (see hybrid_device_grid). n_data
+    truncates the data axis (must keep whole slices to span DCN)."""
+    devices = list(devices if devices is not None else jax.devices())
+    grid = hybrid_device_grid(devices, n_model)
+    if n_data is not None and n_data > 0:
+        grid = grid[:n_data]
+    return Mesh(grid, ("data", "model"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard dim 0 (batch) over the data axis; replicate the rest."""
     return NamedSharding(mesh, P("data"))

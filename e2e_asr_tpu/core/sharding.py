@@ -13,15 +13,18 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _spec_for(path_str: str, ndim: int, n_model: int) -> P:
-    if n_model > 1:
-        if path_str.endswith("output_proj/kernel"):
+def _spec_for(path_str: str, shape, n_model: int) -> P:
+    """Sharding spec for one leaf. Vocab-sized dims shard over "model" only
+    when divisible by the axis size (SWBD-style vocabs are arbitrary);
+    otherwise the leaf stays replicated."""
+    if n_model > 1 and len(shape) >= 1:
+        if path_str.endswith("output_proj/kernel") and shape[-1] % n_model == 0:
             return P(None, "model")        # [H, V] sharded on vocab
-        if path_str.endswith("output_proj/bias"):
+        if path_str.endswith("output_proj/bias") and shape[-1] % n_model == 0:
             return P("model")              # [V]
-        if path_str.endswith("embedding"):
+        if path_str.endswith("embedding") and shape[0] % n_model == 0:
             return P("model", None)        # [V, emb] sharded on vocab
-    return P(*([None] * ndim))
+    return P(*([None] * len(shape)))
 
 
 def param_shardings(params, mesh: Mesh):
@@ -33,7 +36,9 @@ def param_shardings(params, mesh: Mesh):
         from e2e_asr_tpu.core.checkpoint import _key_name
         return "/".join(_key_name(k) for k in path)
 
-    shardings = [NamedSharding(mesh, _spec_for(name_of(p), leaf.ndim, n_model))
+    shardings = [NamedSharding(mesh, _spec_for(name_of(p),
+                                               getattr(leaf, "shape", ()),
+                                               n_model))
                  for p, leaf in flat]
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
@@ -46,7 +51,7 @@ def state_shardings(state, mesh: Mesh):
         from e2e_asr_tpu.core.checkpoint import _key_name
         name = "/".join(_key_name(k) for k in path)
         return NamedSharding(
-            mesh, _spec_for(name, getattr(leaf, "ndim", 0),
+            mesh, _spec_for(name, getattr(leaf, "shape", ()),
                             mesh.shape.get("model", 1)))
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(state)

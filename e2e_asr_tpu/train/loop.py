@@ -79,17 +79,28 @@ class Trainer:
         self.lm_step = jax.jit(lm_step, donate_argnums=0)
 
     def _make_mesh(self):
-        """Data-parallel mesh whose size divides every bucket's batch size
-        (so each fixed-shape batch shards evenly); honors cfg.data_axis."""
+        """("data", "model") mesh: the data axis divides every bucket's batch
+        size (so each fixed-shape batch shards evenly, honoring
+        cfg.data_axis); cfg.model_axis shards the vocab projections
+        (core/sharding.py). Devices are ordered DCN-aware when running
+        multi-slice (core/mesh.py:hybrid_device_grid)."""
         import math
 
         n_dev = jax.device_count()
+        n_model = max(1, min(self.train_cfg.model_axis, n_dev))
+        avail = max(n_dev // n_model, 1)
         if self.train_cfg.data_axis > 0:
-            n_data = min(self.train_cfg.data_axis, n_dev)
+            n_data = min(self.train_cfg.data_axis, avail)
         else:
             sizes = self.train_cfg.buck_batch_size[: self.train_cfg.num_buckets]
-            n_data = math.gcd(math.gcd(*sizes) if sizes else n_dev, n_dev)
-        return mesh_lib.make_mesh(n_data=max(n_data, 1))
+            n_data = math.gcd(math.gcd(*sizes) if sizes else avail, avail)
+        n_data = max(n_data, 1)
+        try:
+            return mesh_lib.make_hybrid_mesh(n_data=n_data, n_model=n_model)
+        except ValueError:
+            # model axis doesn't divide the per-slice device count: fall back
+            # to a flat mesh (the model axis then may cross DCN).
+            return mesh_lib.make_mesh(n_data=n_data, n_model=n_model)
 
     # ------------------------------------------------------------------
     # Data
@@ -171,7 +182,10 @@ class Trainer:
                 state = state._replace(params=ckpt_lib.partial_restore(
                     state.params, tc.pretrain_phone_path))
         if self.mesh is not None:
-            state = mesh_lib.replicate(self.mesh, state)
+            # Replicates everywhere except the vocab-sized projections, which
+            # shard over the model axis when model_axis > 1.
+            from e2e_asr_tpu.core import sharding as sharding_lib
+            state = sharding_lib.place_state(state, self.mesh)
 
         buckets, dev_set = self.get_data_sets()
         lm_data = self.get_lm_dataset() if tc.lm_prob > 0 else None
