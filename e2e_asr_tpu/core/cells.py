@@ -113,6 +113,24 @@ def gru_zero_state(batch_shape, hidden: int, dtype=jnp.float32) -> Array:
     return jnp.zeros(tuple(batch_shape) + (hidden,), dtype)
 
 
+def gru_precompute_inputs(params: dict, x_seq: Array, in_dim: int,
+                          *, compute_dtype=None) -> tuple[Array, Array]:
+    """GRU input contributions for all timesteps as two large MXU matmuls
+    (the analogue of lstm_precompute_inputs): returns
+    (gates_x [T,B,2H] = x@W_gx + b_g, cand_x [T,B,H] = x@W_cx + b_c)."""
+    gk = params["gates"]["kernel"][:in_dim]
+    ck = params["candidate"]["kernel"][:in_dim]
+    x = x_seq
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        gk, ck = gk.astype(compute_dtype), ck.astype(compute_dtype)
+    gates_x = (jnp.dot(x, gk, preferred_element_type=jnp.float32)
+               + params["gates"]["bias"])
+    cand_x = (jnp.dot(x, ck, preferred_element_type=jnp.float32)
+              + params["candidate"]["bias"])
+    return gates_x, cand_x
+
+
 def gru_step(params: dict, x: Array, h: Array,
              *, compute_dtype=None) -> tuple[Array, Array]:
     """One GRU step matching TF-1 GRUCell. Returns (output, new_h) (equal)."""

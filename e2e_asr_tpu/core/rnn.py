@@ -88,10 +88,24 @@ def lstm_scan(params: dict, x_seq: Array, lens: Array,
 
 
 def gru_scan(params: dict, x_seq: Array, lens: Array,
-             *, compute_dtype=None) -> Array:
-    """Unidirectional GRU over x_seq [T, B, F] -> outputs [T, B, H]."""
-    T, B, _ = x_seq.shape
+             *, compute_dtype=None, impl: str = "auto") -> Array:
+    """Unidirectional GRU over x_seq [T, B, F] -> outputs [T, B, H].
+
+    impl: "auto" (Pallas fused kernel where available), "pallas", or "xla".
+    """
+    T, B, in_dim = x_seq.shape
     hidden = params["candidate"]["bias"].shape[0]
+
+    if impl == "pallas" or (impl == "auto" and use_pallas_lstm()):
+        from e2e_asr_tpu.ops import gru_pallas
+        if impl == "pallas" or gru_pallas.fwd_fits(T, B, hidden):
+            gates_x, cand_x = cells.gru_precompute_inputs(
+                params, x_seq, in_dim, compute_dtype=compute_dtype)
+            outputs = gru_pallas.gru_seq(
+                gates_x, cand_x, params["gates"]["kernel"][in_dim:],
+                params["candidate"]["kernel"][in_dim:],
+                compute_dtype is not None)
+            return outputs * length_mask(lens, T)[:, :, None]
 
     def step(h, x):
         out, new_h = cells.gru_step(params, x, h, compute_dtype=compute_dtype)
@@ -118,35 +132,50 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
     """
     scan = lstm_scan if cell == "lstm" else gru_scan
     fw_out = scan(params["fw"], x_seq, lens, compute_dtype=compute_dtype,
-                  **({"impl": impl} if cell == "lstm" else {}))
+                  impl=impl)
     if not bidirectional:
         return fw_out
 
-    use_pal = cell == "lstm" and (
-        impl == "pallas" or (impl == "auto" and use_pallas_lstm()))
+    use_pal = impl == "pallas" or (impl == "auto" and use_pallas_lstm())
     if use_pal and impl == "auto":
-        from e2e_asr_tpu.ops import lstm_pallas
-        hidden = params["bw"]["bias"].shape[0] // 4
-        use_pal = lstm_pallas.fwd_fits(x_seq.shape[0], x_seq.shape[1], hidden)
+        if cell == "lstm":
+            from e2e_asr_tpu.ops import lstm_pallas
+            hidden = params["bw"]["bias"].shape[0] // 4
+            use_pal = lstm_pallas.fwd_fits(x_seq.shape[0], x_seq.shape[1],
+                                           hidden)
+        else:
+            from e2e_asr_tpu.ops import gru_pallas
+            hidden = params["bw"]["candidate"]["bias"].shape[0]
+            use_pal = gru_pallas.fwd_fits(x_seq.shape[0], x_seq.shape[1],
+                                          hidden)
     if use_pal:
         from e2e_asr_tpu.core import cells as cells_mod
-        from e2e_asr_tpu.ops import lstm_pallas
         T, B, in_dim = x_seq.shape
         x_flip = jnp.flip(x_seq, axis=0)
-        x_proj = cells_mod.lstm_precompute_inputs(
-            params["bw"], x_flip, in_dim, compute_dtype=compute_dtype)
         # After the flip, example b's padding occupies positions < T - len[b].
         t = jnp.arange(T)[:, None]
         valid = (t >= T - lens.astype(jnp.int32)[None, :]).astype(jnp.float32)
-        h_flip = lstm_pallas.lstm_seq_masked(
-            x_proj, params["bw"]["kernel"][in_dim:], valid[:, :, None],
-            compute_dtype is not None)
+        if cell == "lstm":
+            from e2e_asr_tpu.ops import lstm_pallas
+            x_proj = cells_mod.lstm_precompute_inputs(
+                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype)
+            h_flip = lstm_pallas.lstm_seq_masked(
+                x_proj, params["bw"]["kernel"][in_dim:], valid[:, :, None],
+                compute_dtype is not None)
+        else:
+            from e2e_asr_tpu.ops import gru_pallas
+            gates_x, cand_x = cells_mod.gru_precompute_inputs(
+                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype)
+            h_flip = gru_pallas.gru_seq_masked(
+                gates_x, cand_x,
+                params["bw"]["gates"]["kernel"][in_dim:],
+                params["bw"]["candidate"]["kernel"][in_dim:],
+                valid[:, :, None], compute_dtype is not None)
         bw_out = jnp.flip(h_flip * valid[:, :, None], axis=0)
     else:
         x_rev = reverse_sequence(x_seq, lens)
         bw_out_rev = scan(params["bw"], x_rev, lens,
-                          compute_dtype=compute_dtype,
-                          **({"impl": "xla"} if cell == "lstm" else {}))
+                          compute_dtype=compute_dtype, impl="xla")
         bw_out = reverse_sequence(bw_out_rev, lens)
     return jnp.concatenate([fw_out, bw_out], axis=-1)
 

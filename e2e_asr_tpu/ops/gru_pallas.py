@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: fused GRU sequence (the reference's use_lstm=False path).
+
+Same design as ops/lstm_pallas.py: one kernel runs the whole time dimension
+with the recurrent h state in VMEM scratch across sequential grid steps, the
+recurrent weights pinned in VMEM, and two MXU matmuls + fused VPU gate math
+per step. Input projections are hoisted outside as large MXU matmuls
+(cells.gru_precompute_inputs):
+
+    value = sigmoid(gates_x[t] + h @ W_gh)        # [B, 2H], split r|u
+    c     = tanh(cand_x[t] + (r * h) @ W_ch)      # [B, H]
+    h     = u * h + (1 - u) * c
+
+Gate semantics match TF-1 GRUCell exactly as pinned by core/cells.gru_step
+(gates bias init 1.0; candidate consumes r*h).
+
+Backward runs as an XLA-scan replay under jax.vjp (GRU is the non-default
+cell; the forward kernel is where the encoder/LM inference time goes). The
+optional carry-through mask serves the backward direction of bidirectional
+layers on time-flipped inputs, exactly like the LSTM kernel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _steps_per_block(T: int) -> int:
+    return 2 if T % 2 == 0 else 1
+
+
+def _fwd_vmem_bytes(S: int, B: int, H: int) -> int:
+    blocked = S * B * (2 * H + H + H)        # gates_x + cand_x + out
+    resident = 3 * H * H + B * H             # W_gh + W_ch + h scratch
+    return 4 * (2 * blocked + resident)
+
+
+def fwd_fits(T: int, B: int, H: int) -> bool:
+    return _fwd_vmem_bytes(1, B, H) <= VMEM_BUDGET
+
+
+def _fwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
+    it = iter(refs)
+    gx_ref, cx_ref, w_g_ref, w_c_ref = next(it), next(it), next(it), next(it)
+    mask_ref = next(it) if with_mask else None
+    out_ref = next(it)
+    h_ref = next(it)
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    H = h_ref.shape[-1]
+    for s in range(steps):
+        h = h_ref[:]
+        w_g, w_c = w_g_ref[:], w_c_ref[:]
+        h_mm = h.astype(jnp.bfloat16) if bf16_matmul else h
+        if bf16_matmul:
+            w_g, w_c = w_g.astype(jnp.bfloat16), w_c.astype(jnp.bfloat16)
+        value = jax.nn.sigmoid(
+            gx_ref[s] + jnp.dot(h_mm, w_g, preferred_element_type=jnp.float32))
+        r, u = value[:, :H], value[:, H:]
+        rh = r * h
+        rh_mm = rh.astype(jnp.bfloat16) if bf16_matmul else rh
+        c = jnp.tanh(
+            cx_ref[s] + jnp.dot(rh_mm, w_c,
+                                preferred_element_type=jnp.float32))
+        new_h = u * h + (1.0 - u) * c
+        if mask_ref is not None:
+            valid = mask_ref[s]
+            new_h = valid * new_h + (1.0 - valid) * h
+        out_ref[s] = new_h
+        h_ref[:] = new_h
+
+
+def _fwd_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array, *,
+             bf16_matmul: bool, mask: Array | None) -> Array:
+    T, B, H2 = gates_x.shape
+    H = H2 // 2
+    S = _steps_per_block(T)
+    if S == 2 and _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
+        S = 1
+    in_specs = [
+        pl.BlockSpec((S, B, 2 * H), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, 2 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [gates_x, cand_x, w_gh, w_ch]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((S, B, 1), lambda t: (t, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    kernel = functools.partial(_fwd_kernel, steps=S, bf16_matmul=bf16_matmul,
+                               with_mask=mask is not None)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid=(T // S,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+    )(*args)
+    return out
+
+
+def _replay_scan(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array,
+                 mask: Array | None) -> Array:
+    """Differentiable XLA replay of the kernel math (backward pass)."""
+    B = gates_x.shape[1]
+    H = cand_x.shape[-1]
+
+    def step(h, xs):
+        if mask is None:
+            gx, cx = xs
+        else:
+            gx, cx, m = xs
+        value = jax.nn.sigmoid(
+            gx + jnp.dot(h, w_gh, preferred_element_type=jnp.float32))
+        r, u = value[:, :H], value[:, H:]
+        c = jnp.tanh(cx + jnp.dot(r * h, w_ch,
+                                  preferred_element_type=jnp.float32))
+        new_h = u * h + (1.0 - u) * c
+        if mask is not None:
+            new_h = m * new_h + (1.0 - m) * h
+        return new_h, new_h
+
+    xs = (gates_x, cand_x) if mask is None else (gates_x, cand_x, mask)
+    _, out = jax.lax.scan(step, jnp.zeros((B, H)), xs)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gru_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array,
+            bf16_matmul: bool = False) -> Array:
+    """Fused GRU over time from zero initial state (unmasked — caller masks).
+
+    gates_x: [T,B,2H] = x@W_gx + b_g; cand_x: [T,B,H] = x@W_cx + b_c;
+    w_gh: [H,2H]; w_ch: [H,H]. Returns h_seq [T,B,H].
+    """
+    return _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
+                    mask=None)
+
+
+def _gru_seq_fwd(gates_x, cand_x, w_gh, w_ch, bf16_matmul):
+    out = _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
+                   mask=None)
+    return out, (gates_x, cand_x, w_gh, w_ch)
+
+
+def _gru_seq_bwd(bf16_matmul, res, g):
+    gates_x, cand_x, w_gh, w_ch = res
+    _, vjp = jax.vjp(lambda gx, cx, wg, wc: _replay_scan(gx, cx, wg, wc, None),
+                     gates_x, cand_x, w_gh, w_ch)
+    return vjp(g)
+
+
+gru_seq.defvjp(_gru_seq_fwd, _gru_seq_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gru_seq_masked(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array,
+                   mask: Array, bf16_matmul: bool = False) -> Array:
+    """Fused GRU with per-step carry-through masking (mask [T,B,1], 1=valid).
+
+    Padded steps leave h unchanged; emitted h at padded steps is the carried
+    state, NOT zero — callers mask outside (rnn.rnn_layer does)."""
+    return _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
+                    mask=mask)
+
+
+def _gru_seq_masked_fwd(gates_x, cand_x, w_gh, w_ch, mask, bf16_matmul):
+    out = _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
+                   mask=mask)
+    return out, (gates_x, cand_x, w_gh, w_ch, mask)
+
+
+def _gru_seq_masked_bwd(bf16_matmul, res, g):
+    gates_x, cand_x, w_gh, w_ch, mask = res
+    _, vjp = jax.vjp(lambda gx, cx, wg, wc: _replay_scan(gx, cx, wg, wc, mask),
+                     gates_x, cand_x, w_gh, w_ch)
+    return vjp(g) + (jnp.zeros_like(mask),)
+
+
+gru_seq_masked.defvjp(_gru_seq_masked_fwd, _gru_seq_masked_bwd)
