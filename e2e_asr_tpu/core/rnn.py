@@ -128,9 +128,35 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
     The backward direction must see each example reversed within its own
     length. The XLA path uses reverse_sequence gathers; the Pallas path flips
     the whole array (cheap) and runs the carry-through-masked kernel, which is
-    mathematically identical.
+    mathematically identical. When both LSTM directions fit VMEM together,
+    fw+bw run in ONE fused kernel launch (ops/lstm_pallas.lstm_seq_bidir).
     """
+    import os
+
     scan = lstm_scan if cell == "lstm" else gru_scan
+
+    if (bidirectional and cell == "lstm"
+            and (impl == "pallas" or (impl == "auto" and use_pallas_lstm()))
+            and not os.environ.get("E2E_ASR_NO_BIDIR_FUSED")):
+        from e2e_asr_tpu.ops import lstm_pallas
+        T, B, in_dim = x_seq.shape
+        hidden = params["fw"]["bias"].shape[0] // 4
+        if lstm_pallas.bidir_fits(T, B, hidden):
+            x_proj_fw = cells.lstm_precompute_inputs(
+                params["fw"], x_seq, in_dim, compute_dtype=compute_dtype)
+            x_flip = jnp.flip(x_seq, axis=0)
+            x_proj_bw = cells.lstm_precompute_inputs(
+                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype)
+            t = jnp.arange(T)[:, None]
+            valid = (t >= T - lens.astype(jnp.int32)[None, :]
+                     ).astype(jnp.float32)
+            h_fw, h_bw_flip = lstm_pallas.lstm_seq_bidir(
+                x_proj_fw, x_proj_bw, params["fw"]["kernel"][in_dim:],
+                params["bw"]["kernel"][in_dim:], valid[:, :, None],
+                compute_dtype is not None)
+            fw_out = h_fw * length_mask(lens, T)[:, :, None]
+            bw_out = jnp.flip(h_bw_flip * valid[:, :, None], axis=0)
+            return jnp.concatenate([fw_out, bw_out], axis=-1)
     fw_out = scan(params["fw"], x_seq, lens, compute_dtype=compute_dtype,
                   impl=impl)
     if not bidirectional:

@@ -66,10 +66,31 @@ def _fwd_vmem_bytes(S: int, B: int, H: int) -> int:
     return 4 * (2 * blocked + resident)
 
 
-def fwd_fits(T: int, B: int, H: int) -> bool:
-    """Whether the forward kernel fits VMEM for some step-block size; used by
-    core/rnn.py to fall back to the XLA scan for very wide layers."""
-    return _fwd_vmem_bytes(1, B, H) <= VMEM_BUDGET
+def _weights_resident_fits(S: int, B: int, H: int) -> bool:
+    return _fwd_vmem_bytes(S, B, H) <= VMEM_BUDGET
+
+
+def _chunk_size(H: int, B: int, bf16: bool) -> int | None:
+    """Pick the hidden-chunk size C for the weight-streaming forward kernel:
+    double-buffered [C, 4H] weight tiles + blocked activations must fit."""
+    wbytes = 2 if bf16 else 4
+    for C in (512, 256, 128, 64, 32, 16, 8):
+        if H % C:
+            continue
+        blocked = 2 * 4 * (1 * B * 6 * H)               # x_proj/out/c_out, S=1
+        w_tiles = 2 * C * 4 * H * wbytes
+        scratch = 4 * 2 * B * H
+        if blocked + w_tiles + scratch <= VMEM_BUDGET:
+            return C
+    return None
+
+
+def fwd_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
+    """Whether SOME forward kernel variant fits VMEM (weights-resident, or the
+    weight-streaming chunked variant for wide layers); used by core/rnn.py to
+    fall back to the XLA scan otherwise."""
+    return (_weights_resident_fits(1, B, H)
+            or _chunk_size(H, B, bf16) is not None)
 
 
 def _cell_math(gates: Array, c: Array, H: int) -> tuple[Array, Array]:
@@ -120,14 +141,109 @@ def _fwd_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
             c_out_ref[s] = new_c
 
 
+def _fwd_kernel_chunked(*refs, n_chunks: int, C: int, save_c: bool,
+                        bf16_matmul: bool, with_mask: bool):
+    """Weight-streaming forward step: W_h lives in HBM and is DMA'd in
+    [C, 4H] tiles, double-buffered against the chunked gate matmuls (the
+    pallas_guide double-buffering pattern). One timestep per grid step —
+    the chunk loop provides the per-iteration work."""
+    it = iter(refs)
+    x_ref, w_ref = next(it), next(it)
+    mask_ref = next(it) if with_mask else None
+    out_ref = next(it)
+    c_out_ref = next(it) if save_c else None
+    c_ref, h_ref, w_buf, sem = next(it), next(it), next(it), next(it)
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        c_ref[:] = jnp.zeros_like(c_ref)
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    H = h_ref.shape[-1]
+
+    def dma(k):
+        return pltpu.make_async_copy(
+            w_ref.at[pl.ds(k * C, C), :], w_buf.at[k % 2], sem.at[k % 2])
+
+    dma(0).start()
+    gates = x_ref[0]
+    h = h_ref[:]
+    h_mm = h.astype(jnp.bfloat16) if bf16_matmul else h
+    for k in range(n_chunks):
+        if k + 1 < n_chunks:
+            dma(k + 1).start()
+        dma(k).wait()
+        gates = gates + jnp.dot(h_mm[:, k * C:(k + 1) * C], w_buf[k % 2],
+                                preferred_element_type=jnp.float32)
+    new_c, new_h = _cell_math(gates, c_ref[:], H)
+    if mask_ref is not None:
+        valid = mask_ref[0]
+        new_c = valid * new_c + (1.0 - valid) * c_ref[:]
+        new_h = valid * new_h + (1.0 - valid) * h_ref[:]
+    out_ref[0] = new_h
+    c_ref[:] = new_c
+    h_ref[:] = new_h
+    if save_c:
+        c_out_ref[0] = new_c
+
+
+def _fwd_seq_chunked(x_proj: Array, w_h: Array, *, save_c: bool,
+                     bf16_matmul: bool, mask: Array | None) -> tuple:
+    """Forward for layers whose weights exceed VMEM: stream W_h from HBM in
+    double-buffered tiles (bf16 tiles when bf16_matmul — halves the per-step
+    HBM traffic, which bounds this regime)."""
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
+    C = _chunk_size(H, B, bf16_matmul)
+    assert C is not None, (T, B, H)
+    w_mm = w_h.astype(jnp.bfloat16) if bf16_matmul else w_h
+    blk = lambda t: (t, 0, 0)                         # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, B, H4), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),          # W_h stays in HBM
+    ]
+    args = [x_proj, w_mm]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, B, 1), blk,
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    n_out = 2 if save_c else 1
+    kernel = functools.partial(
+        _fwd_kernel_chunked, n_chunks=H // C, C=C, save_c=save_c,
+        bf16_matmul=bf16_matmul, with_mask=mask is not None)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, B, H), blk, memory_space=pltpu.VMEM)
+                   for _ in range(n_out)],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), jnp.float32)
+                   for _ in range(n_out)],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),           # c carry
+            pltpu.VMEM((B, H), jnp.float32),           # h carry
+            pltpu.VMEM((2, C, H4), w_mm.dtype),        # double-buffered tiles
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(*args)
+    return tuple(outs)
+
+
 def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
              bf16_matmul: bool = False, mask: Array | None = None) -> tuple:
     """x_proj: [T, B, 4H] f32 (input projection + bias); w_h: [H, 4H];
     mask: optional [T, B, 1] f32 validity (carry-through on zeros).
 
-    Returns (h_seq [T, B, H][, c_seq])."""
+    Returns (h_seq [T, B, H][, c_seq]). Dispatches to the weight-streaming
+    variant when W_h cannot stay resident in VMEM."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
+    if not _weights_resident_fits(1, B, H):
+        return _fwd_seq_chunked(x_proj, w_h, save_c=save_c,
+                                bf16_matmul=bf16_matmul, mask=mask)
     S = _steps_per_block(T)
     if S == 2 and _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
         S = 1
@@ -163,6 +279,147 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
         interpret=_interpret(),
     )(*args)
     return tuple(outs)
+
+
+# ---------------------------------------------------------------------------
+# Dual-direction forward (fw + bw in ONE launch)
+# ---------------------------------------------------------------------------
+
+def bidir_fits(T: int, B: int, H: int) -> bool:
+    """Both directions resident at once: ~2x the single-direction footprint."""
+    return 2 * _fwd_vmem_bytes(1, B, H) <= VMEM_BUDGET
+
+
+def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool):
+    it = iter(refs)
+    x_fw_ref, x_bw_ref, w_fw_ref, w_bw_ref, mask_ref = (
+        next(it), next(it), next(it), next(it), next(it))
+    out_fw_ref, out_bw_ref = next(it), next(it)
+    c_out_fw_ref = next(it) if save_c else None
+    c_out_bw_ref = next(it) if save_c else None
+    c_fw_ref, h_fw_ref, c_bw_ref, h_bw_ref = (
+        next(it), next(it), next(it), next(it))
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        c_fw_ref[:] = jnp.zeros_like(c_fw_ref)
+        h_fw_ref[:] = jnp.zeros_like(h_fw_ref)
+        c_bw_ref[:] = jnp.zeros_like(c_bw_ref)
+        h_bw_ref[:] = jnp.zeros_like(h_bw_ref)
+
+    H = h_fw_ref.shape[-1]
+    for s in range(steps):
+        # Forward direction (no mask: padding trails, outputs masked outside).
+        h = h_fw_ref[:]
+        w = w_fw_ref[:]
+        if bf16_matmul:
+            h, w = h.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+        gates = x_fw_ref[s] + jnp.dot(h, w,
+                                      preferred_element_type=jnp.float32)
+        new_c, new_h = _cell_math(gates, c_fw_ref[:], H)
+        out_fw_ref[s] = new_h
+        c_fw_ref[:] = new_c
+        h_fw_ref[:] = new_h
+        if save_c:
+            c_out_fw_ref[s] = new_c
+
+        # Backward direction on time-flipped inputs (padding LEADS: carry
+        # through on masked steps).
+        h = h_bw_ref[:]
+        w = w_bw_ref[:]
+        if bf16_matmul:
+            h, w = h.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+        gates = x_bw_ref[s] + jnp.dot(h, w,
+                                      preferred_element_type=jnp.float32)
+        new_c, new_h = _cell_math(gates, c_bw_ref[:], H)
+        valid = mask_ref[s]
+        new_c = valid * new_c + (1.0 - valid) * c_bw_ref[:]
+        new_h = valid * new_h + (1.0 - valid) * h_bw_ref[:]
+        out_bw_ref[s] = new_h
+        c_bw_ref[:] = new_c
+        h_bw_ref[:] = new_h
+        if save_c:
+            c_out_bw_ref[s] = new_c
+
+
+def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
+               w_h_bw: Array, mask_bw: Array, *, save_c: bool,
+               bf16_matmul: bool) -> tuple:
+    T, B, H4 = x_proj_fw.shape
+    H = H4 // 4
+    S = _steps_per_block(T)
+    if S == 2 and 2 * _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
+        S = 1
+    blk = lambda t: (t, 0, 0)                         # noqa: E731
+    rep = lambda t: (0, 0)                            # noqa: E731
+    in_specs = [
+        pl.BlockSpec((S, B, H4), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, B, H4), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H4), rep, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H4), rep, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, B, 1), blk, memory_space=pltpu.VMEM),
+    ]
+    n_out = 4 if save_c else 2
+    out_specs = [pl.BlockSpec((S, B, H), blk, memory_space=pltpu.VMEM)
+                 for _ in range(n_out)]
+    out_shapes = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)
+                  for _ in range(n_out)]
+    kernel = functools.partial(_fwd_bidir_kernel, steps=S, save_c=save_c,
+                               bf16_matmul=bf16_matmul)
+    return tuple(pl.pallas_call(
+        kernel,
+        grid=(T // S,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32) for _ in range(4)],
+        interpret=_interpret(),
+    )(x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def lstm_seq_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
+                   w_h_bw: Array, mask_bw: Array,
+                   bf16_matmul: bool = False) -> tuple[Array, Array]:
+    """Both directions of a bidirectional LSTM layer in ONE kernel launch.
+
+    x_proj_fw: [T,B,4H] input projection in natural time order;
+    x_proj_bw: [T,B,4H] projection of the time-FLIPPED inputs;
+    mask_bw: [T,B,1] validity for the flipped sequence (padding leads).
+    Returns (h_fw [T,B,H] unmasked, h_bw_flipped [T,B,H] carry-through) —
+    callers mask/flip outside exactly as for the single-direction kernels.
+
+    One launch halves the per-layer dispatch count and interleaves the two
+    directions' MXU matmuls in one pipeline (VERDICT round-1 item 9).
+    """
+    h_fw, h_bw = _fwd_bidir(x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
+                            save_c=False, bf16_matmul=bf16_matmul)
+    return h_fw, h_bw
+
+
+def _lstm_seq_bidir_fwd(x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
+                        bf16_matmul):
+    h_fw, h_bw, c_fw, c_bw = _fwd_bidir(
+        x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw, save_c=True,
+        bf16_matmul=bf16_matmul)
+    return (h_fw, h_bw), (x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
+                          h_fw, h_bw, c_fw, c_bw)
+
+
+def _lstm_seq_bidir_bwd(bf16_matmul, res, g):
+    (x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
+     h_fw, h_bw, c_fw, c_bw) = res
+    g_fw, g_bw = g
+    dx_fw, dw_fw = _bwd_seq(w_h_fw, h_fw, c_fw, x_proj_fw, g_fw,
+                            bf16_matmul=bf16_matmul)
+    dx_bw, dw_bw = _bwd_seq(w_h_bw, h_bw, c_bw, x_proj_bw, g_bw,
+                            bf16_matmul=bf16_matmul, mask=mask_bw)
+    return dx_fw, dx_bw, dw_fw, dw_bw, jnp.zeros_like(mask_bw)
+
+
+lstm_seq_bidir.defvjp(_lstm_seq_bidir_fwd, _lstm_seq_bidir_bwd)
 
 
 # ---------------------------------------------------------------------------

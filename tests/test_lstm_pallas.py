@@ -84,3 +84,44 @@ def test_lstm_scan_pallas_impl_matches_xla_with_masking():
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
                                rtol=1e-5, atol=1e-6)
     assert np.all(np.asarray(out_pal)[2:, 2] == 0.0)
+
+
+def test_chunked_weight_streaming_fwd_matches_scan():
+    """The HBM weight-streaming variant (wide layers) must match the XLA
+    oracle, unmasked and masked."""
+    from e2e_asr_tpu.ops.lstm_pallas import _fwd_seq_chunked
+
+    T, B, F, H = 5, 4, 6, 16
+    params = cells.lstm_init(jax.random.PRNGKey(4), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(5), (T, B, F))
+    lens = jnp.full((B,), T)
+    x_proj = cells.lstm_precompute_inputs(params, x, F)
+    (h_chunked,) = _fwd_seq_chunked(x_proj, params["kernel"][F:],
+                                    save_c=False, bf16_matmul=False, mask=None)
+    h_scan = rnn.lstm_scan(params, x, lens, impl="xla")
+    np.testing.assert_allclose(np.asarray(h_chunked), np.asarray(h_scan),
+                               rtol=1e-5, atol=1e-6)
+
+    # Masked carry-through (the flipped backward direction's contract).
+    mask = (jax.random.uniform(jax.random.PRNGKey(6), (T, B, 1)) > 0.4
+            ).astype(jnp.float32)
+    h_m, c_m = _fwd_seq_chunked(x_proj, params["kernel"][F:], save_c=True,
+                                bf16_matmul=False, mask=mask)
+    # Oracle: explicit python recurrence with carry-through.
+    c = np.zeros((B, H), np.float32)
+    h = np.zeros((B, H), np.float32)
+    w = np.asarray(params["kernel"][F:])
+    xp = np.asarray(x_proj)
+    m = np.asarray(mask)
+    for t in range(T):
+        gates = xp[t] + h @ w
+        i, j, f, o = np.split(gates, 4, axis=-1)
+        sig = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+        nc = c * sig(f + 1.0) + sig(i) * np.tanh(j)
+        nh = sig(o) * np.tanh(nc)
+        c = m[t] * nc + (1 - m[t]) * c
+        h = m[t] * nh + (1 - m[t]) * h
+        np.testing.assert_allclose(np.asarray(h_m[t]), h, rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_m[t]), c, rtol=1e-5,
+                                   atol=1e-5)
