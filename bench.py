@@ -1,8 +1,16 @@
-"""Benchmark: training throughput (frames/sec/chip) + beam-decode RTFx.
+"""Benchmark: training throughput (frames/sec/chip), driver-level throughput,
+and beam-decode RTFx across batch sizes.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Secondary metrics go to BENCH_DETAILS.json.
+Secondary metrics go to BENCH_DETAILS.json:
+    - driver_frames_per_sec: the REAL data path (host batch assembly, bf16
+      feature shipping, prefetch + overlapped device puts, jitted step) on a
+      synthetic SWBD-bucket-0-shaped corpus — the honest end-to-end number
+      next to the isolated-step metric.
+    - decode rows for B in {1, 8, 64, 256}, both pipelined (back-to-back
+      dispatch, one final sync: the serving model, and the honest on-device
+      latency under this environment's RPC tunnel) and per-call-synced.
 
 Baseline note: the reference repo publishes no throughput numbers and TF-1.x
 cannot run in this environment (BASELINE.md), so vs_baseline is computed
@@ -13,6 +21,8 @@ north-star (>=10x TF baseline) therefore corresponds to vs_baseline >= 10.
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
@@ -21,8 +31,111 @@ TF_BASELINE_FRAMES_PER_SEC = 50_000.0  # documented estimate, see module docstri
 
 # Flagship SWBD-like shapes: bucket-0 training batch.
 TRAIN_B, TRAIN_T, FEAT, TRAIN_L, VOCAB = 128, 384, 80, 48, 40
-DECODE_B, DECODE_T, BEAM = 64, 512, 4
+DECODE_T, BEAM = 512, 4
+DECODE_BATCHES = (1, 8, 64, 256)
 FRAME_HOP_S = 0.01  # 10 ms log-mel hop
+
+
+def _measure_train(jax, jnp, cfg, lm_cfg, rng):
+    from __graft_entry__ import _batch
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.train import step as step_lib
+
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    asr_step, _ = step_lib.make_train_step(cfg, lm_cfg,
+                                           compute_dtype=jnp.bfloat16)
+    asr_step = jax.jit(asr_step, donate_argnums=0)
+    batch = _batch(rng, B=TRAIN_B, T=TRAIN_T, feat=FEAT, L=TRAIN_L,
+                   vocab=VOCAB)
+    step_rng = jax.random.PRNGKey(1)
+    # NOTE: under the remote-tunnel platform block_until_ready can return
+    # before execution finishes; a host value fetch is the reliable sync.
+    state, m = asr_step(state, batch, step_rng)  # compile
+    float(m["loss"])
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, m = asr_step(state, batch, step_rng)
+    float(m["loss"])  # chain-dependent: forces all n_iter steps to finish
+    dt = (time.perf_counter() - t0) / n_iter
+    return TRAIN_B * TRAIN_T / dt, dt
+
+
+def _measure_driver(jax, jnp):
+    """Driver-level frames/sec on a synthetic bucket-0 corpus through the
+    real Trainer data path."""
+    import argparse
+
+    from e2e_asr_tpu import config as config_lib
+    from e2e_asr_tpu.data.synth import make_vocab_dir, write_speech_corpus
+    from e2e_asr_tpu.train.loop import Trainer
+
+    root = tempfile.mkdtemp(prefix="bench_driver_")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    make_vocab_dir(os.path.join(root, "vocab"))
+    # ~TRAIN_T-frame utterances: bucket-0 shape at the reference batch size.
+    write_speech_corpus(os.path.join(data, "train_1k.0.0001"), 256,
+                        feat_length=FEAT, char_vocab=VOCAB - 4,
+                        min_tokens=44, max_tokens=TRAIN_L,
+                        frames_per_token=8)
+    parser = argparse.ArgumentParser()
+    config_lib.add_parse_options(parser)
+    args = vars(parser.parse_args([
+        "-data_dir", data, "-vocab_dir", os.path.join(root, "vocab"),
+        "-tb_dir", os.path.join(root, "models"),
+        "-feat_len", str(FEAT), "-buck_batch_sizes", str(TRAIN_B),
+        "-max_out_char", str(TRAIN_L)]))
+    cfg = config_lib.process_args(args, {"char": VOCAB})
+    trainer = Trainer(cfg)
+    return trainer.bench_throughput(n_steps=30, warmup=4)
+
+
+def _measure_decode(jax, jnp, cfg, rng):
+    from e2e_asr_tpu.config import BeamConfig
+    from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
+
+    from e2e_asr_tpu.models import seq2seq
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    # Worst case: never emit <eos> -> the full 120-step cap always runs.
+    b = params["decoder_char"]["output_proj"]["bias"]
+    params["decoder_char"]["output_proj"]["bias"] = b.at[2].set(-1e9)
+
+    beam_cfg = BeamConfig(beam_size=BEAM, max_steps=120)
+    decode = make_beam_decoder(cfg, beam_cfg, compute_dtype=jnp.bfloat16)
+    rows = {}
+    for B in DECODE_BATCHES:
+        batch = {
+            "logmel": jnp.asarray(
+                rng.normal(size=(B, DECODE_T, FEAT)).astype(np.float32)),
+            "logmel_len": jnp.full((B,), DECODE_T, jnp.int32),
+        }
+        tokens, _, _ = decode(params, batch)   # compile
+        np.asarray(tokens)
+        audio_s = B * DECODE_T * FRAME_HOP_S
+        # Pipelined: back-to-back dispatch, one final sync (the serving
+        # model; also the on-device latency with this env's RPC amortized).
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tokens, _, _ = decode(params, batch)
+        np.asarray(tokens)
+        dt_pipe = (time.perf_counter() - t0) / n
+        # Per-call: host sync (and tunnel RPC) on every call.
+        n = 5
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tokens, _, _ = decode(params, batch)
+            np.asarray(tokens)
+        dt_sync = (time.perf_counter() - t0) / n
+        rows[str(B)] = {
+            "pipelined_ms": dt_pipe * 1e3,
+            "pipelined_rtfx": audio_s / dt_pipe,
+            "per_call_ms": dt_sync * 1e3,
+            "per_call_rtfx": audio_s / dt_sync,
+        }
+    return rows
 
 
 def main() -> None:
@@ -33,65 +146,33 @@ def main() -> None:
     # (config.TrainConfig.rng_impl) — ~2x cheaper than threefry on TPU.
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    from __graft_entry__ import _batch, _model_cfg
-    from e2e_asr_tpu.config import BeamConfig, LMConfig
-    from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
-    from e2e_asr_tpu.models import seq2seq
-    from e2e_asr_tpu.train import step as step_lib
+    from __graft_entry__ import _model_cfg
+    from e2e_asr_tpu.config import LMConfig
 
-    dtype = jnp.bfloat16
     cfg = _model_cfg(vocab_size=VOCAB, feat=FEAT)
     lm_cfg = LMConfig(vocab_size=VOCAB)
     rng = np.random.default_rng(0)
 
-    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
-    state = step_lib.create_state(params, cfg, lm_cfg)
-    asr_step, _ = step_lib.make_train_step(cfg, lm_cfg, compute_dtype=dtype)
-    asr_step = jax.jit(asr_step, donate_argnums=0)
-
-    batch = _batch(rng, B=TRAIN_B, T=TRAIN_T, feat=FEAT, L=TRAIN_L, vocab=VOCAB)
-    step_rng = jax.random.PRNGKey(1)
-
-    # --- train throughput ---------------------------------------------------
-    # NOTE: under the remote-tunnel platform block_until_ready can return
-    # before execution finishes; a host value fetch is the reliable sync.
-    state, m = asr_step(state, batch, step_rng)  # compile
-    float(m["loss"])
-    n_iter = 20
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        state, m = asr_step(state, batch, step_rng)
-    float(m["loss"])  # chain-dependent: forces all n_iter steps to finish
-    train_dt = (time.perf_counter() - t0) / n_iter
-    frames_per_sec = TRAIN_B * TRAIN_T / train_dt
-
-    # --- beam decode RTFx ---------------------------------------------------
-    beam_cfg = BeamConfig(beam_size=BEAM, max_steps=120)
-    decode = make_beam_decoder(cfg, beam_cfg, compute_dtype=dtype)
-    dec_batch = {
-        "logmel": jnp.asarray(
-            rng.normal(size=(DECODE_B, DECODE_T, FEAT)).astype(np.float32)),
-        "logmel_len": jnp.full((DECODE_B,), DECODE_T, jnp.int32),
-    }
-    tokens, lens, scores = decode(state.params, dec_batch)  # compile
-    np.asarray(tokens)
-    n_dec = 5
-    t0 = time.perf_counter()
-    for _ in range(n_dec):
-        tokens, lens, scores = decode(state.params, dec_batch)
-        np.asarray(tokens)  # host fetch = reliable completion barrier
-    dec_dt = (time.perf_counter() - t0) / n_dec
-    audio_seconds = DECODE_B * DECODE_T * FRAME_HOP_S
-    rtfx = audio_seconds / dec_dt
+    frames_per_sec, train_dt = _measure_train(jax, jnp, cfg, lm_cfg, rng)
+    driver_fps = _measure_driver(jax, jnp)
+    decode_rows = _measure_decode(jax, jnp, cfg, rng)
 
     details = {
         "train_frames_per_sec_per_chip": frames_per_sec,
         "train_step_ms": train_dt * 1e3,
         "train_shape": {"B": TRAIN_B, "T": TRAIN_T, "feat": FEAT,
                         "L": TRAIN_L, "vocab": VOCAB},
-        "beam_decode_rtfx": rtfx,
-        "beam_decode_ms": dec_dt * 1e3,
-        "decode_shape": {"B": DECODE_B, "T": DECODE_T, "beam": BEAM},
+        "driver_frames_per_sec": driver_fps,
+        "driver_over_step_ratio": driver_fps / frames_per_sec,
+        "driver_note": (
+            "Development-tunnel bound: measured host->device bandwidth here "
+            "is 1.8 MB/s (f32) / 15.5 MB/s (bf16) with 36 ms RPC round-trips "
+            "(VALIDATION.md round-2), so shipping the 7.9 MB bf16 bucket-0 "
+            "batch dominates. On a production TPU host (PCIe, GB/s) the "
+            "transfer is <1 ms and overlapped, i.e. driver ~= step."),
+        "beam_decode": decode_rows,
+        "decode_shape": {"T": DECODE_T, "beam": BEAM,
+                         "max_steps": 120, "worst_case_no_eos": True},
         "device": str(jax.devices()[0]),
         "tf_baseline_frames_per_sec_estimate": TF_BASELINE_FRAMES_PER_SEC,
     }

@@ -152,6 +152,54 @@ class Trainer:
     def _seed(self) -> int:
         return int(time.time()) if self.train_cfg.chaos else 10
 
+    def _place_batch(self, batch: dict):
+        """Start the host->device transfer HERE (device_put is async): mapped
+        inside the prefetch thread, the next batch's transfer overlaps the
+        current step's compute instead of serializing in front of it.
+        Returns (frame_count, device_batch)."""
+        dev_b = _device_batch(batch, feats_dtype=self.compute_dtype)
+        if self.mesh is not None:
+            dev_b = mesh_lib.shard_batch(self.mesh, dev_b)
+        else:
+            dev_b = jax.device_put(dev_b)
+        return int(np.sum(batch["logmel_len"])), dev_b
+
+    def bench_throughput(self, n_steps: int = 30, warmup: int = 5) -> float:
+        """Driver-level frames/sec/chip: the real data path (host batch
+        assembly, bf16 feature shipping, prefetch + overlapped device puts,
+        jitted step) without checkpoint/eval cadence work — the honest
+        end-to-end number next to bench.py's isolated-step metric."""
+        from e2e_asr_tpu.core import sharding as sharding_lib
+        from e2e_asr_tpu.data.speech import prefetch
+
+        params = seq2seq.init(jax.random.PRNGKey(0), self.model_cfg)
+        state = step_lib.create_state(params, self.model_cfg, self.lm_cfg)
+        if self.mesh is not None:
+            state = sharding_lib.place_state(state, self.mesh)
+        buckets, _ = self.get_data_sets(logging=False)
+
+        def batches():
+            while True:
+                for b in buckets:
+                    yield from map(self._place_batch, b.epoch())
+
+        it = prefetch(batches(), size=2)
+        rng = jax.random.PRNGKey(0)
+        frames = 0
+        t0 = None
+        metrics = None
+        for i in range(warmup + n_steps):
+            f, dev_b = next(it)
+            rng, sub = jax.random.split(rng)
+            state, metrics = self.asr_step(state, dev_b, sub)
+            if i == warmup - 1:
+                float(metrics["loss"])      # sync: exclude compile/warmup
+                t0 = time.perf_counter()
+            elif i >= warmup:
+                frames += f
+        float(metrics["loss"])
+        return frames / (time.perf_counter() - t0)
+
     # ------------------------------------------------------------------
     # Training
     # ------------------------------------------------------------------
@@ -225,9 +273,11 @@ class Trainer:
             print(f"\nEpochs done: {epoch}")
             epc_start = time.time()
             # Smallest-utterance buckets drain first (train.py:294-299);
-            # host batch assembly overlaps device compute via prefetch
-            # (the tf.data-thread analogue).
-            bucket_iters = [prefetch(b.epoch(), size=2) for b in buckets]
+            # host batch assembly AND the host->device transfer overlap the
+            # device compute: _place_batch (device_put, async) runs inside the
+            # prefetch thread one batch ahead (the tf.data-thread analogue).
+            bucket_iters = [prefetch(map(self._place_batch, b.epoch()), size=2)
+                            for b in buckets]
             bucket_idx = 0
             while bucket_idx < len(bucket_iters) and not stop:
                 task = "lm" if (tc.lm_prob > random.random()) else "asr"
@@ -257,13 +307,11 @@ class Trainer:
                         lm_loss_acc = jnp.zeros(())
                     continue
 
-                batch = next(bucket_iters[bucket_idx], None)
-                if batch is None:
+                item = next(bucket_iters[bucket_idx], None)
+                if item is None:
                     bucket_idx += 1
                     continue
-                dev_b = _device_batch(batch, feats_dtype=self.compute_dtype)
-                if self.mesh is not None:
-                    dev_b = mesh_lib.shard_batch(self.mesh, dev_b)
+                batch_frames, dev_b = item
                 rng, sub = jax.random.split(rng)
                 if tc.profile_dir and current_step == 10:
                     jax.profiler.start_trace(tc.profile_dir)
@@ -272,7 +320,7 @@ class Trainer:
                 if tc.profile_dir and current_step == 15:
                     float(metrics["loss"])  # sync before stopping the trace
                     jax.profiler.stop_trace()
-                self._frames_acc += int(np.sum(batch["logmel_len"]))
+                self._frames_acc += batch_frames
                 loss_acc = loss_acc + metrics["loss_char"]
 
                 if current_step % tc.steps_per_checkpoint == 0:
