@@ -1,8 +1,8 @@
-"""ctypes bindings for the native C++ TFRecord/SequenceExample reader.
+"""ctypes bindings for the native C++ runtime (TFRecord reader, FLAC decoder).
 
-Builds runtime/libtfrec.so on first use if missing (g++ is available in the
-target environment); falls back to the pure-Python parser when the build or
-load fails, so the pipeline always works.
+Builds the runtime/ shared libraries on first use if missing (g++ is
+available in the target environment); falls back to the pure-Python
+implementations when the build or load fails, so the pipeline always works.
 """
 from __future__ import annotations
 
@@ -55,6 +55,62 @@ def _load_lib():
 
 def available() -> bool:
     return _load_lib() is not None
+
+
+_FLAC_LIB_PATH = os.path.join(_RUNTIME_DIR, "libflacdec.so")
+_flac_lib = None
+_flac_failed = False
+
+
+def _load_flac_lib():
+    global _flac_lib, _flac_failed
+    with _lock:
+        if _flac_lib is not None or _flac_failed:
+            return _flac_lib
+        try:
+            if not os.path.isfile(_FLAC_LIB_PATH):
+                subprocess.run(["make", "-C", _RUNTIME_DIR], check=True,
+                               capture_output=True)
+            lib = ctypes.CDLL(_FLAC_LIB_PATH)
+            lib.flac_open.restype = ctypes.c_void_p
+            lib.flac_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.flac_info.restype = None
+            lib.flac_info.argtypes = [ctypes.c_void_p] + \
+                [ctypes.POINTER(ctypes.c_int64)] * 4
+            lib.flac_copy.restype = None
+            lib.flac_copy.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int32)]
+            lib.flac_close.restype = None
+            lib.flac_close.argtypes = [ctypes.c_void_p]
+            _flac_lib = lib
+        except (OSError, subprocess.CalledProcessError):
+            _flac_failed = True
+        return _flac_lib
+
+
+def decode_flac_bytes(data: bytes):
+    """Decode a FLAC stream natively (runtime/flac_decoder.cc).
+
+    Returns (samples [n, channels] int32, sample_rate, bits_per_sample) or
+    None when the native library is unavailable or the stream is malformed
+    (callers fall back to the pure-Python decoder, data/flac.py)."""
+    lib = _load_flac_lib()
+    if lib is None:
+        return None
+    handle = lib.flac_open(data, len(data))
+    if not handle:
+        return None
+    try:
+        dims = [ctypes.c_int64() for _ in range(4)]
+        lib.flac_info(handle, *[ctypes.byref(d) for d in dims])
+        n, channels, rate, bps = [d.value for d in dims]
+        out = np.empty((n, channels), np.int32)
+        if n:
+            lib.flac_copy(handle,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out, int(rate), int(bps)
+    finally:
+        lib.flac_close(handle)
 
 
 def load_speech_file(path: str, feat_length: int):
