@@ -15,8 +15,11 @@ def test_fit_predicates():
     # H=512 at B=128 blows the backward budget (observed OOM on v5e).
     assert not lstm_pallas._bwd_fits(2, 128, 512)
     assert not lstm_pallas._bwd_fits(1, 128, 512)
-    # Very wide forward falls back too.
-    assert not lstm_pallas.fwd_fits(384, 128, 1024)
+    # Very wide forward: weights can't stay resident, but the HBM
+    # weight-streaming chunked kernel takes over (round 2) — no XLA fallback.
+    assert not lstm_pallas._weights_resident_fits(1, 128, 1024)
+    assert lstm_pallas.fwd_fits(384, 128, 1024)
+    assert lstm_pallas._chunk_size(1024, 128, True) is not None
 
 
 def test_xla_backward_fallback_matches_pallas_backward():
