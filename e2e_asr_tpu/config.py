@@ -189,6 +189,10 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-out_prob", "--out_prob", default=0.9, type=float)
     parser.add_argument("-use_lstm", "--use_lstm", default=True,
                         action="store_true")
+    parser.add_argument("-gru", "--gru", default=False, action="store_true",
+                        help="Use GRU cells (extension: the reference's "
+                        "-use_lstm is store_true with default True, so its "
+                        "CLI can never actually select GRU)")
     parser.add_argument("-hsize", "--hidden_size", default=256, type=int)
     parser.add_argument("-skip_step", "--skip_step", default=2, type=int)
     parser.add_argument("-init_res_fac", "--initial_res_fac", default=1, type=int)
@@ -264,6 +268,9 @@ def process_args(options: dict[str, Any],
     """
     options = dict(options)
     options["tasks"] = parse_tasks(options.get("tasks", ""))
+    if options.get("gru"):
+        options["use_lstm"] = False    # flows into encoder/decoder configs
+                                       # and the run-dir name (no "lstm_")
 
     run_dir = get_run_dir_name(options)
     train_dir = os.path.join(options["train_base_dir"], run_dir)

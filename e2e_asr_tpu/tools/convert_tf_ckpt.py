@@ -187,6 +187,63 @@ def convert(tf_arrays: dict[str, np.ndarray], params: dict,
     return out
 
 
+def export_tf_names(params: dict, *, tasks=("char",),
+                    use_lstm: bool = True) -> dict[str, np.ndarray]:
+    """Inverse of convert(): dump this framework's parameters under the
+    reference's canonical TF variable names (beam_search.py:53-134 +
+    ground-truth cell scopes), so reference-side tooling — including its
+    NumPy beam runtime — can consume models trained here. Round-tripped
+    against real TF dumps in tests/test_tf_fixture.py."""
+    def get(path):
+        node = params
+        for k in path:
+            node = node[k]
+        return np.asarray(node)
+
+    out: dict[str, np.ndarray] = {}
+    cell = _cell_name(use_lstm)
+    cell_leaves = _CELL_LEAVES[use_lstm]
+    for task in tasks:
+        dec = params.get(f"decoder_{task}")
+        if dec is None:
+            continue
+        for tf_tpl, path_tpl in _DEC_MAP.items():
+            path = tuple(k.format(task=task) if isinstance(k, str) else k
+                         for k in path_tpl)
+            try:
+                value = get(path)
+            except (KeyError, IndexError, TypeError):
+                continue          # optional leaves (simple_proj, ind softmax)
+            name = tf_tpl.format(task=task)
+            if name.endswith("AttnW"):
+                value = value[None, None]          # [H,A] -> [1,1,H,A]
+            out[name] = value
+        scope = f"model/rnn_decoder_{task}/rnn"
+        for tf_sub, our_sub in cell_leaves.items():
+            out["/".join((scope, cell) + tf_sub)] = get(
+                (f"decoder_{task}", "lm_cell") + our_sub)
+        n_dec = len(dec["dec_cells"])
+        for i in range(n_dec):
+            base = ((scope, f"{cell}_1") if n_dec == 1 else
+                    (scope, "multi_rnn_cell", f"cell_{i}", cell))
+            for tf_sub, our_sub in cell_leaves.items():
+                out["/".join(base + tf_sub)] = get(
+                    (f"decoder_{task}", "dec_cells", i) + our_sub)
+    for lname, layer in params.get("encoder", {}).items():
+        idx = lname.split("_")[1]
+        for d in ("fw", "bw"):
+            if d not in layer:
+                continue
+            base = (f"model/encoder/RNNLayer{idx}/bidirectional_rnn/{d}/"
+                    f"{cell}")
+            for tf_sub, our_sub in cell_leaves.items():
+                node = layer[d]
+                for k in our_sub:
+                    node = node[k]
+                out["/".join((base,) + tf_sub)] = np.asarray(node)
+    return out
+
+
 def jax_to_numpy(tree):
     import jax
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)

@@ -73,3 +73,21 @@ def test_type_guard_override():
                                     "skip_step": 3})
     assert cfg.hidden_size == 256  # guarded
     assert cfg.skip_step == 3
+
+
+def test_gru_flag_reaches_configs():
+    """-gru (extension) selects GRU everywhere; the reference's -use_lstm is
+    store_true and can never turn LSTM off from its CLI."""
+    import argparse
+
+    from e2e_asr_tpu import config as config_lib
+
+    parser = argparse.ArgumentParser()
+    config_lib.add_parse_options(parser)
+    cfg = config_lib.process_args(vars(parser.parse_args(["-gru"])))
+    assert not cfg.model.encoder.use_lstm
+    assert all(not d.use_lstm for d in cfg.model.decoders.values())
+    # run-dir name drops the "lstm_" segment, like use_lstm=False would.
+    assert "lstm_" not in cfg.train.train_dir
+    cfg2 = config_lib.process_args(vars(parser.parse_args([])))
+    assert cfg2.model.encoder.use_lstm and "lstm_" in cfg2.train.train_dir

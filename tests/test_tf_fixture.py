@@ -108,6 +108,35 @@ def test_strict_conversion_and_numeric_parity(fixtures, name):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("name", ["lstm_dec1", "lstm_dec3", "gru_dec2"])
+def test_export_roundtrips_real_tf_dump(fixtures, name):
+    """export_tf_names is the exact inverse: converting a REAL TF dump into
+    our tree and exporting back reproduces every model tensor bit-for-bit
+    under the original TF names."""
+    import jax
+    import jax.numpy as jnp
+
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.tools.convert_tf_ckpt import export_tf_names
+
+    spec, info = fixtures[name]
+    cfg = _cfg(spec)
+    template = seq2seq.init(jax.random.PRNGKey(7), cfg)
+    converted = convert_npz(info["npz"], template, tasks=("char",),
+                            use_lstm=spec.use_lstm, strict=True,
+                            verbose=False)
+    exported = export_tf_names(converted, tasks=("char",),
+                               use_lstm=spec.use_lstm)
+    with np.load(info["npz"]) as z:
+        original = {k: z[k] for k in z.files}
+    model_names = {n for n in original
+                   if "Adam" not in n and "Variable" not in n
+                   and "power" not in n}
+    assert set(exported) == model_names
+    for n in sorted(model_names):
+        np.testing.assert_array_equal(exported[n], original[n], err_msg=n)
+
+
 def test_strict_flags_unconsumed_tensor(fixtures):
     import jax
 
