@@ -66,7 +66,8 @@ def lstm_scan(params: dict, x_seq: Array, lens: Array,
 
     if impl == "pallas" or (impl == "auto" and use_pallas_lstm()):
         from e2e_asr_tpu.ops import lstm_pallas
-        if impl == "pallas" or lstm_pallas.fwd_fits(T, B, hidden):
+        if impl == "pallas" or lstm_pallas.fwd_fits(T, B, hidden,
+                                                    compute_dtype is not None):
             outputs = lstm_pallas.lstm_seq(x_proj, params["kernel"][in_dim:],
                                            compute_dtype is not None)
             return outputs * length_mask(lens, T)[:, :, None]
@@ -98,7 +99,8 @@ def gru_scan(params: dict, x_seq: Array, lens: Array,
 
     if impl == "pallas" or (impl == "auto" and use_pallas_lstm()):
         from e2e_asr_tpu.ops import gru_pallas
-        if impl == "pallas" or gru_pallas.fwd_fits(T, B, hidden):
+        if impl == "pallas" or gru_pallas.fwd_fits(T, B, hidden,
+                                                   compute_dtype is not None):
             gates_x, cand_x = cells.gru_precompute_inputs(
                 params, x_seq, in_dim, compute_dtype=compute_dtype)
             outputs = gru_pallas.gru_seq(
@@ -141,7 +143,7 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
         from e2e_asr_tpu.ops import lstm_pallas
         T, B, in_dim = x_seq.shape
         hidden = params["fw"]["bias"].shape[0] // 4
-        if lstm_pallas.bidir_fits(T, B, hidden):
+        if lstm_pallas.bidir_fits(T, B, hidden, compute_dtype is not None):
             x_proj_fw = cells.lstm_precompute_inputs(
                 params["fw"], x_seq, in_dim, compute_dtype=compute_dtype)
             x_flip = jnp.flip(x_seq, axis=0)
@@ -168,12 +170,12 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
             from e2e_asr_tpu.ops import lstm_pallas
             hidden = params["bw"]["bias"].shape[0] // 4
             use_pal = lstm_pallas.fwd_fits(x_seq.shape[0], x_seq.shape[1],
-                                           hidden)
+                                           hidden, compute_dtype is not None)
         else:
             from e2e_asr_tpu.ops import gru_pallas
             hidden = params["bw"]["candidate"]["bias"].shape[0]
             use_pal = gru_pallas.fwd_fits(x_seq.shape[0], x_seq.shape[1],
-                                          hidden)
+                                          hidden, compute_dtype is not None)
     if use_pal:
         from e2e_asr_tpu.core import cells as cells_mod
         T, B, in_dim = x_seq.shape

@@ -46,8 +46,20 @@ def _fwd_vmem_bytes(S: int, B: int, H: int) -> int:
     return 4 * (2 * blocked + resident)
 
 
-def fwd_fits(T: int, B: int, H: int) -> bool:
-    return _fwd_vmem_bytes(1, B, H) <= VMEM_BUDGET
+def _fwd_wide_vmem_bytes(S: int, B: int, H: int, wbytes: int) -> int:
+    """Wide tier (raised VMEM limit, see ops/lstm_pallas.py): blocked
+    activations double-buffered, both Ws resident but double-buffered by
+    Mosaic (2 copies each), h carry in scratch."""
+    blocked = S * B * (2 * H + H + H)
+    return 4 * 2 * blocked + 2 * wbytes * 3 * H * H + 4 * B * H
+
+
+def fwd_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
+    from e2e_asr_tpu.ops.lstm_pallas import VMEM_BUDGET_WIDE
+    if _fwd_vmem_bytes(1, B, H) <= VMEM_BUDGET:
+        return True
+    wbytes = 2 if bf16 else 4
+    return _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE
 
 
 def _fwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
@@ -88,11 +100,22 @@ def _fwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
 
 def _fwd_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array, *,
              bf16_matmul: bool, mask: Array | None) -> Array:
+    from e2e_asr_tpu.ops.lstm_pallas import (VMEM_BUDGET_WIDE, _wide_params)
+
     T, B, H2 = gates_x.shape
     H = H2 // 2
+    extended = _fwd_vmem_bytes(1, B, H) > VMEM_BUDGET
+    wbytes = 2 if bf16_matmul else 4
+    if extended and bf16_matmul:
+        w_gh = w_gh.astype(jnp.bfloat16)
+        w_ch = w_ch.astype(jnp.bfloat16)
     S = _steps_per_block(T)
-    if S == 2 and _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
-        S = 1
+    if S == 2:
+        if extended:
+            if _fwd_wide_vmem_bytes(2, B, H, wbytes) > VMEM_BUDGET_WIDE:
+                S = 1
+        elif _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
+            S = 1
     in_specs = [
         pl.BlockSpec((S, B, 2 * H), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -107,6 +130,7 @@ def _fwd_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array, *,
         args.append(mask)
     kernel = functools.partial(_fwd_kernel, steps=S, bf16_matmul=bf16_matmul,
                                with_mask=mask is not None)
+    extra = {"compiler_params": _wide_params()} if extended else {}
     (out,) = pl.pallas_call(
         kernel,
         grid=(T // S,),
@@ -116,6 +140,7 @@ def _fwd_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array, *,
         out_shape=[jax.ShapeDtypeStruct((T, B, H), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=_interpret(),
+        **extra,
     )(*args)
     return out
 

@@ -41,6 +41,19 @@ def _interpret() -> bool:
 
 VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the ~16MB scoped limit
 
+# Wide layers: TPU v4/v5e cores have 128MB of physical VMEM; Mosaic's 16MB
+# scoped limit is only a compiler default. When a config exceeds the default
+# budget we request a raised limit (VMEM_LIMIT_WIDE) via CompilerParams and
+# admit configs whose ESTIMATED usage fits VMEM_BUDGET_WIDE — the estimates
+# undercount Mosaic's real allocation (layout copies, multi-buffering) by up
+# to ~1.7x observed, hence the >2x margin between the budget and the limit.
+VMEM_BUDGET_WIDE = 48 * 1024 * 1024
+VMEM_LIMIT_WIDE = 112 * 1024 * 1024
+
+
+def _wide_params() -> "pltpu.CompilerParams":
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_WIDE)
+
 
 def _steps_per_block(T: int) -> int:
     return 2 if T % 2 == 0 else 1
@@ -58,6 +71,21 @@ def _bwd_vmem_bytes(S: int, B: int, H: int) -> int:
 
 def _bwd_fits(S: int, B: int, H: int) -> bool:
     return _bwd_vmem_bytes(S, B, H) <= VMEM_BUDGET
+
+
+def _bwd_nodw_vmem_bytes(S: int, B: int, H: int, wbytes: int) -> int:
+    """VMEM estimate for the wide-layer backward variant: same blocked refs,
+    but W held ONCE in scratch (DMA'd from HBM at the first grid step; a
+    VMEM-blocked W would be double-buffered by Mosaic — 2x8.4MB at H=1024
+    bf16, observed OOM) and NO in-kernel dW accumulator (the [H,4H] f32
+    accumulator is what blows VMEM at H>=1024 — dW is instead one big
+    external MXU matmul over the emitted dgates)."""
+    blocked = S * B * (4 * H + H + H + H + H + 4 * H)   # 12*S*B*H floats
+    return 4 * 2 * blocked + wbytes * 4 * H * H + 4 * 2 * B * H
+
+
+def _bwd_nodw_fits(S: int, B: int, H: int, wbytes: int) -> bool:
+    return _bwd_nodw_vmem_bytes(S, B, H, wbytes) <= VMEM_BUDGET_WIDE
 
 
 def _fwd_vmem_bytes(S: int, B: int, H: int) -> int:
@@ -85,11 +113,21 @@ def _chunk_size(H: int, B: int, bf16: bool) -> int | None:
     return None
 
 
+def _fwd_wide_vmem_bytes(S: int, B: int, H: int, wbytes: int) -> int:
+    """Wide-tier forward estimate: blocked activations double-buffered, W
+    resident but double-buffered by Mosaic (2 copies), carries in scratch."""
+    blocked = S * B * 6 * H                             # x_proj + out + c_out
+    return 4 * 2 * blocked + 2 * wbytes * 4 * H * H + 4 * 2 * B * H
+
+
 def fwd_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
-    """Whether SOME forward kernel variant fits VMEM (weights-resident, or the
-    weight-streaming chunked variant for wide layers); used by core/rnn.py to
-    fall back to the XLA scan otherwise."""
+    """Whether SOME forward kernel variant fits VMEM (weights-resident under
+    the default or raised limit, or the weight-streaming chunked variant for
+    very wide layers); used by core/rnn.py to fall back to the XLA scan
+    otherwise."""
+    wbytes = 2 if bf16 else 4
     return (_weights_resident_fits(1, B, H)
+            or _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE
             or _chunk_size(H, B, bf16) is not None)
 
 
@@ -241,11 +279,26 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
     variant when W_h cannot stay resident in VMEM."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
+    extended = False
+    w_arg = w_h
     if not _weights_resident_fits(1, B, H):
-        return _fwd_seq_chunked(x_proj, w_h, save_c=save_c,
-                                bf16_matmul=bf16_matmul, mask=mask)
+        # Wide layer: keep W resident anyway under a raised VMEM limit
+        # (reads W from HBM once, vs once PER TIMESTEP for the streaming
+        # variant); bf16 W halves its footprint under bf16 compute.
+        wbytes = 2 if bf16_matmul else 4
+        if _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE:
+            extended = True
+            if bf16_matmul:
+                w_arg = w_h.astype(jnp.bfloat16)
+        else:
+            return _fwd_seq_chunked(x_proj, w_h, save_c=save_c,
+                                    bf16_matmul=bf16_matmul, mask=mask)
     S = _steps_per_block(T)
-    if S == 2 and _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
+    if extended:
+        wbytes = 2 if bf16_matmul else 4
+        if S == 2 and _fwd_wide_vmem_bytes(2, B, H, wbytes) > VMEM_BUDGET_WIDE:
+            S = 1
+    elif S == 2 and _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
         S = 1
     out_shapes = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
     out_specs = [pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
@@ -258,7 +311,7 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
         pl.BlockSpec((S, B, H4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [x_proj, w_h]
+    args = [x_proj, w_arg]
     if mask is not None:
         in_specs.append(pl.BlockSpec((S, B, 1), lambda t: (t, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -266,6 +319,7 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
     kernel = functools.partial(_fwd_kernel, steps=S, save_c=save_c,
                                bf16_matmul=bf16_matmul,
                                with_mask=mask is not None)
+    extra = {"compiler_params": _wide_params()} if extended else {}
     outs = pl.pallas_call(
         kernel,
         grid=(T // S,),
@@ -277,6 +331,7 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
             pltpu.VMEM((B, H), jnp.float32),   # h carry
         ],
         interpret=_interpret(),
+        **extra,
     )(*args)
     return tuple(outs)
 
@@ -285,9 +340,13 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
 # Dual-direction forward (fw + bw in ONE launch)
 # ---------------------------------------------------------------------------
 
-def bidir_fits(T: int, B: int, H: int) -> bool:
-    """Both directions resident at once: ~2x the single-direction footprint."""
-    return 2 * _fwd_vmem_bytes(1, B, H) <= VMEM_BUDGET
+def bidir_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
+    """Both directions resident at once: ~2x the single-direction footprint
+    (under the default limit, or the raised wide-layer limit)."""
+    if 2 * _fwd_vmem_bytes(1, B, H) <= VMEM_BUDGET:
+        return True
+    wbytes = 2 if bf16 else 4
+    return 2 * _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE
 
 
 def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool):
@@ -349,9 +408,19 @@ def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
                bf16_matmul: bool) -> tuple:
     T, B, H4 = x_proj_fw.shape
     H = H4 // 4
+    extended = 2 * _fwd_vmem_bytes(1, B, H) > VMEM_BUDGET
+    wbytes = 2 if bf16_matmul else 4
+    w_fw_arg, w_bw_arg = w_h_fw, w_h_bw
+    if extended and bf16_matmul:
+        w_fw_arg = w_h_fw.astype(jnp.bfloat16)
+        w_bw_arg = w_h_bw.astype(jnp.bfloat16)
     S = _steps_per_block(T)
-    if S == 2 and 2 * _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
-        S = 1
+    if S == 2:
+        if extended:
+            if 2 * _fwd_wide_vmem_bytes(2, B, H, wbytes) > VMEM_BUDGET_WIDE:
+                S = 1
+        elif 2 * _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
+            S = 1
     blk = lambda t: (t, 0, 0)                         # noqa: E731
     rep = lambda t: (0, 0)                            # noqa: E731
     in_specs = [
@@ -368,6 +437,7 @@ def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
                   for _ in range(n_out)]
     kernel = functools.partial(_fwd_bidir_kernel, steps=S, save_c=save_c,
                                bf16_matmul=bf16_matmul)
+    extra = {"compiler_params": _wide_params()} if extended else {}
     return tuple(pl.pallas_call(
         kernel,
         grid=(T // S,),
@@ -376,7 +446,8 @@ def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32) for _ in range(4)],
         interpret=_interpret(),
-    )(x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw))
+        **extra,
+    )(x_proj_fw, x_proj_bw, w_fw_arg, w_bw_arg, mask_bw))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -478,18 +549,45 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     # Pick (steps-per-block, batch-chunk) to fit the VMEM budget: prefer
     # 2-step blocks and the full batch; chunk the batch before giving up.
     choice = None
+    emit_dw = True
+    extended = False
+    s_opts = (2, 1) if T % 2 == 0 else (1,)
     for div in (1, 2, 4, 8):
         if B % div:
             continue
-        for s_try in ((2, 1) if T % 2 == 0 else (1,)):
-            if _bwd_fits(s_try, B // div, H):
-                choice = (s_try, B // div)
+        for s_try in s_opts:
+            for budget in (VMEM_BUDGET, VMEM_BUDGET_WIDE):
+                if _bwd_vmem_bytes(s_try, B // div, H) <= budget:
+                    choice = (s_try, B // div)
+                    extended = budget != VMEM_BUDGET
+                    break
+            if choice:
                 break
         if choice:
             break
     if choice is None:
+        # Very wide layers (H~2048): even the raised limit can't hold W, its
+        # transposed layout copy AND the [H,4H] f32 dW accumulator. Drop the
+        # accumulator from the kernel (emit dgates only; dW is one big
+        # external MXU matmul) and keep ONE W copy resident in scratch — in
+        # bf16 under bf16 compute, halving its footprint.
+        wbytes = 2 if bf16_matmul else 4
+        for div in (1, 2, 4, 8, 16):
+            if B % div:
+                continue
+            for s_try in s_opts:
+                if _bwd_nodw_fits(s_try, B // div, H, wbytes):
+                    choice = (s_try, B // div)
+                    emit_dw = False
+                    extended = True
+                    break
+            if choice:
+                break
+    if choice is None:
         return _bwd_seq_xla(w_h, h_seq, c_seq, x_proj, g, mask=mask)
     S, BC_sel = choice
+    w_arg = (w_h.astype(jnp.bfloat16)
+             if (not emit_dw and bf16_matmul) else w_h)
     # pad[t] = state_{t-1} (pad[0] = zeros). An extra trailing zero row keeps
     # the c window (which reads local s+1) in-bounds at the last block.
     zrow = jnp.zeros((1, B, H), h_seq.dtype)
@@ -522,9 +620,10 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
             pl.BlockSpec((1, BC, H4), rev_x, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BC, H), rev_x, memory_space=pltpu.VMEM),
         ]
-        args = [w_h, h_pad, c_pad, c_pad, x_proj, g]
+        args = [w_arg, h_pad, c_pad, c_pad, x_proj, g]
         kernel = functools.partial(_bwd_kernel_s1, bf16_matmul=bf16_matmul,
-                                   with_mask=mask is not None)
+                                   with_mask=mask is not None,
+                                   emit_dw=emit_dw)
         mask_spec = pl.BlockSpec((1, BC, 1), rev_x, memory_space=pltpu.VMEM)
     else:
         # S == 2: padded arrays have T+2 rows; block r needs window
@@ -543,41 +642,67 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
             pl.BlockSpec((2, BC, H4), rev_x, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, BC, H), rev_x, memory_space=pltpu.VMEM),
         ]
-        args = [w_h, h_pad, c_pad, c_pad, x_proj, g]
+        args = [w_arg, h_pad, c_pad, c_pad, x_proj, g]
         kernel = functools.partial(_bwd_kernel_s2, bf16_matmul=bf16_matmul,
-                                   with_mask=mask is not None)
+                                   with_mask=mask is not None,
+                                   emit_dw=emit_dw)
         mask_spec = pl.BlockSpec((2, BC, 1), rev_x, memory_space=pltpu.VMEM)
 
     if mask is not None:
         in_specs.append(mask_spec)
         args.append(mask)
 
-    dx, dwh = pl.pallas_call(
+    out_specs = [pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((T, B, H4), jnp.float32)]
+    scratch_shapes = [
+        pltpu.VMEM((BC, H), jnp.float32),   # dc carry
+        pltpu.VMEM((BC, H), jnp.float32),   # dh carry
+    ]
+    if emit_dw:
+        out_specs.append(pl.BlockSpec((H, H4), lambda bc, r: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((H, H4), jnp.float32))
+    else:
+        # W stays in HBM; the kernel DMAs it once into persistent scratch
+        # (a VMEM-blocked W would be double-buffered: 2 resident copies).
+        in_specs[0] = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch_shapes += [pltpu.VMEM((H, H4), w_arg.dtype),
+                           pltpu.SemaphoreType.DMA]
+
+    extra = {"compiler_params": _wide_params()} if extended else {}
+    outs = pl.pallas_call(
         kernel,
         grid=(n_bc, n_blocks),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda bc, r: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
-            jax.ShapeDtypeStruct((H, H4), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((BC, H), jnp.float32),   # dc carry
-            pltpu.VMEM((BC, H), jnp.float32),   # dh carry
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
+        **extra,
     )(*args)
+    if emit_dw:
+        return outs
+    # Wide-layer variant: dW = sum_t h_{t-1}^T dgates_t as ONE large MXU
+    # matmul (h_prev at t=0 is zeros, so t starts at 1). Masked steps already
+    # have dgates zeroed inside the kernel. bf16 operands under bf16 compute
+    # match the in-kernel accumulation's precision exactly.
+    dx = outs[0]
+    h_prev_flat = h_seq[:-1].reshape((T - 1) * B, H)
+    dg_flat = dx[1:].reshape((T - 1) * B, H4)
+    if bf16_matmul:
+        h_prev_flat = h_prev_flat.astype(jnp.bfloat16)
+        dg_flat = dg_flat.astype(jnp.bfloat16)
+    dwh = jnp.dot(h_prev_flat.T, dg_flat,
+                  preferred_element_type=jnp.float32)
     return dx, dwh
 
 
 def _bwd_step(w_mm, h_prev, c_prev, c_t, x_proj_s, g_s, valid,
-              dc_carry, dh_carry, H, bf16_matmul):
+              dc_carry, dh_carry, H, bf16_matmul, want_dw=True,
+              transpose_acts=False):
     """One reverse-time cell backprop. Returns (dgates, dh_new, dc_new,
-    dwh_contrib)."""
+    dwh_contrib) — dwh_contrib is None when want_dw=False (wide-layer
+    variant: dW is accumulated outside the kernel)."""
     h_prev_mm = h_prev.astype(jnp.bfloat16) if bf16_matmul else h_prev
     gates = x_proj_s + jnp.dot(h_prev_mm, w_mm,
                                preferred_element_type=jnp.float32)
@@ -599,22 +724,38 @@ def _bwd_step(w_mm, h_prev, c_prev, c_t, x_proj_s, g_s, valid,
     if valid is not None:
         dgates = dgates * valid
     dgates_mm = dgates.astype(jnp.bfloat16) if bf16_matmul else dgates
-    dh_new = jnp.dot(dgates_mm, w_mm.T, preferred_element_type=jnp.float32)
+    if transpose_acts:
+        # Wide layers: dgates @ W^T would make Mosaic materialize a second,
+        # transposed-layout copy of W in VMEM (+8.4MB at H=1024 — the
+        # difference between fitting and OOM). Transpose the small [B,4H]
+        # activations instead: dh = (W @ dgates^T)^T.
+        dh_new = jnp.dot(w_mm, dgates_mm.T,
+                         preferred_element_type=jnp.float32).T
+    else:
+        dh_new = jnp.dot(dgates_mm, w_mm.T,
+                         preferred_element_type=jnp.float32)
     dc_new = dc_total * f
     if valid is not None:
         dh_new = valid * dh_new + (1.0 - valid) * dh_total
         dc_new = valid * dc_new + (1.0 - valid) * dc_carry
-    dwh_contrib = jnp.dot(h_prev_mm.T, dgates_mm,
-                          preferred_element_type=jnp.float32)
+    dwh_contrib = (jnp.dot(h_prev_mm.T, dgates_mm,
+                           preferred_element_type=jnp.float32)
+                   if want_dw else None)
     return dgates, dh_new, dc_new, dwh_contrib
 
 
 def _bwd_kernel_s1(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref,
-                   g_ref, *refs, bf16_matmul: bool, with_mask: bool):
+                   g_ref, *refs, bf16_matmul: bool, with_mask: bool,
+                   emit_dw: bool = True):
     mask_ref = None
     if with_mask:
         mask_ref, refs = refs[0], refs[1:]
-    dx_ref, dwh_acc_ref, dc_ref, dh_ref = refs
+    if emit_dw:
+        dx_ref, dwh_acc_ref, dc_ref, dh_ref = refs
+        w_buf_ref = w_sem = None
+    else:
+        dx_ref, dc_ref, dh_ref, w_buf_ref, w_sem = refs
+        dwh_acc_ref = None
 
     bc = pl.program_id(0)
     r = pl.program_id(1)
@@ -624,25 +765,38 @@ def _bwd_kernel_s1(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref,
         dc_ref[:] = jnp.zeros_like(dc_ref)
         dh_ref[:] = jnp.zeros_like(dh_ref)
 
-    @pl.when(jnp.logical_and(bc == 0, r == 0))
-    def _init_acc():
-        dwh_acc_ref[:] = jnp.zeros_like(dwh_acc_ref)
+    if emit_dw:
+        @pl.when(jnp.logical_and(bc == 0, r == 0))
+        def _init_acc():
+            dwh_acc_ref[:] = jnp.zeros_like(dwh_acc_ref)
+        w = w_h_ref[:]
+    else:
+        # W lives in HBM; copy it into persistent scratch ONCE (a VMEM
+        # BlockSpec would be double-buffered by Mosaic — 2 copies of W).
+        @pl.when(jnp.logical_and(bc == 0, r == 0))
+        def _load_w():
+            cp = pltpu.make_async_copy(w_h_ref, w_buf_ref, w_sem)
+            cp.start()
+            cp.wait()
+        w = w_buf_ref[:]
 
     H = dh_ref.shape[-1]
-    w = w_h_ref[:]
     w_mm = w.astype(jnp.bfloat16) if bf16_matmul else w
     valid = mask_ref[0] if mask_ref is not None else None
     dgates, dh_new, dc_new, dwh = _bwd_step(
         w_mm, h_prev_ref[0], c_prev_ref[0], c_t_ref[0], x_proj_ref[0],
-        g_ref[0], valid, dc_ref[:], dh_ref[:], H, bf16_matmul)
+        g_ref[0], valid, dc_ref[:], dh_ref[:], H, bf16_matmul,
+        want_dw=emit_dw, transpose_acts=not emit_dw)
     dx_ref[0] = dgates
     dh_ref[:] = dh_new
     dc_ref[:] = dc_new
-    dwh_acc_ref[:] += dwh
+    if emit_dw:
+        dwh_acc_ref[:] += dwh
 
 
 def _bwd_kernel_s2(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
-                   g_ref, *refs, bf16_matmul: bool, with_mask: bool):
+                   g_ref, *refs, bf16_matmul: bool, with_mask: bool,
+                   emit_dw: bool = True):
     """Two time steps per block, processed high-to-low.
 
     Windows (element offsets into the double-padded state arrays, t0 = lower
@@ -655,7 +809,12 @@ def _bwd_kernel_s2(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
     mask_ref = None
     if with_mask:
         mask_ref, refs = refs[0], refs[1:]
-    dx_ref, dwh_acc_ref, dc_ref, dh_ref = refs
+    if emit_dw:
+        dx_ref, dwh_acc_ref, dc_ref, dh_ref = refs
+        w_buf_ref = w_sem = None
+    else:
+        dx_ref, dc_ref, dh_ref, w_buf_ref, w_sem = refs
+        dwh_acc_ref = None
 
     bc = pl.program_id(0)
     r = pl.program_id(1)
@@ -665,12 +824,20 @@ def _bwd_kernel_s2(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
         dc_ref[:] = jnp.zeros_like(dc_ref)
         dh_ref[:] = jnp.zeros_like(dh_ref)
 
-    @pl.when(jnp.logical_and(bc == 0, r == 0))
-    def _init_acc():
-        dwh_acc_ref[:] = jnp.zeros_like(dwh_acc_ref)
+    if emit_dw:
+        @pl.when(jnp.logical_and(bc == 0, r == 0))
+        def _init_acc():
+            dwh_acc_ref[:] = jnp.zeros_like(dwh_acc_ref)
+        w = w_h_ref[:]
+    else:
+        @pl.when(jnp.logical_and(bc == 0, r == 0))
+        def _load_w():
+            cp = pltpu.make_async_copy(w_h_ref, w_buf_ref, w_sem)
+            cp.start()
+            cp.wait()
+        w = w_buf_ref[:]
 
     H = dh_ref.shape[-1]
-    w = w_h_ref[:]
     w_mm = w.astype(jnp.bfloat16) if bf16_matmul else w
 
     for s in (1, 0):
@@ -678,11 +845,13 @@ def _bwd_kernel_s2(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
         valid = mask_ref[s] if mask_ref is not None else None
         dgates, dh_new, dc_new, dwh = _bwd_step(
             w_mm, h_pad_ref[s], c_lo_ref[s], c_t, x_proj_ref[s], g_ref[s],
-            valid, dc_ref[:], dh_ref[:], H, bf16_matmul)
+            valid, dc_ref[:], dh_ref[:], H, bf16_matmul, want_dw=emit_dw,
+            transpose_acts=not emit_dw)
         dx_ref[s] = dgates
         dh_ref[:] = dh_new
         dc_ref[:] = dc_new
-        dwh_acc_ref[:] += dwh
+        if emit_dw:
+            dwh_acc_ref[:] += dwh
 
 
 # ---------------------------------------------------------------------------

@@ -86,6 +86,32 @@ def test_lstm_scan_pallas_impl_matches_xla_with_masking():
     assert np.all(np.asarray(out_pal)[2:, 2] == 0.0)
 
 
+@pytest.mark.parametrize("T", [6, 7])  # even -> 2-step blocks, odd -> 1-step
+def test_wide_layer_nodw_backward_matches_xla(T, monkeypatch):
+    """The very-wide-layer backward variant (no in-kernel dW accumulator; dW
+    via one external matmul over the emitted dgates; W DMA'd once into
+    scratch) must match the XLA oracle. Forced here by making the in-kernel-dW
+    estimate blow every budget, so only the no-dW tier fits."""
+    monkeypatch.setattr(lstm_pallas, "_bwd_vmem_bytes",
+                        lambda S, B, H: 1 << 40)
+    B, F, H = 4, 5, 8
+    params = rnn.rnn_layer_init(jax.random.PRNGKey(9), F, H, cell="lstm")
+    x = jax.random.normal(jax.random.PRNGKey(10), (T, B, F))
+    lens = jnp.array([T, 3, T - 1, 2])
+
+    def loss(p, impl):
+        return jnp.sum(jnp.sin(rnn.rnn_layer(p, x, lens, impl=impl)))
+
+    # Bidirectional layer: exercises both the unmasked (fw) and the
+    # carry-through-masked (flipped bw) backward kernels.
+    g_pal = jax.grad(lambda p: loss(p, "pallas"))(params)
+    g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_chunked_weight_streaming_fwd_matches_scan():
     """The HBM weight-streaming variant (wide layers) must match the XLA
     oracle, unmasked and masked."""

@@ -12,14 +12,27 @@ def test_fit_predicates():
     # Flagship config fits both directions of the kernel.
     assert lstm_pallas.fwd_fits(384, 128, 256)
     assert lstm_pallas._bwd_fits(2, 128, 256)
-    # H=512 at B=128 blows the backward budget (observed OOM on v5e).
+    # H=512 at B=128 blows the DEFAULT backward budget (observed OOM on
+    # v5e)... but fits under the raised wide-layer limit at full batch.
     assert not lstm_pallas._bwd_fits(2, 128, 512)
     assert not lstm_pallas._bwd_fits(1, 128, 512)
-    # Very wide forward: weights can't stay resident, but the HBM
-    # weight-streaming chunked kernel takes over (round 2) — no XLA fallback.
+    assert (lstm_pallas._bwd_vmem_bytes(2, 128, 512)
+            <= lstm_pallas.VMEM_BUDGET_WIDE)
+    # Very wide forward: weights can't stay resident under the default
+    # limit; the wide tier (raised limit, bf16 W) takes over — no fallback.
     assert not lstm_pallas._weights_resident_fits(1, 128, 1024)
+    assert (lstm_pallas._fwd_wide_vmem_bytes(1, 128, 1024, 2)
+            <= lstm_pallas.VMEM_BUDGET_WIDE)
     assert lstm_pallas.fwd_fits(384, 128, 1024)
+    # The HBM weight-streaming chunked kernel remains available behind it.
     assert lstm_pallas._chunk_size(1024, 128, True) is not None
+    # H=1024 backward: in-kernel dW at batch-chunk 64 under the wide limit.
+    assert (lstm_pallas._bwd_vmem_bytes(1, 64, 1024)
+            <= lstm_pallas.VMEM_BUDGET_WIDE)
+    # H=2048 backward: only the no-dW variant fits (bf16 W in scratch).
+    assert not (lstm_pallas._bwd_vmem_bytes(1, 16, 2048)
+                <= lstm_pallas.VMEM_BUDGET_WIDE)
+    assert lstm_pallas._bwd_nodw_fits(1, 32, 2048, 2)
 
 
 def test_xla_backward_fallback_matches_pallas_backward():
@@ -75,16 +88,19 @@ def test_batch_chunked_backward_matches():
 
     dx_full, dwh_full = lstm_pallas._bwd_seq(w_h, h_seq, c_seq, x_proj, g)
     old = lstm_pallas.VMEM_BUDGET
+    old_wide = lstm_pallas.VMEM_BUDGET_WIDE
     try:
-        # Shrink the budget so only BC = B/2 (or smaller) fits.
+        # Shrink BOTH budgets so only BC = B/2 (or smaller) fits.
         full_cost = lstm_pallas._bwd_vmem_bytes(2, B, H)
         half_cost = lstm_pallas._bwd_vmem_bytes(2, B // 2, H)
         lstm_pallas.VMEM_BUDGET = (full_cost + half_cost) // 2
+        lstm_pallas.VMEM_BUDGET_WIDE = lstm_pallas.VMEM_BUDGET
         assert not lstm_pallas._bwd_fits(2, B, H)
         assert lstm_pallas._bwd_fits(2, B // 2, H)
         dx_c, dwh_c = lstm_pallas._bwd_seq(w_h, h_seq, c_seq, x_proj, g)
     finally:
         lstm_pallas.VMEM_BUDGET = old
+        lstm_pallas.VMEM_BUDGET_WIDE = old_wide
     np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_full),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(dwh_c), np.asarray(dwh_full),
@@ -96,8 +112,11 @@ def test_wide_layer_trains_via_fallback(rng, monkeypatch):
     the auto path must route to the XLA scan and still produce grads."""
     monkeypatch.delenv("E2E_ASR_NO_PALLAS", raising=False)
     old = lstm_pallas.VMEM_BUDGET
+    old_wide = lstm_pallas.VMEM_BUDGET_WIDE
     try:
-        lstm_pallas.VMEM_BUDGET = 1  # force every kernel to "not fit"
+        # Force every kernel tier (default, wide, no-dW) to "not fit".
+        lstm_pallas.VMEM_BUDGET = 1
+        lstm_pallas.VMEM_BUDGET_WIDE = 1
         T, B, F, H = 5, 2, 3, 8
         params = cells.lstm_init(jax.random.PRNGKey(6), F, H)
         x = jnp.asarray(rng.normal(size=(T, B, F)).astype(np.float32))
@@ -110,3 +129,4 @@ def test_wide_layer_trains_via_fallback(rng, monkeypatch):
         assert np.isfinite(np.asarray(g["kernel"])).all()
     finally:
         lstm_pallas.VMEM_BUDGET = old
+        lstm_pallas.VMEM_BUDGET_WIDE = old_wide
