@@ -100,22 +100,18 @@ def _fwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
 
 def _fwd_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array, *,
              bf16_matmul: bool, mask: Array | None) -> Array:
-    from e2e_asr_tpu.ops.lstm_pallas import (VMEM_BUDGET_WIDE, _wide_params)
+    from e2e_asr_tpu.ops.lstm_pallas import (VMEM_BUDGET_WIDE, _pick_steps,
+                                             _wide_params)
 
     T, B, H2 = gates_x.shape
     H = H2 // 2
-    extended = _fwd_vmem_bytes(1, B, H) > VMEM_BUDGET
     wbytes = 2 if bf16_matmul else 4
+    S, extended = _pick_steps(T, lambda s: (
+        _fwd_vmem_bytes(s, B, H) <= VMEM_BUDGET,
+        _fwd_wide_vmem_bytes(s, B, H, wbytes) <= VMEM_BUDGET_WIDE))
     if extended and bf16_matmul:
         w_gh = w_gh.astype(jnp.bfloat16)
         w_ch = w_ch.astype(jnp.bfloat16)
-    S = _steps_per_block(T)
-    if S == 2:
-        if extended:
-            if _fwd_wide_vmem_bytes(2, B, H, wbytes) > VMEM_BUDGET_WIDE:
-                S = 1
-        elif _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
-            S = 1
     in_specs = [
         pl.BlockSpec((S, B, 2 * H), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),

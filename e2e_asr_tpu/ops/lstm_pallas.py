@@ -59,6 +59,29 @@ def _steps_per_block(T: int) -> int:
     return 2 if T % 2 == 0 else 1
 
 
+# Candidate steps-per-grid-block, largest first. S in {4, 8} was probed on
+# v5e (best-of-3x30 at the flagship bidir shape): fwd 2.49/2.48 ms vs
+# 2.20 ms at S=2, grad 6.38 vs 6.11 — larger blocks LOSE (and S=4 sits on
+# the 16MB boundary where Mosaic's allocator OOMs nondeterministically), so
+# the list stays (2, 1). The machinery below is S-generic for future tuning.
+STEP_BLOCKS = (2, 1)
+
+
+def _pick_steps(T: int, fits) -> tuple[int, bool]:
+    """Largest steps-per-block S dividing T whose blocks fit VMEM, allowing
+    the raised wide-tier limit when the default budget fails.
+    fits(S) -> (default_ok, wide_ok). Returns (S, extended)."""
+    for S in STEP_BLOCKS:
+        if T % S:
+            continue
+        default_ok, wide_ok = fits(S)
+        if default_ok:
+            return S, False
+        if wide_ok:
+            return S, True
+    return 1, False
+
+
 def _bwd_vmem_bytes(S: int, B: int, H: int) -> int:
     """Rough VMEM estimate for the backward kernel: double-buffered blocked
     refs (x_proj, g, three state rows, dx) + resident weights/accumulator/
@@ -279,27 +302,18 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
     variant when W_h cannot stay resident in VMEM."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
-    extended = False
-    w_arg = w_h
-    if not _weights_resident_fits(1, B, H):
-        # Wide layer: keep W resident anyway under a raised VMEM limit
-        # (reads W from HBM once, vs once PER TIMESTEP for the streaming
-        # variant); bf16 W halves its footprint under bf16 compute.
-        wbytes = 2 if bf16_matmul else 4
-        if _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE:
-            extended = True
-            if bf16_matmul:
-                w_arg = w_h.astype(jnp.bfloat16)
-        else:
-            return _fwd_seq_chunked(x_proj, w_h, save_c=save_c,
-                                    bf16_matmul=bf16_matmul, mask=mask)
-    S = _steps_per_block(T)
-    if extended:
-        wbytes = 2 if bf16_matmul else 4
-        if S == 2 and _fwd_wide_vmem_bytes(2, B, H, wbytes) > VMEM_BUDGET_WIDE:
-            S = 1
-    elif S == 2 and _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
-        S = 1
+    wbytes = 2 if bf16_matmul else 4
+    if not (_weights_resident_fits(1, B, H)
+            or _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE):
+        # Too wide to keep W resident even under the raised limit: stream
+        # W from HBM in double-buffered tiles.
+        return _fwd_seq_chunked(x_proj, w_h, save_c=save_c,
+                                bf16_matmul=bf16_matmul, mask=mask)
+    S, extended = _pick_steps(T, lambda s: (
+        _fwd_vmem_bytes(s, B, H) <= VMEM_BUDGET,
+        _fwd_wide_vmem_bytes(s, B, H, wbytes) <= VMEM_BUDGET_WIDE))
+    # bf16 W halves its resident footprint under bf16 compute (wide tier).
+    w_arg = w_h.astype(jnp.bfloat16) if (extended and bf16_matmul) else w_h
     out_shapes = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
     out_specs = [pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
                               memory_space=pltpu.VMEM)]
@@ -408,19 +422,14 @@ def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
                bf16_matmul: bool) -> tuple:
     T, B, H4 = x_proj_fw.shape
     H = H4 // 4
-    extended = 2 * _fwd_vmem_bytes(1, B, H) > VMEM_BUDGET
     wbytes = 2 if bf16_matmul else 4
+    S, extended = _pick_steps(T, lambda s: (
+        2 * _fwd_vmem_bytes(s, B, H) <= VMEM_BUDGET,
+        2 * _fwd_wide_vmem_bytes(s, B, H, wbytes) <= VMEM_BUDGET_WIDE))
     w_fw_arg, w_bw_arg = w_h_fw, w_h_bw
     if extended and bf16_matmul:
         w_fw_arg = w_h_fw.astype(jnp.bfloat16)
         w_bw_arg = w_h_bw.astype(jnp.bfloat16)
-    S = _steps_per_block(T)
-    if S == 2:
-        if extended:
-            if 2 * _fwd_wide_vmem_bytes(2, B, H, wbytes) > VMEM_BUDGET_WIDE:
-                S = 1
-        elif 2 * _fwd_vmem_bytes(2, B, H) > VMEM_BUDGET:
-            S = 1
     blk = lambda t: (t, 0, 0)                         # noqa: E731
     rep = lambda t: (0, 0)                            # noqa: E731
     in_specs = [
@@ -551,7 +560,7 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     choice = None
     emit_dw = True
     extended = False
-    s_opts = (2, 1) if T % 2 == 0 else (1,)
+    s_opts = tuple(S for S in STEP_BLOCKS if T % S == 0)
     for div in (1, 2, 4, 8):
         if B % div:
             continue
@@ -588,14 +597,16 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     S, BC_sel = choice
     w_arg = (w_h.astype(jnp.bfloat16)
              if (not emit_dw and bf16_matmul) else w_h)
-    # pad[t] = state_{t-1} (pad[0] = zeros). An extra trailing zero row keeps
-    # the c window (which reads local s+1) in-bounds at the last block.
+    # pad[t] = state_{t-1} (pad[0] = zeros). S-1 extra trailing zero rows
+    # keep the c window (which reads one block above the last S-aligned
+    # block) in-bounds, and make the padded length a multiple of S.
     zrow = jnp.zeros((1, B, H), h_seq.dtype)
     h_pad = jnp.concatenate([zrow, h_seq], axis=0)              # [T+1]
     c_pad = jnp.concatenate([zrow, c_seq], axis=0)              # [T+1]
-    if S == 2:
-        h_pad = jnp.concatenate([h_pad, zrow], axis=0)          # [T+2]
-        c_pad = jnp.concatenate([c_pad, zrow], axis=0)          # [T+2]
+    if S > 1:
+        extra = jnp.zeros((S - 1, B, H), h_seq.dtype)
+        h_pad = jnp.concatenate([h_pad, extra], axis=0)         # [T+S]
+        c_pad = jnp.concatenate([c_pad, extra], axis=0)         # [T+S]
 
     n_blocks = T // S
     BC = BC_sel
@@ -626,27 +637,29 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
                                    emit_dw=emit_dw)
         mask_spec = pl.BlockSpec((1, BC, 1), rev_x, memory_space=pltpu.VMEM)
     else:
-        # S == 2: padded arrays have T+2 rows; block r needs window
-        # [t0, t0+3] where t0 = T-2-2r. We pass h_pad with a 2-row block at
-        # element offset t0 (block index (T-2-2r)/2 = n_blocks-1-r) and c_pad
-        # with TWO 2-row blocks: [t0, t0+2) and [t0+2, t0+4); the kernel
-        # views them as a 4-row logical window.
+        # S >= 2: padded arrays have T+S rows; block r needs window
+        # [t0, t0+S] where t0 = T-(r+1)*S. We pass h_pad with an S-row block
+        # at element offset t0 (block index n_blocks-1-r) and c_pad with TWO
+        # S-row blocks: [t0, t0+S) and [t0+S, t0+2S); the kernel views them
+        # as an (S+1)-row logical window (only the first row of the upper
+        # block is consumed).
         blk = lambda bc, r: (n_blocks - 1 - r, bc, 0)    # noqa: E731
         blk1 = lambda bc, r: (n_blocks - r, bc, 0)       # noqa: E731
         in_specs = [
             pl.BlockSpec((H, H4), lambda bc, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BC, H), blk, memory_space=pltpu.VMEM),   # h_pad
-            pl.BlockSpec((2, BC, H), blk, memory_space=pltpu.VMEM),   # c lo
-            pl.BlockSpec((2, BC, H), blk1, memory_space=pltpu.VMEM),  # c hi
-            pl.BlockSpec((2, BC, H4), rev_x, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BC, H), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, BC, H), blk, memory_space=pltpu.VMEM),   # h_pad
+            pl.BlockSpec((S, BC, H), blk, memory_space=pltpu.VMEM),   # c lo
+            pl.BlockSpec((S, BC, H), blk1, memory_space=pltpu.VMEM),  # c hi
+            pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, BC, H), rev_x, memory_space=pltpu.VMEM),
         ]
         args = [w_arg, h_pad, c_pad, c_pad, x_proj, g]
-        kernel = functools.partial(_bwd_kernel_s2, bf16_matmul=bf16_matmul,
+        kernel = functools.partial(_bwd_kernel_blocked, steps=S,
+                                   bf16_matmul=bf16_matmul,
                                    with_mask=mask is not None,
                                    emit_dw=emit_dw)
-        mask_spec = pl.BlockSpec((2, BC, 1), rev_x, memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((S, BC, 1), rev_x, memory_space=pltpu.VMEM)
 
     if mask is not None:
         in_specs.append(mask_spec)
@@ -794,17 +807,17 @@ def _bwd_kernel_s1(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref,
         dwh_acc_ref[:] += dwh
 
 
-def _bwd_kernel_s2(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
-                   g_ref, *refs, bf16_matmul: bool, with_mask: bool,
-                   emit_dw: bool = True):
-    """Two time steps per block, processed high-to-low.
+def _bwd_kernel_blocked(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
+                        g_ref, *refs, steps: int, bf16_matmul: bool,
+                        with_mask: bool, emit_dw: bool = True):
+    """`steps` time steps per block, processed high-to-low.
 
-    Windows (element offsets into the double-padded state arrays, t0 = lower
-    time of the block): h_pad block = [pad[t0], pad[t0+1]] = [h_{t0-1},
-    h_{t0}]; c_lo = [c_{t0-1}, c_{t0}]; c_hi = [c_{t0+1}, c_{t0+2}]... wait:
-    pad[k] = state_{k-1} with one leading zero; blocks are chosen in _bwd_seq
-    so that for local step s in {0,1}: h_prev_s = h_pad_ref[s],
-    c_prev_s = c_lo_ref[s], c_t for s=0 is c_lo_ref[1], for s=1 is c_hi_ref[0].
+    Windows (element offsets into the padded state arrays, pad[k] =
+    state_{k-1} with one leading zero row; t0 = lowest time of the block):
+    blocks are chosen in _bwd_seq so that for local step s in [0, steps):
+    h_prev_s = h_pad_ref[s], c_prev_s = c_lo_ref[s], and c_t is
+    c_lo_ref[s+1] for s < steps-1, else c_hi_ref[0] (the next S-aligned
+    block up — only its first row is consumed).
     """
     mask_ref = None
     if with_mask:
@@ -840,8 +853,8 @@ def _bwd_kernel_s2(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
     H = dh_ref.shape[-1]
     w_mm = w.astype(jnp.bfloat16) if bf16_matmul else w
 
-    for s in (1, 0):
-        c_t = c_hi_ref[0] if s == 1 else c_lo_ref[1]
+    for s in reversed(range(steps)):
+        c_t = c_hi_ref[0] if s == steps - 1 else c_lo_ref[s + 1]
         valid = mask_ref[s] if mask_ref is not None else None
         dgates, dh_new, dc_new, dwh = _bwd_step(
             w_mm, h_pad_ref[s], c_lo_ref[s], c_t, x_proj_ref[s], g_ref[s],
