@@ -62,6 +62,77 @@ def _measure_train(jax, jnp, cfg, lm_cfg, rng):
     return TRAIN_B * TRAIN_T / dt, dt
 
 
+def _measure_full_recipe(jax, jnp, rng):
+    """The full Interspeech-2017 recipe step costs: multitask ASR step
+    (char + phone aux decoder on encoder depth 3) and the interleaved LM
+    step, blended at the reference's lm_prob=0.1 coin
+    (/root/reference/train.py:269, main.py:89-93). Closes the round-1
+    review note that the headline step omitted these tasks."""
+    from __graft_entry__ import _batch
+    from e2e_asr_tpu.config import (DecoderConfig, EncoderConfig, LMConfig,
+                                    Seq2SeqConfig)
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.train import step as step_lib
+
+    PHONE_VOCAB, LM_PROB = 44, 0.1
+    dec = dict(hidden_size_dec=256, emb_size=256, lm_hidden_size=256,
+               attention_vec_size=128, max_output=120)
+    cfg = Seq2SeqConfig(
+        tasks=["char", "phone"],
+        num_layers={"char": 4, "phone": 3},
+        max_output={"char": 120, "phone": 120},
+        encoder=EncoderConfig(hidden_size=256),
+        decoders={"char": DecoderConfig(vocab_size=VOCAB, **dec),
+                  # aux tasks are forced to 1 decoder layer (main.py:127-131)
+                  "phone": DecoderConfig(vocab_size=PHONE_VOCAB, **dec)},
+        feat_length=FEAT)
+    lm_cfg = LMConfig(vocab_size=VOCAB)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    asr_step, lm_step = step_lib.make_train_step(cfg, lm_cfg,
+                                                 compute_dtype=jnp.bfloat16)
+    asr_step = jax.jit(asr_step, donate_argnums=0)
+    lm_step = jax.jit(lm_step, donate_argnums=0)
+    batch = _batch(rng, B=TRAIN_B, T=TRAIN_T, feat=FEAT, L=TRAIN_L,
+                   vocab=VOCAB)
+    ids = rng.integers(3, PHONE_VOCAB, size=(TRAIN_B, TRAIN_L)).astype(np.int32)
+    ids[:, 0] = 1
+    batch["phone"] = jnp.asarray(ids)
+    batch["phone_len"] = jnp.full((TRAIN_B,), TRAIN_L - 1, jnp.int32)
+    # LM ids are time-major [T, B] (rnn_lm.apply; train/loop.py ships .T).
+    lm_ids = rng.integers(3, VOCAB, size=(TRAIN_L, TRAIN_B)).astype(np.int32)
+    lm_ids[0, :] = 1
+    lm_ids = jnp.asarray(lm_ids)
+    lm_len = jnp.full((TRAIN_B,), TRAIN_L - 1, jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    state, m = asr_step(state, batch, key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state, m = asr_step(state, batch, key)
+    float(m["loss"])
+    t_mt = (time.perf_counter() - t0) / 10
+
+    state, m = lm_step(state, lm_ids, lm_len, key)
+    float(m["lm_loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state, m = lm_step(state, lm_ids, lm_len, key)
+    float(m["lm_loss"])
+    t_lm = (time.perf_counter() - t0) / 10
+
+    blended = ((1 - LM_PROB) * TRAIN_B * TRAIN_T
+               / ((1 - LM_PROB) * t_mt + LM_PROB * t_lm))
+    return {
+        "multitask_step_ms": t_mt * 1e3,
+        "lm_step_ms": t_lm * 1e3,
+        "lm_prob": LM_PROB,
+        "phone_vocab": PHONE_VOCAB,
+        "frames_per_sec_blended": blended,
+    }
+
+
 def _measure_driver(jax, jnp):
     """Driver-level frames/sec on a synthetic bucket-0 corpus through the
     real Trainer data path."""
@@ -154,6 +225,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     frames_per_sec, train_dt = _measure_train(jax, jnp, cfg, lm_cfg, rng)
+    full_recipe = _measure_full_recipe(jax, jnp, rng)
     driver_fps = _measure_driver(jax, jnp)
     decode_rows = _measure_decode(jax, jnp, cfg, rng)
 
@@ -162,6 +234,7 @@ def main() -> None:
         "train_step_ms": train_dt * 1e3,
         "train_shape": {"B": TRAIN_B, "T": TRAIN_T, "feat": FEAT,
                         "L": TRAIN_L, "vocab": VOCAB},
+        "full_recipe": full_recipe,
         "driver_frames_per_sec": driver_fps,
         "driver_over_step_ratio": driver_fps / frames_per_sec,
         "driver_note": (
