@@ -181,28 +181,26 @@ def step(params: dict, cfg: DecoderConfig, ctx: AttnContext, state: DecState,
     return DecState(new_cell_states, new_lm_state, context, alpha), logits
 
 
-def apply_train(params: dict, cfg: DecoderConfig, dec_inputs: Array,
-                enc_states: Array, enc_lens: Array, *, rng: Array,
-                compute_dtype=None) -> Array:
-    """Teacher-forced training pass with scheduled sampling.
+def train_noise(rng: Array, cfg: DecoderConfig, steps: int, B: int):
+    """Pre-sampled randomness for one training pass, shared verbatim by the
+    XLA scan and the fused Pallas kernel (ops/dec_train_pallas.py) so the two
+    paths are exactly parity-testable.
 
-    dec_inputs: [T, B] time-major ids starting with <go>.
-    Returns logits [T-1, B, V] (logits[t] predicts dec_inputs[t+1]).
-    """
-    T, B = dec_inputs.shape
-    steps = T - 1
-    emb = params["embedding"]
-    emb_inputs = emb[dec_inputs]                      # [T, B, emb]
-
-    ctx = make_attn_context(params, enc_states, enc_lens,
-                            compute_dtype=compute_dtype)
-    state0 = zero_state(cfg, B, ctx)
-
+    Returns (sample_flags [steps] f32 0/1, gumbel [steps, B, V],
+             lm_masks, inter_masks). Sampling is gumbel-max:
+    argmax(logits + gumbel) ~ categorical(logits) — the same distribution
+    tf.multinomial draws from (reference attn_decoder.py:132-139, one coin
+    per step for the whole batch)."""
     rng_coin, rng_samp, rng_drop = jax.random.split(rng, 3)
-    # One scheduled-sampling coin per step for the whole batch
-    # (attn_decoder.py:132-139).
-    coins = jax.random.uniform(rng_coin, (steps,))
-    samp_keys = jax.random.split(rng_samp, steps)
+    if cfg.samp_prob > 0:
+        coins = jax.random.uniform(rng_coin, (steps,))
+        flags = (coins >= 1.0 - cfg.samp_prob).astype(jnp.float32)
+        u = jax.random.uniform(rng_samp, (steps, B, cfg.vocab_size),
+                               minval=1e-20, maxval=1.0)
+        gumbel = -jnp.log(-jnp.log(u))
+    else:
+        flags = jnp.zeros((steps,), jnp.float32)
+        gumbel = jnp.zeros((steps, B, cfg.vocab_size), jnp.float32)
     use_drop = cfg.out_prob_dec < 1.0
     if use_drop:
         keep = cfg.out_prob_dec
@@ -218,23 +216,52 @@ def apply_train(params: dict, cfg: DecoderConfig, dec_inputs: Array,
         lm_masks = jnp.ones((steps, 1, 1))
         inter_masks = tuple(jnp.ones((steps, 1, 1))
                             for _ in range(cfg.num_layers_dec - 1))
+    return flags, gumbel, lm_masks, inter_masks
+
+
+def apply_train(params: dict, cfg: DecoderConfig, dec_inputs: Array,
+                enc_states: Array, enc_lens: Array, *, rng: Array,
+                compute_dtype=None) -> Array:
+    """Teacher-forced training pass with scheduled sampling.
+
+    dec_inputs: [T, B] time-major ids starting with <go>.
+    Returns logits [T-1, B, V] (logits[t] predicts dec_inputs[t+1]).
+    """
+    T, B = dec_inputs.shape
+    steps = T - 1
+    emb = params["embedding"]
+    emb_inputs = emb[dec_inputs]                      # [T, B, emb]
+
+    flags, gumbel, lm_masks, inter_masks = train_noise(rng, cfg, steps, B)
+    use_drop = cfg.out_prob_dec < 1.0
+
+    from e2e_asr_tpu.core.rnn import use_pallas_lstm
+    from e2e_asr_tpu.ops import dec_train_pallas as dtp
+    if (use_pallas_lstm() and dtp.supported(cfg, params)
+            and dtp.fits(steps, B, enc_states.shape[1], params)):
+        return dtp.apply_train_fused(
+            params, cfg, emb_inputs, enc_states, enc_lens, flags, gumbel,
+            lm_masks if use_drop else None, compute_dtype=compute_dtype)
+
+    ctx = make_attn_context(params, enc_states, enc_lens,
+                            compute_dtype=compute_dtype)
+    state0 = zero_state(cfg, B, ctx)
 
     def scan_step(carry, xs):
         state, lm_input = carry
-        gt_next, coin, samp_key, lm_m, inter_m = xs
+        gt_next, flag, gum, lm_m, inter_m = xs
         new_state, logits = step(params, cfg, ctx, state, lm_input,
                                  lm_drop_mask=lm_m if use_drop else None,
                                  inter_drop_masks=inter_m if use_drop else None,
                                  compute_dtype=compute_dtype)
         if cfg.samp_prob > 0:
-            sampled = jax.random.categorical(samp_key, logits, axis=-1)
-            next_input = jnp.where(coin < 1.0 - cfg.samp_prob,
-                                   gt_next, emb[sampled])
+            sampled = jnp.argmax(logits + gum, axis=-1)
+            next_input = jnp.where(flag < 0.5, gt_next, emb[sampled])
         else:
             next_input = gt_next
         return (new_state, next_input), logits
 
-    xs = (emb_inputs[1:], coins, samp_keys, lm_masks, inter_masks)
+    xs = (emb_inputs[1:], flags, gumbel, lm_masks, inter_masks)
     (_, _), logits = jax.lax.scan(scan_step, (state0, emb_inputs[0]), xs)
     return logits
 
