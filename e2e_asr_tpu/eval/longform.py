@@ -1,0 +1,120 @@
+"""Long-form (chunked) inference — a TPU-native extension beyond the
+reference's scope.
+
+The reference caps utterances at the bucketed SWBD lengths (train.py:44)
+and decodes at most 120 characters (beam_search.py:269); long-form audio
+(minutes) has no path. Here the feature sequence is chunked into fixed
+windows with symmetric context margins, the encoder runs ONCE batched over
+the chunks (static shapes; the chunk axis is an ordinary batch axis, so it
+also shards across a device mesh like any batch), the margins are trimmed
+from each chunk's top-layer attention states, the trimmed pieces are
+stitched along time, and the attention decoder runs over the stitched
+states with a proportionally raised step cap.
+
+The BiLSTM recurrence is local to each chunk (the margin frames provide
+cross-chunk acoustic context) — the standard chunked-streaming
+approximation for recurrent encoders; SURVEY.md section 5 names this the
+natural long-context extension. Accuracy vs the monolithic pass is pinned
+by tests/test_longform.py on synthetic speech.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_tpu.config import BeamConfig, Seq2SeqConfig
+from e2e_asr_tpu.models import encoder as encoder_lib
+from e2e_asr_tpu.models import seq2seq
+
+Array = jax.Array
+
+
+def reduction_factor(cfg: Seq2SeqConfig, task: str = "char") -> int:
+    """Total time reduction of the attention states the task reads:
+    initial_res_fac x skip_step per pyramid reduction before that depth
+    (encoder.layer_plan mirrors encoder.py:172)."""
+    depth = cfg.num_layers[task]
+    max_depth = max(cfg.num_layers.values())
+    plan = encoder_lib.layer_plan(cfg.encoder, max_depth)
+    r = cfg.encoder.initial_res_fac
+    for i in range(depth - 1):
+        if plan[i]:
+            r *= cfg.encoder.skip_step
+    return r
+
+
+def chunk_features(feats: Array, window: int, margin: int
+                   ) -> tuple[Array, Array, int]:
+    """[T, F] -> ([N, margin+window+margin, F], [N] true lengths, N).
+
+    Chunks hop by `window`; each carries `margin` context frames on both
+    sides (zeros beyond the signal). Lengths count margin + valid main
+    frames + trailing context, so the encoder's masking sees real audio
+    as valid and the synthetic zero padding as padding.
+    """
+    T, F = feats.shape
+    n = max(1, math.ceil(T / window))
+    padded = jnp.pad(feats, ((margin, n * window + margin - T), (0, 0)))
+    chunks = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(padded, i * window,
+                                     window + 2 * margin, axis=0)
+        for i in range(n)])
+    main = [min(window, T - i * window) for i in range(n)]
+    trail = [min(margin, T - (i * window + main[i])) for i in range(n)]
+    lens = jnp.asarray([margin + main[i] + trail[i] for i in range(n)],
+                       jnp.int32)
+    return chunks, lens, n
+
+
+def encode_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
+                    window: int = 512, margin: int = 64,
+                    compute_dtype=None) -> tuple[Array, Array]:
+    """Chunked encoder pass over one long utterance.
+
+    feats: [T, F] log-mel frames. window/margin must be multiples of the
+    pyramid reduction factor so margins trim to whole encoder frames.
+    Returns (enc_states [1, T_out, H_enc], enc_len [1]).
+    """
+    r = reduction_factor(cfg)
+    if window % r or margin % r:
+        raise ValueError(f"window/margin must be multiples of the pyramid "
+                         f"reduction factor {r}: got {window}/{margin}")
+    T = feats.shape[0]
+    chunks, lens, n = chunk_features(feats, window, margin)
+    attn_states, _, enc_lens = seq2seq.encode(
+        params, cfg, chunks, lens, train=False, compute_dtype=compute_dtype)
+    depth = cfg.num_layers["char"]
+    states = attn_states[depth]                       # [N, W', H_enc]
+    m_out = margin // r
+    pieces = []
+    for i in range(n):
+        main = min(window, T - i * window)
+        n_out = math.ceil(main / r)
+        pieces.append(states[i, m_out:m_out + n_out])
+    stitched = jnp.concatenate(pieces, axis=0)[None]  # [1, T_out, H_enc]
+    return stitched, jnp.asarray([stitched.shape[1]], jnp.int32)
+
+
+def transcribe_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
+                        beam_cfg: BeamConfig | None = None,
+                        window: int = 512, margin: int = 64,
+                        max_steps: int | None = None, compute_dtype=None,
+                        lm_params: dict | None = None) -> Array:
+    """Long-form decode: chunked encoder + beam search over the stitched
+    states. Returns token ids [steps] (int32, <pad> after <eos>)."""
+    from e2e_asr_tpu.eval.beam import beam_decode
+
+    enc, enc_len = encode_longform(params, cfg, feats, window=window,
+                                   margin=margin, compute_dtype=compute_dtype)
+    if max_steps is None:
+        # ~8 input frames per character (encoder.py:171) and the default
+        # pyramid reduces 8x, so ~1 char per encoder frame; leave slack.
+        max_steps = int(enc.shape[1] * 1.3) + 16
+    import dataclasses
+    bc = dataclasses.replace(beam_cfg or BeamConfig(), max_steps=max_steps)
+    tokens, lens, _ = beam_decode(params["decoder_char"],
+                                  cfg.decoders["char"], bc, enc, enc_len,
+                                  lm_params=lm_params)
+    return tokens[0][:int(lens[0])]

@@ -1,0 +1,105 @@
+"""Long-form WAV transcription CLI (serving entry point).
+
+End-to-end: WAV -> on-device log-mel frontend -> chunked long-form encoder
+(eval/longform.py: windows with context margins, one batched encoder pass,
+stitched attention states) -> on-device beam search with a
+length-proportional step cap -> detokenized transcript.
+
+The reference has no serving path at all — its eval harness requires a
+TFRecord dataset and caps decodes at 120 characters
+(/root/reference/eval_model.py:155-197, beam_search.py:269). This tool
+transcribes arbitrarily long audio with the same flags as the training CLI
+(model shape is read from the run-dir checkpoint's configuration flags).
+
+Usage:
+    python -m e2e_asr_tpu.tools.transcribe audio.wav [audio2.wav ...] \
+        -vocab_dir VOCAB -tb_dir MODELS [-run_id N ...model flags...] \
+        [-window 512 -margin 64] [-beam_size 4] [-ckpt file.npz]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import sys
+from os import path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from e2e_asr_tpu import config as config_lib
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("wavs", nargs="+", help="WAV file(s) to transcribe")
+    parser.add_argument("-window", type=int, default=512,
+                        help="chunk window in frames (multiple of the "
+                             "pyramid reduction)")
+    parser.add_argument("-margin", type=int, default=64,
+                        help="context margin frames on each side of a chunk")
+    parser.add_argument("-ckpt", type=str, default="",
+                        help="explicit checkpoint file (else best/latest "
+                             "from the run dir)")
+    config_lib.add_parse_options(parser)
+    return parser
+
+
+def main(argv=None) -> list[str]:
+    import jax
+    import jax.numpy as jnp
+
+    from e2e_asr_tpu import config as config_lib
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.data.audio import read_wav
+    from e2e_asr_tpu.eval import longform
+    from e2e_asr_tpu.frontend.logmel import featurize_utterance
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.train import step as step_lib
+
+    args = vars(build_parser().parse_args(argv))
+    wavs, window, margin = args.pop("wavs"), args.pop("window"), args.pop("margin")
+    ckpt_file = args.pop("ckpt")
+
+    _, rev_vocab = text.initialize_vocabulary(
+        path.join(args["vocab_dir"], "char.vocab"))
+    cfg = config_lib.process_args(args, {"char": len(rev_vocab)})
+    tc = cfg.train
+
+    params = seq2seq.init(jax.random.PRNGKey(10), cfg.model)
+    if ckpt_file:
+        state = step_lib.create_state(params, cfg.model, cfg.lm)
+        state = ckpt_lib.restore(ckpt_file, state)
+        params, ckpt_path = state.params, ckpt_file
+    else:
+        state = step_lib.create_state(params, cfg.model, cfg.lm)
+        ckpt_path = None
+        for d in (tc.best_model_dir, tc.train_dir):
+            found = ckpt_lib.latest_path(d)
+            if found:
+                ckpt_path = found[0]
+                state = ckpt_lib.restore(ckpt_path, state)
+                break
+        params = state.params
+    print(f"Using the model from: {ckpt_path}")
+
+    compute_dtype = (jnp.bfloat16 if tc.compute_dtype == "bfloat16" else None)
+    out = []
+    for pattern in wavs:
+        for wav in sorted(glob.glob(pattern)) or [pattern]:
+            wave, sr = read_wav(wav)
+            wave_f32 = wave.astype(np.float32) / 32768.0
+            feats = featurize_utterance(wave_f32, sample_rate=sr,
+                                        n_mels=cfg.model.feat_length)
+            ids = longform.transcribe_longform(
+                params, cfg.model, jnp.asarray(feats),
+                beam_cfg=cfg.beam, window=window, margin=margin,
+                compute_dtype=compute_dtype)
+            sent = text.ids_to_sentence(np.asarray(ids), rev_vocab)
+            dur = len(wave_f32) / sr
+            print(f"{wav}\t({dur:.1f}s, {feats.shape[0]} frames)\t{sent}")
+            out.append(sent)
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,112 @@
+"""Long-form chunked inference (eval/longform.py).
+
+Exactness contracts:
+- a single chunk covering the whole signal reproduces the monolithic
+  encoder pass bit-for-bit (same computation modulo masked padding);
+- with the recurrent weights zeroed the encoder is a local function of
+  aligned frame groups, so ANY chunking must match the monolithic pass
+  exactly — this pins the margin-trim/stitch indexing.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.config import (BeamConfig, DecoderConfig, EncoderConfig,
+                                Seq2SeqConfig)
+from e2e_asr_tpu.eval import longform
+from e2e_asr_tpu.models import seq2seq
+
+
+def tiny_cfg(layers=3):
+    return Seq2SeqConfig(
+        tasks=["char"],
+        num_layers={"char": layers},
+        max_output={"char": 30},
+        encoder=EncoderConfig(hidden_size=8),
+        decoders={"char": DecoderConfig(
+            hidden_size_dec=8, emb_size=8, vocab_size=11, lm_hidden_size=8,
+            attention_vec_size=8, max_output=30, samp_prob=0.0,
+            out_prob_dec=1.0)},
+        feat_length=6)
+
+
+def test_reduction_factor_default_flagship():
+    cfg = Seq2SeqConfig(tasks=["char"], num_layers={"char": 4},
+                        max_output={"char": 120},
+                        encoder=EncoderConfig(hidden_size=8),
+                        decoders={"char": DecoderConfig(vocab_size=11)},
+                        feat_length=6)
+    assert longform.reduction_factor(cfg) == 8   # encoder.py:171 rationale
+    cfg3 = dataclasses.replace(cfg, num_layers={"char": 3})
+    assert longform.reduction_factor(cfg3) == 4
+
+
+def test_single_chunk_matches_monolithic():
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    T = 40
+    feats = jax.random.normal(jax.random.PRNGKey(1), (T, cfg.feat_length))
+    r = longform.reduction_factor(cfg)
+
+    enc, enc_len = longform.encode_longform(params, cfg, feats,
+                                            window=48, margin=0)
+    full_states, _, full_lens = seq2seq.encode(
+        params, cfg, feats[None], jnp.asarray([T]), train=False)
+    depth = cfg.num_layers["char"]
+    n_out = int(full_lens[depth][0])
+    assert int(enc_len[0]) == -(-T // r) == n_out
+    np.testing.assert_allclose(np.asarray(enc[0, :n_out]),
+                               np.asarray(full_states[depth][0, :n_out]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def _zero_recurrence(params):
+    """Make every encoder cell memoryless: zero the recurrent weight block
+    AND drive the forget gate to 0 (c would otherwise still carry across
+    time through c_{t-1}*sigmoid(f+1)). The encoder then is a local function
+    of aligned frame groups."""
+    import copy
+    p = copy.deepcopy(params)
+    for name, layer in p["encoder"].items():
+        for d in layer.values():                      # fw / bw
+            H = d["bias"].shape[0] // 4
+            in_dim = d["kernel"].shape[0] - H
+            d["kernel"] = d["kernel"].at[in_dim:].set(0.0)
+            d["bias"] = d["bias"].at[2 * H:3 * H].set(-1e4)
+    return p
+
+
+def test_multi_chunk_stitching_exact_with_local_encoder():
+    cfg = tiny_cfg()
+    params = _zero_recurrence(seq2seq.init(jax.random.PRNGKey(2), cfg))
+    r = longform.reduction_factor(cfg)
+    T = 100                                           # spans 3+ chunks
+    feats = jax.random.normal(jax.random.PRNGKey(3), (T, cfg.feat_length))
+
+    enc, enc_len = longform.encode_longform(params, cfg, feats,
+                                            window=8 * r, margin=2 * r)
+    full_states, _, full_lens = seq2seq.encode(
+        params, cfg, feats[None], jnp.asarray([T]), train=False)
+    depth = cfg.num_layers["char"]
+    n_out = int(enc_len[0])
+    assert n_out == int(full_lens[depth][0])
+    np.testing.assert_allclose(np.asarray(enc[0, :n_out]),
+                               np.asarray(full_states[depth][0, :n_out]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_transcribe_longform_shapes_and_cap():
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(4), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(5), (90, cfg.feat_length))
+    ids = longform.transcribe_longform(
+        params, cfg, feats, window=8 * longform.reduction_factor(cfg),
+        margin=0, beam_cfg=BeamConfig(beam_size=2), max_steps=17)
+    assert ids.ndim == 1 and ids.shape[0] <= 17
+
+    # window/margin must be multiples of the reduction factor
+    import pytest
+    with pytest.raises(ValueError):
+        longform.encode_longform(params, cfg, feats, window=7, margin=0)
