@@ -21,7 +21,9 @@ from typing import Any
 
 @dataclass
 class EncoderConfig:
-    """Pyramidal (Bi)LSTM/GRU encoder (reference encoder.py:18-31)."""
+    """Pyramidal (Bi)LSTM/GRU encoder (reference encoder.py:18-31), or the
+    Transformer family (models/transformer_encoder.py, encoder_type
+    "transformer" — an extension with no reference counterpart)."""
     bi_dir: bool = True
     hidden_size: int = 256
     out_prob: float = 0.9            # dropout keep prob
@@ -30,6 +32,10 @@ class EncoderConfig:
     use_lstm: bool = True
     stack_cons: int = 1              # frame stacking at input
     max_scaling_down: int = 8        # max total time reduction
+    encoder_type: str = "rnn"        # "rnn" | "transformer"
+    num_heads: int = 4               # transformer only
+    ffn_mult: int = 4                # transformer only
+    subsample: int = 8               # transformer input stack-subsampling
 
 
 @dataclass
@@ -155,7 +161,12 @@ def get_run_dir_name(opts: dict[str, Any]) -> str:
     skip_string = ""
     if opts["skip_step"] != 1:
         skip_string = "skip_" + str(opts["skip_step"]) + "_"
-    return (skip_string + num_layer_string +
+    # Extension: the transformer encoder family gets its own run-dir prefix
+    # (the reference scheme has no such knob; RNN runs keep identical names).
+    xfmr_string = ""
+    if opts.get("encoder_type", "rnn") == "transformer":
+        xfmr_string = "xfmr_" + str(opts.get("num_heads", 4)) + "h_"
+    return (xfmr_string + skip_string + num_layer_string +
             ("lstm_" if opts["use_lstm"] else "") +
             (("stack_" + str(opts["stack_cons"]) + "_")
              if opts["stack_cons"] > 1 else "") +
@@ -198,6 +209,12 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-init_res_fac", "--initial_res_fac", default=1, type=int)
     parser.add_argument("-stack_cons", default=1, type=int)
     parser.add_argument("-max_scaling_down", default=8, type=int)
+    # Transformer encoder family (extension; models/transformer_encoder.py)
+    parser.add_argument("-encoder_type", "--encoder_type", default="rnn",
+                        type=str, choices=["rnn", "transformer"])
+    parser.add_argument("-num_heads", "--num_heads", default=4, type=int)
+    parser.add_argument("-ffn_mult", "--ffn_mult", default=4, type=int)
+    parser.add_argument("-enc_subsample", "--subsample", default=8, type=int)
     # Decoder (decoder.py:182-193, attn_decoder.py:174-186)
     parser.add_argument("-hsize_dec", "--hidden_size_dec", default=256, type=int)
     parser.add_argument("-emb_size", "--emb_size", default=256, type=int)

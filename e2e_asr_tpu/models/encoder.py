@@ -62,6 +62,9 @@ def layer_input_dims(cfg: EncoderConfig, max_depth: int, feat_dim: int) -> list[
 
 
 def init(key: Array, cfg: EncoderConfig, max_depth: int, feat_dim: int) -> dict:
+    if cfg.encoder_type == "transformer":
+        from e2e_asr_tpu.models import transformer_encoder
+        return transformer_encoder.init(key, cfg, max_depth, feat_dim)
     params = {}
     dims = layer_input_dims(cfg, max_depth, feat_dim)
     cell = "lstm" if cfg.use_lstm else "gru"
@@ -106,6 +109,11 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
          time_major_states {depth: [T_d, B, H_out]},
          seq_lens {depth: [B]})
     """
+    if cfg.encoder_type == "transformer":
+        from e2e_asr_tpu.models import transformer_encoder
+        return transformer_encoder.apply(params, cfg, x, seq_len, num_layers,
+                                         train=train, rng=rng,
+                                         compute_dtype=compute_dtype)
     max_depth = max(num_layers.values())
     want_attn = {d for t, d in num_layers.items() if t != "state"}
     want_time_major = {d for t, d in num_layers.items() if t == "state"}

@@ -1,0 +1,150 @@
+"""Self-attention (Transformer) encoder family — a TPU-first alternative to
+the reference's pyramidal BiLSTM encoder (encoder.py), selected with
+`EncoderConfig.encoder_type = "transformer"`.
+
+Rationale: the recurrent encoder's per-step [B,H]x[H,4H] matmuls are
+latency-bound on the MXU (see VALIDATION.md); a Transformer's batched
+[B,T,D] matmuls tile onto the systolic array with no sequential dependency,
+so it trains far closer to the chip's FLOP roofline and scales to deeper /
+wider configurations without custom kernels. Sequence length is tamed the
+same way the pyramid does it: one stack-and-project subsampling stage (the
+pyramid_reduce reshape from the RNN encoder, default 8x — "roughly 8 frames
+per character", reference encoder.py:171) before the attention blocks.
+
+Drop-in API parity with models/encoder.py: same init/apply signatures, same
+(attention_states, time_major_states, seq_lens) per-depth returns with
+depth d = output of block d, so the multitask decoders, the CTC/hybrid
+families, long-form chunked inference, checkpointing, and the parallelism
+layer all work unchanged. d_model = hidden_size * (2 if bi_dir else 1) so
+downstream attention sizes match the RNN encoder exactly.
+
+Pre-LN blocks, sinusoidal positions, masked softmax over padded frames,
+residual dropout at 1 - out_prob (training only).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.config import EncoderConfig
+from e2e_asr_tpu.core.layers import dense, dense_params, dropout
+
+Array = jax.Array
+
+
+def d_model(cfg: EncoderConfig) -> int:
+    return cfg.hidden_size * (2 if cfg.bi_dir else 1)
+
+
+def init(key: Array, cfg: EncoderConfig, max_depth: int, feat_dim: int) -> dict:
+    D = d_model(cfg)
+    F_in = feat_dim * cfg.stack_cons * cfg.subsample
+    ks = iter(jax.random.split(key, 2 + 6 * max_depth))
+    params: dict = {"input_proj": dense_params(next(ks), F_in, D)}
+    for i in range(1, max_depth + 1):
+        params[f"block_{i}"] = {
+            "ln1": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+            "qkv": dense_params(next(ks), D, 3 * D),
+            "attn_out": dense_params(next(ks), D, D),
+            "ln2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+            "ffn1": dense_params(next(ks), D, cfg.ffn_mult * D),
+            "ffn2": dense_params(next(ks), cfg.ffn_mult * D, D),
+        }
+    params["ln_out"] = {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}
+    return params
+
+
+def _layer_norm(p: dict, x: Array, eps: float = 1e-6) -> Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _sinusoidal(T: int, D: int) -> np.ndarray:
+    pos = np.arange(T)[:, None]
+    dim = np.arange(D // 2)[None, :]
+    angle = pos / np.power(10000.0, 2 * dim / D)
+    pe = np.zeros((T, D), np.float32)
+    pe[:, 0::2] = np.sin(angle)
+    pe[:, 1::2] = np.cos(angle)
+    return pe
+
+
+def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
+          compute_dtype=None) -> Array:
+    B, T, D = h.shape
+    hd = D // num_heads
+    qkv = dense(p["qkv"], h, compute_dtype=compute_dtype)     # [B,T,3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    shp = lambda x: x.reshape(B, T, num_heads, hd).transpose(0, 2, 1, 3)
+    q, k, v = shp(q), shp(k), shp(v)                          # [B,nh,T,hd]
+    if compute_dtype is not None:
+        q, k, v = (x.astype(compute_dtype) for x in (q, k, v))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(hd)
+    a = jax.nn.softmax(s + bias, axis=-1)
+    if compute_dtype is not None:
+        a = a.astype(compute_dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", a, v,
+                   preferred_element_type=jnp.float32)
+    o = o.transpose(0, 2, 1, 3).reshape(B, T, D)
+    return dense(p["attn_out"], o, compute_dtype=compute_dtype)
+
+
+def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
+          num_layers: dict[str, int], *, train: bool = False,
+          rng: Array | None = None, compute_dtype=None,
+          ) -> tuple[dict[int, Array], dict[int, Array], dict[int, Array]]:
+    """Same contract as encoder.apply: x [B,T,F] (already frame-stacked),
+    returns per-depth (attention_states, time_major_states, seq_lens)."""
+    from e2e_asr_tpu.models.encoder import pyramid_reduce
+
+    max_depth = max(num_layers.values())
+    want_attn = {d for t, d in num_layers.items() if t != "state"}
+    want_tm = {d for t, d in num_layers.items() if t == "state"}
+
+    if cfg.subsample > 1:
+        x, lens = pyramid_reduce(x, seq_len, cfg.subsample)
+    else:
+        lens = seq_len.astype(jnp.int32)
+    B, T, _ = x.shape
+    D = d_model(cfg)
+    h = dense(params["input_proj"], x, compute_dtype=compute_dtype)
+    h = h + jnp.asarray(_sinusoidal(T, D))
+
+    valid = (jnp.arange(T)[None, :] < lens[:, None])          # [B,T]
+    attn_bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+    vmask = valid.astype(h.dtype)[:, :, None]
+
+    keep = cfg.out_prob if train else 1.0
+    drop_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    attn_states: dict[int, Array] = {}
+    time_major: dict[int, Array] = {}
+    seq_lens: dict[int, Array] = {}
+    for i in range(1, max_depth + 1):
+        blk = params[f"block_{i}"]
+        a = _mhsa(blk, _layer_norm(blk["ln1"], h), attn_bias,
+                  cfg.num_heads, compute_dtype=compute_dtype)
+        if train and keep < 1.0:
+            a = dropout(jax.random.fold_in(drop_rng, 2 * i), a, keep)
+        h = h + a
+        f = dense(blk["ffn2"],
+                  jax.nn.gelu(dense(blk["ffn1"],
+                                    _layer_norm(blk["ln2"], h),
+                                    compute_dtype=compute_dtype)),
+                  compute_dtype=compute_dtype)
+        if train and keep < 1.0:
+            f = dropout(jax.random.fold_in(drop_rng, 2 * i + 1), f, keep)
+        h = h + f
+        if i in want_attn or i in want_tm:
+            out = _layer_norm(params["ln_out"], h) * vmask
+            if i in want_attn:
+                attn_states[i] = out
+            if i in want_tm:
+                time_major[i] = jnp.transpose(out, (1, 0, 2))
+            seq_lens[i] = lens
+    return attn_states, time_major, seq_lens
