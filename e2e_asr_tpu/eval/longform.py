@@ -35,6 +35,8 @@ def reduction_factor(cfg: Seq2SeqConfig, task: str = "char") -> int:
     """Total time reduction of the attention states the task reads:
     initial_res_fac x skip_step per pyramid reduction before that depth
     (encoder.layer_plan mirrors encoder.py:172)."""
+    if cfg.encoder.encoder_type == "transformer":
+        return cfg.encoder.subsample      # constant rate across blocks
     depth = cfg.num_layers[task]
     max_depth = max(cfg.num_layers.values())
     plan = encoder_lib.layer_plan(cfg.encoder, max_depth)
@@ -106,6 +108,9 @@ def transcribe_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     states. Returns token ids [steps] (int32, <pad> after <eos>)."""
     from e2e_asr_tpu.eval.beam import beam_decode
 
+    # Checkpoint-restored trees carry NumPy leaves; beam_decode's traced
+    # while-body indexes the embedding with a tracer, which NumPy rejects.
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     enc, enc_len = encode_longform(params, cfg, feats, window=window,
                                    margin=margin, compute_dtype=compute_dtype)
     if max_steps is None:
@@ -118,3 +123,50 @@ def transcribe_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
                                   cfg.decoders["char"], bc, enc, enc_len,
                                   lm_params=lm_params)
     return tokens[0][:int(lens[0])]
+
+
+def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
+                         seg_enc_frames: int = 64,
+                         beam_cfg: BeamConfig | None = None,
+                         window: int = 512, margin: int = 64,
+                         compute_dtype=None,
+                         lm_params: dict | None = None) -> Array:
+    """Segmented long-form decode: chunked encoder, then beam-decode the
+    stitched states in SEGMENTS of seg_enc_frames encoder frames, all
+    segments batched into one beam_decode call, transcripts concatenated.
+
+    Whole-utterance attention decoding degrades far beyond the training
+    length distribution (measured on-chip: a model trained on <=14-token
+    utterances emits ~8 tokens then <eos> on 26+-token audio — the standard
+    LAS length-generalization failure). Segmenting keeps each decode within
+    the distribution; this is the production long-form recipe. A token
+    straddling a segment boundary may be split — align seg_enc_frames with
+    natural pauses where possible.
+
+    Returns concatenated token ids [total] (no <eos>/<pad> between segments).
+    """
+    import dataclasses
+
+    from e2e_asr_tpu.eval.beam import beam_decode
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    enc, enc_len = encode_longform(params, cfg, feats, window=window,
+                                   margin=margin, compute_dtype=compute_dtype)
+    total = int(enc_len[0])
+    n_seg = max(1, math.ceil(total / seg_enc_frames))
+    padded_T = n_seg * seg_enc_frames
+    enc_p = jnp.pad(enc[0], ((0, padded_T - enc.shape[1]), (0, 0)))
+    segs = enc_p[:padded_T].reshape(n_seg, seg_enc_frames, -1)
+    seg_lens = jnp.minimum(
+        jnp.maximum(total - jnp.arange(n_seg) * seg_enc_frames, 0),
+        seg_enc_frames).astype(jnp.int32)
+    max_steps = int(seg_enc_frames * 1.3) + 16
+    bc = dataclasses.replace(beam_cfg or BeamConfig(), max_steps=max_steps)
+    tokens, lens, _ = beam_decode(params["decoder_char"],
+                                  cfg.decoders["char"], bc, segs, seg_lens,
+                                  lm_params=lm_params)
+    out = []
+    for i in range(n_seg):
+        ids = tokens[i][:int(lens[i])]
+        out.append(ids[(ids > 2)])        # strip <pad>/<go>/<eos>
+    return jnp.concatenate(out) if out else jnp.zeros((0,), jnp.int32)

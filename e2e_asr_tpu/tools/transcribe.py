@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-ckpt", type=str, default="",
                         help="explicit checkpoint file (else best/latest "
                              "from the run dir)")
+    parser.add_argument("-segment", type=int, default=64,
+                        help="decode in segments of N encoder frames "
+                             "(keeps each decode within the training length "
+                             "distribution); 0 = one whole-utterance decode")
     config_lib.add_parse_options(parser)
     return parser
 
@@ -58,7 +62,7 @@ def main(argv=None) -> list[str]:
 
     args = vars(build_parser().parse_args(argv))
     wavs, window, margin = args.pop("wavs"), args.pop("window"), args.pop("margin")
-    ckpt_file = args.pop("ckpt")
+    ckpt_file, segment = args.pop("ckpt"), args.pop("segment")
 
     _, rev_vocab = text.initialize_vocabulary(
         path.join(args["vocab_dir"], "char.vocab"))
@@ -90,10 +94,17 @@ def main(argv=None) -> list[str]:
             wave_f32 = wave.astype(np.float32) / 32768.0
             feats = featurize_utterance(wave_f32, sample_rate=sr,
                                         n_mels=cfg.model.feat_length)
-            ids = longform.transcribe_longform(
-                params, cfg.model, jnp.asarray(feats),
-                beam_cfg=cfg.beam, window=window, margin=margin,
-                compute_dtype=compute_dtype)
+            if segment > 0:
+                ids = longform.transcribe_segmented(
+                    params, cfg.model, jnp.asarray(feats),
+                    seg_enc_frames=segment, beam_cfg=cfg.beam,
+                    window=window, margin=margin,
+                    compute_dtype=compute_dtype)
+            else:
+                ids = longform.transcribe_longform(
+                    params, cfg.model, jnp.asarray(feats),
+                    beam_cfg=cfg.beam, window=window, margin=margin,
+                    compute_dtype=compute_dtype)
             sent = text.ids_to_sentence(np.asarray(ids), rev_vocab)
             dur = len(wave_f32) / sr
             print(f"{wav}\t({dur:.1f}s, {feats.shape[0]} frames)\t{sent}")

@@ -99,7 +99,10 @@ def test_multi_chunk_stitching_exact_with_local_encoder():
 
 def test_transcribe_longform_shapes_and_cap():
     cfg = tiny_cfg()
-    params = seq2seq.init(jax.random.PRNGKey(4), cfg)
+    # NumPy leaves, as a checkpoint restore produces them (regression: the
+    # beam while-body must not index a NumPy embedding with a tracer).
+    params = jax.tree_util.tree_map(np.asarray,
+                                    seq2seq.init(jax.random.PRNGKey(4), cfg))
     feats = jax.random.normal(jax.random.PRNGKey(5), (90, cfg.feat_length))
     ids = longform.transcribe_longform(
         params, cfg, feats, window=8 * longform.reduction_factor(cfg),
@@ -110,3 +113,17 @@ def test_transcribe_longform_shapes_and_cap():
     import pytest
     with pytest.raises(ValueError):
         longform.encode_longform(params, cfg, feats, window=7, margin=0)
+
+
+def test_transcribe_segmented_batches_and_concatenates():
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(6), cfg)
+    r = longform.reduction_factor(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(7), (90, cfg.feat_length))
+    ids = longform.transcribe_segmented(
+        params, cfg, feats, seg_enc_frames=6, window=8 * r, margin=0,
+        beam_cfg=BeamConfig(beam_size=2))
+    assert ids.ndim == 1
+    # Segment caps bound the output: ceil(23/6)=4 segments, each <= 23 steps.
+    assert ids.shape[0] <= 4 * (int(6 * 1.3) + 16)
+    assert np.all(np.asarray(ids) > 2)    # specials stripped
