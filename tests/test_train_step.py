@@ -110,6 +110,39 @@ def test_data_model_sharded_step_matches_single_device(rng):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_data_parallel_step_transformer_encoder(rng):
+    """The transformer encoder family must run data-parallel on the mesh
+    with single-device-identical results (same contract as the RNN)."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(cfg, encoder=dataclasses.replace(
+        cfg.encoder, encoder_type="transformer", num_heads=2, ffn_mult=2,
+        subsample=4, out_prob=1.0))
+    params = seq2seq.init(jax.random.PRNGKey(1), cfg)
+    state = train_step_lib.create_state(params, cfg, _lm_cfg())
+    asr_step, _ = train_step_lib.make_train_step(cfg, _lm_cfg())
+
+    batch = make_batch(rng, cfg, B=8, T=12, T_dec=5)
+    batch["logmel_len"] = jnp.full((8,), 12)
+    for t in cfg.tasks:
+        batch[f"{t}_len"] = jnp.full((8,), 4)
+
+    s1, m1 = jax.jit(asr_step)(state, batch, jax.random.PRNGKey(7))
+    m = mesh_lib.make_mesh()
+    s8, m8 = jax.jit(asr_step)(mesh_lib.replicate(m, state),
+                               mesh_lib.shard_batch(m, batch),
+                               jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4, atol=1e-5)
+    # Adam normalizes near-zero grads, so cross-device reduction-order noise
+    # can flip an update's sign on dead biases (observed max 1.6e-4); the
+    # loose atol still catches structural DP errors (update scale is 1e-3).
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-4)
+
+
 def test_data_parallel_step_matches_single_device(rng):
     """The sharded step on an 8-device mesh must produce (numerically) the
     same loss and updated params as single-device execution."""
