@@ -133,6 +133,43 @@ def _measure_full_recipe(jax, jnp, rng):
     }
 
 
+def _measure_transformer(jax, jnp, rng):
+    """Train-step throughput for the Transformer encoder family (4 blocks,
+    d_model=512 — the drop-in alternative measured next to the RNN
+    flagship; VALIDATION.md)."""
+    import dataclasses
+
+    from __graft_entry__ import _batch, _model_cfg
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.train import step as step_lib
+
+    cfg = _model_cfg(vocab_size=VOCAB, feat=FEAT)
+    cfg = dataclasses.replace(cfg, encoder=dataclasses.replace(
+        cfg.encoder, encoder_type="transformer", num_heads=4, ffn_mult=4,
+        subsample=8))
+    lm_cfg = LMConfig(vocab_size=VOCAB)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    asr_step, _ = step_lib.make_train_step(cfg, lm_cfg,
+                                           compute_dtype=jnp.bfloat16)
+    asr_step = jax.jit(asr_step, donate_argnums=0)
+    batch = _batch(rng, B=TRAIN_B, T=TRAIN_T, feat=FEAT, L=TRAIN_L,
+                   vocab=VOCAB)
+    key = jax.random.PRNGKey(1)
+    state, m = asr_step(state, batch, key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(20):
+        state, m = asr_step(state, batch, key)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / 20
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    return {"step_ms": dt * 1e3, "frames_per_sec": TRAIN_B * TRAIN_T / dt,
+            "params": n_params, "blocks": 4, "d_model": 512}
+
+
 def _measure_driver(jax, jnp):
     """Driver-level frames/sec on a synthetic bucket-0 corpus through the
     real Trainer data path."""
@@ -226,6 +263,7 @@ def main() -> None:
 
     frames_per_sec, train_dt = _measure_train(jax, jnp, cfg, lm_cfg, rng)
     full_recipe = _measure_full_recipe(jax, jnp, rng)
+    transformer = _measure_transformer(jax, jnp, rng)
     driver_fps = _measure_driver(jax, jnp)
     decode_rows = _measure_decode(jax, jnp, cfg, rng)
 
@@ -235,6 +273,7 @@ def main() -> None:
         "train_shape": {"B": TRAIN_B, "T": TRAIN_T, "feat": FEAT,
                         "L": TRAIN_L, "vocab": VOCAB},
         "full_recipe": full_recipe,
+        "transformer_encoder": transformer,
         "driver_frames_per_sec": driver_fps,
         "driver_over_step_ratio": driver_fps / frames_per_sec,
         "driver_note": (

@@ -48,8 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from e2e_asr_tpu.ops.lstm_pallas import (VMEM_BUDGET_WIDE, _interpret,
-                                         _wide_params)
+from e2e_asr_tpu.ops.lstm_pallas import _interpret, _wide_params
 
 Array = jax.Array
 
