@@ -78,7 +78,7 @@ def launch_eval(cfg: ExperimentConfig) -> None:
     # Restore: prefer best_model_dir, else train_dir, else fresh init
     # (main.py:203-215).
     import jax
-    params = seq2seq.init(jax.random.PRNGKey(10), cfg.model)
+    params = step_lib.init_params(jax.random.PRNGKey(10), cfg.model)
     state = step_lib.create_state(params, cfg.model, cfg.lm)
     ckpt_path = None
     for d in (tc.best_model_dir, tc.train_dir):

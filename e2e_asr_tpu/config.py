@@ -80,6 +80,7 @@ class Seq2SeqConfig:
     max_gradient_norm: float = 5.0
     avg: bool = True                 # average loss across tasks
     label_smoothing: float = 0.0     # extension; 0.0 = reference behavior
+    ctc_weight: float = 0.0          # extension: hybrid CTC/attention when >0
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoders: dict[str, DecoderConfig] = field(default_factory=dict)
     feat_length: int = 80
@@ -166,6 +167,8 @@ def get_run_dir_name(opts: dict[str, Any]) -> str:
     xfmr_string = ""
     if opts.get("encoder_type", "rnn") == "transformer":
         xfmr_string = "xfmr_" + str(opts.get("num_heads", 4)) + "h_"
+    if opts.get("ctc_weight", 0.0) > 0:
+        xfmr_string += "ctc_w" + str(opts["ctc_weight"]) + "_"
     return (xfmr_string + skip_string + num_layer_string +
             ("lstm_" if opts["use_lstm"] else "") +
             (("stack_" + str(opts["stack_cons"]) + "_")
@@ -212,6 +215,10 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     # Transformer encoder family (extension; models/transformer_encoder.py)
     parser.add_argument("-encoder_type", "--encoder_type", default="rnn",
                         type=str, choices=["rnn", "transformer"])
+    parser.add_argument("-ctc_weight", "--ctc_weight", default=0.0,
+                        type=float,
+                        help="hybrid CTC/attention training weight "
+                             "(extension; 0 = pure attention, reference)")
     parser.add_argument("-num_heads", "--num_heads", default=4, type=int)
     parser.add_argument("-ffn_mult", "--ffn_mult", default=4, type=int)
     parser.add_argument("-enc_subsample", "--subsample", default=8, type=int)

@@ -57,7 +57,6 @@ def main(argv=None) -> list[str]:
     from e2e_asr_tpu.data.audio import read_wav
     from e2e_asr_tpu.eval import longform
     from e2e_asr_tpu.frontend.logmel import featurize_utterance
-    from e2e_asr_tpu.models import seq2seq
     from e2e_asr_tpu.train import step as step_lib
 
     args = vars(build_parser().parse_args(argv))
@@ -69,7 +68,7 @@ def main(argv=None) -> list[str]:
     cfg = config_lib.process_args(args, {"char": len(rev_vocab)})
     tc = cfg.train
 
-    params = seq2seq.init(jax.random.PRNGKey(10), cfg.model)
+    params = step_lib.init_params(jax.random.PRNGKey(10), cfg.model)
     if ckpt_file:
         state = step_lib.create_state(params, cfg.model, cfg.lm)
         state = ckpt_lib.restore(ckpt_file, state)

@@ -172,7 +172,7 @@ class Trainer:
         from e2e_asr_tpu.core import sharding as sharding_lib
         from e2e_asr_tpu.data.speech import prefetch
 
-        params = seq2seq.init(jax.random.PRNGKey(0), self.model_cfg)
+        params = step_lib.init_params(jax.random.PRNGKey(0), self.model_cfg)
         state = step_lib.create_state(params, self.model_cfg, self.lm_cfg)
         if self.mesh is not None:
             state = sharding_lib.place_state(state, self.mesh)
@@ -214,8 +214,8 @@ class Trainer:
         os.makedirs(tc.train_dir, exist_ok=True)
         os.makedirs(tc.best_model_dir, exist_ok=True)
 
-        params = seq2seq.init(jax.random.PRNGKey(10 if not tc.chaos
-                                                 else int(time.time())), cfg)
+        params = step_lib.init_params(
+            jax.random.PRNGKey(10 if not tc.chaos else int(time.time())), cfg)
         state = step_lib.create_state(params, cfg, self.lm_cfg)
 
         restored = ckpt_lib.restore_latest(tc.train_dir, state)

@@ -71,13 +71,24 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
     return state._replace(opt_state=(state.opt_state[0], new_inner))
 
 
+def init_params(key, model_cfg: Seq2SeqConfig) -> dict:
+    """Model-family-aware parameter init: the hybrid CTC/attention family
+    (ctc_weight > 0) is the seq2seq tree plus a CTC head — eval and
+    checkpoints treat it as a superset."""
+    if model_cfg.ctc_weight > 0:
+        from e2e_asr_tpu.models import hybrid
+        return hybrid.init(key, model_cfg)
+    return seq2seq.init(key, model_cfg)
+
+
 def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                     compute_dtype=None, spec_augment: bool = False):
     """Build jittable (asr_step, lm_step) closures.
 
     spec_augment applies on-device time/frequency masking to the features
     before the encoder (frontend/specaugment.py) — a training-only
-    augmentation the reference predates."""
+    augmentation the reference predates. model_cfg.ctc_weight > 0 trains the
+    hybrid CTC/attention objective (models/hybrid.py); eval is unchanged."""
     asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
 
@@ -89,10 +100,29 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             batch["logmel"] = sa(sa_rng, batch["logmel"],
                                  batch["logmel_len"])
 
-        def loss_fn(params):
-            total, per_task = seq2seq.apply_train(
-                params, model_cfg, batch, rng=rng, compute_dtype=compute_dtype)
-            return total, per_task
+        if model_cfg.ctc_weight > 0:
+            from e2e_asr_tpu.models import hybrid
+            # CTC labels from the char ids: strip <go>, zero from <eos> on
+            # (char_len counts shifted targets incl. <eos>; labels exclude
+            # both specials -> len - 1).
+            hb = dict(batch)
+            L = batch["char"].shape[1] - 1
+            lab_lens = jnp.maximum(batch["char_len"] - 1, 0)
+            hb["labels"] = jnp.where(
+                jnp.arange(L)[None, :] < lab_lens[:, None],
+                batch["char"][:, 1:], 0)
+            hb["label_lens"] = lab_lens
+
+            def loss_fn(params):
+                return hybrid.loss(params, model_cfg, hb,
+                                   ctc_weight=model_cfg.ctc_weight, rng=rng,
+                                   compute_dtype=compute_dtype)
+        else:
+            def loss_fn(params):
+                total, per_task = seq2seq.apply_train(
+                    params, model_cfg, batch, rng=rng,
+                    compute_dtype=compute_dtype)
+                return total, per_task
 
         (total, per_task), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

