@@ -107,7 +107,14 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         lm_params = rnn_lm.shared_lm_params(lm_tree)
 
     start = time.time()
-    if cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0:
+    if cfg.model.model_family == "ctc":
+        from e2e_asr_tpu.eval.greedy import CTCEvaluator
+        evaluator = CTCEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
+                                 compute_dtype=compute_dtype,
+                                 beam_size=cfg.beam.beam_size)
+        evaluator(state.params, dev_set.epoch())
+    elif (cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0
+          and cfg.beam.ctc_rescore == 0.0):
         evaluator = GreedyEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
                                     compute_dtype=compute_dtype)
         evaluator(state.params, dev_set.epoch())

@@ -81,6 +81,7 @@ class Seq2SeqConfig:
     avg: bool = True                 # average loss across tasks
     label_smoothing: float = 0.0     # extension; 0.0 = reference behavior
     ctc_weight: float = 0.0          # extension: hybrid CTC/attention when >0
+    model_family: str = "attention"  # extension: "attention" | "ctc"
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoders: dict[str, DecoderConfig] = field(default_factory=dict)
     feat_length: int = 80
@@ -101,6 +102,7 @@ class BeamConfig:
     cov_penalty: float = 0.0         # parsed, never applied (beam_search.py:210)
     apply_cov_penalty: bool = False  # extension: GNMT-style coverage penalty
     max_steps: int = 120             # hard cap (beam_search.py:269)
+    ctc_rescore: float = 0.0         # extension: hybrid n-best CTC rescoring
 
 
 @dataclass
@@ -169,6 +171,8 @@ def get_run_dir_name(opts: dict[str, Any]) -> str:
         xfmr_string = "xfmr_" + str(opts.get("num_heads", 4)) + "h_"
     if opts.get("ctc_weight", 0.0) > 0:
         xfmr_string += "ctc_w" + str(opts["ctc_weight"]) + "_"
+    if opts.get("model_family", "attention") == "ctc":
+        xfmr_string += "ctcfam_"
     return (xfmr_string + skip_string + num_layer_string +
             ("lstm_" if opts["use_lstm"] else "") +
             (("stack_" + str(opts["stack_cons"]) + "_")
@@ -219,6 +223,11 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         type=float,
                         help="hybrid CTC/attention training weight "
                              "(extension; 0 = pure attention, reference)")
+    parser.add_argument("-model_family", "--model_family", default="attention",
+                        type=str, choices=["attention", "ctc"],
+                        help="extension: 'ctc' trains the encoder-only CTC "
+                             "recognizer (models/ctc.py); eval uses CTC "
+                             "best-path (beam_size 1) or prefix beam search")
     parser.add_argument("-num_heads", "--num_heads", default=4, type=int)
     parser.add_argument("-ffn_mult", "--ffn_mult", default=4, type=int)
     parser.add_argument("-enc_subsample", "--subsample", default=8, type=int)
@@ -253,6 +262,11 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="Actually apply cov_penalty (the reference "
                         "parses it but never applies it)")
     parser.add_argument("-word_ins_penalty", default=0.0, type=float)
+    parser.add_argument("-ctc_rescore", "--ctc_rescore", default=0.0,
+                        type=float,
+                        help="extension: rescore the attention beam n-best "
+                             "with the hybrid checkpoint's CTC head, weight "
+                             "w in (1-w)*attention + w*ctc")
     # Eval mode
     parser.add_argument("-dev", default=False, action="store_true")
     parser.add_argument("-test", default=False, action="store_true")
@@ -295,6 +309,15 @@ def process_args(options: dict[str, Any],
     if options.get("gru"):
         options["use_lstm"] = False    # flows into encoder/decoder configs
                                        # and the run-dir name (no "lstm_")
+    if options.get("model_family", "attention") == "ctc":
+        if options.get("lm_prob", 0.0) > 0:
+            raise ValueError(
+                "-model_family ctc has no attention decoder, so the "
+                "weight-tied LM task cannot attach: use -lm_prob 0")
+        if options.get("ctc_weight", 0.0) > 0:
+            raise ValueError(
+                "-ctc_weight is the HYBRID family's knob; -model_family ctc "
+                "is already pure CTC")
 
     run_dir = get_run_dir_name(options)
     train_dir = os.path.join(options["train_base_dir"], run_dir)

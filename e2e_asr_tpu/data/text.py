@@ -60,10 +60,15 @@ def write_vocabulary(path: str, tokens: list[str]) -> None:
 
 def ids_to_sentence(id_seq, rev_vocab: list[str]) -> str:
     """Token ids -> sentence: truncate at <eos>, join, '▁'->space, expand SWBD
-    symbols (eval_model.py:249-258)."""
+    symbols (eval_model.py:249-258). Also truncates at the first <pad>:
+    CTC best-path/beam outputs are left-packed with trailing pads and carry
+    no <eos> (the reference's decoder always emits <eos>, so this never
+    fires on its outputs)."""
     ids = [int(i) for i in id_seq]
     if EOS_ID in ids:
         ids = ids[: ids.index(EOS_ID)]
+    if PAD_ID in ids:
+        ids = ids[: ids.index(PAD_ID)]
     pieces = [rev_vocab[i] if 0 <= i < len(rev_vocab) else "" for i in ids]
     sent = "".join(pieces).replace("▁", " ").strip()
     return reverse_swbd_normalize(sent)

@@ -193,6 +193,7 @@ def _gather_beam(tree, idx: Array):
 def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
                 enc_states: Array, enc_lens: Array,
                 lm_params: dict | None = None,
+                return_nbest: bool = False,
                 ) -> tuple[Array, Array, Array]:
     """Batched beam search.
 
@@ -201,8 +202,13 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         enc_states: [B, T_enc, H_enc]; enc_lens: [B].
         lm_params: fusion LM ({"embedding","lstm","output_proj"[,"simple_proj"]})
             — used when beam_cfg.lm_weight != 0.
+        return_nbest: additionally return the full final candidate set
+            (finished ∪ live, 2k entries; empty slots score NEG_INF) for
+            downstream rescoring. Selection semantics are unchanged.
     Returns:
-        (tokens [B, max_steps] int32, lens [B] int32, scores [B] f32).
+        (tokens [B, max_steps] int32, lens [B] int32, scores [B] f32)
+        [, (all_seqs [B, 2k, max_steps], all_lens [B, 2k],
+            all_scores [B, 2k])].
     """
     B = enc_states.shape[0]
     k = beam_cfg.beam_size
@@ -371,4 +377,6 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     tokens = jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0]
     lens = jnp.take_along_axis(all_lens, best[:, None], axis=1)[:, 0]
     scores = jnp.take_along_axis(all_scores, best[:, None], axis=1)[:, 0]
+    if return_nbest:
+        return (tokens, lens, scores), (all_seqs, all_lens, all_scores)
     return tokens, lens, scores

@@ -50,9 +50,25 @@ class BeamEvaluator:
         self.beam_cfg = beam_cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
-        self._decode = make_beam_decoder(cfg, beam_cfg,
-                                         compute_dtype=compute_dtype,
-                                         lm_params=lm_params)
+        if beam_cfg.ctc_rescore > 0:
+            # Hybrid-family joint decoding: n-best rescored under the CTC
+            # head (eval/rescore.py; requires a hybrid checkpoint).
+            from e2e_asr_tpu.eval.rescore import ctc_rescore_decode
+            lm_p = lm_params
+
+            @jax.jit
+            def run(params, feats, feat_lens):
+                return ctc_rescore_decode(
+                    params, cfg, beam_cfg, feats, feat_lens,
+                    ctc_weight=beam_cfg.ctc_rescore,
+                    compute_dtype=compute_dtype, lm_params=lm_p)
+
+            self._decode = lambda params, batch: run(
+                params, batch["logmel"], batch["logmel_len"])
+        else:
+            self._decode = make_beam_decoder(cfg, beam_cfg,
+                                             compute_dtype=compute_dtype,
+                                             lm_params=lm_params)
 
     def __call__(self, params, batches, *, write_files: bool = True) -> float:
         acc = WerAccumulator()

@@ -68,3 +68,33 @@ class GreedyEvaluator:
             print(f"Output at: {raw_path}")
         print(f"Score: {acc.score:f}")
         return acc.score
+
+
+class CTCEvaluator(GreedyEvaluator):
+    """Same scoring/artifact loop over the pure-CTC family (models/ctc.py):
+    best-path decode at beam_size 1, on-device prefix beam search otherwise.
+    The decode returns left-packed token ids, which ids_to_sentence handles
+    exactly like the attention decoder's output."""
+
+    def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
+                 out_dir: str, *, compute_dtype=None, beam_size: int = 1,
+                 file_prefix: str = "asr"):
+        self.cfg = cfg
+        self.rev_vocab = rev_vocab
+        self.out_dir = out_dir
+        self.file_prefix = file_prefix
+        if beam_size > 1:
+            from e2e_asr_tpu.eval.ctc_beam import ctc_beam_search
+
+            def decode(params, feats, feat_lens):
+                tokens, _ = ctc_beam_search(params, cfg, feats, feat_lens,
+                                            beam_size=beam_size,
+                                            compute_dtype=compute_dtype)
+                return tokens
+        else:
+            from e2e_asr_tpu.models import ctc
+
+            def decode(params, feats, feat_lens):
+                return ctc.greedy_decode(params, cfg, feats, feat_lens,
+                                         compute_dtype=compute_dtype)
+        self._decode = jax.jit(decode)

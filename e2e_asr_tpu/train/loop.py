@@ -36,7 +36,7 @@ from e2e_asr_tpu.core.summary import SummaryWriter
 from e2e_asr_tpu.data import text
 from e2e_asr_tpu.data.lm import LMDataset
 from e2e_asr_tpu.data.speech import SpeechDataset
-from e2e_asr_tpu.eval.greedy import GreedyEvaluator
+from e2e_asr_tpu.eval.greedy import CTCEvaluator, GreedyEvaluator
 from e2e_asr_tpu.models import seq2seq
 from e2e_asr_tpu.train import step as step_lib
 
@@ -240,8 +240,10 @@ class Trainer:
         lm_iter = None
 
         rev_vocab = self._load_rev_vocab()
-        evaluator = (GreedyEvaluator(cfg, rev_vocab, tc.best_model_dir,
-                                     compute_dtype=self.compute_dtype)
+        eval_cls = (CTCEvaluator if cfg.model_family == "ctc"
+                    else GreedyEvaluator)
+        evaluator = (eval_cls(cfg, rev_vocab, tc.best_model_dir,
+                              compute_dtype=self.compute_dtype)
                      if dev_set is not None and rev_vocab else None)
 
         writer = SummaryWriter(path.join(tc.train_dir, "summary"))
@@ -321,7 +323,10 @@ class Trainer:
                     float(metrics["loss"])  # sync before stopping the trace
                     jax.profiler.stop_trace()
                 self._frames_acc += batch_frames
-                loss_acc = loss_acc + metrics["loss_char"]
+                # char-CE for the perplexity summary (train.py:315-319);
+                # the CTC family reports its CTC loss there instead.
+                loss_acc = loss_acc + metrics.get("loss_char",
+                                                  metrics["loss"])
 
                 if current_step % tc.steps_per_checkpoint == 0:
                     mean_loss = float(loss_acc) / tc.steps_per_checkpoint

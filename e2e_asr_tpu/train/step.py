@@ -74,11 +74,27 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
 def init_params(key, model_cfg: Seq2SeqConfig) -> dict:
     """Model-family-aware parameter init: the hybrid CTC/attention family
     (ctc_weight > 0) is the seq2seq tree plus a CTC head — eval and
-    checkpoints treat it as a superset."""
+    checkpoints treat it as a superset; the pure-CTC family
+    (model_family == "ctc") is the encoder plus a CTC head only."""
+    if model_cfg.model_family == "ctc":
+        from e2e_asr_tpu.models import ctc
+        return ctc.init(key, model_cfg,
+                        vocab_size=model_cfg.decoders["char"].vocab_size)
     if model_cfg.ctc_weight > 0:
         from e2e_asr_tpu.models import hybrid
         return hybrid.init(key, model_cfg)
     return seq2seq.init(key, model_cfg)
+
+
+def _ctc_labels(batch: dict):
+    """CTC labels from the char ids: strip <go>, zero from <eos> on
+    (char_len counts shifted targets incl. <eos>; labels exclude both
+    specials -> len - 1)."""
+    L = batch["char"].shape[1] - 1
+    lab_lens = jnp.maximum(batch["char_len"] - 1, 0)
+    labels = jnp.where(jnp.arange(L)[None, :] < lab_lens[:, None],
+                       batch["char"][:, 1:], 0)
+    return labels, lab_lens
 
 
 def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
@@ -100,18 +116,19 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             batch["logmel"] = sa(sa_rng, batch["logmel"],
                                  batch["logmel_len"])
 
-        if model_cfg.ctc_weight > 0:
+        if model_cfg.model_family == "ctc":
+            from e2e_asr_tpu.models import ctc
+            cb = dict(batch)
+            cb["labels"], cb["label_lens"] = _ctc_labels(batch)
+
+            def loss_fn(params):
+                total = ctc.loss(params, model_cfg, cb, rng=rng,
+                                 compute_dtype=compute_dtype)
+                return total, {"ctc": total}
+        elif model_cfg.ctc_weight > 0:
             from e2e_asr_tpu.models import hybrid
-            # CTC labels from the char ids: strip <go>, zero from <eos> on
-            # (char_len counts shifted targets incl. <eos>; labels exclude
-            # both specials -> len - 1).
             hb = dict(batch)
-            L = batch["char"].shape[1] - 1
-            lab_lens = jnp.maximum(batch["char_len"] - 1, 0)
-            hb["labels"] = jnp.where(
-                jnp.arange(L)[None, :] < lab_lens[:, None],
-                batch["char"][:, 1:], 0)
-            hb["label_lens"] = lab_lens
+            hb["labels"], hb["label_lens"] = _ctc_labels(batch)
 
             def loss_fn(params):
                 return hybrid.loss(params, model_cfg, hb,

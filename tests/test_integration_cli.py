@@ -125,4 +125,36 @@ def test_cli_hybrid_ctc_attention(workspace):
 
     cfg_dev = parse_options(_args(root, extra + ["-dev"]))
     launch_eval(cfg_dev)
-    assert glob.glob(os.path.join(cfg_dev.train.train_dir, "decode_*")) or True
+
+    # Joint decoding: CTC-rescored attention beam (eval/rescore.py).
+    launch_eval(parse_options(_args(root, extra + [
+        "-dev", "-beam_size", "2", "-ctc_rescore", "0.3"])))
+
+
+def test_cli_pure_ctc_family(workspace):
+    """-model_family ctc trains the encoder-only CTC recognizer through the
+    CLI and evaluates with best-path (greedy) and prefix beam search."""
+    root = workspace
+    extra = ["-model_family", "ctc", "-run_id", "12", "-nlc", "2"]
+    cfg = parse_options(_args(root, extra))
+    assert cfg.model.model_family == "ctc"
+    assert "ctcfam_" in cfg.train.train_dir
+    launch_train(cfg)
+    ckpts = glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
+    assert ckpts
+    import numpy as np
+    with np.load(ckpts[0]) as z:
+        assert any(k.startswith("params/ctc_head/") for k in z.files)
+        assert not any("decoder_char" in k for k in z.files)
+
+    launch_eval(parse_options(_args(root, extra + ["-dev"])))
+    launch_eval(parse_options(_args(root, extra + ["-dev", "-beam_size", "2"])))
+
+
+def test_cli_ctc_family_flag_guards(workspace):
+    root = workspace
+    with pytest.raises(ValueError):
+        parse_options(_args(root, ["-model_family", "ctc", "-lm_prob", "0.1"]))
+    with pytest.raises(ValueError):
+        parse_options(_args(root, ["-model_family", "ctc",
+                                   "-ctc_weight", "0.5"]))
