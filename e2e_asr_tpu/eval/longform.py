@@ -125,6 +125,40 @@ def transcribe_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     return tokens[0][:int(lens[0])]
 
 
+def transcribe_ctc_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
+                            window: int = 512, margin: int = 64,
+                            beam_size: int = 1,
+                            compute_dtype=None) -> Array:
+    """Long-form decode for the pure-CTC family (models/ctc.py): chunked
+    encoder -> CTC head over the stitched states -> best-path collapse (or
+    prefix beam search when beam_size > 1).
+
+    CTC is frame-local, so unlike the attention decoder it has NO
+    length-generalization limit — the stitched sequence decodes in one pass
+    at any audio length, no segmentation needed.
+
+    Returns token ids [n] (specials-free, unpadded).
+    """
+    from e2e_asr_tpu.core.layers import dense
+    from e2e_asr_tpu.models import ctc
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    enc, enc_len = encode_longform(params, cfg, feats, window=window,
+                                   margin=margin, compute_dtype=compute_dtype)
+    lg = dense(params["ctc_head"], enc, compute_dtype=compute_dtype)
+    if beam_size > 1:
+        from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
+        log_probs = jax.nn.log_softmax(lg, axis=-1)
+        seqs, seq_lens, _ = ctc_beam_decode(log_probs, enc_len,
+                                            beam_size=beam_size,
+                                            blank_id=ctc.BLANK_ID)
+        ids = seqs[0, 0][:int(seq_lens[0, 0])]
+    else:
+        packed = ctc.best_path_from_logits(lg, enc_len)[0]
+        ids = packed[packed > 0]
+    return ids
+
+
 def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
                          seg_enc_frames: int = 64,
                          beam_cfg: BeamConfig | None = None,

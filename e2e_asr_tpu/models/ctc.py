@@ -68,14 +68,9 @@ def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
     return jnp.mean(per_example)
 
 
-def greedy_decode(params: dict, cfg: Seq2SeqConfig, feats: Array,
-                  feat_lens: Array, *, compute_dtype=None) -> Array:
-    """Best-path decode: per-frame argmax, collapse repeats, drop blanks.
-
-    Returns [B, T_enc] token ids left-packed, 0-padded.
-    """
-    lg, enc_lens = logits(params, cfg, feats, feat_lens,
-                          compute_dtype=compute_dtype)
+def best_path_from_logits(lg: Array, enc_lens: Array) -> Array:
+    """Best-path collapse from per-frame logits [B, T, V]: argmax, collapse
+    repeats, drop blanks. Returns [B, T] token ids left-packed, 0-padded."""
     B, T, _ = lg.shape
     ids = jnp.argmax(lg, axis=-1)                               # [B, T]
     valid_t = (jnp.arange(T)[None, :]
@@ -88,3 +83,14 @@ def greedy_decode(params: dict, cfg: Seq2SeqConfig, feats: Array,
     packed = jnp.take_along_axis(ids, order, axis=1)
     packed_keep = jnp.take_along_axis(keep, order, axis=1)
     return jnp.where(packed_keep, packed, 0)
+
+
+def greedy_decode(params: dict, cfg: Seq2SeqConfig, feats: Array,
+                  feat_lens: Array, *, compute_dtype=None) -> Array:
+    """Best-path decode: per-frame argmax, collapse repeats, drop blanks.
+
+    Returns [B, T_enc] token ids left-packed, 0-padded.
+    """
+    lg, enc_lens = logits(params, cfg, feats, feat_lens,
+                          compute_dtype=compute_dtype)
+    return best_path_from_logits(lg, enc_lens)

@@ -93,7 +93,15 @@ def main(argv=None) -> list[str]:
             wave_f32 = wave.astype(np.float32) / 32768.0
             feats = featurize_utterance(wave_f32, sample_rate=sr,
                                         n_mels=cfg.model.feat_length)
-            if segment > 0:
+            if cfg.model.model_family == "ctc":
+                # CTC is frame-local: one whole-sequence decode at any
+                # length, no segmentation needed.
+                ids = longform.transcribe_ctc_longform(
+                    params, cfg.model, jnp.asarray(feats),
+                    window=window, margin=margin,
+                    beam_size=cfg.beam.beam_size,
+                    compute_dtype=compute_dtype)
+            elif segment > 0:
                 ids = longform.transcribe_segmented(
                     params, cfg.model, jnp.asarray(feats),
                     seg_enc_frames=segment, beam_cfg=cfg.beam,

@@ -115,6 +115,24 @@ def test_transcribe_longform_shapes_and_cap():
         longform.encode_longform(params, cfg, feats, window=7, margin=0)
 
 
+def test_transcribe_ctc_longform_paths():
+    """CTC long-form decode (best-path and prefix beam) over stitched
+    chunked-encoder states for the pure-CTC family."""
+    import dataclasses as dc
+
+    from e2e_asr_tpu.models import ctc as ctc_lib
+    cfg = dc.replace(tiny_cfg(), model_family="ctc")
+    params = ctc_lib.init(jax.random.PRNGKey(8), cfg,
+                          vocab_size=cfg.decoders["char"].vocab_size)
+    r = longform.reduction_factor(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(9), (70, cfg.feat_length))
+    for beam in (1, 3):
+        ids = longform.transcribe_ctc_longform(
+            params, cfg, feats, window=8 * r, margin=2 * r, beam_size=beam)
+        assert ids.ndim == 1
+        assert np.all(np.asarray(ids) > 0)      # blanks/pads stripped
+
+
 def test_transcribe_segmented_batches_and_concatenates():
     cfg = tiny_cfg()
     params = seq2seq.init(jax.random.PRNGKey(6), cfg)
