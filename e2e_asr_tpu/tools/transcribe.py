@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="decode in segments of N encoder frames "
                              "(keeps each decode within the training length "
                              "distribution); 0 = one whole-utterance decode")
+    parser.add_argument("-stream_block_s", type=float, default=0.0,
+                        help="streaming demo: push the audio in blocks of "
+                             "this many seconds through eval/streaming."
+                             "StreamingTranscriber, printing deltas as they "
+                             "finalize; 0 = batch long-form decode")
     config_lib.add_parse_options(parser)
     return parser
 
@@ -62,6 +67,7 @@ def main(argv=None) -> list[str]:
     args = vars(build_parser().parse_args(argv))
     wavs, window, margin = args.pop("wavs"), args.pop("window"), args.pop("margin")
     ckpt_file, segment = args.pop("ckpt"), args.pop("segment")
+    stream_block_s = args.pop("stream_block_s")
 
     _, rev_vocab = text.initialize_vocabulary(
         path.join(args["vocab_dir"], "char.vocab"))
@@ -93,6 +99,26 @@ def main(argv=None) -> list[str]:
             wave_f32 = wave.astype(np.float32) / 32768.0
             feats = featurize_utterance(wave_f32, sample_rate=sr,
                                         n_mels=cfg.model.feat_length)
+            if stream_block_s > 0:
+                from e2e_asr_tpu.eval.streaming import StreamingTranscriber
+                st = StreamingTranscriber(
+                    params, cfg.model, rev_vocab, window=window,
+                    margin=margin, seg_enc_frames=max(segment, 1),
+                    beam_cfg=cfg.beam, compute_dtype=compute_dtype,
+                    sample_rate=sr, n_mels=cfg.model.feat_length)
+                block = max(1, int(stream_block_s * sr))
+                for off in range(0, len(wave_f32), block):
+                    delta = st.push(wave_f32[off:off + block])
+                    if delta:
+                        print(f"  [{off / sr:6.2f}s] {delta}")
+                delta = st.finish()
+                if delta:
+                    print(f"  [flush ] {delta}")
+                sent = st.transcript
+                dur = len(wave_f32) / sr
+                print(f"{wav}\t({dur:.1f}s, streamed)\t{sent}")
+                out.append(sent)
+                continue
             if cfg.model.model_family == "ctc":
                 # CTC is frame-local: one whole-sequence decode at any
                 # length, no segmentation needed.

@@ -115,6 +115,32 @@ def test_transcribe_longform_shapes_and_cap():
         longform.encode_longform(params, cfg, feats, window=7, margin=0)
 
 
+def test_single_chunk_matches_monolithic_transformer():
+    """The chunked encoder must also be exact for the transformer family
+    when one chunk covers the signal (full-chunk self-attention)."""
+    import dataclasses as dc
+    cfg = tiny_cfg()
+    cfg = dc.replace(cfg, encoder=dc.replace(
+        cfg.encoder, encoder_type="transformer", num_heads=2, ffn_mult=2,
+        subsample=4, out_prob=1.0))
+    params = seq2seq.init(jax.random.PRNGKey(10), cfg)
+    T = 40
+    feats = jax.random.normal(jax.random.PRNGKey(11), (T, cfg.feat_length))
+    r = longform.reduction_factor(cfg)
+    assert r == 4                                  # = subsample
+
+    enc, enc_len = longform.encode_longform(params, cfg, feats,
+                                            window=48, margin=0)
+    full_states, _, full_lens = seq2seq.encode(
+        params, cfg, feats[None], jnp.asarray([T]), train=False)
+    depth = cfg.num_layers["char"]
+    n_out = int(full_lens[depth][0])
+    assert int(enc_len[0]) == n_out
+    np.testing.assert_allclose(np.asarray(enc[0, :n_out]),
+                               np.asarray(full_states[depth][0, :n_out]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_transcribe_ctc_longform_paths():
     """CTC long-form decode (best-path and prefix beam) over stitched
     chunked-encoder states for the pure-CTC family."""
