@@ -241,7 +241,8 @@ def apply_train(params: dict, cfg: DecoderConfig, dec_inputs: Array,
             and dtp.fits(steps, B, enc_states.shape[1], params)):
         return dtp.apply_train_fused(
             params, cfg, emb_inputs, enc_states, enc_lens, flags, gumbel,
-            lm_masks if use_drop else None, compute_dtype=compute_dtype)
+            lm_masks if use_drop else None,
+            inter_masks if use_drop else (), compute_dtype=compute_dtype)
 
     ctx = make_attn_context(params, enc_states, enc_lens,
                             compute_dtype=compute_dtype)

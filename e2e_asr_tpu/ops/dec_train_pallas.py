@@ -54,8 +54,10 @@ Array = jax.Array
 
 
 def supported(cfg, params: dict) -> bool:
-    return (cfg.use_lstm and cfg.num_layers_dec == 1
-            and "simple_proj" not in params and not cfg.ind_softmax)
+    """LSTM cells, stacked decoders included (deep decoders are the
+    reference's num_layers_dec knob); no SimpleProjection, shared softmax."""
+    return (cfg.use_lstm and "simple_proj" not in params
+            and not cfg.ind_softmax)
 
 
 def _dims(params: dict):
@@ -67,13 +69,15 @@ def _dims(params: dict):
     E = params["input_proj"]["kernel"].shape[0] - G     # encoder dim
     A = params["attn_w"].shape[1]
     V = params["output_proj"]["bias"].shape[0]
-    return G, D, M, E, A, V
+    NL = len(params["dec_cells"])
+    return G, D, M, E, A, V, NL
 
 
 def _weights_bytes(params: dict) -> int:
-    G, D, M, E, A, V = _dims(params)
+    G, D, M, E, A, V, NL = _dims(params)
     n = (V * 4 * G + G * 4 * G + (G + E) * M + M + M * 4 * D + 4 * D
-         + D * 4 * D + D * A + A + A + (D + E) * D + D + D * V + V)
+         + D * 4 * D + D * A + A + A + (D + E) * D + D + D * V + V
+         + (NL - 1) * (2 * D * 4 * D + 4 * D))
     return 4 * n
 
 
@@ -88,14 +92,14 @@ def fits(steps: int, B: int, T_enc: int, params: dict) -> bool:
     """Itemized wide-tier estimate: weights (plus transposed layout copies in
     the backward), resident hf/enc/amask, gradient accumulators, carries,
     and double-buffered per-step blocks."""
-    G, D, M, E, A, V = _dims(params)
+    G, D, M, E, A, V, NL = _dims(params)
     w = _weights_bytes(params)
     resident = (3 * w                      # weights + bwd layout copies
                 + 4 * B * T_enc * (A + E + 1)      # hf + enc + amask
                 + 4 * B * T_enc * (A + E)          # d_hf + d_enc accums
-                + 4 * B * (4 * G + 4 * D + 2 * E + 2 * V + 4 * D))
-    blocked = 4 * B * (4 * G + V + 1 + G + V          # fwd ins
-                       + 6 * D + 2 * E + T_enc + V)   # saves / bwd ins
+                + 4 * B * (4 * G + NL * 4 * D + 2 * E + 2 * V + 4 * D))
+    blocked = 4 * B * (4 * G + V + 1 + G + NL * V     # fwd ins
+                       + (2 + 6 * NL) * D + 2 * E + T_enc + V)
     return resident + 2 * blocked <= DEC_BUDGET
 
 
@@ -127,27 +131,30 @@ def _mm(a, b, bf16):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
-                bf16: bool, samp: bool, drop: bool, save: bool):
+                NL: int, bf16: bool, samp: bool, drop: bool, save: bool):
     it = iter(refs)
     ewb_ref, wlmh_ref, ipw_ref, ipb_ref = next(it), next(it), next(it), next(it)
     dxw_ref, decb_ref, dhw_ref = next(it), next(it), next(it)
     qw_ref, qb_ref, v_ref, apw_ref, apb_ref = (next(it), next(it), next(it),
                                                next(it), next(it))
-    opw_ref, opb_ref, hf_ref, enc_ref, amask_ref = (next(it), next(it),
-                                                    next(it), next(it),
-                                                    next(it))
+    opw_ref, opb_ref = next(it), next(it)
+    xtra = [(next(it), next(it), next(it)) for _ in range(NL - 1)]
+    hf_ref, enc_ref, amask_ref = next(it), next(it), next(it)
     tlmx_ref = next(it)
     gum_ref = next(it) if samp else None
     flag_ref = next(it) if samp else None
     lm_mask_ref = next(it) if drop else None
+    inter_mask_refs = [next(it) for _ in range(NL - 1)] if drop else []
     # outputs
     logits_out = next(it)
     if save:
-        hlm_out, clm_out, hdec_out, cdec_out, ctx_out, alpha_out = (
-            next(it), next(it), next(it), next(it), next(it), next(it))
+        hlm_out, clm_out = next(it), next(it)
+        dec_outs = [(next(it), next(it)) for _ in range(NL)]   # (h, c)
+        ctx_out, alpha_out = next(it), next(it)
     # scratch
-    hlm_s, clm_s, hdec_s, cdec_s, ctx_s, plog_s = (
-        next(it), next(it), next(it), next(it), next(it), next(it))
+    hlm_s, clm_s = next(it), next(it)
+    dec_s = [(next(it), next(it)) for _ in range(NL)]          # (h, c)
+    ctx_s, plog_s = next(it), next(it)
 
     t = pl.program_id(0)
 
@@ -155,8 +162,9 @@ def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     def _init():
         hlm_s[:] = jnp.zeros_like(hlm_s)
         clm_s[:] = jnp.zeros_like(clm_s)
-        hdec_s[:] = jnp.zeros_like(hdec_s)
-        cdec_s[:] = jnp.zeros_like(cdec_s)
+        for h_s, c_s in dec_s:
+            h_s[:] = jnp.zeros_like(h_s)
+            c_s[:] = jnp.zeros_like(c_s)
         ctx_s[:] = jnp.zeros_like(ctx_s)
         plog_s[:] = jnp.zeros_like(plog_s)
 
@@ -175,12 +183,24 @@ def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     new_clm, new_hlm = _lstm_fwd(gates_lm, clm_s[:], G)
     lm_out = new_hlm * lm_mask_ref[0] if drop else new_hlm
 
-    # 3. InputProjection([lm_out, prev ctx]) and decoder cell
+    # 3. InputProjection([lm_out, prev ctx]) and the decoder cell stack
+    #    (inter-layer dropout masks between cells, not after the top).
     x_dec = (_mm(lm_out, ipw_ref[:G], bf16)
              + _mm(ctx_s[:], ipw_ref[G:], bf16) + ipb_ref[0])
-    gates_dec = (_mm(x_dec, dxw_ref[:], bf16)
-                 + _mm(hdec_s[:], dhw_ref[:], bf16) + decb_ref[0])
-    new_cdec, new_hdec = _lstm_fwd(gates_dec, cdec_s[:], D)
+    new_dec = []
+    inp = x_dec
+    for layer in range(NL):
+        dxw_l, decb_l, dhw_l = ((dxw_ref, decb_ref, dhw_ref) if layer == 0
+                                else xtra[layer - 1])
+        h_s, c_s = dec_s[layer]
+        gates_l = (_mm(inp, dxw_l[:], bf16)
+                   + _mm(h_s[:], dhw_l[:], bf16) + decb_l[0])
+        c_l, h_l = _lstm_fwd(gates_l, c_s[:], D)
+        new_dec.append((h_l, c_l))
+        inp = h_l
+        if drop and layer < NL - 1:
+            inp = inp * inter_mask_refs[layer][0]
+    new_cdec = new_dec[-1][1]                     # query = TOP cell's c
 
     # 4. attention (query = c). All [T', B, .] TIME-major: Mosaic handles
     # broadcasts/reductions over the leading axis; batch-major [B, T', A]
@@ -205,15 +225,17 @@ def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     if save:
         hlm_out[0] = new_hlm
         clm_out[0] = new_clm
-        hdec_out[0] = new_hdec
-        cdec_out[0] = new_cdec
+        for (h_out, c_out), (h_l, c_l) in zip(dec_outs, new_dec):
+            h_out[0] = h_l
+            c_out[0] = c_l
         ctx_out[0] = ctx
         alpha_out[0] = alpha
 
     hlm_s[:] = new_hlm
     clm_s[:] = new_clm
-    hdec_s[:] = new_hdec
-    cdec_s[:] = new_cdec
+    for (h_s, c_s), (h_l, c_l) in zip(dec_s, new_dec):
+        h_s[:] = h_l
+        c_s[:] = c_l
     ctx_s[:] = ctx
     if samp:
         plog_s[:] = logits
@@ -234,7 +256,7 @@ def _weight_args(params: dict):
     # sum to 1, so onehot @ EWb == emb @ W + b).
     ewb = (jnp.dot(params["embedding"], lm["kernel"][:params["embedding"].shape[1]])
            + lm["bias"][None, :])
-    return [
+    out = [
         ewb, lm["kernel"][params["embedding"].shape[1]:],
         ip["kernel"], ip["bias"][None, :],
         dec["kernel"][:M], dec["bias"][None, :], dec["kernel"][M:],
@@ -242,13 +264,20 @@ def _weight_args(params: dict):
         ap["kernel"], ap["bias"][None, :],
         op["kernel"], op["bias"][None, :],
     ]
+    for cell in params["dec_cells"][1:]:      # stacked layers: in_dim = D
+        in_dim = cell["kernel"].shape[0] - cell["bias"].shape[0] // 4
+        out += [cell["kernel"][:in_dim], cell["bias"][None, :],
+                cell["kernel"][in_dim:]]
+    return out
 
 
 def _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-              *, dims, bf16, save):
-    """weights: the 14 arrays from _weight_args (already traced values).
-    gum_sh/flag_sh: pre-shifted noise (row t = step t-1), or None."""
-    G, D, M, E, A, V = dims
+              inter_masks, *, dims, bf16, save):
+    """weights: the arrays from _weight_args (already traced values).
+    gum_sh/flag_sh: pre-shifted noise (row t = step t-1), or None.
+    inter_masks: tuple of [steps, B, D] dropout masks between stacked
+    decoder cells (empty unless dropout and NL > 1)."""
+    G, D, M, E, A, V, NL = dims
     steps, B = tlmx.shape[0], tlmx.shape[1]
     T_enc = enc.shape[0]                       # enc is TIME-major [T', B, E]
     samp = gum_sh is not None
@@ -268,10 +297,14 @@ def _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
         in_specs.append(pl.BlockSpec((1, B, G), blk,
                                      memory_space=pltpu.VMEM))
         args.append(lm_masks)
+        for m in inter_masks:
+            in_specs.append(pl.BlockSpec((1, B, D), blk,
+                                         memory_space=pltpu.VMEM))
+            args.append(m)
 
     out_dims = [V]
     if save:
-        out_dims += [G, G, D, D, E]
+        out_dims += [G, G] + [D, D] * NL + [E]
     out_specs = [pl.BlockSpec((1, B, d), blk, memory_space=pltpu.VMEM)
                  for d in out_dims]
     out_shape = [jax.ShapeDtypeStruct((steps, B, d), jnp.float32)
@@ -283,21 +316,22 @@ def _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
         out_shape.append(jax.ShapeDtypeStruct((steps, T_enc, B),
                                               jnp.float32))
     kernel = functools.partial(_fwd_kernel, G=G, D=D, M=M, E=E, A=A, V=V,
-                               bf16=bf16, samp=samp, drop=drop, save=save)
+                               NL=NL, bf16=bf16, samp=samp, drop=drop,
+                               save=save)
     outs = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((B, G), jnp.float32),   # h_lm
-            pltpu.VMEM((B, G), jnp.float32),   # c_lm
-            pltpu.VMEM((B, D), jnp.float32),   # h_dec
-            pltpu.VMEM((B, D), jnp.float32),   # c_dec
-            pltpu.VMEM((B, E), jnp.float32),   # ctx
-            pltpu.VMEM((B, V), jnp.float32),   # prev logits
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((B, G), jnp.float32),   # h_lm
+             pltpu.VMEM((B, G), jnp.float32)]   # c_lm
+            + [pltpu.VMEM((B, D), jnp.float32)
+               for _ in range(2 * NL)]          # (h, c) per decoder layer
+            + [pltpu.VMEM((B, E), jnp.float32),  # ctx
+               pltpu.VMEM((B, V), jnp.float32)]  # prev logits
+        ),
         compiler_params=_wide_params(),
         interpret=_interpret(),
     )(*args)
@@ -309,33 +343,39 @@ def _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
-                steps: int, bf16: bool, samp: bool, drop: bool):
+                NL: int, steps: int, bf16: bool, samp: bool, drop: bool):
     it = iter(refs)
     ewb_ref, wlmh_ref, ipw_ref, _ipb = next(it), next(it), next(it), next(it)
     dxw_ref, _decb, dhw_ref = next(it), next(it), next(it)
     qw_ref, qb_ref, v_ref, apw_ref, apb_ref = (next(it), next(it), next(it),
                                                next(it), next(it))
-    opw_ref, _opb, hf_ref, enc_ref, amask_ref = (next(it), next(it),
-                                                 next(it), next(it), next(it))
+    opw_ref, _opb = next(it), next(it)
+    xtra = [(next(it), next(it), next(it)) for _ in range(NL - 1)]
+    hf_ref, enc_ref, amask_ref = next(it), next(it), next(it)
     tlmx_ref = next(it)
     gum_ref = next(it) if samp else None
     flag_ref = next(it) if samp else None
     lm_mask_ref = next(it) if drop else None
+    inter_mask_refs = [next(it) for _ in range(NL - 1)] if drop else []
     # per-step blocked saves (prev = row t-1 via padded arrays, cur = row t)
     hlm_prev_ref, clm_prev_ref, clm_cur_ref = next(it), next(it), next(it)
     hlm_cur_ref = next(it)
-    hdec_prev_ref, cdec_prev_ref, cdec_cur_ref = next(it), next(it), next(it)
+    dec_saves = [(next(it), next(it), next(it), next(it))   # (h_prev, c_prev,
+                 for _ in range(NL)]                        #  c_cur, h_cur)
     ctx_prev_ref, ctx_cur_ref, alpha_ref = next(it), next(it), next(it)
     plog_ref = next(it) if samp else None          # logits row t-1 (padded)
     dlog_ref = next(it)
-    # outputs
+    # outputs (weight-grad accumulators mirror the weights order)
     dtlmx_ref = next(it)
     (dewb_ref, dwlmh_ref, dipw_ref, dipb_ref, ddxw_ref, ddecb_ref, ddhw_ref,
      dqw_ref, dqb_ref, dv_ref, dapw_ref, dapb_ref, dopw_ref, dopb_ref,
-     dhf_ref, denc_ref) = (next(it) for _ in range(16))
+     ) = (next(it) for _ in range(14))
+    dxtra = [(next(it), next(it), next(it)) for _ in range(NL - 1)]
+    dhf_ref, denc_ref = next(it), next(it)
     # scratch carries
-    dhlm_s, dclm_s, dhdec_s, dcdec_s, dctx_s = (next(it), next(it), next(it),
-                                                next(it), next(it))
+    dhlm_s, dclm_s = next(it), next(it)
+    ddec_s = [(next(it), next(it)) for _ in range(NL)]      # (dh, dc)
+    dctx_s = next(it)
 
     r = pl.program_id(0)
 
@@ -343,12 +383,14 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     def _init():
         dhlm_s[:] = jnp.zeros_like(dhlm_s)
         dclm_s[:] = jnp.zeros_like(dclm_s)
-        dhdec_s[:] = jnp.zeros_like(dhdec_s)
-        dcdec_s[:] = jnp.zeros_like(dcdec_s)
+        for dh_s, dc_s in ddec_s:
+            dh_s[:] = jnp.zeros_like(dh_s)
+            dc_s[:] = jnp.zeros_like(dc_s)
         dctx_s[:] = jnp.zeros_like(dctx_s)
-        for ref in (dewb_ref, dwlmh_ref, dipw_ref, dipb_ref, ddxw_ref,
-                    ddecb_ref, ddhw_ref, dqw_ref, dqb_ref, dv_ref, dapw_ref,
-                    dapb_ref, dopw_ref, dopb_ref, dhf_ref, denc_ref):
+        for ref in ([dewb_ref, dwlmh_ref, dipw_ref, dipb_ref, ddxw_ref,
+                     ddecb_ref, ddhw_ref, dqw_ref, dqb_ref, dv_ref, dapw_ref,
+                     dapb_ref, dopw_ref, dopb_ref, dhf_ref, denc_ref]
+                    + [x for tri in dxtra for x in tri]):
             ref[:] = jnp.zeros_like(ref)
 
     # ---- recompute forward locals for step t ----
@@ -372,14 +414,27 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     ctx_prev = ctx_prev_ref[0]
     x_dec = (_mm(lm_out, ipw_ref[:G], bf16)
              + _mm(ctx_prev, ipw_ref[G:], bf16) + _ipb[0])
-    hdec_prev, cdec_prev = hdec_prev_ref[0], cdec_prev_ref[0]
-    gates_dec = (_mm(x_dec, dxw_ref[:], bf16)
-                 + _mm(hdec_prev, dhw_ref[:], bf16) + _decb[0])
-    i_d = jax.nn.sigmoid(gates_dec[:, :D])
-    j_d = jnp.tanh(gates_dec[:, D:2 * D])
-    f_d = jax.nn.sigmoid(gates_dec[:, 2 * D:3 * D] + 1.0)
-    o_d = jax.nn.sigmoid(gates_dec[:, 3 * D:])
-    cdec_cur = cdec_cur_ref[0]
+    # Recompute every decoder layer's gates from the SAVES (no sequential
+    # dependency: layer l's input is layer l-1's saved h_cur through the
+    # inter-layer dropout mask).
+    w_layers = [(dxw_ref, _decb, dhw_ref)] + xtra
+    inps, gate_parts = [], []
+    inp = x_dec
+    for layer in range(NL):
+        dxw_l, decb_l, dhw_l = w_layers[layer]
+        h_prev_l = dec_saves[layer][0][0]
+        gates_l = (_mm(inp, dxw_l[:], bf16)
+                   + _mm(h_prev_l, dhw_l[:], bf16) + decb_l[0])
+        i_l = jax.nn.sigmoid(gates_l[:, :D])
+        j_l = jnp.tanh(gates_l[:, D:2 * D])
+        f_l = jax.nn.sigmoid(gates_l[:, 2 * D:3 * D] + 1.0)
+        o_l = jax.nn.sigmoid(gates_l[:, 3 * D:])
+        inps.append(inp)
+        gate_parts.append((i_l, j_l, f_l, o_l))
+        inp = dec_saves[layer][3][0]                  # h_cur of this layer
+        if drop and layer < NL - 1:
+            inp = inp * inter_mask_refs[layer][0]
+    cdec_cur = dec_saves[-1][2][0]                    # TOP cell's c
 
     y = _mm(cdec_cur, qw_ref[:], bf16) + qb_ref[0]
     th = jnp.tanh(hf_ref[:] + y[None, :, :])                  # [T', B, A]
@@ -425,22 +480,42 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     dqb_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
     dc_direct += _mm(dy, qw_ref[:].T, bf16)
 
-    # decoder LSTM backward (h_dec' feeds only the next step's gates)
-    tanh_cd = jnp.tanh(cdec_cur)
-    dh_total_d = dhdec_s[:]
-    do_d = dh_total_d * tanh_cd * o_d * (1.0 - o_d)
-    dc_total_d = (dh_total_d * o_d * (1.0 - tanh_cd * tanh_cd)
-                  + dcdec_s[:] + dc_direct)
-    df_d = dc_total_d * cdec_prev * f_d * (1.0 - f_d)
-    di_d = dc_total_d * j_d * i_d * (1.0 - i_d)
-    dj_d = dc_total_d * i_d * (1.0 - j_d * j_d)
-    dgates_d = jnp.concatenate([di_d, dj_d, df_d, do_d], axis=-1)
-    ddxw_ref[:] += _mm(x_dec.T, dgates_d, bf16)
-    ddecb_ref[:] += jnp.sum(dgates_d, axis=0, keepdims=True)
-    ddhw_ref[:] += _mm(hdec_prev.T, dgates_d, bf16)
-    dhdec_s[:] = _mm(dgates_d, dhw_ref[:].T, bf16)
-    dcdec_s[:] = dc_total_d * f_d
-    dx_dec = _mm(dgates_d, dxw_ref[:].T, bf16)
+    # decoder LSTM stack backward, top-down. A layer's h_cur feeds the next
+    # step's own gates (carry) and — below the top — the layer above's
+    # input at THIS step; only the top cell's c has the attention/proj
+    # contributions (dc_direct).
+    dacc_layers = [(ddxw_ref, ddecb_ref, ddhw_ref)] + dxtra
+    dinp_above = None
+    for layer in reversed(range(NL)):
+        i_l, j_l, f_l, o_l = gate_parts[layer]
+        h_prev_l = dec_saves[layer][0][0]
+        c_prev_l = dec_saves[layer][1][0]
+        c_cur_l = dec_saves[layer][2][0]
+        dh_s_l, dc_s_l = ddec_s[layer]
+        dxw_l, _, dhw_l = w_layers[layer]
+        dxw_acc, db_acc, dhw_acc = dacc_layers[layer]
+
+        tanh_cl_ = jnp.tanh(c_cur_l)
+        dh_total = dh_s_l[:] + (dinp_above if dinp_above is not None else 0.0)
+        dc_total = dh_total * o_l * (1.0 - tanh_cl_ * tanh_cl_) + dc_s_l[:]
+        if layer == NL - 1:
+            dc_total = dc_total + dc_direct
+        do_ = dh_total * tanh_cl_ * o_l * (1.0 - o_l)
+        df_ = dc_total * c_prev_l * f_l * (1.0 - f_l)
+        di_ = dc_total * j_l * i_l * (1.0 - i_l)
+        dj_ = dc_total * i_l * (1.0 - j_l * j_l)
+        dgates_l = jnp.concatenate([di_, dj_, df_, do_], axis=-1)
+        dxw_acc[:] += _mm(inps[layer].T, dgates_l, bf16)
+        db_acc[:] += jnp.sum(dgates_l, axis=0, keepdims=True)
+        dhw_acc[:] += _mm(h_prev_l.T, dgates_l, bf16)
+        dh_s_l[:] = _mm(dgates_l, dhw_l[:].T, bf16)
+        dc_s_l[:] = dc_total * f_l
+        dinp = _mm(dgates_l, dxw_l[:].T, bf16)
+        if layer > 0:
+            dinp_above = (dinp * inter_mask_refs[layer - 1][0]
+                          if drop else dinp)
+        else:
+            dx_dec = dinp
 
     # InputProjection backward
     dipw_ref[:G] += _mm(lm_out.T, dx_dec, bf16)
@@ -474,21 +549,23 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
 
 
 def _bwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-              saves, dlogits, *, dims, bf16):
-    G, D, M, E, A, V = dims
+              inter_masks, saves, dlogits, *, dims, bf16):
+    G, D, M, E, A, V, NL = dims
     steps, B = tlmx.shape[0], tlmx.shape[1]
     T_enc = enc.shape[0]                       # enc is TIME-major [T', B, E]
     samp = gum_sh is not None
     drop = lm_masks is not None
-    logits, hlm, clm, hdec, cdec, ctxs, alphas = saves
+    logits, hlm, clm = saves[0], saves[1], saves[2]
+    dec_hc = [(saves[3 + 2 * l], saves[4 + 2 * l]) for l in range(NL)]
+    ctxs, alphas = saves[3 + 2 * NL], saves[4 + 2 * NL]
 
     zG = jnp.zeros((1, B, G), jnp.float32)
     zD = jnp.zeros((1, B, D), jnp.float32)
     zE = jnp.zeros((1, B, E), jnp.float32)
     hlm_pad = jnp.concatenate([zG, hlm], axis=0)       # pad[t] = state_{t-1}
     clm_pad = jnp.concatenate([zG, clm], axis=0)
-    hdec_pad = jnp.concatenate([zD, hdec], axis=0)
-    cdec_pad = jnp.concatenate([zD, cdec], axis=0)
+    dec_pads = [(jnp.concatenate([zD, h], axis=0),
+                 jnp.concatenate([zD, c], axis=0)) for h, c in dec_hc]
     ctx_pad = jnp.concatenate([zE, ctxs], axis=0)
     if samp:
         zV = jnp.zeros((1, B, V), jnp.float32)
@@ -510,12 +587,18 @@ def _bwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
     if drop:
         in_specs.append(pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM))
         args.append(lm_masks)
+        for m in inter_masks:
+            in_specs.append(pl.BlockSpec((1, B, D), rev,
+                                         memory_space=pltpu.VMEM))
+            args.append(m)
     # saves: prev rows on padded arrays, cur rows on padded/current arrays
-    for arr, d, idx in ((hlm_pad, G, prev), (clm_pad, G, prev),
-                        (clm_pad, G, cur), (hlm_pad, G, cur),
-                        (hdec_pad, D, prev), (cdec_pad, D, prev),
-                        (cdec_pad, D, cur), (ctx_pad, E, prev),
-                        (ctx_pad, E, cur)):
+    rows = [(hlm_pad, G, prev), (clm_pad, G, prev),
+            (clm_pad, G, cur), (hlm_pad, G, cur)]
+    for h_pad, c_pad in dec_pads:
+        rows += [(h_pad, D, prev), (c_pad, D, prev),
+                 (c_pad, D, cur), (h_pad, D, cur)]
+    rows += [(ctx_pad, E, prev), (ctx_pad, E, cur)]
+    for arr, d, idx in rows:
         in_specs.append(pl.BlockSpec((1, B, d), idx, memory_space=pltpu.VMEM))
         args.append(arr)
     in_specs.append(pl.BlockSpec((1, T_enc, B), rev, memory_space=pltpu.VMEM))
@@ -541,20 +624,21 @@ def _bwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
                     jax.ShapeDtypeStruct(enc.shape, jnp.float32)])
 
     kernel = functools.partial(_bwd_kernel, G=G, D=D, M=M, E=E, A=A, V=V,
-                               steps=steps, bf16=bf16, samp=samp, drop=drop)
+                               NL=NL, steps=steps, bf16=bf16, samp=samp,
+                               drop=drop)
     outs = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((B, G), jnp.float32),   # dh_lm
-            pltpu.VMEM((B, G), jnp.float32),   # dc_lm
-            pltpu.VMEM((B, D), jnp.float32),   # dh_dec
-            pltpu.VMEM((B, D), jnp.float32),   # dc_dec
-            pltpu.VMEM((B, E), jnp.float32),   # dctx
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((B, G), jnp.float32),   # dh_lm
+             pltpu.VMEM((B, G), jnp.float32)]   # dc_lm
+            + [pltpu.VMEM((B, D), jnp.float32)
+               for _ in range(2 * NL)]           # (dh, dc) per decoder layer
+            + [pltpu.VMEM((B, E), jnp.float32)]  # dctx
+        ),
         compiler_params=_wide_params(),
         interpret=_interpret(),
     )(*args)
@@ -565,49 +649,56 @@ def _bwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
 # custom-VJP wrapper + public entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def _dec_train_seq(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-                   bf16):
-    """weights: tuple of the 14 arrays from _weight_args."""
+                   inter_masks, bf16):
+    """weights: tuple of the arrays from _weight_args (14 + 3 per extra
+    decoder layer); inter_masks: tuple of inter-layer dropout masks."""
     dims = _seq_dims(weights, enc)
     (logits,) = _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh,
-                          lm_masks, dims=dims, bf16=bf16, save=False)
+                          lm_masks, inter_masks, dims=dims, bf16=bf16,
+                          save=False)
     return logits
 
 
 def _seq_dims(weights, enc):
-    ewb, wlmh, ipw, ipb, dxw, decb, dhw, qw, qb, v, apw, apb, opw, opb = weights
+    wlmh, dxw, dhw, qw, opb = (weights[1], weights[4], weights[6],
+                               weights[7], weights[13])
     G = wlmh.shape[0]
     D = dhw.shape[0]
     M = dxw.shape[0]
     E = enc.shape[-1]
     A = qw.shape[1]
     V = opb.shape[1]
-    return G, D, M, E, A, V
+    NL = 1 + (len(weights) - 14) // 3
+    return G, D, M, E, A, V, NL
 
 
 def _dec_train_fwd(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-                   bf16):
+                   inter_masks, bf16):
     dims = _seq_dims(weights, enc)
     outs = _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-                     dims=dims, bf16=bf16, save=True)
+                     inter_masks, dims=dims, bf16=bf16, save=True)
     logits = outs[0]
     res = (weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-           tuple(outs))
+           inter_masks, tuple(outs))
     return logits, res
 
 
 def _dec_train_bwd(bf16, res, dlogits):
-    (weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks, saves) = res
+    (weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks, inter_masks,
+     saves) = res
     dims = _seq_dims(weights, enc)
     outs = _bwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-                     saves, dlogits, dims=dims, bf16=bf16)
+                     inter_masks, saves, dlogits, dims=dims, bf16=bf16)
+    n_w = len(weights)
     dtlmx = outs[0]
-    dweights = tuple(outs[1:15])
-    dhf, denc = outs[15], outs[16]
+    dweights = tuple(outs[1:1 + n_w])
+    dhf, denc = outs[1 + n_w], outs[2 + n_w]
     zeros = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
     return (dweights, dhf, denc, jnp.zeros_like(amask), dtlmx,
-            zeros(gum_sh), zeros(flag_sh), zeros(lm_masks))
+            zeros(gum_sh), zeros(flag_sh), zeros(lm_masks),
+            tuple(jnp.zeros_like(m) for m in inter_masks))
 
 
 _dec_train_seq.defvjp(_dec_train_fwd, _dec_train_bwd)
@@ -615,7 +706,8 @@ _dec_train_seq.defvjp(_dec_train_fwd, _dec_train_bwd)
 
 def apply_train_fused(params: dict, cfg, emb_inputs: Array, enc_states: Array,
                       enc_lens: Array, flags: Array, gumbel: Array,
-                      lm_masks: Array | None, *, compute_dtype=None) -> Array:
+                      lm_masks: Array | None,
+                      inter_masks: tuple = (), *, compute_dtype=None) -> Array:
     """Fused-kernel equivalent of attn_decoder.apply_train's scan (same
     precomputed noise => exact parity up to matmul precision).
 
@@ -625,7 +717,7 @@ def apply_train_fused(params: dict, cfg, emb_inputs: Array, enc_states: Array,
 
     T, B, _ = emb_inputs.shape
     steps = T - 1
-    G, D, M, E, A, V = _dims(params)
+    G, D, M, E, A, V, NL = _dims(params)
     bf16 = compute_dtype is not None
 
     # Precomputed (autodiff-traced) matmuls OUTSIDE the kernel: the VJP's
@@ -661,6 +753,9 @@ def apply_train_fused(params: dict, cfg, emb_inputs: Array, enc_states: Array,
         gum_sh = flag_sh = None
     if lm_masks is not None:
         lm_masks = jnp.broadcast_to(lm_masks, (steps, B, G))
+        inter = tuple(jnp.broadcast_to(m, (steps, B, D)) for m in inter_masks)
+    else:
+        inter = ()
 
     return _dec_train_seq(weights, hf, enc_tm, amask, tlmx, gum_sh, flag_sh,
-                          lm_masks, bf16)
+                          lm_masks, inter, bf16)

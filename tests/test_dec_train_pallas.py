@@ -108,9 +108,43 @@ def test_fused_train_grad_matches_scan(samp_prob, drop, monkeypatch,
             err_msg=str(jax.tree_util.keystr(path[0])))
 
 
+@pytest.mark.parametrize("samp_prob,drop", [(0.0, False), (1.0, True)])
+def test_deep_decoder_fused_matches_scan(samp_prob, drop, monkeypatch,
+                                         _enable_pallas):
+    """num_layers_dec=2 (the reference's deep-decoder knob) runs fused too:
+    forward and grads must match the scan, incl. inter-layer dropout."""
+    cfg = _cfg(num_layers_dec=2, samp_prob=samp_prob,
+               out_prob_dec=0.8 if drop else 1.0)
+    params, dec_inputs, enc_states, enc_lens = _setup(cfg, seed=5)
+    assert dtp.supported(cfg, params)
+    rng = jax.random.PRNGKey(11)
+    out_pal, out_xla = _both_paths(cfg, params, dec_inputs, enc_states,
+                                   enc_lens, rng, monkeypatch)
+    assert _enable_pallas["n"] == 1
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(p, use_kernel):
+        monkeypatch.setattr(dtp, "supported",
+                            (lambda c, pp: True) if use_kernel
+                            else (lambda c, pp: False))
+        lg = attn_decoder.apply_train(p, cfg, dec_inputs, enc_states,
+                                      enc_lens, rng=rng)
+        return jnp.sum(jnp.sin(lg))
+
+    g_pal = jax.grad(loss)(params, True)
+    g_xla = jax.grad(loss)(params, False)
+    for a, b, path in zip(jax.tree_util.tree_leaves(g_pal),
+                          jax.tree_util.tree_leaves(g_xla),
+                          jax.tree_util.tree_leaves_with_path(g_pal)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=str(jax.tree_util.keystr(path[0])))
+
+
 def test_unsupported_config_falls_back(monkeypatch):
-    """Deep decoders / ind_softmax keep the scan path (kernel must not run)."""
-    cfg = _cfg(num_layers_dec=2)
+    """ind_softmax keeps the scan path (kernel must not run)."""
+    cfg = _cfg(ind_softmax=True)
     params, dec_inputs, enc_states, enc_lens = _setup(cfg)
     assert not dtp.supported(cfg, params)
     out = attn_decoder.apply_train(params, cfg, dec_inputs, enc_states,
