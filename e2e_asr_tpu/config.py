@@ -36,6 +36,8 @@ class EncoderConfig:
     num_heads: int = 4               # transformer only
     ffn_mult: int = 4                # transformer only
     subsample: int = 8               # transformer input stack-subsampling
+    rel_pos_bias: bool = False       # learned relative-position attention
+                                     # bias (zero-init; off = sinusoidal only)
 
 
 @dataclass
@@ -231,6 +233,8 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-num_heads", "--num_heads", default=4, type=int)
     parser.add_argument("-ffn_mult", "--ffn_mult", default=4, type=int)
     parser.add_argument("-enc_subsample", "--subsample", default=8, type=int)
+    parser.add_argument("-rel_pos_bias", "--rel_pos_bias", default=False,
+                        action="store_true")
     # Decoder (decoder.py:182-193, attn_decoder.py:174-186)
     parser.add_argument("-hsize_dec", "--hidden_size_dec", default=256, type=int)
     parser.add_argument("-emb_size", "--emb_size", default=256, type=int)

@@ -39,13 +39,16 @@ def d_model(cfg: EncoderConfig) -> int:
     return cfg.hidden_size * (2 if cfg.bi_dir else 1)
 
 
+REL_RADIUS = 64   # relative distances are clamped to [-63, 63]
+
+
 def init(key: Array, cfg: EncoderConfig, max_depth: int, feat_dim: int) -> dict:
     D = d_model(cfg)
     F_in = feat_dim * cfg.stack_cons * cfg.subsample
     ks = iter(jax.random.split(key, 2 + 6 * max_depth))
     params: dict = {"input_proj": dense_params(next(ks), F_in, D)}
     for i in range(1, max_depth + 1):
-        params[f"block_{i}"] = {
+        blk = {
             "ln1": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
             "qkv": dense_params(next(ks), D, 3 * D),
             "attn_out": dense_params(next(ks), D, D),
@@ -53,6 +56,11 @@ def init(key: Array, cfg: EncoderConfig, max_depth: int, feat_dim: int) -> dict:
             "ffn1": dense_params(next(ks), D, cfg.ffn_mult * D),
             "ffn2": dense_params(next(ks), cfg.ffn_mult * D, D),
         }
+        if cfg.rel_pos_bias:
+            # Zero-init learned relative-position bias per head (T5-style):
+            # at init the model is exactly the sinusoidal-only baseline.
+            blk["rel_bias"] = jnp.zeros((cfg.num_heads, 2 * REL_RADIUS - 1))
+        params[f"block_{i}"] = blk
     params["ln_out"] = {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}
     return params
 
@@ -73,6 +81,14 @@ def _sinusoidal(T: int, D: int) -> np.ndarray:
     return pe
 
 
+def _rel_bias(table: Array, T: int) -> Array:
+    """[nh, 2R-1] bias table -> [1, nh, T, T] additive attention bias with
+    relative distances q-k clamped to the table radius."""
+    dist = np.arange(T)[:, None] - np.arange(T)[None, :]
+    idx = np.clip(dist, -(REL_RADIUS - 1), REL_RADIUS - 1) + REL_RADIUS - 1
+    return table[:, jnp.asarray(idx)][None]                   # [1,nh,T,T]
+
+
 def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
           compute_dtype=None) -> Array:
     B, T, D = h.shape
@@ -85,6 +101,8 @@ def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
         q, k, v = (x.astype(compute_dtype) for x in (q, k, v))
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) / math.sqrt(hd)
+    if "rel_bias" in p:
+        s = s + _rel_bias(p["rel_bias"], T)
     a = jax.nn.softmax(s + bias, axis=-1)
     if compute_dtype is not None:
         a = a.astype(compute_dtype)

@@ -118,6 +118,32 @@ def test_ctc_family_with_transformer_encoder():
     assert np.isfinite(float(loss))
 
 
+def test_rel_pos_bias_zero_init_is_baseline_and_learns():
+    """With rel_pos_bias on: zero-init output equals the baseline exactly;
+    the bias table gets nonzero gradients (it is learnable)."""
+    cfg0 = tiny_cfg()
+    cfg1 = dataclasses.replace(cfg0, encoder=dataclasses.replace(
+        cfg0.encoder, rel_pos_bias=True))
+    p0 = encoder_lib.init(jax.random.PRNGKey(5), cfg0.encoder, 2,
+                          cfg0.feat_length)
+    p1 = encoder_lib.init(jax.random.PRNGKey(5), cfg1.encoder, 2,
+                          cfg1.feat_length)
+    B, T = 2, 24
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, T, cfg0.feat_length))
+    lens = jnp.array([T, 15])
+    a0, _, _ = encoder_lib.apply(p0, cfg0.encoder, x, lens, {"char": 2})
+    a1, _, _ = encoder_lib.apply(p1, cfg1.encoder, x, lens, {"char": 2})
+    np.testing.assert_allclose(np.asarray(a0[2]), np.asarray(a1[2]),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p):
+        attn, _, _ = encoder_lib.apply(p, cfg1.encoder, x, lens, {"char": 2})
+        return jnp.sum(jnp.sin(attn[2]))
+
+    g = jax.grad(loss)(p1)
+    assert float(jnp.sum(jnp.abs(g["block_1"]["rel_bias"]))) > 0
+
+
 def test_run_dir_naming_tag():
     from e2e_asr_tpu.config import get_run_dir_name
     base = dict(tasks=["char"], skip_step=2, use_lstm=True, stack_cons=1,
