@@ -38,6 +38,8 @@ class EncoderConfig:
     subsample: int = 8               # transformer input stack-subsampling
     rel_pos_bias: bool = False       # learned relative-position attention
                                      # bias (zero-init; off = sinusoidal only)
+    conv_kernel: int = 0             # Conformer-style depthwise-conv module
+                                     # per block (kernel size; 0 = off)
 
 
 @dataclass
@@ -235,6 +237,7 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-enc_subsample", "--subsample", default=8, type=int)
     parser.add_argument("-rel_pos_bias", "--rel_pos_bias", default=False,
                         action="store_true")
+    parser.add_argument("-conv_kernel", "--conv_kernel", default=0, type=int)
     # Decoder (decoder.py:182-193, attn_decoder.py:174-186)
     parser.add_argument("-hsize_dec", "--hidden_size_dec", default=256, type=int)
     parser.add_argument("-emb_size", "--emb_size", default=256, type=int)

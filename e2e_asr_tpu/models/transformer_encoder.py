@@ -60,6 +60,18 @@ def init(key: Array, cfg: EncoderConfig, max_depth: int, feat_dim: int) -> dict:
             # Zero-init learned relative-position bias per head (T5-style):
             # at init the model is exactly the sinusoidal-only baseline.
             blk["rel_bias"] = jnp.zeros((cfg.num_heads, 2 * REL_RADIUS - 1))
+        if cfg.conv_kernel > 0:
+            # Conformer-style conv module: LN -> pointwise(2D) -> GLU ->
+            # depthwise conv(k) -> LN -> swish -> pointwise(D) (+residual).
+            from e2e_asr_tpu.core.layers import glorot_uniform
+            kc = jax.random.split(next(ks), 3)
+            blk["conv"] = {
+                "ln": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+                "pw1": dense_params(kc[0], D, 2 * D),
+                "dw": glorot_uniform(kc[1], (cfg.conv_kernel, D)),
+                "ln2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+                "pw2": dense_params(kc[2], D, D),
+            }
         params[f"block_{i}"] = blk
     params["ln_out"] = {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}
     return params
@@ -87,6 +99,24 @@ def _rel_bias(table: Array, T: int) -> Array:
     dist = np.arange(T)[:, None] - np.arange(T)[None, :]
     idx = np.clip(dist, -(REL_RADIUS - 1), REL_RADIUS - 1) + REL_RADIUS - 1
     return table[:, jnp.asarray(idx)][None]                   # [1,nh,T,T]
+
+
+def _conv_module(p: dict, h: Array, vmask: Array, compute_dtype=None) -> Array:
+    """Conformer-style convolution module (lite: LayerNorm instead of
+    BatchNorm): LN -> pointwise(2D) -> GLU -> masked depthwise conv ->
+    LN -> swish -> pointwise(D). Padding frames are zeroed before the conv
+    so valid outputs depend only on in-length context."""
+    D = h.shape[-1]
+    x = _layer_norm(p["ln"], h)
+    x = dense(p["pw1"], x, compute_dtype=compute_dtype)       # [B,T,2D]
+    a, b = jnp.split(x, 2, axis=-1)
+    x = (a * jax.nn.sigmoid(b)) * vmask                       # GLU, masked
+    x = jax.lax.conv_general_dilated(
+        x, p["dw"][:, None, :], window_strides=(1,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=D)
+    x = _layer_norm(p["ln2"], x)
+    x = x * jax.nn.sigmoid(x)                                 # swish
+    return dense(p["pw2"], x, compute_dtype=compute_dtype)
 
 
 def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
@@ -148,15 +178,21 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
         a = _mhsa(blk, _layer_norm(blk["ln1"], h), attn_bias,
                   cfg.num_heads, compute_dtype=compute_dtype)
         if train and keep < 1.0:
-            a = dropout(jax.random.fold_in(drop_rng, 2 * i), a, keep)
+            a = dropout(jax.random.fold_in(drop_rng, 3 * i), a, keep)
         h = h + a
+        if "conv" in blk:
+            c = _conv_module(blk["conv"], h, vmask,
+                             compute_dtype=compute_dtype)
+            if train and keep < 1.0:
+                c = dropout(jax.random.fold_in(drop_rng, 3 * i + 1), c, keep)
+            h = h + c
         f = dense(blk["ffn2"],
                   jax.nn.gelu(dense(blk["ffn1"],
                                     _layer_norm(blk["ln2"], h),
                                     compute_dtype=compute_dtype)),
                   compute_dtype=compute_dtype)
         if train and keep < 1.0:
-            f = dropout(jax.random.fold_in(drop_rng, 2 * i + 1), f, keep)
+            f = dropout(jax.random.fold_in(drop_rng, 3 * i + 2), f, keep)
         h = h + f
         if i in want_attn or i in want_tm:
             out = _layer_norm(params["ln_out"], h) * vmask

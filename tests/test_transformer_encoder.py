@@ -144,6 +144,34 @@ def test_rel_pos_bias_zero_init_is_baseline_and_learns():
     assert float(jnp.sum(jnp.abs(g["block_1"]["rel_bias"]))) > 0
 
 
+def test_conv_module_padding_invariance_and_learning():
+    """Conformer-style conv module on: padded frames must not leak into
+    valid outputs, and the depthwise kernel must receive gradients."""
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(cfg, encoder=dataclasses.replace(
+        cfg.encoder, conv_kernel=5))
+    params = encoder_lib.init(jax.random.PRNGKey(7), cfg.encoder, 2,
+                              cfg.feat_length)
+    assert "conv" in params["block_1"]
+    B, T = 2, 24
+    x = jax.random.normal(jax.random.PRNGKey(8), (B, T, cfg.feat_length))
+    lens = jnp.array([T, 16])
+    a1, _, sl = encoder_lib.apply(params, cfg.encoder, x, lens, {"char": 2})
+    x_pad = jnp.pad(x, ((0, 0), (0, 20), (0, 0)))
+    a2, _, _ = encoder_lib.apply(params, cfg.encoder, x_pad, lens, {"char": 2})
+    n = int(sl[2][1])
+    np.testing.assert_allclose(np.asarray(a1[2][1, :n]),
+                               np.asarray(a2[2][1, :n]),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(p):
+        attn, _, _ = encoder_lib.apply(p, cfg.encoder, x, lens, {"char": 2})
+        return jnp.sum(jnp.sin(attn[2]))
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.sum(jnp.abs(g["block_1"]["conv"]["dw"]))) > 0
+
+
 def test_run_dir_naming_tag():
     from e2e_asr_tpu.config import get_run_dir_name
     base = dict(tasks=["char"], skip_step=2, use_lstm=True, stack_cons=1,
