@@ -158,3 +158,18 @@ def test_cli_ctc_family_flag_guards(workspace):
     with pytest.raises(ValueError):
         parse_options(_args(root, ["-model_family", "ctc",
                                    "-ctc_weight", "0.5"]))
+
+
+def test_cli_transformer_encoder_family(workspace):
+    """-encoder_type transformer (+ conformer options) trains and evals
+    through the CLI; run dir carries the xfmr tag."""
+    root = workspace
+    extra = ["-encoder_type", "transformer", "-num_heads", "2",
+             "-ffn_mult", "2", "-enc_subsample", "4", "-rel_pos_bias",
+             "-conv_kernel", "3", "-run_id", "13", "-nlc", "2"]
+    cfg = parse_options(_args(root, extra))
+    assert cfg.model.encoder.encoder_type == "transformer"
+    assert "xfmr_2h_" in cfg.train.train_dir
+    launch_train(cfg)
+    assert glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
+    launch_eval(parse_options(_args(root, extra + ["-dev"])))
