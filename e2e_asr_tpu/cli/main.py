@@ -81,12 +81,20 @@ def launch_eval(cfg: ExperimentConfig) -> None:
     params = step_lib.init_params(jax.random.PRNGKey(10), cfg.model)
     state = step_lib.create_state(params, cfg.model, cfg.lm)
     ckpt_path = None
-    for d in (tc.best_model_dir, tc.train_dir):
-        found = ckpt_lib.latest_path(d)
+    if tc.eval_avg_ckpts > 1:
+        # Checkpoint-averaged eval (extension; tools/average_ckpts math).
+        found = ckpt_lib.restore_averaged(tc.train_dir, state,
+                                          tc.eval_avg_ckpts)
         if found:
-            ckpt_path = found[0]
-            state = ckpt_lib.restore(ckpt_path, state)
-            break
+            state, used = found
+            ckpt_path = f"avg of {[path.basename(p) for p in used]}"
+    if ckpt_path is None:
+        for d in (tc.best_model_dir, tc.train_dir):
+            found = ckpt_lib.latest_path(d)
+            if found:
+                ckpt_path = found[0]
+                state = ckpt_lib.restore(ckpt_path, state)
+                break
     print(f"Using the model from: {ckpt_path}")
 
     _, rev_vocab = text.initialize_vocabulary(

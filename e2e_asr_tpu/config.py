@@ -139,6 +139,7 @@ class TrainConfig:
     model_axis: int = 1              # devices sharding vocab-sized projections
     compute_dtype: str = "bfloat16"  # matmul compute dtype on TPU
     profile_dir: str = ""            # jax.profiler trace output (steps 10..15)
+    eval_avg_ckpts: int = 1          # eval the mean of the last N ckpts (>1)
     rng_impl: str = "rbg"            # dropout/sampling PRNG ("rbg" is ~2x
                                      # cheaper than threefry on TPU; set
                                      # "threefry2x32" for cross-version
@@ -285,6 +286,11 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         "hardcodes these at train.py:44)")
     parser.add_argument("-profile_dir", default="", type=str,
                         help="jax.profiler trace output directory")
+    parser.add_argument("-eval_avg_ckpts", "--eval_avg_ckpts", default=1,
+                        type=int,
+                        help="evaluate the arithmetic mean of the last N "
+                             "train-dir checkpoints instead of best/latest "
+                             "(extension; standard ASR inference trick)")
     parser.add_argument("-spec_augment", default=False, action="store_true",
                         help="Enable on-device SpecAugment feature masking")
     parser.add_argument("-data_axis", default=-1, type=int,

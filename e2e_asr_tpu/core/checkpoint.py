@@ -103,6 +103,27 @@ def restore(path: str, template):
     return unflatten_named(template, named)
 
 
+def restore_averaged(ckpt_dir: str, template, n: int):
+    """Restore the arithmetic mean of the last `n` checkpoints in ckpt_dir
+    (tools/average_ckpts semantics: float params averaged, optimizer state
+    and counters from the last). Returns (state, used_paths)."""
+    import glob as _glob
+    import re as _re
+
+    from e2e_asr_tpu.tools.average_ckpts import average_files
+
+    paths = []
+    for p in _glob.glob(os.path.join(ckpt_dir, "asr.ckpt-*.npz")):
+        m = _re.search(r"ckpt-(\d+)\.npz$", p)
+        if m:
+            paths.append((int(m.group(1)), p))
+    paths = [p for _, p in sorted(paths)][-n:]
+    if not paths:
+        return None
+    named = average_files(paths)
+    return unflatten_named(template, named), paths
+
+
 def restore_latest(ckpt_dir: str, template) -> tuple[Any, dict] | None:
     found = latest_path(ckpt_dir)
     if found is None:

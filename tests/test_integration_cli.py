@@ -173,3 +173,12 @@ def test_cli_transformer_encoder_family(workspace):
     launch_train(cfg)
     assert glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
     launch_eval(parse_options(_args(root, extra + ["-dev"])))
+
+
+def test_cli_eval_with_checkpoint_averaging(workspace):
+    """-eval_avg_ckpts N evaluates the mean of the last N checkpoints."""
+    root = workspace
+    cfg = parse_options(_args(root))
+    if not glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg)
+    launch_eval(parse_options(_args(root, ["-dev", "-eval_avg_ckpts", "2"])))
