@@ -105,10 +105,18 @@ def _encoder(tf1, spec: FixtureSpec, feats_tm, seq_len):
     return x, lens   # time-major [T_red, B, 2h], [B]
 
 
-def _decoder(tf1, spec: FixtureSpec, enc_bm, enc_lens, dec_ids_tm):
+def _decoder(tf1, spec: FixtureSpec, enc_bm, enc_lens, dec_ids_tm,
+             greedy_steps: int = 0):
     """Teacher-forced attention decoder via tf.nn.raw_rnn, replicating the
     reference step order (attn_decoder.py:76-162). Returns [T_dec-1, B, V]
-    logits where logits[t] predicts dec_ids[t+1]."""
+    logits where logits[t] predicts dec_ids[t+1].
+
+    When greedy_steps > 0, additionally builds an inference decoder over the
+    SAME variables (second raw_rnn re-entering variable scope "rnn"; the cell
+    objects are already built so their variables are shared) that feeds back
+    the argmax embedding each step, exactly the reference inference
+    loop_function (decoder.py:139-153, attn_decoder.py:128-129). Returns
+    (logits, greedy_logits [greedy_steps, B, V])."""
     rc = tf1.nn.rnn_cell
     B, V, A = spec.B, spec.vocab, spec.attn_vec
     attn_size = int(enc_bm.shape[2])
@@ -152,37 +160,60 @@ def _decoder(tf1, spec: FixtureSpec, enc_bm, enc_lens, dec_ids_tm):
         context = tf1.reduce_sum(a4 * hidden4, [1, 2])
         return context
 
-    def loop_fn(time, cell_output, state, loop_state):
-        finished = time >= steps
-        if cell_output is None:
-            next_state = main_cell.zero_state(B, tf1.float32)
-            output = tf1.zeros((V,))
-            lm_input = inputs_ta.read(time)
-            lm_state = lm_cell.zero_state(B, tf1.float32)
-            ctx = tf1.zeros([B, attn_size])
-        else:
-            next_state = state
-            lm_state, prev_ctx = loop_state
-            query = get_state(state)
-            ctx = attention(query)
-            proj = _linear(tf1, [query, ctx], spec.hidden, "AttnProjection")
-            output = _linear(tf1, [proj], V, "OutputProjection")
-            lm_input = tf1.cond(
-                finished,
-                lambda: tf1.zeros([B, spec.emb_size]),
-                lambda: inputs_ta.read(tf1.minimum(time, spec.T_dec - 1)))
-        lm_output, next_lm_state = lm_cell(lm_input, lm_state)
-        if spec.lm_hidden != spec.hidden:
-            lm_output = _linear(tf1, [lm_output], spec.hidden,
-                                "SimpleProjection")
-        next_input = _linear(tf1, [lm_output, ctx], spec.emb_size,
-                             "InputProjection")
-        elements_finished = tf1.fill([B], finished)
-        return (elements_finished, next_input, next_state, output,
-                (next_lm_state, ctx))
+    go_emb = tf1.nn.embedding_lookup(embedding, tf1.fill([B], GO_ID))
 
-    outputs_ta, _, _ = tf1.nn.raw_rnn(main_cell, loop_fn)
-    return outputs_ta.stack()   # [steps, B, V]
+    def make_loop_fn(n_steps: int, next_token_emb, init_emb):
+        """next_token_emb(time, output) -> [B, emb] feedback embedding."""
+        def loop_fn(time, cell_output, state, loop_state):
+            finished = time >= n_steps
+            if cell_output is None:
+                next_state = main_cell.zero_state(B, tf1.float32)
+                output = tf1.zeros((V,))
+                lm_input = init_emb
+                lm_state = lm_cell.zero_state(B, tf1.float32)
+                ctx = tf1.zeros([B, attn_size])
+            else:
+                next_state = state
+                lm_state, prev_ctx = loop_state
+                query = get_state(state)
+                ctx = attention(query)
+                proj = _linear(tf1, [query, ctx], spec.hidden,
+                               "AttnProjection")
+                output = _linear(tf1, [proj], V, "OutputProjection")
+                lm_input = tf1.cond(
+                    finished,
+                    lambda: tf1.zeros([B, spec.emb_size]),
+                    lambda: next_token_emb(time, output))
+            lm_output, next_lm_state = lm_cell(lm_input, lm_state)
+            if spec.lm_hidden != spec.hidden:
+                lm_output = _linear(tf1, [lm_output], spec.hidden,
+                                    "SimpleProjection")
+            next_input = _linear(tf1, [lm_output, ctx], spec.emb_size,
+                                 "InputProjection")
+            elements_finished = tf1.fill([B], finished)
+            return (elements_finished, next_input, next_state, output,
+                    (next_lm_state, ctx))
+        return loop_fn
+
+    def teacher_emb(time, output):
+        return inputs_ta.read(tf1.minimum(time, spec.T_dec - 1))
+
+    outputs_ta, _, _ = tf1.nn.raw_rnn(
+        main_cell, make_loop_fn(steps, teacher_emb, inputs_ta.read(0)))
+    logits = outputs_ta.stack()   # [steps, B, V]
+    if not greedy_steps:
+        return logits
+
+    def argmax_emb(time, output):
+        ids = tf1.argmax(output, axis=-1)
+        return tf1.nn.embedding_lookup(embedding, ids)
+
+    # Second raw_rnn re-enters variable scope "rnn": the cells are built Layer
+    # objects (variables shared by object identity) and every _linear uses
+    # AUTO_REUSE, so no new model variables are created.
+    greedy_ta, _, _ = tf1.nn.raw_rnn(
+        main_cell, make_loop_fn(greedy_steps, argmax_emb, go_emb))
+    return logits, greedy_ta.stack()   # [greedy_steps, B, V]
 
 
 def build_fixture(out_dir: str, spec: FixtureSpec | None = None) -> dict:
@@ -251,6 +282,133 @@ def build_fixture(out_dir: str, spec: FixtureSpec | None = None) -> dict:
              enc_out=enc_out, enc_out_lens=enc_out_lens, logits=logits_out)
     return {"ckpt": ckpt_path, "npz": npz_path, "golden": golden_path,
             "names": sorted(dump)}
+
+
+def _learnable_batch(spec: FixtureSpec, rng, basis, frames_per_token: int):
+    """One batch of the learnable synthetic task (data/synth.py's recipe:
+    features are per-token basis patterns repeated over frames + noise), in
+    the fixture's fixed placeholder shapes."""
+    max_tok = spec.T_dec - 2
+    feats = np.zeros((spec.B, spec.T, spec.feat), np.float32)
+    lens = np.zeros((spec.B,), np.int32)
+    dec_ids = np.zeros((spec.T_dec, spec.B), np.int32)   # <pad>=0 tail
+    tgt_lens = np.zeros((spec.B,), np.int32)
+    for b in range(spec.B):
+        n_tok = int(rng.integers(2, max_tok + 1))
+        tokens = rng.integers(3, spec.vocab, size=n_tok)
+        frames = np.repeat(basis[tokens], frames_per_token, axis=0)
+        frames = frames + rng.normal(scale=0.05, size=frames.shape)
+        L = frames.shape[0]
+        feats[b, :L] = frames
+        lens[b] = L
+        dec_ids[0, b] = GO_ID
+        dec_ids[1:1 + n_tok, b] = tokens
+        dec_ids[1 + n_tok, b] = 2                        # <eos>
+        tgt_lens[b] = n_tok + 1       # predictions: tokens + <eos>
+    return feats, lens, dec_ids, tgt_lens
+
+
+def build_trained_fixture(out_dir: str, spec: FixtureSpec | None = None, *,
+                          train_steps: int = 300, lr: float = 5e-3,
+                          greedy_steps: int = 12,
+                          frames_per_token: int = 2) -> dict:
+    """Train the REAL TF reference graph and save the trained artifact chain.
+
+    This reproduces the reference's actual workflow (train.py:297-299 ->
+    checkpoint -> eval_model.py:56-118 greedy decode): the graph is trained
+    with the reference's loss semantics (length-normalized masked CE,
+    losses.py:30-35) under Adam + global-norm clip 5.0
+    (seq2seq_model.py:137-155), checkpointed with genuine Adam slots, and the
+    TF-side greedy decode (argmax feedback, decoder.py:139-153) is recorded on
+    a held-out batch — golden data for proving the converted JAX model decodes
+    a TRAINED checkpoint identically.
+
+    Writes the same artifact set as build_fixture plus golden entries:
+        greedy_logits [greedy_steps, B, V], greedy_ids [greedy_steps, B],
+        tgt_lens, loss_first, loss_last.
+    """
+    spec = spec or FixtureSpec(B=8, T=12, T_dec=8, seed=11)
+    assert (spec.T_dec - 2) * frames_per_token <= spec.T
+    tf1 = _tf()
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(spec.seed)
+    basis = np.random.default_rng(1234).normal(
+        size=(spec.vocab, spec.feat)).astype(np.float32)
+
+    g = tf1.Graph()
+    with g.as_default():
+        tf1.set_random_seed(spec.seed)
+        feats_ph = tf1.placeholder(tf1.float32, [spec.B, spec.T, spec.feat])
+        lens_ph = tf1.placeholder(tf1.int32, [spec.B])
+        dec_ph = tf1.placeholder(tf1.int32, [spec.T_dec, spec.B])
+        tgt_lens_ph = tf1.placeholder(tf1.int32, [spec.B])
+        with tf1.variable_scope("model"):
+            tf1.Variable(lr, trainable=False)
+            tf1.Variable(0, trainable=False)
+            tf1.Variable(0, trainable=False)
+            with tf1.variable_scope("encoder"):
+                enc_tm, enc_lens = _encoder(
+                    tf1, spec, tf1.transpose(feats_ph, [1, 0, 2]), lens_ph)
+            enc_bm = tf1.transpose(enc_tm, [1, 0, 2])
+            with tf1.variable_scope("rnn_decoder_char"):
+                logits, greedy_logits = _decoder(
+                    tf1, spec, enc_bm, enc_lens, dec_ph,
+                    greedy_steps=greedy_steps)
+            # Reference loss: per-step masked CE, per-example sum/target_len,
+            # batch mean (losses.py:30-35; targets shifted by one,
+            # tf_utils.py:4-12).
+            targets = dec_ph[1:]                          # [T_dec-1, B]
+            mask = tf1.transpose(tf1.sequence_mask(
+                tgt_lens_ph, maxlen=spec.T_dec - 1, dtype=tf1.float32))
+            ce = tf1.nn.sparse_softmax_cross_entropy_with_logits(
+                labels=targets, logits=logits) * mask
+            loss = tf1.reduce_mean(
+                tf1.reduce_sum(ce, 0) / tf1.cast(tgt_lens_ph, tf1.float32))
+            # Adam + global-norm clip 5.0 (seq2seq_model.py:137-155).
+            opt = tf1.train.AdamOptimizer(lr)
+            grads_vars = opt.compute_gradients(loss)
+            grads, _ = tf1.clip_by_global_norm(
+                [gv[0] for gv in grads_vars], 5.0)
+            train_op = opt.apply_gradients(
+                zip(grads, [gv[1] for gv in grads_vars]))
+
+        saver = tf1.train.Saver(write_version=tf1.train.SaverDef.V2)
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            loss_first = loss_last = None
+            for step in range(train_steps):
+                f, le, d, tl = _learnable_batch(spec, rng, basis,
+                                                frames_per_token)
+                _, lval = sess.run([train_op, loss], {
+                    feats_ph: f, lens_ph: le, dec_ph: d, tgt_lens_ph: tl})
+                if step == 0:
+                    loss_first = float(lval)
+                loss_last = float(lval)
+            # Held-out golden batch (fresh draws from the same distribution).
+            ev = np.random.default_rng(spec.seed + 999)
+            f, le, d, tl = _learnable_batch(spec, ev, basis, frames_per_token)
+            feed = {feats_ph: f, lens_ph: le, dec_ph: d, tgt_lens_ph: tl}
+            enc_out, enc_out_lens, logits_out, greedy_out = sess.run(
+                [enc_bm, enc_lens, logits, greedy_logits], feed)
+            ckpt_path = saver.save(sess, os.path.join(out_dir, "tf_ckpt"),
+                                   write_meta_graph=False)
+
+    reader = tf1.train.NewCheckpointReader(ckpt_path)
+    dump = {n: reader.get_tensor(n)
+            for n in reader.get_variable_to_shape_map()
+            if "Adam" not in n}
+    npz_path = os.path.join(out_dir, "dump.npz")
+    np.savez(npz_path, **dump)
+
+    golden_path = os.path.join(out_dir, "golden.npz")
+    np.savez(golden_path, feats=f, lens=le, dec_ids=d, tgt_lens=tl,
+             enc_out=enc_out, enc_out_lens=enc_out_lens, logits=logits_out,
+             greedy_logits=greedy_out,
+             greedy_ids=np.argmax(greedy_out, axis=-1).astype(np.int32),
+             loss_first=loss_first, loss_last=loss_last)
+    return {"ckpt": ckpt_path, "npz": npz_path, "golden": golden_path,
+            "names": sorted(dump), "loss_first": loss_first,
+            "loss_last": loss_last}
 
 
 def main(argv=None) -> None:
