@@ -121,20 +121,22 @@ def _dec_step_fused(params: dict, cfg: DecoderConfig, ctx: AttnContext,
         flat = lambda a: a.reshape((B * k,) + a.shape[2:])    # noqa: E731
         unflat = lambda a: a.reshape((B, k) + a.shape[1:])    # noqa: E731
     lm_state = jax.tree_util.tree_map(flat, state.dec_lm_state)
-    dec_state = jax.tree_util.tree_map(flat, state.dec_cell_states[0])
+    dec_states = jax.tree_util.tree_map(flat, state.dec_cell_states)
     new_lm, new_dec, y = dsp.cells_fused(
-        params, flat(state.inputs), flat(state.context), lm_state, dec_state,
-        bf16=False)
+        params, flat(state.inputs), flat(state.context), lm_state, dec_states,
+        use_lstm=cfg.use_lstm, bf16=False)
+    top = new_dec[-1]
+    query = top.c if cfg.use_lstm else top
     if use_fused_attn:
         logp_f, ctx_f, alpha_f = dsp.attn_output_fused(
-            params, cfg, y, new_dec.c, ctx.hidden_features, ctx.enc_states,
+            params, cfg, y, query, ctx.hidden_features, ctx.enc_states,
             ctx.mask, k=k, bf16=False)
         context, alpha, logp = unflat(ctx_f), unflat(alpha_f), unflat(logp_f)
     else:
         context, alpha = _alpha_context(params, ctx, unflat(y))
-        logp = unflat(dsp.output_fused(params, cfg, new_dec.c, flat(context),
+        logp = unflat(dsp.output_fused(params, cfg, query, flat(context),
                                        bf16=False))
-    new_cell_states = (jax.tree_util.tree_map(unflat, new_dec),)
+    new_cell_states = jax.tree_util.tree_map(unflat, new_dec)
     new_dec_lm = jax.tree_util.tree_map(unflat, new_lm)
     return new_cell_states, new_dec_lm, context, alpha, logp
 
@@ -220,6 +222,15 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     T_enc = enc_states.shape[1]
     from e2e_asr_tpu.core.rnn import use_pallas_lstm
     use_sel_kernel = use_pallas_lstm()
+
+    # Small-batch serving case: run the ENTIRE search in one Pallas launch
+    # per utterance (ops/beam_megakernel.py) — no per-step launch cost.
+    from e2e_asr_tpu.ops import beam_megakernel as bmk
+    if (use_sel_kernel and not use_lm and not use_cov and not return_nbest
+            and bmk.supported(dec_cfg, beam_cfg, dec_params, T_enc,
+                              enc_states.shape[-1], B)):
+        return bmk.beam_decode_mega(dec_params, dec_cfg, beam_cfg,
+                                    enc_states, enc_lens)
 
     ctx = make_attn_context(dec_params, enc_states, enc_lens)
     emb = dec_params["embedding"]

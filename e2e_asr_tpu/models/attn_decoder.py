@@ -267,6 +267,32 @@ def apply_train(params: dict, cfg: DecoderConfig, dec_inputs: Array,
     return logits
 
 
+def _fused_infer_step(params: dict, cfg: DecoderConfig, ctx: AttnContext,
+                      state: DecState, lm_input: Array, *, bf16: bool):
+    """Fused-kernel inference step (any depth, LSTM or GRU, with/without
+    SimpleProjection); emits log-probs (argmax-equal to logits)."""
+    from e2e_asr_tpu.ops import dec_step_pallas as dsp
+
+    new_lm, new_dec, y = dsp.cells_fused(
+        params, lm_input, state.context, state.lm_state, state.cell_states,
+        use_lstm=cfg.use_lstm, bf16=bf16)
+    query = _query_of(cfg, new_dec)
+    Bn, A = y.shape
+    if dsp.attn_output_fits(Bn, 1, ctx.enc_states.shape[1], A,
+                            ctx.enc_states.shape[-1]):
+        logp, context, alpha = dsp.attn_output_fused(
+            params, cfg, y, query, ctx.hidden_features,
+            ctx.enc_states, ctx.mask, k=1, bf16=bf16)
+    else:
+        s = jnp.sum(params["attn_v"] *
+                    jnp.tanh(ctx.hidden_features + y[:, None, :]), axis=-1)
+        s = jnp.where(ctx.mask > 0, s, -1e30)
+        alpha = jax.nn.softmax(s, axis=-1)
+        context = jnp.einsum("bt,bth->bh", alpha, ctx.enc_states)
+        logp = dsp.output_fused(params, cfg, query, context, bf16=bf16)
+    return DecState(new_dec, new_lm, context, alpha), logp
+
+
 def apply_infer(params: dict, cfg: DecoderConfig, go_ids: Array,
                 enc_states: Array, enc_lens: Array, *, max_output: int,
                 compute_dtype=None) -> tuple[Array, Array]:
@@ -291,25 +317,8 @@ def apply_infer(params: dict, cfg: DecoderConfig, go_ids: Array,
                     compute_dtype=compute_dtype)
 
     def fused_step(state, lm_input):
-        """Fused inference step; emits log-probs (argmax-equal)."""
-        bf16 = compute_dtype is not None
-        new_lm, new_dec, y = dsp.cells_fused(
-            params, lm_input, state.context, state.lm_state,
-            state.cell_states[0], bf16=bf16)
-        Bn, A = y.shape
-        if dsp.attn_output_fits(Bn, 1, ctx.enc_states.shape[1], A,
-                                ctx.enc_states.shape[-1]):
-            logp, context, alpha = dsp.attn_output_fused(
-                params, cfg, y, new_dec.c, ctx.hidden_features,
-                ctx.enc_states, ctx.mask, k=1, bf16=bf16)
-        else:
-            s = jnp.sum(params["attn_v"] *
-                        jnp.tanh(ctx.hidden_features + y[:, None, :]), axis=-1)
-            s = jnp.where(ctx.mask > 0, s, -1e30)
-            alpha = jax.nn.softmax(s, axis=-1)
-            context = jnp.einsum("bt,bth->bh", alpha, ctx.enc_states)
-            logp = dsp.output_fused(params, cfg, new_dec.c, context, bf16=bf16)
-        return DecState((new_dec,), new_lm, context, alpha), logp
+        return _fused_infer_step(params, cfg, ctx, state, lm_input,
+                                 bf16=compute_dtype is not None)
 
     def scan_step(carry, _):
         state, lm_input = carry
@@ -347,26 +356,8 @@ def apply_infer_early(params: dict, cfg: DecoderConfig, go_ids: Array,
 
     def one_step(state, lm_input):
         if fused:
-            bf16 = compute_dtype is not None
-            new_lm, new_dec, y = dsp.cells_fused(
-                params, lm_input, state.context, state.lm_state,
-                state.cell_states[0], bf16=bf16)
-            Bn, A = y.shape
-            if dsp.attn_output_fits(Bn, 1, ctx.enc_states.shape[1], A,
-                                    ctx.enc_states.shape[-1]):
-                logits, context, alpha = dsp.attn_output_fused(
-                    params, cfg, y, new_dec.c, ctx.hidden_features,
-                    ctx.enc_states, ctx.mask, k=1, bf16=bf16)
-            else:
-                s = jnp.sum(params["attn_v"] *
-                            jnp.tanh(ctx.hidden_features + y[:, None, :]),
-                            axis=-1)
-                s = jnp.where(ctx.mask > 0, s, -1e30)
-                alpha = jax.nn.softmax(s, axis=-1)
-                context = jnp.einsum("bt,bth->bh", alpha, ctx.enc_states)
-                logits = dsp.output_fused(params, cfg, new_dec.c, context,
-                                          bf16=bf16)
-            return DecState((new_dec,), new_lm, context, alpha), logits
+            return _fused_infer_step(params, cfg, ctx, state, lm_input,
+                                     bf16=compute_dtype is not None)
         return step(params, cfg, ctx, state, lm_input,
                     compute_dtype=compute_dtype)
 

@@ -17,9 +17,10 @@ output kernel: ~42 ms — the k-major relayouts and in-kernel reshape overhead
 outweigh the saved launches). Opt-in via E2E_ASR_FUSED_ATTN=1; kept as a
 documented negative result and a base for future work.
 
-Fast-path requirements (fall back to the plain XLA step otherwise):
-LSTM cells, single decoder layer, no SimpleProjection
-(lm_hidden_size == hidden_size_dec). Inference only — no VJP.
+Fast path covers BOTH cell types (LSTM and GRU), any decoder depth, and
+SimpleProjection configs (round 3 — previously LSTM/1-layer/no-proj only);
+the only gate left is a VMEM fit estimate for the resident weights.
+Inference only — no VJP.
 
 The vocab axis is padded to a multiple of 128 lanes; padded logits get -1e30
 so downstream log-softmax/top-k ignore them.
@@ -41,9 +42,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _param_bytes(tree) -> int:
+    import numpy as np
+    return sum(int(np.prod(x.shape)) * 4
+               for x in jax.tree_util.tree_leaves(tree))
+
+
 def supported(cfg, params) -> bool:
-    return (cfg.use_lstm and cfg.num_layers_dec == 1
-            and "simple_proj" not in params)
+    """Fused-step eligibility: resident weights must fit VMEM comfortably
+    (LSTM/GRU, any depth, with/without SimpleProjection all lower to the
+    generic kernel)."""
+    weight_keys = ("lm_cell", "simple_proj", "input_proj", "dec_cells",
+                   "attn_query")
+    w_bytes = _param_bytes([params[k] for k in weight_keys if k in params])
+    return w_bytes <= 10 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -64,64 +76,152 @@ def _dot(a: Array, b: Array, bf16: bool) -> Array:
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _cells_kernel(x_emb, ctx_prev, lm_c, lm_h, dec_c, dec_h,
-                  wlm, blm, winp, binp, wdec, bdec, wq, bq,
-                  lm_c_o, lm_h_o, dec_c_o, dec_h_o, y_o, *, E, Hl, H,
-                  bf16: bool):
-    lm_gates = (_dot(x_emb[:], wlm[:E], bf16) +
-                _dot(lm_h[:], wlm[E:], bf16) + blm[:])
-    new_lm_c, new_lm_h = _lstm_gate_math(lm_gates, lm_c[:], Hl)
+def _lstm_cell_math(x, c, h, w, b, in_dim: int, H: int, bf16: bool):
+    gates = _dot(x, w[:in_dim], bf16) + _dot(h, w[in_dim:], bf16) + b[:]
+    return _lstm_gate_math(gates, c, H)
 
-    x_dec = (_dot(new_lm_h, winp[:Hl], bf16) +
-             _dot(ctx_prev[:], winp[Hl:], bf16) + binp[:])
 
-    dec_gates = (_dot(x_dec, wdec[:E], bf16) +
-                 _dot(dec_h[:], wdec[E:], bf16) + bdec[:])
-    new_dec_c, new_dec_h = _lstm_gate_math(dec_gates, dec_c[:], H)
+def _gru_cell_math(x, h, wg, bg, wc, bc, in_dim: int, H: int, bf16: bool):
+    gates = jax.nn.sigmoid(_dot(x, wg[:in_dim], bf16) +
+                           _dot(h, wg[in_dim:], bf16) + bg[:])
+    r, u = gates[:, :H], gates[:, H:]
+    cand = jnp.tanh(_dot(x, wc[:in_dim], bf16) +
+                    _dot(r * h, wc[in_dim:], bf16) + bc[:])
+    return u * h + (1.0 - u) * cand
 
-    y = _dot(new_dec_c, wq[:], bf16) + bq[:]
 
-    lm_c_o[:] = new_lm_c
-    lm_h_o[:] = new_lm_h
-    dec_c_o[:] = new_dec_c
-    dec_h_o[:] = new_dec_h
-    y_o[:] = y
+def _cell_weight_args(cell_params: dict, use_lstm: bool) -> list:
+    if use_lstm:
+        return [cell_params["kernel"], cell_params["bias"]]
+    return [cell_params["gates"]["kernel"], cell_params["gates"]["bias"],
+            cell_params["candidate"]["kernel"], cell_params["candidate"]["bias"]]
+
+
+def _cells_kernel(*refs, use_lstm: bool, L: int, has_sp: bool, E: int,
+                  Hl: int, H: int, bf16: bool):
+    """Generic fused step: lm cell -> [SimpleProjection] -> InputProjection ->
+    L stacked decoder cells -> attention query projection.
+
+    Ref order (inputs): x_emb, ctx_prev, lm state leaves, per-layer dec state
+    leaves, lm cell weights, [simple_proj w,b], input_proj w,b, per-layer cell
+    weights, attn_query w,b; (outputs): lm state leaves, per-layer dec state
+    leaves, y. LSTM state leaves are (c, h); GRU state is (h,).
+    """
+    it = iter(refs)
+    x_emb = next(it)[:]
+    ctx_prev = next(it)[:]
+    n_state = 2 if use_lstm else 1
+    lm_in = [next(it)[:] for _ in range(n_state)]
+    dec_in = [[next(it)[:] for _ in range(n_state)] for _ in range(L)]
+    lm_w = [next(it) for _ in range(2 if use_lstm else 4)]
+    sp = [next(it) for _ in range(2)] if has_sp else None
+    winp, binp = next(it), next(it)
+    cell_w = [[next(it) for _ in range(2 if use_lstm else 4)]
+              for _ in range(L)]
+    wq, bq = next(it), next(it)
+    lm_out = [next(it) for _ in range(n_state)]
+    dec_out = [[next(it) for _ in range(n_state)] for _ in range(L)]
+    y_o = next(it)
+
+    if use_lstm:
+        new_lm_c, new_lm_h = _lstm_cell_math(
+            x_emb, lm_in[0], lm_in[1], lm_w[0], lm_w[1], E, Hl, bf16)
+        lm_out[0][:] = new_lm_c
+        lm_out[1][:] = new_lm_h
+        lm_y = new_lm_h
+    else:
+        lm_y = _gru_cell_math(x_emb, lm_in[0], *lm_w, E, Hl, bf16)
+        lm_out[0][:] = lm_y
+
+    if has_sp:
+        lm_y = _dot(lm_y, sp[0][:], bf16) + sp[1][:]
+
+    x = (_dot(lm_y, winp[: lm_y.shape[-1]], bf16) +
+         _dot(ctx_prev, winp[lm_y.shape[-1]:], bf16) + binp[:])
+
+    for layer in range(L):
+        in_dim = E if layer == 0 else H
+        if use_lstm:
+            new_c, new_h = _lstm_cell_math(
+                x, dec_in[layer][0], dec_in[layer][1],
+                cell_w[layer][0], cell_w[layer][1], in_dim, H, bf16)
+            dec_out[layer][0][:] = new_c
+            dec_out[layer][1][:] = new_h
+            x, query = new_h, new_c
+        else:
+            new_h = _gru_cell_math(x, dec_in[layer][0], *cell_w[layer],
+                                   in_dim, H, bf16)
+            dec_out[layer][0][:] = new_h
+            x = query = new_h
+
+    y_o[:] = _dot(query, wq[:], bf16) + bq[:]
 
 
 def cells_fused(params: dict, x_emb: Array, ctx_prev: Array,
-                lm_state, dec_state, *, bf16: bool = True):
-    """Fused decoder-LM + InputProjection + decoder cell + query projection.
+                lm_state, dec_states, *, use_lstm: bool = True,
+                bf16: bool = True):
+    """Fused decoder-LM + [SimpleProjection] + InputProjection + stacked
+    decoder cells + query projection — one launch for the whole cell chain.
 
-    All arrays [N, .]. Returns (new_lm_state, new_dec_state, query_y [N, A]).
+    All arrays [N, .]. dec_states: tuple of per-layer LSTMState (or [N,H]
+    arrays for GRU). Returns (new_lm_state, new_dec_states, query_y [N, A]).
+    Backwards-compat: a single LSTMState is accepted for dec_states.
     """
     from e2e_asr_tpu.core.cells import LSTMState
 
+    single = isinstance(dec_states, LSTMState) or (
+        not use_lstm and not isinstance(dec_states, (tuple, list)))
+    if single:
+        dec_states = (dec_states,)
+    L = len(dec_states)
     N, E = x_emb.shape
-    Hl = lm_state.h.shape[-1]
-    H = dec_state.h.shape[-1]
-    H_enc = ctx_prev.shape[-1]
+    Hl = (lm_state.h if use_lstm else lm_state).shape[-1]
+    H = (dec_states[0].h if use_lstm else dec_states[0]).shape[-1]
     A = params["attn_query"]["kernel"].shape[-1]
+    has_sp = "simple_proj" in params
+    n_state = 2 if use_lstm else 1
 
+    def state_leaves(s):
+        return [s.c, s.h] if use_lstm else [s]
+
+    inputs = [x_emb, ctx_prev]
+    inputs += state_leaves(lm_state)
+    for s in dec_states:
+        inputs += state_leaves(s)
+    inputs += _cell_weight_args(params["lm_cell"], use_lstm)
+    if has_sp:
+        inputs += [params["simple_proj"]["kernel"],
+                   params["simple_proj"]["bias"]]
+    inputs += [params["input_proj"]["kernel"], params["input_proj"]["bias"]]
+    for cp in params["dec_cells"]:
+        inputs += _cell_weight_args(cp, use_lstm)
+    inputs += [params["attn_query"]["kernel"], params["attn_query"]["bias"]]
+
+    out_shape = ([jax.ShapeDtypeStruct((N, Hl), jnp.float32)] * n_state +
+                 [jax.ShapeDtypeStruct((N, H), jnp.float32)] * (n_state * L) +
+                 [jax.ShapeDtypeStruct((N, A), jnp.float32)])
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    out_shape = [jax.ShapeDtypeStruct((N, Hl), jnp.float32),
-                 jax.ShapeDtypeStruct((N, Hl), jnp.float32),
-                 jax.ShapeDtypeStruct((N, H), jnp.float32),
-                 jax.ShapeDtypeStruct((N, H), jnp.float32),
-                 jax.ShapeDtypeStruct((N, A), jnp.float32)]
-    kernel = functools.partial(_cells_kernel, E=E, Hl=Hl, H=H, bf16=bf16)
+    kernel = functools.partial(_cells_kernel, use_lstm=use_lstm, L=L,
+                               has_sp=has_sp, E=E, Hl=Hl, H=H, bf16=bf16)
     outs = pl.pallas_call(
         kernel,
-        in_specs=[vspec() for _ in range(14)],
-        out_specs=[vspec() for _ in range(5)],
+        in_specs=[vspec() for _ in inputs],
+        out_specs=[vspec() for _ in out_shape],
         out_shape=out_shape,
         interpret=_interpret(),
-    )(x_emb, ctx_prev, lm_state.c, lm_state.h, dec_state.c, dec_state.h,
-      params["lm_cell"]["kernel"], params["lm_cell"]["bias"],
-      params["input_proj"]["kernel"], params["input_proj"]["bias"],
-      params["dec_cells"][0]["kernel"], params["dec_cells"][0]["bias"],
-      params["attn_query"]["kernel"], params["attn_query"]["bias"])
-    lm_c, lm_h, dec_c, dec_h, y = outs
-    return LSTMState(lm_c, lm_h), LSTMState(dec_c, dec_h), y
+    )(*inputs)
+
+    if use_lstm:
+        new_lm = LSTMState(outs[0], outs[1])
+        new_dec = tuple(LSTMState(outs[2 + 2 * i], outs[3 + 2 * i])
+                        for i in range(L))
+    else:
+        new_lm = outs[0]
+        new_dec = tuple(outs[1 + i] for i in range(L))
+    y = outs[-1]
+    if single:
+        return new_lm, new_dec[0], y
+    return new_lm, new_dec, y
 
 
 def _attn_output_kernel(y, dec_c, hf, enc, mask, v, wap, bap, wout, bout,

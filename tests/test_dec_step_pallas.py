@@ -21,28 +21,42 @@ def _cfg(**kw):
     return DecoderConfig(**base)
 
 
-def _setup(rng, B=3, T_enc=5, H_enc=8):
-    cfg = _cfg()
+def _setup(rng, B=3, T_enc=5, H_enc=8, **cfg_kw):
+    cfg = _cfg(**cfg_kw)
     params = attn_decoder.init(jax.random.PRNGKey(0), cfg, attn_size=H_enc)
     enc = jnp.asarray(rng.normal(size=(B, T_enc, H_enc)).astype(np.float32))
     enc_lens = jnp.array([T_enc] * (B - 1) + [T_enc - 2])
     return cfg, params, enc, enc_lens
 
 
+# Previously-unsupported configs, now fused (round 3): deep decoders,
+# SimpleProjection (lm_hidden != hidden), GRU, and combinations.
+VARIANTS = {
+    "base": {},
+    "deep": {"num_layers_dec": 3},
+    "simple_proj": {"lm_hidden_size": 12},
+    "gru": {"use_lstm": False},
+    "gru_deep_proj": {"use_lstm": False, "num_layers_dec": 2,
+                      "lm_hidden_size": 12},
+}
+
+
 def test_supported_gate():
-    cfg = _cfg()
-    p = attn_decoder.init(jax.random.PRNGKey(0), cfg, attn_size=8)
-    assert dsp.supported(cfg, p)
-    cfg2 = _cfg(num_layers_dec=2)
-    p2 = attn_decoder.init(jax.random.PRNGKey(0), cfg2, attn_size=8)
-    assert not dsp.supported(cfg2, p2)
-    cfg3 = _cfg(lm_hidden_size=12)
-    p3 = attn_decoder.init(jax.random.PRNGKey(0), cfg3, attn_size=8)
-    assert not dsp.supported(cfg3, p3)
+    # Every reference-flag config is fused now; the remaining gate is VMEM.
+    for kw in VARIANTS.values():
+        cfg = _cfg(**kw)
+        p = attn_decoder.init(jax.random.PRNGKey(0), cfg, attn_size=8)
+        assert dsp.supported(cfg, p), kw
+    # A model whose resident weights exceed the VMEM budget is rejected.
+    big = _cfg(hidden_size_dec=1024, emb_size=1024, lm_hidden_size=1024,
+               num_layers_dec=4)
+    p = attn_decoder.init(jax.random.PRNGKey(0), big, attn_size=1024)
+    assert not dsp.supported(big, p)
 
 
-def test_cells_fused_matches_plain_step(rng):
-    cfg, params, enc, enc_lens = _setup(rng)
+@pytest.mark.parametrize("variant", list(VARIANTS))
+def test_cells_fused_matches_plain_step(rng, variant):
+    cfg, params, enc, enc_lens = _setup(rng, **VARIANTS[variant])
     ctx = attn_decoder.make_attn_context(params, enc, enc_lens)
     state = attn_decoder.zero_state(cfg, 3, ctx)
     lm_input = params["embedding"][jnp.array([GO_ID] * 3)]
@@ -52,25 +66,40 @@ def test_cells_fused_matches_plain_step(rng):
 
     # Fused kernels (f32 for exact comparison).
     new_lm, new_dec, y = dsp.cells_fused(params, lm_input, state.context,
-                                         state.lm_state,
-                                         state.cell_states[0], bf16=False)
-    np.testing.assert_allclose(np.asarray(new_lm.c),
-                               np.asarray(new_state.lm_state.c),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(new_dec.c),
-                               np.asarray(new_state.cell_states[0].c),
-                               rtol=1e-5, atol=1e-6)
-    logp = dsp.output_fused(params, cfg, new_dec.c,
+                                         state.lm_state, state.cell_states,
+                                         use_lstm=cfg.use_lstm, bf16=False)
+    if cfg.use_lstm:
+        np.testing.assert_allclose(np.asarray(new_lm.c),
+                                   np.asarray(new_state.lm_state.c),
+                                   rtol=1e-5, atol=1e-6)
+        for layer in range(cfg.num_layers_dec):
+            np.testing.assert_allclose(
+                np.asarray(new_dec[layer].c),
+                np.asarray(new_state.cell_states[layer].c),
+                rtol=1e-5, atol=1e-6)
+        query = new_dec[-1].c
+    else:
+        np.testing.assert_allclose(np.asarray(new_lm),
+                                   np.asarray(new_state.lm_state),
+                                   rtol=1e-5, atol=1e-6)
+        for layer in range(cfg.num_layers_dec):
+            np.testing.assert_allclose(
+                np.asarray(new_dec[layer]),
+                np.asarray(new_state.cell_states[layer]),
+                rtol=1e-5, atol=1e-6)
+        query = new_dec[-1]
+    logp = dsp.output_fused(params, cfg, query,
                             new_state.context, bf16=False)
     want = jax.nn.log_softmax(logits, axis=-1)
     np.testing.assert_allclose(np.asarray(logp), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
 
 
-def test_greedy_fused_matches_plain(rng, monkeypatch):
+@pytest.mark.parametrize("variant", list(VARIANTS))
+def test_greedy_fused_matches_plain(rng, monkeypatch, variant):
     """apply_infer with the fused path must emit the same token sequence as
     the XLA path."""
-    cfg, params, enc, enc_lens = _setup(rng)
+    cfg, params, enc, enc_lens = _setup(rng, **VARIANTS[variant])
     go = jnp.array([GO_ID] * 3, dtype=jnp.int32)
     _, ids_plain = attn_decoder.apply_infer(params, cfg, go, enc, enc_lens,
                                             max_output=6)
@@ -78,6 +107,22 @@ def test_greedy_fused_matches_plain(rng, monkeypatch):
     _, ids_fused = attn_decoder.apply_infer(params, cfg, go, enc, enc_lens,
                                             max_output=6)
     np.testing.assert_array_equal(np.asarray(ids_plain), np.asarray(ids_fused))
+
+
+@pytest.mark.parametrize("variant", ["deep", "gru_deep_proj"])
+def test_beam_fused_deep_matches_plain(rng, monkeypatch, variant):
+    """Beam search through the fused path for the newly covered configs."""
+    cfg, params, enc, enc_lens = _setup(rng, **VARIANTS[variant])
+    beam_cfg = BeamConfig(beam_size=3, max_steps=6)
+    t0, l0, s0 = beam_lib.beam_decode(params, cfg, beam_cfg, enc, enc_lens)
+    monkeypatch.delenv("E2E_ASR_NO_PALLAS", raising=False)
+    t1, l1, s1 = beam_lib.beam_decode(params, cfg, beam_cfg, enc, enc_lens)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for b in range(3):
+        np.testing.assert_array_equal(np.asarray(t0[b][: int(l0[b])]),
+                                      np.asarray(t1[b][: int(l1[b])]))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4,
+                               atol=1e-4)
 
 
 def test_beam_fused_attn_kernel_matches_plain(rng, monkeypatch):

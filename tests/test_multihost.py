@@ -145,3 +145,76 @@ def test_trainer_model_axis_cli_reachable(tmp_path):
     mu = placed24.opt_state[1].inner_state[0].mu
     mu_kern = mu["decoder_char"]["output_proj"]["kernel"]
     assert tuple(mu_kern.sharding.spec) == (None, "model"), mu_kern.sharding
+
+
+def test_checkpoint_cross_mesh_portability(tmp_path):
+    """Checkpoints are the interchange format (tf_utils.py:66-90): a state
+    saved while sharded on the 8-device {data:4, model:2} mesh must restore
+    and resume IDENTICALLY on 1 device, on {8,1}, and on {2,4} — including
+    the model-axis-sharded vocab projections and their Adam slots."""
+    import jax.numpy as jnp
+
+    from e2e_asr_tpu.config import (DecoderConfig, EncoderConfig, LMConfig,
+                                    Seq2SeqConfig)
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+    from e2e_asr_tpu.core import sharding as sharding_lib
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.train import step as step_lib
+
+    V = 24                      # divisible by model axes 2 and 4
+    cfg = Seq2SeqConfig(
+        tasks=["char"], num_layers={"char": 2}, max_output={"char": 6},
+        encoder=EncoderConfig(hidden_size=8, out_prob=1.0),
+        decoders={"char": DecoderConfig(
+            hidden_size_dec=8, emb_size=8, vocab_size=V,
+            attention_vec_size=8, lm_hidden_size=8, samp_prob=0.0,
+            out_prob_dec=1.0, max_output=6)},
+        feat_length=8)
+    lm_cfg = LMConfig(lm_hidden_size=8, proj_size=8, emb_size=8,
+                      vocab_size=V, out_prob=1.0)
+    rng = np.random.default_rng(0)
+    B, T, T_dec = 8, 12, 6
+    ids = rng.integers(3, V, size=(B, T_dec))
+    ids[:, 0] = 1
+    batch = {
+        "logmel": jnp.asarray(rng.normal(size=(B, T, 8)).astype(np.float32)),
+        "logmel_len": jnp.full((B,), T, jnp.int32),
+        "char": jnp.asarray(ids),
+        "char_len": jnp.full((B,), T_dec - 1, jnp.int32),
+    }
+    asr_step, _ = step_lib.make_train_step(cfg, lm_cfg)
+    asr_step = jax.jit(asr_step)
+    key = jax.random.PRNGKey(7)
+
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+
+    # Train one step on the source mesh and checkpoint the SHARDED state.
+    mesh_a = mesh_lib.make_mesh(n_data=4, n_model=2)
+    placed = sharding_lib.place_state(state, mesh_a)
+    batch_a = mesh_lib.shard_batch(mesh_a, batch)
+    state_a, _ = asr_step(placed, batch_a, key)
+    kern = state_a.params["decoder_char"]["output_proj"]["kernel"]
+    assert tuple(kern.sharding.spec) == (None, "model")   # genuinely sharded
+    path = ckpt_lib.save(str(tmp_path), "asr.ckpt", 1, state_a)
+
+    # Golden continuation on the source topology.
+    key2 = jax.random.PRNGKey(8)
+    gold, gold_metrics = asr_step(state_a, batch_a, key2)
+    gold_leaves = [np.asarray(x)
+                   for x in jax.tree_util.tree_leaves(gold.params)]
+
+    for n_data, n_model in [(1, 1), (8, 1), (2, 4)]:
+        mesh_b = mesh_lib.make_mesh(n_data=n_data, n_model=n_model)
+        restored = ckpt_lib.restore(path, state)          # host template
+        placed_b = sharding_lib.place_state(restored, mesh_b)
+        out, metrics = asr_step(placed_b, mesh_lib.shard_batch(mesh_b, batch),
+                                key2)
+        np.testing.assert_allclose(float(metrics["loss"]),
+                                   float(gold_metrics["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        for got, want in zip(jax.tree_util.tree_leaves(out.params),
+                             gold_leaves):
+            np.testing.assert_allclose(np.asarray(got), want,
+                                       rtol=1e-5, atol=1e-6)
+        assert int(out.global_step) == 2
