@@ -12,10 +12,14 @@ Secondary metrics go to BENCH_DETAILS.json:
       dispatch, one final sync: the serving model, and the honest on-device
       latency under this environment's RPC tunnel) and per-call-synced.
 
-Baseline note: the reference repo publishes no throughput numbers and TF-1.x
-cannot run in this environment (BASELINE.md), so vs_baseline is computed
-against a DOCUMENTED ESTIMATE of the TF-1 single-GPU baseline for this model:
-50,000 frames/sec (bucket-0 shape, dynamic_rnn-era GPU training). The driver
+Baseline note: vs_baseline divides by a DOCUMENTED ESTIMATE of the TF-1
+single-GPU baseline for this model: 50,000 frames/sec (bucket-0 shape,
+dynamic_rnn-era GPU training). The reference train step has ALSO been
+measured for real in this environment (tools/tf_baseline: genuine TF graph,
+reference loss + Adam + clip, B=128/T=384) — 30.0 s/step = 1,636 frames/s on
+this host's CPU, the only hardware TF can use here. That measured number is
+recorded in BENCH_DETAILS as context; the headline keeps dividing by the
+HIGHER GPU-era estimate, which is the conservative choice. The driver
 north-star (>=10x TF baseline) therefore corresponds to vs_baseline >= 10.
 """
 from __future__ import annotations
@@ -28,6 +32,21 @@ import time
 import numpy as np
 
 TF_BASELINE_FRAMES_PER_SEC = 50_000.0  # documented estimate, see module docstring
+
+# Measured by `python -m e2e_asr_tpu.tools.tf_baseline` (2026-08-17); static
+# because it takes ~2 min of pure-CPU TF time and the graph/host don't change.
+TF_BASELINE_MEASURED = {
+    "frames_per_sec": 1635.8,
+    "step_ms_best": 30047.3,
+    "hardware": "host CPU (no GPU/TPU path exists for TF here)",
+    "tool": "python -m e2e_asr_tpu.tools.tf_baseline",
+    "note": ("MEASURED reference train step (genuine TF graph via "
+             "tools/tf_fixture.py, reference loss + Adam + clip, "
+             "train.py:297-299 semantics) at B=128/T=384 on this host's "
+             "CPU — a hardware-incomparable lower bound on the reference's "
+             "GPU-era throughput; the headline ratio conservatively divides "
+             "by the higher 50k GPU-era estimate instead."),
+}
 
 # Flagship SWBD-like shapes: bucket-0 training batch.
 TRAIN_B, TRAIN_T, FEAT, TRAIN_L, VOCAB = 128, 384, 80, 48, 40
@@ -201,7 +220,10 @@ def _measure_driver(jax, jnp):
         "-max_out_char", str(TRAIN_L)]))
     cfg = config_lib.process_args(args, {"char": VOCAB})
     trainer = Trainer(cfg)
-    return trainer.bench_throughput(n_steps=30, warmup=4)
+    streaming = trainer.bench_throughput(n_steps=30, warmup=4)
+    resident = trainer.bench_throughput(n_steps=30, warmup=4,
+                                        device_resident=True)
+    return streaming, resident
 
 
 def _measure_decode(jax, jnp, cfg, rng):
@@ -226,6 +248,7 @@ def _measure_decode(jax, jnp, cfg, rng):
         tokens, _, _ = decode(params, batch)   # compile
         np.asarray(tokens)
         audio_s = B * DECODE_T * FRAME_HOP_S
+        path = "megakernel" if B <= 2 else "step-fused"
         # Pipelined: back-to-back dispatch, one final sync (the serving
         # model; also the on-device latency with this env's RPC amortized).
         n = 20
@@ -246,7 +269,34 @@ def _measure_decode(jax, jnp, cfg, rng):
             "pipelined_rtfx": audio_s / dt_pipe,
             "per_call_ms": dt_sync * 1e3,
             "per_call_rtfx": audio_s / dt_sync,
+            "path": path,
         }
+    # The B=1 serving case through the round-2 step-fused path, for the
+    # before/after record next to the mega-kernel row above.
+    os.environ["E2E_ASR_NO_MEGA"] = "1"
+    try:
+        B = 1
+        batch = {
+            "logmel": jnp.asarray(
+                rng.normal(size=(B, DECODE_T, FEAT)).astype(np.float32)),
+            "logmel_len": jnp.full((B,), DECODE_T, jnp.int32),
+        }
+        tokens, _, _ = decode(params, batch)
+        np.asarray(tokens)
+        audio_s = B * DECODE_T * FRAME_HOP_S
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tokens, _, _ = decode(params, batch)
+        np.asarray(tokens)
+        dt_pipe = (time.perf_counter() - t0) / n
+        rows["1_step_fused"] = {
+            "pipelined_ms": dt_pipe * 1e3,
+            "pipelined_rtfx": audio_s / dt_pipe,
+            "path": "step-fused (E2E_ASR_NO_MEGA=1)",
+        }
+    finally:
+        del os.environ["E2E_ASR_NO_MEGA"]
     return rows
 
 
@@ -268,7 +318,7 @@ def main() -> None:
     frames_per_sec, train_dt = _measure_train(jax, jnp, cfg, lm_cfg, rng)
     full_recipe = _measure_full_recipe(jax, jnp, rng)
     transformer = _measure_transformer(jax, jnp, rng)
-    driver_fps = _measure_driver(jax, jnp)
+    driver_fps, driver_resident_fps = _measure_driver(jax, jnp)
     decode_rows = _measure_decode(jax, jnp, cfg, rng)
 
     details = {
@@ -280,17 +330,32 @@ def main() -> None:
         "transformer_encoder": transformer,
         "driver_frames_per_sec": driver_fps,
         "driver_over_step_ratio": driver_fps / frames_per_sec,
+        "driver_resident_frames_per_sec": driver_resident_fps,
+        "driver_resident_over_step_ratio": driver_resident_fps / frames_per_sec,
         "driver_note": (
             "Development-tunnel bound: measured host->device bandwidth here "
             "is 1.8 MB/s (f32) / 15.5 MB/s (bf16) with 36 ms RPC round-trips "
             "(VALIDATION.md round-2), so shipping the 7.9 MB bf16 bucket-0 "
-            "batch dominates. On a production TPU host (PCIe, GB/s) the "
-            "transfer is <1 ms and overlapped, i.e. driver ~= step."),
+            "batch dominates the streaming mode. The device-resident mode "
+            "(same policy loop, batches staged on-device once) isolates the "
+            "driver itself — its ratio to the step metric is the proof that "
+            "on a production host (PCIe, GB/s, overlapped) driver ~= step."),
         "beam_decode": decode_rows,
+        "decode_note": (
+            "B<=2 rows run the whole-decode mega-kernel "
+            "(ops/beam_megakernel.py): the full 120-step search in ONE "
+            "Pallas launch per utterance (state + weights VMEM-resident, "
+            "in-kernel while_loop with early exit). Decode-only on-device "
+            "cost at B=1/T=512/k=4 measured 1.19 ms vs 2.95 ms step-fused "
+            "(2.5x); the pipelined row above additionally includes the "
+            "encoder pass. per_call rows are bound by this environment's "
+            "~36 ms RPC round trip (VALIDATION.md) — on a production host "
+            "per-call ~= pipelined."),
         "decode_shape": {"T": DECODE_T, "beam": BEAM,
                          "max_steps": 120, "worst_case_no_eos": True},
         "device": str(jax.devices()[0]),
         "tf_baseline_frames_per_sec_estimate": TF_BASELINE_FRAMES_PER_SEC,
+        "tf_baseline_measured": TF_BASELINE_MEASURED,
     }
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -164,11 +164,20 @@ class Trainer:
             dev_b = jax.device_put(dev_b)
         return int(np.sum(batch["logmel_len"])), dev_b
 
-    def bench_throughput(self, n_steps: int = 30, warmup: int = 5) -> float:
+    def bench_throughput(self, n_steps: int = 30, warmup: int = 5,
+                         device_resident: bool = False) -> float:
         """Driver-level frames/sec/chip: the real data path (host batch
         assembly, bf16 feature shipping, prefetch + overlapped device puts,
         jitted step) without checkpoint/eval cadence work — the honest
-        end-to-end number next to bench.py's isolated-step metric."""
+        end-to-end number next to bench.py's isolated-step metric.
+
+        device_resident=True stages the epoch's bucketed batches on-device
+        ONCE, then runs the same smallest-first per-step policy loop (bucket
+        draining, rng threading, step dispatch) with zero per-step
+        host->device traffic. Comparing the two modes against the isolated
+        step metric separates what the driver itself costs (policy loop:
+        ~nothing) from what the transfer path costs (on this development
+        tunnel: everything; on a production host: overlapped, <1 step)."""
         from e2e_asr_tpu.core import sharding as sharding_lib
         from e2e_asr_tpu.data.speech import prefetch
 
@@ -183,7 +192,18 @@ class Trainer:
                 for b in buckets:
                     yield from map(self._place_batch, b.epoch())
 
-        it = prefetch(batches(), size=2)
+        if device_resident:
+            staged = [self._place_batch(x)
+                      for b in buckets for x in b.epoch()]
+            jax.block_until_ready([db for _, db in staged])
+
+            def resident_batches():
+                while True:
+                    yield from staged
+
+            it = resident_batches()
+        else:
+            it = prefetch(batches(), size=2)
         rng = jax.random.PRNGKey(0)
         frames = 0
         t0 = None

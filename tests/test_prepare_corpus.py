@@ -125,3 +125,39 @@ def test_manifest_mode_wav(tmp_path):
     out = str(tmp_path / "corpus")
     stats = prepare_corpus.prepare(out, entries, num_buckets=1)
     assert stats["train_1k"] == 1
+
+
+def test_run_pipeline_one_command(librispeech_tree, tmp_path):
+    """The one-command parity pipeline (tools/run_pipeline.py): raw corpus ->
+    prepare -> train -> beam grid -> final test eval -> WER report, end to
+    end on the synthetic LibriSpeech tree. The same command with a real
+    corpus mounted is the reference-WER-parity run."""
+    from e2e_asr_tpu.tools import run_pipeline
+
+    root, _ = librispeech_tree
+    out = str(tmp_path / "work")
+    report = run_pipeline.main([
+        "-corpus", str(root), "-out", out, "-num_buckets", "2",
+        # dev doubles as "test" so the final_eval stage runs
+        "-test_dirs", str(root / "dev-clean"),
+        # tiny flagship overrides (forwarded verbatim to cli.main)
+        "-hsize", "8", "-hsize_dec", "8", "-emb_size", "8",
+        "-attn_vec_size", "4", "-lm_hsize", "8",
+        "-max_out_char", "16", "-buck_batch_sizes", "4,4",
+        "-steps_per_checkpoint", "2", "-max_epochs", "1",
+        "-compute_dtype", "float32", "-run_id", "71", "-beam_size", "2"])
+    score = os.path.join(out, "grid", "final_eval", "score.txt")
+    assert os.path.isfile(score)
+    line = open(score).read()
+    assert "test_err" in line and "dev_err" in line
+    # perf.txt makes the sweep resumable (grid_search_for_beam.py:59-75).
+    assert os.path.isfile(os.path.join(out, "grid", "perf.txt"))
+    # Re-run skips prepare (shards exist) and resumes training + grid.
+    run_pipeline.main([
+        "-corpus", str(root), "-out", out, "-skip_train",
+        "-test_dirs", str(root / "dev-clean"),
+        "-hsize", "8", "-hsize_dec", "8", "-emb_size", "8",
+        "-attn_vec_size", "4", "-lm_hsize", "8",
+        "-max_out_char", "16", "-buck_batch_sizes", "4,4",
+        "-steps_per_checkpoint", "2", "-max_epochs", "1",
+        "-compute_dtype", "float32", "-run_id", "71", "-beam_size", "2"])
