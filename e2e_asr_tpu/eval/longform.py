@@ -23,6 +23,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from e2e_asr_tpu.config import BeamConfig, Seq2SeqConfig
 from e2e_asr_tpu.models import encoder as encoder_lib
@@ -159,8 +160,39 @@ def transcribe_ctc_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     return ids
 
 
+def token_attention_frames(params: dict, cfg, enc: Array, enc_lens: Array,
+                           tokens: Array, *, compute_dtype=None) -> Array:
+    """Teacher-forced replay of the attention decoder over its OWN
+    hypothesis, returning each token's attention-argmax encoder frame.
+
+    tokens: [B, L] decoded ids (as beam_decode returns them). Decoding is
+    deterministic given the fed tokens, so the replay reproduces exactly
+    the attention the beam followed — one batched scan, no beam-state
+    surgery. Returns frames [B, L] (int32).
+    """
+    from e2e_asr_tpu.models import attn_decoder
+
+    B, L = tokens.shape
+    ctx = attn_decoder.make_attn_context(params, enc, enc_lens,
+                                         compute_dtype=compute_dtype)
+    state0 = attn_decoder.zero_state(cfg, B, ctx)
+    emb = params["embedding"]
+    go = jnp.ones((B, 1), tokens.dtype)                # <go> = 1
+    inputs = jnp.concatenate([go, tokens[:, :-1]], axis=1)
+
+    def scan_step(state, tok):
+        new_state, _ = attn_decoder.step(params, cfg, ctx, state, emb[tok],
+                                         compute_dtype=compute_dtype)
+        return new_state, jnp.argmax(new_state.alpha, axis=-1)
+
+    _, frames = jax.lax.scan(scan_step, state0, inputs.T)
+    return frames.T.astype(jnp.int32)                  # [B, L]
+
+
 def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
                          seg_enc_frames: int = 64,
+                         overlap: int = 0,
+                         trim_loops: bool = True,
                          beam_cfg: BeamConfig | None = None,
                          window: int = 512, margin: int = 64,
                          compute_dtype=None,
@@ -173,9 +205,29 @@ def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     length distribution (measured on-chip: a model trained on <=14-token
     utterances emits ~8 tokens then <eos> on 26+-token audio — the standard
     LAS length-generalization failure). Segmenting keeps each decode within
-    the distribution; this is the production long-form recipe. A token
-    straddling a segment boundary may be split — align seg_enc_frames with
-    natural pauses where possible.
+    the distribution; this is the production long-form recipe.
+
+    trim_loops (default on) removes end-of-window HALLUCINATION LOOPS —
+    the dominant residual of plain segment concatenation: near a window's
+    end the decoder sometimes re-attends backward and re-emits a token run
+    before finding <eos>. The loop start is detectable as a backward jump
+    in the attention centroid, so each hypothesis is truncated at the first
+    centroid regression >1 frame (token_attention_frames replay; measured
+    on-chip, it halves the concatenation-suite token error —
+    VALIDATION.md round-3).
+
+    overlap > 0 (encoder frames) keeps the decoded window at
+    seg_enc_frames — the length the model is reliable at — and shrinks the
+    HOP to seg_enc_frames - 2*overlap instead, so adjacent segments share
+    2*overlap frames and each owns an exclusive CORE region
+    [overlap, seg_T - overlap) tiling the timeline exactly; a token is
+    kept iff its attention centroid lies in its segment's core. CAVEAT,
+    measured: on the synth checkpoint this is WORSE than trim_loops alone,
+    because hopped windows start mid-utterance and the decoder skips or
+    re-orders leading window content (two more designs measured and
+    rejected: extending the window pushes decodes out of the training
+    length distribution; text-alignment merging mis-splices on
+    hallucinated repeats — VALIDATION.md round-3).
 
     Returns concatenated token ids [total] (no <eos>/<pad> between segments).
     """
@@ -183,24 +235,68 @@ def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
 
     from e2e_asr_tpu.eval.beam import beam_decode
 
+    if overlap and 2 * overlap >= seg_enc_frames:
+        raise ValueError(f"need 2*overlap < seg_enc_frames, got "
+                         f"{overlap}/{seg_enc_frames}")
     params = jax.tree_util.tree_map(jnp.asarray, params)
     enc, enc_len = encode_longform(params, cfg, feats, window=window,
                                    margin=margin, compute_dtype=compute_dtype)
     total = int(enc_len[0])
-    n_seg = max(1, math.ceil(total / seg_enc_frames))
-    padded_T = n_seg * seg_enc_frames
-    enc_p = jnp.pad(enc[0], ((0, padded_T - enc.shape[1]), (0, 0)))
-    segs = enc_p[:padded_T].reshape(n_seg, seg_enc_frames, -1)
-    seg_lens = jnp.minimum(
-        jnp.maximum(total - jnp.arange(n_seg) * seg_enc_frames, 0),
-        seg_enc_frames).astype(jnp.int32)
-    max_steps = int(seg_enc_frames * 1.3) + 16
+    seg_T = seg_enc_frames
+    hop = seg_T - 2 * overlap
+    n_seg = 1 + max(0, math.ceil((total - seg_T) / hop))
+    enc_p = jnp.pad(enc[0], ((0, (n_seg - 1) * hop + seg_T - enc.shape[1]),
+                             (0, 0)))
+    segs = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(enc_p, i * hop, seg_T, axis=0)
+        for i in range(n_seg)])
+    starts = jnp.arange(n_seg) * hop
+    seg_lens = jnp.clip(total - starts, 1, seg_T).astype(jnp.int32)
+    max_steps = int(seg_T * 1.3) + 16
     bc = dataclasses.replace(beam_cfg or BeamConfig(), max_steps=max_steps)
     tokens, lens, _ = beam_decode(params["decoder_char"],
                                   cfg.decoders["char"], bc, segs, seg_lens,
                                   lm_params=lm_params)
-    out = []
+    if overlap == 0 and not trim_loops:
+        flat = []
+        for i in range(n_seg):
+            ids = tokens[i][:int(lens[i])]
+            flat.extend(int(t) for t in ids[(ids > 2)])   # strip specials
+        return jnp.asarray(flat, jnp.int32)
+    frames = np.asarray(token_attention_frames(
+        params["decoder_char"], cfg.decoders["char"], segs, seg_lens, tokens,
+        compute_dtype=compute_dtype))
+    tokens_np, lens_np = np.asarray(tokens), np.asarray(lens)
+    merged = []
     for i in range(n_seg):
-        ids = tokens[i][:int(lens[i])]
-        out.append(ids[(ids > 2)])        # strip <pad>/<go>/<eos>
-    return jnp.concatenate(out) if out else jnp.zeros((0,), jnp.int32)
+        if overlap:
+            # core assignment: first/last segments extend to their edge
+            lo = overlap if i > 0 else 0
+            hi = seg_T - overlap if i < n_seg - 1 else seg_T
+        else:
+            lo, hi = 0, seg_T
+        merged.extend(trimmed_segment_tokens(
+            tokens_np[i], frames[i], int(lens_np[i]), lo, hi,
+            trim_loops=trim_loops))
+    return jnp.asarray(merged, jnp.int32)
+
+
+def trimmed_segment_tokens(tokens_row, frames_row, n: int, lo: int, hi: int,
+                           *, trim_loops: bool = True,
+                           tol: int = 1) -> list[int]:
+    """One segment's kept tokens: specials stripped, attention centroid in
+    [lo, hi), truncated at the first backward centroid jump > tol frames
+    (the hallucination-loop start) when trim_loops."""
+    out = []
+    prev = -10 ** 9
+    for t in range(n):
+        tok = int(tokens_row[t])
+        if tok <= 2:
+            continue
+        f = int(frames_row[t])
+        if trim_loops and f < prev - tol:
+            break
+        prev = max(prev, f)
+        if lo <= f < hi:
+            out.append(tok)
+    return out

@@ -171,3 +171,70 @@ def test_transcribe_segmented_batches_and_concatenates():
     # Segment caps bound the output: ceil(23/6)=4 segments, each <= 23 steps.
     assert ids.shape[0] <= 4 * (int(6 * 1.3) + 16)
     assert np.all(np.asarray(ids) > 2)    # specials stripped
+
+
+def test_trimmed_segment_tokens_removes_hallucination_loop():
+    """A backward attention-centroid jump > tol marks the start of an
+    end-of-window hallucination loop; the hypothesis truncates there."""
+    toks = np.array([19, 21, 27, 18, 23, 10, 18, 23, 10, 2])
+    frs = np.array([0, 1, 2, 5, 6, 2, 3, 5, 2, 6])   # loop re-attends 2..
+    kept = longform.trimmed_segment_tokens(toks, frs, len(toks), 0, 8)
+    assert kept == [19, 21, 27, 18, 23]
+    # small regressions (tol=1) and equal frames are genuine, not loops
+    toks2 = np.array([5, 6, 7, 8])
+    frs2 = np.array([2, 3, 2, 4])
+    assert longform.trimmed_segment_tokens(toks2, frs2, 4, 0, 8) == \
+        [5, 6, 7, 8]
+    # specials stripped; core window filters by centroid
+    assert longform.trimmed_segment_tokens(toks, frs, len(toks), 2, 6,
+                                           trim_loops=False) == \
+        [27, 18, 10, 18, 23, 10]
+    # trim_loops off keeps everything in-window
+    assert longform.trimmed_segment_tokens(toks2, frs2, 4, 0, 8,
+                                           trim_loops=False) == [5, 6, 7, 8]
+
+
+def test_transcribe_segmented_overlap_mode():
+    """overlap > 0 runs end to end: constant window, shrunken hop,
+    attention-core token assignment; output is 1-D, specials-free, bounded
+    by the per-segment step caps."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(6), cfg)
+    r = longform.reduction_factor(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(7), (90, cfg.feat_length))
+    ids = longform.transcribe_segmented(
+        params, cfg, feats, seg_enc_frames=6, overlap=2, window=8 * r,
+        margin=0, beam_cfg=BeamConfig(beam_size=2))
+    assert ids.ndim == 1
+    # total=23 enc frames, seg_T=6, hop=2 -> 10 segments
+    n_seg, seg_T = 10, 6
+    assert ids.shape[0] <= n_seg * (int(seg_T * 1.3) + 16)
+    if ids.shape[0]:
+        assert np.all(np.asarray(ids) > 2)
+
+    import pytest
+    with pytest.raises(ValueError):        # 2*overlap must stay < window
+        longform.transcribe_segmented(params, cfg, feats, seg_enc_frames=6,
+                                      overlap=3, window=8 * r, margin=0)
+
+
+def test_transcribe_segmented_overlap_geometry():
+    """Constant-window / shrunken-hop geometry: every segment is exactly
+    seg_enc_frames long (the in-distribution decode length), adjacent
+    segments share 2*overlap frames, and the segment set covers every
+    encoder frame."""
+    import math as m
+    for total, W, ov in [(23, 6, 2), (24, 6, 2), (5, 6, 2), (40, 8, 3),
+                         (17, 5, 1)]:
+        seg_T = W
+        hop = W - 2 * ov
+        n_seg = 1 + max(0, m.ceil((total - seg_T) / hop))
+        starts = np.arange(n_seg) * hop
+        seg_lens = np.clip(total - starts, 1, seg_T)
+        cover = np.zeros(total, np.int32)
+        for i in range(n_seg):
+            cover[starts[i]:starts[i] + seg_lens[i]] += 1
+        assert (cover >= 1).all()          # every frame decoded
+        if n_seg > 1:                      # true overlap between neighbours
+            shared = starts[:-1] + seg_T - starts[1:]
+            assert (shared >= 2 * ov).all()
