@@ -120,24 +120,40 @@ def _conv_module(p: dict, h: Array, vmask: Array, compute_dtype=None) -> Array:
 
 
 def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
-          compute_dtype=None) -> Array:
+          compute_dtype=None, train: bool = False) -> Array:
+    from e2e_asr_tpu.core.rnn import use_pallas_lstm
+    from e2e_asr_tpu.ops import mhsa_pallas
+
     B, T, D = h.shape
     hd = D // num_heads
     qkv = dense(p["qkv"], h, compute_dtype=compute_dtype)     # [B,T,3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     shp = lambda x: x.reshape(B, T, num_heads, hd).transpose(0, 2, 1, 3)
     q, k, v = shp(q), shp(k), shp(v)                          # [B,nh,T,hd]
-    if compute_dtype is not None:
-        q, k, v = (x.astype(compute_dtype) for x in (q, k, v))
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) / math.sqrt(hd)
-    if "rel_bias" in p:
-        s = s + _rel_bias(p["rel_bias"], T)
-    a = jax.nn.softmax(s + bias, axis=-1)
-    if compute_dtype is not None:
-        a = a.astype(compute_dtype)
-    o = jnp.einsum("bhqk,bhkd->bhqd", a, v,
-                   preferred_element_type=jnp.float32)
+    if (not train and mhsa_pallas.enabled() and use_pallas_lstm()
+            and mhsa_pallas.supported(num_heads, T, hd, "rel_bias" in p)):
+        # Fused scores/softmax/AV kernel — OPT-IN (E2E_ASR_MHSA_KERNEL=1)
+        # and inference-only: XLA's fused batched GEMMs measured faster at
+        # this family's short post-subsample lengths in BOTH training and
+        # embedded inference (ops/mhsa_pallas.py module docstring).
+        # The padding bias arrives as [B,1,1,T]; the kernel wants [B,T].
+        relmat = (_rel_bias(p["rel_bias"], T)[0] if "rel_bias" in p
+                  else jnp.zeros((num_heads, T, T), jnp.float32))
+        o = mhsa_pallas.attend(q.astype(jnp.float32), k.astype(jnp.float32),
+                               v.astype(jnp.float32), bias[:, 0, 0, :],
+                               relmat, compute_dtype == jnp.bfloat16)
+    else:
+        if compute_dtype is not None:
+            q, k, v = (x.astype(compute_dtype) for x in (q, k, v))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if "rel_bias" in p:
+            s = s + _rel_bias(p["rel_bias"], T)
+        a = jax.nn.softmax(s + bias, axis=-1)
+        if compute_dtype is not None:
+            a = a.astype(compute_dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, v,
+                       preferred_element_type=jnp.float32)
     o = o.transpose(0, 2, 1, 3).reshape(B, T, D)
     return dense(p["attn_out"], o, compute_dtype=compute_dtype)
 
@@ -176,7 +192,7 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
     for i in range(1, max_depth + 1):
         blk = params[f"block_{i}"]
         a = _mhsa(blk, _layer_norm(blk["ln1"], h), attn_bias,
-                  cfg.num_heads, compute_dtype=compute_dtype)
+                  cfg.num_heads, compute_dtype=compute_dtype, train=train)
         if train and keep < 1.0:
             a = dropout(jax.random.fold_in(drop_rng, 3 * i), a, keep)
         h = h + a
