@@ -236,10 +236,12 @@ def apply_train(params: dict, cfg: DecoderConfig, dec_inputs: Array,
     use_drop = cfg.out_prob_dec < 1.0
 
     from e2e_asr_tpu.core.rnn import use_pallas_lstm
+    from e2e_asr_tpu.ops import dec_train_gru_pallas as dtg
     from e2e_asr_tpu.ops import dec_train_pallas as dtp
-    if (use_pallas_lstm() and dtp.supported(cfg, params)
-            and dtp.fits(steps, B, enc_states.shape[1], params)):
-        return dtp.apply_train_fused(
+    dt = dtp if cfg.use_lstm else dtg           # cell-matched fused kernel
+    if (use_pallas_lstm() and dt.supported(cfg, params)
+            and dt.fits(steps, B, enc_states.shape[1], params)):
+        return dt.apply_train_fused(
             params, cfg, emb_inputs, enc_states, enc_lens, flags, gumbel,
             lm_masks if use_drop else None,
             inter_masks if use_drop else (), compute_dtype=compute_dtype)
