@@ -13,10 +13,15 @@ per step. Input projections are hoisted outside as large MXU matmuls
 Gate semantics match TF-1 GRUCell exactly as pinned by core/cells.gru_step
 (gates bias init 1.0; candidate consumes r*h).
 
-Backward runs as an XLA-scan replay under jax.vjp (GRU is the non-default
-cell; the forward kernel is where the encoder/LM inference time goes). The
-optional carry-through mask serves the backward direction of bidirectional
-layers on time-flipped inputs, exactly like the LSTM kernel.
+Backward is a mirrored reverse-time Pallas kernel (round 3; it was an
+XLA-scan replay before — the replay re-ran the whole forward under
+jax.vjp and dominated the GRU flagship train step): r/u/c are recomputed
+from the saved h rows exactly like the LSTM kernel recomputes gates, the
+dW_gh/dW_ch accumulators live in VMEM across the sequential grid, and the
+input-side cotangents (dgates_x, dcand_x) stream out per block. Falls
+back to the XLA replay when the VMEM estimate doesn't fit. The optional
+carry-through mask serves the backward direction of bidirectional layers
+on time-flipped inputs, exactly like the LSTM kernel.
 """
 from __future__ import annotations
 
@@ -141,6 +146,155 @@ def _fwd_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array, *,
     return out
 
 
+def _gru_cell_bwd(dh_total, h_prev, r, u, c, w_gh, w_ch, bf16):
+    """GRU cell backward given recomputed r/u/c (see
+    ops/dec_train_gru_pallas._gru_bwd). Returns (dgpre [B,2H],
+    dcpre [B,H], dh_prev [B,H])."""
+    du = dh_total * (h_prev - c)
+    dc = dh_total * (1.0 - u)
+    dh_prev = dh_total * u
+    dcpre = dc * (1.0 - c * c)
+    w_ch_t = w_ch.T
+    w_ch_mm = w_ch_t.astype(jnp.bfloat16) if bf16 else w_ch_t
+    dcpre_mm = dcpre.astype(jnp.bfloat16) if bf16 else dcpre
+    drh = jnp.dot(dcpre_mm, w_ch_mm, preferred_element_type=jnp.float32)
+    dr = drh * h_prev
+    dh_prev = dh_prev + drh * r
+    dgpre = jnp.concatenate([dr * r * (1.0 - r), du * u * (1.0 - u)],
+                            axis=-1)
+    w_gh_t = w_gh.T
+    w_gh_mm = w_gh_t.astype(jnp.bfloat16) if bf16 else w_gh_t
+    dgpre_mm = dgpre.astype(jnp.bfloat16) if bf16 else dgpre
+    dh_prev = dh_prev + jnp.dot(dgpre_mm, w_gh_mm,
+                                preferred_element_type=jnp.float32)
+    return dgpre, dcpre, dh_prev
+
+
+def _bwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
+    it = iter(refs)
+    w_g_ref, w_c_ref = next(it), next(it)
+    h_ref, gx_ref, cx_ref, g_ref = next(it), next(it), next(it), next(it)
+    mask_ref = next(it) if with_mask else None
+    dgx_ref, dcx_ref, dwg_ref, dwc_ref = next(it), next(it), next(it), next(it)
+    dh_ref = next(it)
+
+    r_id = pl.program_id(0)
+
+    @pl.when(r_id == 0)
+    def _init():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dwg_ref[:] = jnp.zeros_like(dwg_ref)
+        dwc_ref[:] = jnp.zeros_like(dwc_ref)
+
+    H = dh_ref.shape[-1]
+    w_g, w_c = w_g_ref[:], w_c_ref[:]
+    for s in reversed(range(steps)):
+        h_prev = h_ref[s]
+        h_mm = h_prev.astype(jnp.bfloat16) if bf16_matmul else h_prev
+        w_g_mm = w_g.astype(jnp.bfloat16) if bf16_matmul else w_g
+        w_c_mm = w_c.astype(jnp.bfloat16) if bf16_matmul else w_c
+        value = jax.nn.sigmoid(
+            gx_ref[s] + jnp.dot(h_mm, w_g_mm,
+                                preferred_element_type=jnp.float32))
+        r, u = value[:, :H], value[:, H:]
+        rh = r * h_prev
+        rh_mm = rh.astype(jnp.bfloat16) if bf16_matmul else rh
+        c = jnp.tanh(cx_ref[s] + jnp.dot(rh_mm, w_c_mm,
+                                         preferred_element_type=jnp.float32))
+
+        dh_total = g_ref[s] + dh_ref[:]
+        dgpre, dcpre, dh_prev = _gru_cell_bwd(dh_total, h_prev, r, u, c,
+                                              w_g, w_c, bf16_matmul)
+        if mask_ref is not None:
+            valid = mask_ref[s]
+            dgpre = dgpre * valid
+            dcpre = dcpre * valid
+            dh_prev = valid * dh_prev + (1.0 - valid) * dh_total
+        dgx_ref[s] = dgpre
+        dcx_ref[s] = dcpre
+        dh_ref[:] = dh_prev
+        hp_mm = h_prev.T.astype(jnp.bfloat16) if bf16_matmul else h_prev.T
+        dg_mm = dgpre.astype(jnp.bfloat16) if bf16_matmul else dgpre
+        dwg_ref[:] += jnp.dot(hp_mm, dg_mm,
+                              preferred_element_type=jnp.float32)
+        rh_t = rh.T.astype(jnp.bfloat16) if bf16_matmul else rh.T
+        dc_mm = dcpre.astype(jnp.bfloat16) if bf16_matmul else dcpre
+        dwc_ref[:] += jnp.dot(rh_t, dc_mm,
+                              preferred_element_type=jnp.float32)
+
+
+def _bwd_vmem_bytes(S: int, B: int, H: int) -> int:
+    """Blocked (x2 double-buffered): h_prev, gx, cx, g, dgx, dcx (+mask);
+    resident: W_gh, W_ch (+~2x for Mosaic's transposed layout copies),
+    dW accumulators, dh carry."""
+    blocked = S * B * (H + 2 * H + H + H + 2 * H + H + 1)
+    resident = 2 * 3 * H * H + 3 * H * H + B * H
+    return 4 * (2 * blocked + resident)
+
+
+def _bwd_seq(w_gh: Array, w_ch: Array, h_seq: Array, gates_x: Array,
+             cand_x: Array, g: Array, mask: Array | None,
+             bf16_matmul: bool):
+    """Fused reverse-time backward. Returns (dgates_x, dcand_x, dw_gh,
+    dw_ch), or None when the VMEM estimate doesn't fit (caller falls back
+    to the XLA replay)."""
+    from e2e_asr_tpu.ops.lstm_pallas import (VMEM_BUDGET_WIDE, _pick_steps,
+                                             _wide_params)
+
+    T, B, H = h_seq.shape
+    if _bwd_vmem_bytes(1, B, H) > VMEM_BUDGET_WIDE:
+        return None
+    S, extended = _pick_steps(T, lambda s: (
+        _bwd_vmem_bytes(s, B, H) <= VMEM_BUDGET,
+        _bwd_vmem_bytes(s, B, H) <= VMEM_BUDGET_WIDE))
+    # pad[t] = h_{t-1}; S-1 trailing zero rows make the length S-aligned.
+    zrow = jnp.zeros((1, B, H), h_seq.dtype)
+    h_pad = jnp.concatenate([zrow, h_seq[:-1]], axis=0)
+    if T % S:
+        raise AssertionError("_pick_steps returned a non-divisor")
+    n_blocks = T // S
+    rev = lambda r: (n_blocks - 1 - r, 0, 0)           # noqa: E731
+    in_specs = [
+        pl.BlockSpec((H, 2 * H), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, B, H), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, B, 2 * H), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, B, H), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, B, H), rev, memory_space=pltpu.VMEM),
+    ]
+    args = [w_gh, w_ch, h_pad, gates_x, cand_x, g]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((S, B, 1), rev,
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    kernel = functools.partial(_bwd_kernel, steps=S,
+                               bf16_matmul=bf16_matmul,
+                               with_mask=mask is not None)
+    extra = {"compiler_params": _wide_params()} if extended else {}
+    dgx, dcx, dwg, dwc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((S, B, 2 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 2 * H), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+        **extra,
+    )(*args)
+    return dgx, dcx, dwg, dwc
+
+
 def _replay_scan(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array,
                  mask: Array | None) -> Array:
     """Differentiable XLA replay of the kernel math (backward pass)."""
@@ -182,11 +336,15 @@ def gru_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array,
 def _gru_seq_fwd(gates_x, cand_x, w_gh, w_ch, bf16_matmul):
     out = _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
                    mask=None)
-    return out, (gates_x, cand_x, w_gh, w_ch)
+    return out, (gates_x, cand_x, w_gh, w_ch, out)
 
 
 def _gru_seq_bwd(bf16_matmul, res, g):
-    gates_x, cand_x, w_gh, w_ch = res
+    gates_x, cand_x, w_gh, w_ch, h_seq = res
+    outs = _bwd_seq(w_gh, w_ch, h_seq, gates_x, cand_x, g, None,
+                    bf16_matmul)
+    if outs is not None:
+        return outs
     _, vjp = jax.vjp(lambda gx, cx, wg, wc: _replay_scan(gx, cx, wg, wc, None),
                      gates_x, cand_x, w_gh, w_ch)
     return vjp(g)
@@ -209,11 +367,15 @@ def gru_seq_masked(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array,
 def _gru_seq_masked_fwd(gates_x, cand_x, w_gh, w_ch, mask, bf16_matmul):
     out = _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
                    mask=mask)
-    return out, (gates_x, cand_x, w_gh, w_ch, mask)
+    return out, (gates_x, cand_x, w_gh, w_ch, mask, out)
 
 
 def _gru_seq_masked_bwd(bf16_matmul, res, g):
-    gates_x, cand_x, w_gh, w_ch, mask = res
+    gates_x, cand_x, w_gh, w_ch, mask, h_seq = res
+    outs = _bwd_seq(w_gh, w_ch, h_seq, gates_x, cand_x, g, mask,
+                    bf16_matmul)
+    if outs is not None:
+        return outs + (jnp.zeros_like(mask),)
     _, vjp = jax.vjp(lambda gx, cx, wg, wc: _replay_scan(gx, cx, wg, wc, mask),
                      gates_x, cand_x, w_gh, w_ch)
     return vjp(g) + (jnp.zeros_like(mask),)

@@ -81,3 +81,39 @@ def test_bidir_gru_layer_pallas_matches_xla_ragged_lengths(T):
                     jax.tree_util.tree_leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_gru_backward_kernel_engages_not_replay(monkeypatch):
+    """The fused reverse-time backward kernel (round 3) must serve these
+    shapes; the XLA replay is only the VMEM-overflow fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from e2e_asr_tpu.core import cells
+    from e2e_asr_tpu.ops import gru_pallas
+
+    def boom(*a, **k):
+        raise AssertionError("replay fallback used")
+
+    monkeypatch.setattr(gru_pallas, "_replay_scan", boom)
+    T, B, F, H = 6, 4, 5, 8
+    params = cells.gru_init(jax.random.PRNGKey(0), F, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, F))
+    gx, cx = cells.gru_precompute_inputs(params, x, F)
+    w_gh = params["gates"]["kernel"][F:]
+    w_ch = params["candidate"]["kernel"][F:]
+
+    def loss(gx_, cx_, wg_, wc_):
+        return jnp.sum(jnp.sin(gru_pallas.gru_seq(gx_, cx_, wg_, wc_)))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(gx, cx, w_gh, w_ch)
+    assert all(g.shape == a.shape
+               for g, a in zip(grads, (gx, cx, w_gh, w_ch)))
+    # masked variant too
+    mask = jnp.ones((T, B, 1))
+
+    def loss_m(gx_, cx_, wg_, wc_):
+        return jnp.sum(jnp.sin(
+            gru_pallas.gru_seq_masked(gx_, cx_, wg_, wc_, mask)))
+
+    jax.grad(loss_m, argnums=(0, 1, 2, 3))(gx, cx, w_gh, w_ch)
