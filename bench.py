@@ -193,6 +193,45 @@ def _measure_transformer(jax, jnp, rng):
             "params": n_params, "blocks": 4, "d_model": 512}
 
 
+def _measure_gru(jax, jnp, rng):
+    """Train-step throughput for the GRU family (reference use_lstm=False):
+    fused encoder fwd+bwd and fused training-decoder kernels
+    (ops/gru_pallas.py, ops/dec_train_gru_pallas.py; VALIDATION round-3)."""
+    import dataclasses
+
+    from __graft_entry__ import _batch, _model_cfg
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.train import step as step_lib
+
+    cfg = _model_cfg(vocab_size=VOCAB, feat=FEAT)
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(cfg.encoder, use_lstm=False),
+        decoders={k: dataclasses.replace(d, use_lstm=False)
+                  for k, d in cfg.decoders.items()})
+    lm_cfg = LMConfig(vocab_size=VOCAB)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    asr_step, _ = step_lib.make_train_step(cfg, lm_cfg,
+                                           compute_dtype=jnp.bfloat16)
+    asr_step = jax.jit(asr_step, donate_argnums=0)
+    batch = _batch(rng, B=TRAIN_B, T=TRAIN_T, feat=FEAT, L=TRAIN_L,
+                   vocab=VOCAB)
+    key = jax.random.PRNGKey(1)
+    state, m = asr_step(state, batch, key)
+    float(m["loss"])
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, m = asr_step(state, batch, key)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / 10)
+    return {"step_ms": best * 1e3,
+            "frames_per_sec": TRAIN_B * TRAIN_T / best}
+
+
 def _measure_driver(jax, jnp):
     """Driver-level frames/sec on a synthetic bucket-0 corpus through the
     real Trainer data path."""
@@ -318,6 +357,7 @@ def main() -> None:
     frames_per_sec, train_dt = _measure_train(jax, jnp, cfg, lm_cfg, rng)
     full_recipe = _measure_full_recipe(jax, jnp, rng)
     transformer = _measure_transformer(jax, jnp, rng)
+    gru = _measure_gru(jax, jnp, rng)
     driver_fps, driver_resident_fps = _measure_driver(jax, jnp)
     decode_rows = _measure_decode(jax, jnp, cfg, rng)
 
@@ -328,6 +368,7 @@ def main() -> None:
                         "L": TRAIN_L, "vocab": VOCAB},
         "full_recipe": full_recipe,
         "transformer_encoder": transformer,
+        "gru_family": gru,
         "driver_frames_per_sec": driver_fps,
         "driver_over_step_ratio": driver_fps / frames_per_sec,
         "driver_resident_frames_per_sec": driver_resident_fps,
