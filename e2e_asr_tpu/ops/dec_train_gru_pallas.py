@@ -31,8 +31,10 @@ accumulates every weight gradient into VMEM-resident blocks; embedding /
 W_x / attn_w gradients flow through the d(tgx)/d(tcx)/d(EWb)/d(hf)
 cotangents returned to the traced precompute matmuls outside.
 
-Supported envelope: GRU cells (any depth), no SimpleProjection, shared
-softmax — the exact complement of dec_train_pallas.supported.
+Supported envelope: GRU cells, any depth, SimpleProjection
+(lm_hidden != hidden) and ind_softmax included — the exact complement of
+dec_train_pallas.supported, covering the whole reference decoder config
+space for use_lstm=False.
 """
 from __future__ import annotations
 
@@ -52,10 +54,10 @@ N_HEAD = 13          # fixed-position weights before the per-layer blocks
 
 
 def supported(cfg, params: dict) -> bool:
-    """GRU cells, stacked decoders included; no SimpleProjection, shared
-    softmax (mirrors dec_train_pallas.supported for use_lstm=True)."""
-    return (not cfg.use_lstm and "simple_proj" not in params
-            and not cfg.ind_softmax)
+    """GRU cells — the whole reference decoder config space: stacked deep
+    decoders, SimpleProjection and ind_softmax included (mirrors
+    dec_train_pallas.supported for use_lstm=True)."""
+    return not cfg.use_lstm
 
 
 def _dims(params: dict):
@@ -63,7 +65,8 @@ def _dims(params: dict):
     D = params["dec_cells"][0]["candidate"]["bias"].shape[0]
     cell0 = params["dec_cells"][0]
     M = cell0["gates"]["kernel"].shape[0] - D            # emb (cell in_dim)
-    E = params["input_proj"]["kernel"].shape[0] - G      # encoder dim
+    hid_in = D if "simple_proj" in params else G
+    E = params["input_proj"]["kernel"].shape[0] - hid_in  # encoder dim
     A = params["attn_w"].shape[1]
     V = params["output_proj"]["bias"].shape[0]
     NL = len(params["dec_cells"])
@@ -109,7 +112,8 @@ def _gru_fwd(gx, cx, h, w_gh, w_ch, H, bf16):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
-                NL: int, bf16: bool, samp: bool, drop: bool, save: bool):
+                NL: int, sp: bool, bf16: bool, samp: bool, drop: bool,
+                save: bool):
     it = iter(refs)
     ewbg_ref, ewbc_ref, wghlm_ref, wchlm_ref = (next(it), next(it), next(it),
                                                 next(it))
@@ -118,6 +122,8 @@ def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
                                                next(it), next(it))
     opw_ref, opb_ref = next(it), next(it)
     layers = [tuple(next(it) for _ in range(6)) for _ in range(NL)]
+    spw_ref, spb_ref = (next(it), next(it)) if sp else (None, None)
+    HID = D if sp else G
     hf_ref, enc_ref, amask_ref = next(it), next(it), next(it)
     tgx_ref, tcx_ref = next(it), next(it)
     gum_ref = next(it) if samp else None
@@ -158,10 +164,12 @@ def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     _, _, _, new_hlm = _gru_fwd(gx, cx, hlm_s[:], wghlm_ref[:], wchlm_ref[:],
                                 G, bf16)
     lm_out = new_hlm * lm_mask_ref[0] if drop else new_hlm
+    if sp:                                 # SimpleProjection (after drop)
+        lm_out = _mm(lm_out, spw_ref[:], bf16) + spb_ref[0]
 
     # 3. InputProjection([lm_out, prev ctx]) and the decoder GRU stack
-    x_dec = (_mm(lm_out, ipw_ref[:G], bf16)
-             + _mm(ctx_s[:], ipw_ref[G:], bf16) + ipb_ref[0])
+    x_dec = (_mm(lm_out, ipw_ref[:HID], bf16)
+             + _mm(ctx_s[:], ipw_ref[HID:], bf16) + ipb_ref[0])
     new_h = []
     inp = x_dec
     for layer in range(NL):
@@ -211,10 +219,14 @@ def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
 
 def _weight_args(params: dict):
     """Flatten the GRU decoder weights into the kernel argument order:
-    N_HEAD fixed entries, then 6 per decoder layer. EWb folds the LM bias
-    into the embedding matmul (one-hot rows sum to 1)."""
+    N_HEAD fixed entries, then 6 per decoder layer, then SimpleProjection
+    (when present) appended last so fixed positions stay stable. EWb folds
+    the LM bias into the embedding matmul (one-hot rows sum to 1);
+    ind_softmax swaps in OutputProjection2."""
+    op_key = ("output_proj_ind" if "output_proj_ind" in params
+              else "output_proj")
     ip, ap, op, q = (params["input_proj"], params["attn_proj"],
-                     params["output_proj"], params["attn_query"])
+                     params[op_key], params["attn_query"])
     lm = params["lm_cell"]
     emb = params["embedding"]
     M = emb.shape[1]
@@ -238,10 +250,13 @@ def _weight_args(params: dict):
                 cell["candidate"]["kernel"][:in_dim],
                 cell["candidate"]["bias"][None, :],
                 cell["candidate"]["kernel"][in_dim:]]
+    if "simple_proj" in params:
+        out += [params["simple_proj"]["kernel"],
+                params["simple_proj"]["bias"][None, :]]
     return out
 
 
-def _seq_dims(weights, enc):
+def _seq_dims(weights, enc, sp):
     wchlm, qw, apw, opb = weights[3], weights[6], weights[9], weights[12]
     G = wchlm.shape[0]
     A = qw.shape[1]
@@ -249,7 +264,7 @@ def _seq_dims(weights, enc):
     V = opb.shape[1]
     E = enc.shape[-1]
     M = weights[N_HEAD].shape[0]                 # layer-0 W_gx rows
-    NL = (len(weights) - N_HEAD) // 6
+    NL = (len(weights) - N_HEAD - (2 if sp else 0)) // 6
     return G, D, M, E, A, V, NL
 
 
@@ -280,7 +295,7 @@ def _common_specs(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh,
 
 
 def _fwd_call(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh, lm_masks,
-              inter_masks, *, dims, bf16, save):
+              inter_masks, *, dims, sp, bf16, save):
     G, D, M, E, A, V, NL = dims
     steps, B = tgx.shape[0], tgx.shape[1]
     T_enc = enc.shape[0]                       # enc is TIME-major [T', B, E]
@@ -301,7 +316,8 @@ def _fwd_call(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh, lm_masks,
         out_shape.append(jax.ShapeDtypeStruct((steps, T_enc, B),
                                               jnp.float32))
     kernel = functools.partial(_fwd_kernel, G=G, D=D, M=M, E=E, A=A, V=V,
-                               NL=NL, bf16=bf16, samp=gum_sh is not None,
+                               NL=NL, sp=sp, bf16=bf16,
+                               samp=gum_sh is not None,
                                drop=lm_masks is not None, save=save)
     return pl.pallas_call(
         kernel,
@@ -345,7 +361,7 @@ def _gru_bwd(dh_total, h_prev, r, u, c, inp, w_gh, w_ch, w_gx, w_cx, bf16):
 
 
 def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
-                NL: int, bf16: bool, samp: bool, drop: bool):
+                NL: int, sp: bool, bf16: bool, samp: bool, drop: bool):
     it = iter(refs)
     ewbg_ref, ewbc_ref, wghlm_ref, wchlm_ref = (next(it), next(it), next(it),
                                                 next(it))
@@ -354,6 +370,8 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
                                                next(it), next(it))
     opw_ref, _opb = next(it), next(it)
     layers = [tuple(next(it) for _ in range(6)) for _ in range(NL)]
+    spw_ref, spb_ref = (next(it), next(it)) if sp else (None, None)
+    HID = D if sp else G
     hf_ref, enc_ref, amask_ref = next(it), next(it), next(it)
     tgx_ref, tcx_ref = next(it), next(it)
     gum_ref = next(it) if samp else None
@@ -372,6 +390,7 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
      dqw_ref, dqb_ref, dv_ref, dapw_ref, dapb_ref, dopw_ref, dopb_ref,
      ) = (next(it) for _ in range(N_HEAD))
     dlayers = [tuple(next(it) for _ in range(6)) for _ in range(NL)]
+    dspw_ref, dspb_ref = (next(it), next(it)) if sp else (None, None)
     dhf_ref, denc_ref = next(it), next(it)
     # scratch carries
     dhlm_s = next(it)
@@ -389,7 +408,8 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
         for ref in ([dewbg_ref, dewbc_ref, dwghlm_ref, dwchlm_ref, dipw_ref,
                      dipb_ref, dqw_ref, dqb_ref, dv_ref, dapw_ref, dapb_ref,
                      dopw_ref, dopb_ref, dhf_ref, denc_ref]
-                    + [x for six in dlayers for x in six]):
+                    + [x for six in dlayers for x in six]
+                    + ([dspw_ref, dspb_ref] if sp else [])):
             ref[:] = jnp.zeros_like(ref)
 
     # ---- recompute forward locals for step t ----
@@ -406,11 +426,13 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     r_lm, u_lm, c_lm, _ = _gru_fwd(gx, cx, hlm_prev, wghlm_ref[:],
                                    wchlm_ref[:], G, bf16)
     hlm_cur = hlm_cur_ref[0]
-    lm_out = hlm_cur * lm_mask_ref[0] if drop else hlm_cur
+    lm_drop = hlm_cur * lm_mask_ref[0] if drop else hlm_cur
+    lm_out = (_mm(lm_drop, spw_ref[:], bf16) + spb_ref[0] if sp
+              else lm_drop)
 
     ctx_prev = ctx_prev_ref[0]
-    x_dec = (_mm(lm_out, ipw_ref[:G], bf16)
-             + _mm(ctx_prev, ipw_ref[G:], bf16) + ipb_ref[0])
+    x_dec = (_mm(lm_out, ipw_ref[:HID], bf16)
+             + _mm(ctx_prev, ipw_ref[HID:], bf16) + ipb_ref[0])
     # Recompute every layer's r/u/c from the saves (layer l's input is
     # layer l-1's saved h_cur through the inter-layer dropout mask).
     inps, ruc = [], []
@@ -493,11 +515,15 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
             dx_dec = dinp
 
     # InputProjection backward
-    dipw_ref[:G] += _mm(lm_out.T, dx_dec, bf16)
-    dipw_ref[G:] += _mm(ctx_prev.T, dx_dec, bf16)
+    dipw_ref[:HID] += _mm(lm_out.T, dx_dec, bf16)
+    dipw_ref[HID:] += _mm(ctx_prev.T, dx_dec, bf16)
     dipb_ref[:] += jnp.sum(dx_dec, axis=0, keepdims=True)
-    dlm_out = _mm(dx_dec, ipw_ref[:G].T, bf16)
-    dctx_s[:] = _mm(dx_dec, ipw_ref[G:].T, bf16)   # -> ctx_{t-1} carry
+    dlm_out = _mm(dx_dec, ipw_ref[:HID].T, bf16)
+    dctx_s[:] = _mm(dx_dec, ipw_ref[HID:].T, bf16)  # -> ctx_{t-1} carry
+    if sp:                                  # SimpleProjection backward
+        dspw_ref[:] += _mm(lm_drop.T, dlm_out, bf16)
+        dspb_ref[:] += jnp.sum(dlm_out, axis=0, keepdims=True)
+        dlm_out = _mm(dlm_out, spw_ref[:].T, bf16)
     if drop:
         dlm_out = dlm_out * lm_mask_ref[0]
 
@@ -523,7 +549,7 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
 
 
 def _bwd_call(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh, lm_masks,
-              inter_masks, saves, dlogits, *, dims, bf16):
+              inter_masks, saves, dlogits, *, dims, sp, bf16):
     G, D, M, E, A, V, NL = dims
     steps, B = tgx.shape[0], tgx.shape[1]
     T_enc = enc.shape[0]
@@ -581,7 +607,7 @@ def _bwd_call(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh, lm_masks,
                     jax.ShapeDtypeStruct(enc.shape, jnp.float32)])
 
     kernel = functools.partial(_bwd_kernel, G=G, D=D, M=M, E=E, A=A, V=V,
-                               NL=NL, bf16=bf16, samp=samp,
+                               NL=NL, sp=sp, bf16=bf16, samp=samp,
                                drop=lm_masks is not None)
     return pl.pallas_call(
         kernel,
@@ -604,33 +630,34 @@ def _bwd_call(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh, lm_masks,
 # custom-VJP wrapper + public entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def _dec_train_seq(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh,
-                   lm_masks, inter_masks, bf16):
-    dims = _seq_dims(weights, enc)
+                   lm_masks, inter_masks, bf16, sp):
+    dims = _seq_dims(weights, enc, sp)
     (logits,) = _fwd_call(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh,
-                          lm_masks, inter_masks, dims=dims, bf16=bf16,
+                          lm_masks, inter_masks, dims=dims, sp=sp, bf16=bf16,
                           save=False)
     return logits
 
 
 def _dec_train_fwd(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh,
-                   lm_masks, inter_masks, bf16):
-    dims = _seq_dims(weights, enc)
+                   lm_masks, inter_masks, bf16, sp):
+    dims = _seq_dims(weights, enc, sp)
     outs = _fwd_call(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh,
-                     lm_masks, inter_masks, dims=dims, bf16=bf16, save=True)
+                     lm_masks, inter_masks, dims=dims, sp=sp, bf16=bf16,
+                     save=True)
     res = (weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh, lm_masks,
            inter_masks, tuple(outs))
     return outs[0], res
 
 
-def _dec_train_bwd(bf16, res, dlogits):
+def _dec_train_bwd(bf16, sp, res, dlogits):
     (weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh, lm_masks,
      inter_masks, saves) = res
-    dims = _seq_dims(weights, enc)
+    dims = _seq_dims(weights, enc, sp)
     outs = _bwd_call(weights, hf, enc, amask, tgx, tcx, gum_sh, flag_sh,
                      lm_masks, inter_masks, saves, dlogits, dims=dims,
-                     bf16=bf16)
+                     sp=sp, bf16=bf16)
     n_w = len(weights)
     dtgx, dtcx = outs[0], outs[1]
     dweights = tuple(outs[2:2 + n_w])
@@ -689,4 +716,5 @@ def apply_train_fused(params: dict, cfg, emb_inputs: Array, enc_states: Array,
         inter = ()
 
     return _dec_train_seq(weights, hf, enc_tm, amask, tgx, tcx, gum_sh,
-                          flag_sh, lm_masks, inter, bf16)
+                          flag_sh, lm_masks, inter, bf16,
+                          "simple_proj" in params)

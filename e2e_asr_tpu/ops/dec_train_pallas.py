@@ -54,10 +54,10 @@ Array = jax.Array
 
 
 def supported(cfg, params: dict) -> bool:
-    """LSTM cells, stacked decoders included (deep decoders are the
-    reference's num_layers_dec knob); no SimpleProjection, shared softmax."""
-    return (cfg.use_lstm and "simple_proj" not in params
-            and not cfg.ind_softmax)
+    """LSTM cells — the whole reference decoder config space: stacked deep
+    decoders, SimpleProjection (lm_hidden != hidden) and ind_softmax
+    (OutputProjection2) included since round 3."""
+    return bool(cfg.use_lstm)
 
 
 def _dims(params: dict):
@@ -66,7 +66,10 @@ def _dims(params: dict):
     D4 = params["dec_cells"][0]["bias"].shape[0]     # 4 * hidden
     D = D4 // 4
     M = params["dec_cells"][0]["kernel"].shape[0] - D   # emb (cell in_dim)
-    E = params["input_proj"]["kernel"].shape[0] - G     # encoder dim
+    # With SimpleProjection the InputProjection consumes the projected
+    # [hidden]-dim lm output, not the raw [lm_hidden] one.
+    hid_in = D if "simple_proj" in params else G
+    E = params["input_proj"]["kernel"].shape[0] - hid_in   # encoder dim
     A = params["attn_w"].shape[1]
     V = params["output_proj"]["bias"].shape[0]
     NL = len(params["dec_cells"])
@@ -131,7 +134,8 @@ def _mm(a, b, bf16):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
-                NL: int, bf16: bool, samp: bool, drop: bool, save: bool):
+                NL: int, sp: bool, bf16: bool, samp: bool, drop: bool,
+                save: bool):
     it = iter(refs)
     ewb_ref, wlmh_ref, ipw_ref, ipb_ref = next(it), next(it), next(it), next(it)
     dxw_ref, decb_ref, dhw_ref = next(it), next(it), next(it)
@@ -139,6 +143,8 @@ def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
                                                next(it), next(it))
     opw_ref, opb_ref = next(it), next(it)
     xtra = [(next(it), next(it), next(it)) for _ in range(NL - 1)]
+    spw_ref, spb_ref = (next(it), next(it)) if sp else (None, None)
+    HID = D if sp else G                   # InputProjection's lm-side rows
     hf_ref, enc_ref, amask_ref = next(it), next(it), next(it)
     tlmx_ref = next(it)
     gum_ref = next(it) if samp else None
@@ -182,11 +188,13 @@ def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     gates_lm = lmx + _mm(hlm_s[:], wlmh_ref[:], bf16)
     new_clm, new_hlm = _lstm_fwd(gates_lm, clm_s[:], G)
     lm_out = new_hlm * lm_mask_ref[0] if drop else new_hlm
+    if sp:                                 # SimpleProjection (step order:
+        lm_out = _mm(lm_out, spw_ref[:], bf16) + spb_ref[0]   # after drop)
 
     # 3. InputProjection([lm_out, prev ctx]) and the decoder cell stack
     #    (inter-layer dropout masks between cells, not after the top).
-    x_dec = (_mm(lm_out, ipw_ref[:G], bf16)
-             + _mm(ctx_s[:], ipw_ref[G:], bf16) + ipb_ref[0])
+    x_dec = (_mm(lm_out, ipw_ref[:HID], bf16)
+             + _mm(ctx_s[:], ipw_ref[HID:], bf16) + ipb_ref[0])
     new_dec = []
     inp = x_dec
     for layer in range(NL):
@@ -243,9 +251,14 @@ def _fwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
 
 def _weight_args(params: dict):
     """Flatten the decoder weights into the kernel's argument order.
-    Biases become [1, dim] rows; attn_v becomes [1, A]."""
+    Biases become [1, dim] rows; attn_v becomes [1, A]. ind_softmax swaps
+    in OutputProjection2 (the decoder-private softmax,
+    attn_decoder.step); SimpleProjection weights are appended last so the
+    fixed head positions (_seq_dims) stay stable."""
+    op_key = ("output_proj_ind" if "output_proj_ind" in params
+              else "output_proj")
     ip, ap, op, q = (params["input_proj"], params["attn_proj"],
-                     params["output_proj"], params["attn_query"])
+                     params[op_key], params["attn_query"])
     lm, dec = params["lm_cell"], params["dec_cells"][0]
     G4 = lm["bias"].shape[0]
     G = G4 // 4
@@ -268,11 +281,14 @@ def _weight_args(params: dict):
         in_dim = cell["kernel"].shape[0] - cell["bias"].shape[0] // 4
         out += [cell["kernel"][:in_dim], cell["bias"][None, :],
                 cell["kernel"][in_dim:]]
+    if "simple_proj" in params:
+        out += [params["simple_proj"]["kernel"],
+                params["simple_proj"]["bias"][None, :]]
     return out
 
 
 def _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-              inter_masks, *, dims, bf16, save):
+              inter_masks, *, dims, sp, bf16, save):
     """weights: the arrays from _weight_args (already traced values).
     gum_sh/flag_sh: pre-shifted noise (row t = step t-1), or None.
     inter_masks: tuple of [steps, B, D] dropout masks between stacked
@@ -316,7 +332,7 @@ def _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
         out_shape.append(jax.ShapeDtypeStruct((steps, T_enc, B),
                                               jnp.float32))
     kernel = functools.partial(_fwd_kernel, G=G, D=D, M=M, E=E, A=A, V=V,
-                               NL=NL, bf16=bf16, samp=samp, drop=drop,
+                               NL=NL, sp=sp, bf16=bf16, samp=samp, drop=drop,
                                save=save)
     outs = pl.pallas_call(
         kernel,
@@ -343,7 +359,8 @@ def _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
-                NL: int, steps: int, bf16: bool, samp: bool, drop: bool):
+                NL: int, steps: int, sp: bool, bf16: bool, samp: bool,
+                drop: bool):
     it = iter(refs)
     ewb_ref, wlmh_ref, ipw_ref, _ipb = next(it), next(it), next(it), next(it)
     dxw_ref, _decb, dhw_ref = next(it), next(it), next(it)
@@ -351,6 +368,8 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
                                                next(it), next(it))
     opw_ref, _opb = next(it), next(it)
     xtra = [(next(it), next(it), next(it)) for _ in range(NL - 1)]
+    spw_ref, spb_ref = (next(it), next(it)) if sp else (None, None)
+    HID = D if sp else G
     hf_ref, enc_ref, amask_ref = next(it), next(it), next(it)
     tlmx_ref = next(it)
     gum_ref = next(it) if samp else None
@@ -371,6 +390,7 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
      dqw_ref, dqb_ref, dv_ref, dapw_ref, dapb_ref, dopw_ref, dopb_ref,
      ) = (next(it) for _ in range(14))
     dxtra = [(next(it), next(it), next(it)) for _ in range(NL - 1)]
+    dspw_ref, dspb_ref = (next(it), next(it)) if sp else (None, None)
     dhf_ref, denc_ref = next(it), next(it)
     # scratch carries
     dhlm_s, dclm_s = next(it), next(it)
@@ -390,7 +410,8 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
         for ref in ([dewb_ref, dwlmh_ref, dipw_ref, dipb_ref, ddxw_ref,
                      ddecb_ref, ddhw_ref, dqw_ref, dqb_ref, dv_ref, dapw_ref,
                      dapb_ref, dopw_ref, dopb_ref, dhf_ref, denc_ref]
-                    + [x for tri in dxtra for x in tri]):
+                    + [x for tri in dxtra for x in tri]
+                    + ([dspw_ref, dspb_ref] if sp else [])):
             ref[:] = jnp.zeros_like(ref)
 
     # ---- recompute forward locals for step t ----
@@ -409,11 +430,13 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
     f_lm = jax.nn.sigmoid(gates_lm[:, 2 * G:3 * G] + 1.0)
     o_lm = jax.nn.sigmoid(gates_lm[:, 3 * G:])
     hlm_cur = hlm_cur_ref[0]
-    lm_out = hlm_cur * lm_mask_ref[0] if drop else hlm_cur
+    lm_drop = hlm_cur * lm_mask_ref[0] if drop else hlm_cur
+    lm_out = (_mm(lm_drop, spw_ref[:], bf16) + spb_ref[0] if sp
+              else lm_drop)
 
     ctx_prev = ctx_prev_ref[0]
-    x_dec = (_mm(lm_out, ipw_ref[:G], bf16)
-             + _mm(ctx_prev, ipw_ref[G:], bf16) + _ipb[0])
+    x_dec = (_mm(lm_out, ipw_ref[:HID], bf16)
+             + _mm(ctx_prev, ipw_ref[HID:], bf16) + _ipb[0])
     # Recompute every decoder layer's gates from the SAVES (no sequential
     # dependency: layer l's input is layer l-1's saved h_cur through the
     # inter-layer dropout mask).
@@ -518,11 +541,15 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
             dx_dec = dinp
 
     # InputProjection backward
-    dipw_ref[:G] += _mm(lm_out.T, dx_dec, bf16)
-    dipw_ref[G:] += _mm(ctx_prev.T, dx_dec, bf16)
+    dipw_ref[:HID] += _mm(lm_out.T, dx_dec, bf16)
+    dipw_ref[HID:] += _mm(ctx_prev.T, dx_dec, bf16)
     dipb_ref[:] += jnp.sum(dx_dec, axis=0, keepdims=True)
-    dlm_out = _mm(dx_dec, ipw_ref[:G].T, bf16)
-    dctx_s[:] = _mm(dx_dec, ipw_ref[G:].T, bf16)   # -> ctx_{t-1} carry
+    dlm_out = _mm(dx_dec, ipw_ref[:HID].T, bf16)
+    dctx_s[:] = _mm(dx_dec, ipw_ref[HID:].T, bf16)   # -> ctx_{t-1} carry
+    if sp:                                  # SimpleProjection backward
+        dspw_ref[:] += _mm(lm_drop.T, dlm_out, bf16)
+        dspb_ref[:] += jnp.sum(dlm_out, axis=0, keepdims=True)
+        dlm_out = _mm(dlm_out, spw_ref[:].T, bf16)
     if drop:
         dlm_out = dlm_out * lm_mask_ref[0]
 
@@ -549,7 +576,7 @@ def _bwd_kernel(*refs, G: int, D: int, M: int, E: int, A: int, V: int,
 
 
 def _bwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-              inter_masks, saves, dlogits, *, dims, bf16):
+              inter_masks, saves, dlogits, *, dims, sp, bf16):
     G, D, M, E, A, V, NL = dims
     steps, B = tlmx.shape[0], tlmx.shape[1]
     T_enc = enc.shape[0]                       # enc is TIME-major [T', B, E]
@@ -624,8 +651,8 @@ def _bwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
                     jax.ShapeDtypeStruct(enc.shape, jnp.float32)])
 
     kernel = functools.partial(_bwd_kernel, G=G, D=D, M=M, E=E, A=A, V=V,
-                               NL=NL, steps=steps, bf16=bf16, samp=samp,
-                               drop=drop)
+                               NL=NL, steps=steps, sp=sp, bf16=bf16,
+                               samp=samp, drop=drop)
     outs = pl.pallas_call(
         kernel,
         grid=(steps,),
@@ -649,19 +676,20 @@ def _bwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
 # custom-VJP wrapper + public entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def _dec_train_seq(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-                   inter_masks, bf16):
+                   inter_masks, bf16, sp):
     """weights: tuple of the arrays from _weight_args (14 + 3 per extra
-    decoder layer); inter_masks: tuple of inter-layer dropout masks."""
-    dims = _seq_dims(weights, enc)
+    decoder layer + 2 when SimpleProjection); inter_masks: tuple of
+    inter-layer dropout masks."""
+    dims = _seq_dims(weights, enc, sp)
     (logits,) = _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh,
-                          lm_masks, inter_masks, dims=dims, bf16=bf16,
+                          lm_masks, inter_masks, dims=dims, sp=sp, bf16=bf16,
                           save=False)
     return logits
 
 
-def _seq_dims(weights, enc):
+def _seq_dims(weights, enc, sp):
     wlmh, dxw, dhw, qw, opb = (weights[1], weights[4], weights[6],
                                weights[7], weights[13])
     G = wlmh.shape[0]
@@ -670,27 +698,27 @@ def _seq_dims(weights, enc):
     E = enc.shape[-1]
     A = qw.shape[1]
     V = opb.shape[1]
-    NL = 1 + (len(weights) - 14) // 3
+    NL = 1 + (len(weights) - 14 - (2 if sp else 0)) // 3
     return G, D, M, E, A, V, NL
 
 
 def _dec_train_fwd(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-                   inter_masks, bf16):
-    dims = _seq_dims(weights, enc)
+                   inter_masks, bf16, sp):
+    dims = _seq_dims(weights, enc, sp)
     outs = _fwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-                     inter_masks, dims=dims, bf16=bf16, save=True)
+                     inter_masks, dims=dims, sp=sp, bf16=bf16, save=True)
     logits = outs[0]
     res = (weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
            inter_masks, tuple(outs))
     return logits, res
 
 
-def _dec_train_bwd(bf16, res, dlogits):
+def _dec_train_bwd(bf16, sp, res, dlogits):
     (weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks, inter_masks,
      saves) = res
-    dims = _seq_dims(weights, enc)
+    dims = _seq_dims(weights, enc, sp)
     outs = _bwd_call(weights, hf, enc, amask, tlmx, gum_sh, flag_sh, lm_masks,
-                     inter_masks, saves, dlogits, dims=dims, bf16=bf16)
+                     inter_masks, saves, dlogits, dims=dims, sp=sp, bf16=bf16)
     n_w = len(weights)
     dtlmx = outs[0]
     dweights = tuple(outs[1:1 + n_w])
@@ -758,4 +786,4 @@ def apply_train_fused(params: dict, cfg, emb_inputs: Array, enc_states: Array,
         inter = ()
 
     return _dec_train_seq(weights, hf, enc_tm, amask, tlmx, gum_sh, flag_sh,
-                          lm_masks, inter, bf16)
+                          lm_masks, inter, bf16, "simple_proj" in params)

@@ -134,15 +134,56 @@ def test_deep_gru_decoder_fused_matches_scan(samp_prob, drop, monkeypatch,
 
 
 def test_gru_supported_envelope():
-    """LSTM configs go to the LSTM kernel, not this one; SimpleProjection
-    and ind_softmax fall back to the scan."""
+    """LSTM configs go to the LSTM kernel, not this one; every GRU config
+    (incl. SimpleProjection / ind_softmax) is fused since round 3."""
     cfg_lstm = _cfg(use_lstm=True)
     params, *_ = _setup(cfg_lstm)
     assert not dtg.supported(cfg_lstm, params)
     cfg_sp = _cfg(lm_hidden_size=6)
     params_sp, *_ = _setup(cfg_sp)
     assert "simple_proj" in params_sp
-    assert not dtg.supported(cfg_sp, params_sp)
+    assert dtg.supported(cfg_sp, params_sp)
     cfg_ind = _cfg(ind_softmax=True)
     params_ind, *_ = _setup(cfg_ind)
-    assert not dtg.supported(cfg_ind, params_ind)
+    assert dtg.supported(cfg_ind, params_ind)
+
+
+@pytest.mark.parametrize("variant", ["ind_softmax", "simple_proj",
+                                     "simple_proj_deep"])
+def test_gru_full_config_space_fused_matches_scan(variant, monkeypatch,
+                                                  _enable_pallas):
+    """ind_softmax and SimpleProjection GRU decoders run fused with exact
+    forward+grad parity — no reference config escapes the fused path."""
+    kw = {"samp_prob": 1.0, "out_prob_dec": 0.8}
+    if variant == "ind_softmax":
+        kw["ind_softmax"] = True
+    else:
+        kw["lm_hidden_size"] = 12
+        if variant == "simple_proj_deep":
+            kw["num_layers_dec"] = 2
+    cfg = _cfg(**kw)
+    params, dec_inputs, enc_states, enc_lens = _setup(cfg, seed=7)
+    assert dtg.supported(cfg, params)
+    rng = jax.random.PRNGKey(13)
+    out_pal, out_xla = _both_paths(cfg, params, dec_inputs, enc_states,
+                                   enc_lens, rng, monkeypatch)
+    assert _enable_pallas["n"] == 1
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(p, use_kernel):
+        monkeypatch.setattr(dtg, "supported",
+                            (lambda c, pp: True) if use_kernel
+                            else (lambda c, pp: False))
+        lg = attn_decoder.apply_train(p, cfg, dec_inputs, enc_states,
+                                      enc_lens, rng=rng)
+        return jnp.sum(jnp.sin(lg))
+
+    g_pal = jax.grad(loss)(params, True)
+    g_xla = jax.grad(loss)(params, False)
+    for a, b, path in zip(jax.tree_util.tree_leaves(g_pal),
+                          jax.tree_util.tree_leaves(g_xla),
+                          jax.tree_util.tree_leaves_with_path(g_pal)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=str(jax.tree_util.keystr(path[0])))

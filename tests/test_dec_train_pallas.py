@@ -142,11 +142,45 @@ def test_deep_decoder_fused_matches_scan(samp_prob, drop, monkeypatch,
             err_msg=str(jax.tree_util.keystr(path[0])))
 
 
-def test_unsupported_config_falls_back(monkeypatch):
-    """ind_softmax keeps the scan path (kernel must not run)."""
-    cfg = _cfg(ind_softmax=True)
-    params, dec_inputs, enc_states, enc_lens = _setup(cfg)
-    assert not dtp.supported(cfg, params)
-    out = attn_decoder.apply_train(params, cfg, dec_inputs, enc_states,
-                                   enc_lens, rng=jax.random.PRNGKey(0))
-    assert out.shape == (5, 4, cfg.vocab_size)
+@pytest.mark.parametrize("variant", ["ind_softmax", "simple_proj",
+                                     "simple_proj_deep"])
+def test_full_config_space_fused_matches_scan(variant, monkeypatch,
+                                              _enable_pallas):
+    """Round 3: ind_softmax (OutputProjection2) and SimpleProjection
+    (lm_hidden != hidden) run fused too — forward and grads match the
+    scan, so NO reference decoder config escapes the fused path."""
+    kw = {"samp_prob": 1.0, "out_prob_dec": 0.8}
+    if variant == "ind_softmax":
+        kw["ind_softmax"] = True
+    else:
+        kw["lm_hidden_size"] = 12           # != hidden_size_dec=8 -> sp
+        if variant == "simple_proj_deep":
+            kw["num_layers_dec"] = 2
+    cfg = _cfg(**kw)
+    params, dec_inputs, enc_states, enc_lens = _setup(cfg, seed=7)
+    if variant != "ind_softmax":
+        assert "simple_proj" in params
+    assert dtp.supported(cfg, params)
+    rng = jax.random.PRNGKey(13)
+    out_pal, out_xla = _both_paths(cfg, params, dec_inputs, enc_states,
+                                   enc_lens, rng, monkeypatch)
+    assert _enable_pallas["n"] == 1
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(p, use_kernel):
+        monkeypatch.setattr(dtp, "supported",
+                            (lambda c, pp: True) if use_kernel
+                            else (lambda c, pp: False))
+        lg = attn_decoder.apply_train(p, cfg, dec_inputs, enc_states,
+                                      enc_lens, rng=rng)
+        return jnp.sum(jnp.sin(lg))
+
+    g_pal = jax.grad(loss)(params, True)
+    g_xla = jax.grad(loss)(params, False)
+    for a, b, path in zip(jax.tree_util.tree_leaves(g_pal),
+                          jax.tree_util.tree_leaves(g_xla),
+                          jax.tree_util.tree_leaves_with_path(g_pal)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=str(jax.tree_util.keystr(path[0])))
