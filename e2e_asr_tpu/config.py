@@ -146,6 +146,9 @@ class TrainConfig:
                                      # reproducibility)
     spec_augment: bool = False       # on-device SpecAugment masking (off by
                                      # default for reference parity)
+    async_ckpt: bool = False         # overlap checkpoint writes with
+                                     # training (core/checkpoint.py
+                                     # AsyncCheckpointer)
 
 
 @dataclass
@@ -293,6 +296,10 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                              "(extension; standard ASR inference trick)")
     parser.add_argument("-spec_augment", default=False, action="store_true",
                         help="Enable on-device SpecAugment feature masking")
+    parser.add_argument("-async_ckpt", default=False, action="store_true",
+                        help="Overlap checkpoint serialization/disk IO with "
+                             "training (the step loop only pays the "
+                             "device->host fetch)")
     parser.add_argument("-data_axis", default=-1, type=int,
                         help="Mesh data-parallel axis size (-1: derive from "
                         "device count and bucket batch sizes)")

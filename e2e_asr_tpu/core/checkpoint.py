@@ -58,12 +58,13 @@ def unflatten_named(template, named: dict[str, np.ndarray]):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def save(ckpt_dir: str, prefix: str, step: int, state, meta: dict | None = None,
-         max_to_keep: int | None = None) -> str:
-    """Save `state` (any pytree) as {prefix}-{step}.npz and update pointer."""
+def _write_named(ckpt_dir: str, prefix: str, step: int,
+                 named: dict[str, np.ndarray], meta: dict | None,
+                 max_to_keep: int | None) -> str:
+    """Serialize host-resident leaves to {prefix}-{step}.npz atomically and
+    update the pointer (the slow, IO-bound half of a save)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"{prefix}-{step}.npz")
-    named = flatten_named(state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **named)
@@ -74,6 +75,75 @@ def save(ckpt_dir: str, prefix: str, step: int, state, meta: dict | None = None,
     if max_to_keep:
         _gc(ckpt_dir, prefix, max_to_keep)
     return path
+
+
+def save(ckpt_dir: str, prefix: str, step: int, state, meta: dict | None = None,
+         max_to_keep: int | None = None) -> str:
+    """Save `state` (any pytree) as {prefix}-{step}.npz and update pointer."""
+    return _write_named(ckpt_dir, prefix, step, flatten_named(state), meta,
+                        max_to_keep)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization/disk IO with training
+    (`-async_ckpt`).
+
+    save() snapshots the state to host SYNCHRONOUSLY (flatten_named's
+    np.asarray per leaf — mandatory: the train step donates its input
+    buffers, so device arrays must not be held past the next step), then a
+    single worker thread serializes/writes/updates the pointer in strict
+    submission order, so `latest` always names a fully-written file. The
+    step loop only ever pays the device->host fetch; the npz compression
+    and disk IO — the dominant cost for real states — run concurrently
+    with the next steps. Worker errors surface on the next save() or at
+    flush(). No reference counterpart (the reference's tf.train.Saver
+    writes synchronously, train.py:334-343); this is the production
+    extension documented in SURVEY.md section 5.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                fn()
+            except BaseException as e:       # surfaced on the main thread
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def save(self, ckpt_dir: str, prefix: str, step: int, state,
+             meta: dict | None = None, max_to_keep: int | None = None):
+        self._check()
+        named = flatten_named(state)          # device->host, blocking
+        self._q.put(lambda: _write_named(ckpt_dir, prefix, step, named,
+                                         meta, max_to_keep))
+
+    def flush(self):
+        """Block until every submitted write hit disk; re-raise failures."""
+        self._q.join()
+        self._check()
+
+    def close(self):
+        self.flush()
+        self._q.put(None)
+        self._thread.join()
 
 
 def _gc(ckpt_dir: str, prefix: str, keep: int) -> None:

@@ -277,6 +277,10 @@ class Trainer:
                 return
 
         print(f"\nBest ASR error rate - {asr_err_best:f}")
+        # -async_ckpt: serialization/disk IO overlaps the next steps; the
+        # cadence only pays the device->host fetch (checkpoint.py).
+        self._ckpt_writer = (ckpt_lib.AsyncCheckpointer() if tc.async_ckpt
+                             else None)
         rng = jax.random.PRNGKey(self._seed())
         epoch = int(state.epoch)
         current_step = 0
@@ -363,6 +367,9 @@ class Trainer:
             print("Reshuffling ASR training data!")
             # SpeechDataset reshuffles per epoch() call; nothing to rebuild.
 
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.close()      # drain pending writes, surface
+            self._ckpt_writer = None       # any background failure
         writer.close()
 
     # ------------------------------------------------------------------
@@ -412,12 +419,21 @@ class Trainer:
                 print("Saving the best model !!")
                 with open(path.join(tc.train_dir, "best.txt"), "w") as f:
                     f.write(str(asr_err_best))
-                ckpt_lib.save(tc.best_model_dir, "asr.ckpt", gstep, state,
-                              meta={"best": asr_err_best}, max_to_keep=2)
+                self._save(tc.best_model_dir, "asr.ckpt", gstep, state,
+                           meta={"best": asr_err_best}, max_to_keep=2)
 
-        ckpt_lib.save(tc.train_dir, "asr.ckpt", gstep, state,
-                      meta={"best": asr_err_best})
+        self._save(tc.train_dir, "asr.ckpt", gstep, state,
+                   meta={"best": asr_err_best})
         return state, asr_err_best, stop
+
+    def _save(self, ckpt_dir, prefix, gstep, state, *, meta, max_to_keep=None):
+        writer = getattr(self, "_ckpt_writer", None)
+        if writer is not None:
+            writer.save(ckpt_dir, prefix, gstep, state, meta=meta,
+                        max_to_keep=max_to_keep)
+        else:
+            ckpt_lib.save(ckpt_dir, prefix, gstep, state, meta=meta,
+                          max_to_keep=max_to_keep)
 
     def _read_best(self) -> float:
         score_file = path.join(self.train_cfg.train_dir, "best.txt")

@@ -97,3 +97,69 @@ def test_partial_restore_skips_shape_mismatch(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(merged["encoder"]["layer_1"]["fw"]["kernel"]),
         np.asarray(state.params["encoder"]["layer_1"]["fw"]["kernel"]))
+
+
+def test_async_checkpointer_matches_sync(tmp_path):
+    """AsyncCheckpointer writes byte-identical checkpoints, in order, with
+    working pointer files and GC; flush() surfaces completion."""
+    import jax.numpy as jnp
+
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+
+    state = {"a": jnp.arange(6.0).reshape(2, 3),
+             "nested": {"b": jnp.ones((4,), jnp.int32)}}
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    w = ckpt_lib.AsyncCheckpointer()
+    for step in (1, 2, 3, 4):
+        bumped = {"a": state["a"] + step, "nested": state["nested"]}
+        ckpt_lib.save(sync_dir, "ck", step, bumped, meta={"s": step},
+                      max_to_keep=2)
+        w.save(async_dir, "ck", step, bumped, meta={"s": step},
+               max_to_keep=2)
+    w.flush()
+
+    import os
+    assert sorted(os.listdir(sync_dir)) == sorted(os.listdir(async_dir))
+    pth_s, meta_s = ckpt_lib.latest_path(sync_dir)
+    pth_a, meta_a = ckpt_lib.latest_path(async_dir)
+    assert meta_s == meta_a == {"s": 4}
+    rs = ckpt_lib.restore(pth_s, state)
+    ra = ckpt_lib.restore(pth_a, state)
+    for a, b in zip(jax.tree_util.tree_leaves(rs),
+                    jax.tree_util.tree_leaves(ra)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    w.close()
+
+
+def test_async_checkpointer_snapshot_isolated_from_donation(tmp_path):
+    """save() must snapshot to host BEFORE returning: mutating (or
+    deleting) the device arrays afterwards cannot corrupt the write — the
+    same guarantee donated train-step buffers need."""
+    import jax.numpy as jnp
+
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+
+    w = ckpt_lib.AsyncCheckpointer()
+    arr = jnp.full((8,), 7.0)
+    w.save(str(tmp_path), "ck", 1, {"a": arr})
+    arr.delete()                            # simulate donation invalidation
+    w.flush()
+    restored = ckpt_lib.restore(str(tmp_path / "ck-1.npz"),
+                                {"a": np.zeros((8,))})
+    np.testing.assert_array_equal(restored["a"], np.full((8,), 7.0))
+    w.close()
+
+
+def test_async_checkpointer_error_surfaces(tmp_path):
+    """A failed background write re-raises on flush()."""
+    import pytest
+
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+
+    target = tmp_path / "blocked"
+    target.write_text("a file, not a dir")   # makedirs will fail
+    w = ckpt_lib.AsyncCheckpointer()
+    w.save(str(target), "ck", 1, {"a": np.zeros((2,))})
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        w.flush()
+    w.close()

@@ -182,3 +182,20 @@ def test_cli_eval_with_checkpoint_averaging(workspace):
     if not glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz")):
         launch_train(cfg)
     launch_eval(parse_options(_args(root, ["-dev", "-eval_avg_ckpts", "2"])))
+
+
+def test_cli_train_async_ckpt(workspace):
+    """-async_ckpt trains end-to-end: checkpoints appear (written by the
+    background writer, drained at train end), pointer names a complete
+    file, and a resume restores from it."""
+    root = workspace
+    cfg = parse_options(_args(root, ["-async_ckpt", "-run_id", "21"]))
+    assert cfg.train.async_ckpt
+    launch_train(cfg)
+    ckpts = glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
+    assert ckpts
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+    found = ckpt_lib.latest_path(cfg.train.train_dir)
+    assert found is not None and os.path.isfile(found[0])
+    # resume path: max_epochs already reached -> restores and exits cleanly
+    launch_train(parse_options(_args(root, ["-async_ckpt", "-run_id", "21"])))
