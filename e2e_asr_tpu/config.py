@@ -149,6 +149,9 @@ class TrainConfig:
     async_ckpt: bool = False         # overlap checkpoint writes with
                                      # training (core/checkpoint.py
                                      # AsyncCheckpointer)
+    grad_accum: int = 1              # micro-batches per optimizer update
+                                     # (train/step.py): activation memory
+                                     # drops ~N-fold, update = full batch
 
 
 @dataclass
@@ -300,6 +303,12 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="Overlap checkpoint serialization/disk IO with "
                              "training (the step loop only pays the "
                              "device->host fetch)")
+    parser.add_argument("-grad_accum", default=1, type=int,
+                        help="Accumulate gradients over N micro-batches per "
+                             "optimizer update (must divide every bucket's "
+                             "batch size); cuts activation memory ~N-fold "
+                             "for large models at unchanged update "
+                             "semantics")
     parser.add_argument("-data_axis", default=-1, type=int,
                         help="Mesh data-parallel axis size (-1: derive from "
                         "device count and bucket batch sizes)")

@@ -74,7 +74,8 @@ class Trainer:
         self.mesh = self._make_mesh() if use_mesh else None
         asr_step, lm_step = step_lib.make_train_step(
             self.model_cfg, self.lm_cfg, compute_dtype=dtype,
-            spec_augment=self.train_cfg.spec_augment)
+            spec_augment=self.train_cfg.spec_augment,
+            grad_accum=self.train_cfg.grad_accum)
         self.asr_step = jax.jit(asr_step, donate_argnums=0)
         self.lm_step = jax.jit(lm_step, donate_argnums=0)
 

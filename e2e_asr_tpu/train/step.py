@@ -98,15 +98,46 @@ def _ctc_labels(batch: dict):
 
 
 def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
-                    compute_dtype=None, spec_augment: bool = False):
+                    compute_dtype=None, spec_augment: bool = False,
+                    grad_accum: int = 1):
     """Build jittable (asr_step, lm_step) closures.
 
     spec_augment applies on-device time/frequency masking to the features
     before the encoder (frontend/specaugment.py) — a training-only
     augmentation the reference predates. model_cfg.ctc_weight > 0 trains the
-    hybrid CTC/attention objective (models/hybrid.py); eval is unchanged."""
+    hybrid CTC/attention objective (models/hybrid.py); eval is unchanged.
+
+    grad_accum > 1 splits the batch into that many equal micro-batches and
+    accumulates gradients over a lax.scan before the single Adam update —
+    activation memory drops ~grad_accum-fold while the update stays a
+    full-batch one (the loss is a batch mean of per-example-normalized
+    losses, so a mean of equal-size micro-batch means is exactly the
+    full-batch mean). Dropout/scheduled-sampling noise is drawn per
+    micro-batch (rng folded on the micro index), matching what a smaller
+    physical batch would see."""
     asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def batch_loss(params, batch: dict, rng: Array):
+        """(total, per_task) for one (micro-)batch, any model family."""
+        if model_cfg.model_family == "ctc":
+            from e2e_asr_tpu.models import ctc
+            cb = dict(batch)
+            cb["labels"], cb["label_lens"] = _ctc_labels(batch)
+            total = ctc.loss(params, model_cfg, cb, rng=rng,
+                             compute_dtype=compute_dtype)
+            return total, {"ctc": total}
+        if model_cfg.ctc_weight > 0:
+            from e2e_asr_tpu.models import hybrid
+            hb = dict(batch)
+            hb["labels"], hb["label_lens"] = _ctc_labels(batch)
+            return hybrid.loss(params, model_cfg, hb,
+                               ctc_weight=model_cfg.ctc_weight, rng=rng,
+                               compute_dtype=compute_dtype)
+        return seq2seq.apply_train(params, model_cfg, batch, rng=rng,
+                                   compute_dtype=compute_dtype)
 
     def asr_step(state: TrainState, batch: dict, rng: Array):
         if spec_augment:
@@ -116,33 +147,32 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             batch["logmel"] = sa(sa_rng, batch["logmel"],
                                  batch["logmel_len"])
 
-        if model_cfg.model_family == "ctc":
-            from e2e_asr_tpu.models import ctc
-            cb = dict(batch)
-            cb["labels"], cb["label_lens"] = _ctc_labels(batch)
-
-            def loss_fn(params):
-                total = ctc.loss(params, model_cfg, cb, rng=rng,
-                                 compute_dtype=compute_dtype)
-                return total, {"ctc": total}
-        elif model_cfg.ctc_weight > 0:
-            from e2e_asr_tpu.models import hybrid
-            hb = dict(batch)
-            hb["labels"], hb["label_lens"] = _ctc_labels(batch)
-
-            def loss_fn(params):
-                return hybrid.loss(params, model_cfg, hb,
-                                   ctc_weight=model_cfg.ctc_weight, rng=rng,
-                                   compute_dtype=compute_dtype)
+        if grad_accum == 1:
+            (total, per_task), grads = jax.value_and_grad(
+                batch_loss, has_aux=True)(state.params, batch, rng)
         else:
-            def loss_fn(params):
-                total, per_task = seq2seq.apply_train(
-                    params, model_cfg, batch, rng=rng,
-                    compute_dtype=compute_dtype)
-                return total, per_task
+            B = batch["logmel"].shape[0]
+            if B % grad_accum:
+                raise ValueError(
+                    f"batch size {B} not divisible by grad_accum {grad_accum}")
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, B // grad_accum)
+                                    + x.shape[1:]),
+                batch)
 
-        (total, per_task), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            def body(g_acc, xs):
+                mb, i = xs
+                (t, pt), g = jax.value_and_grad(batch_loss, has_aux=True)(
+                    state.params, mb, jax.random.fold_in(rng, i))
+                return (jax.tree_util.tree_map(jnp.add, g_acc, g), (t, pt))
+
+            g_sum, (totals, per_tasks) = jax.lax.scan(
+                body, jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                (micro, jnp.arange(grad_accum)))
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, g_sum)
+            total = totals.mean()
+            per_task = {k: v.mean() for k, v in per_tasks.items()}
+
         updates, new_opt = asr_opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state._replace(params=new_params, opt_state=new_opt,

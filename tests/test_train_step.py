@@ -143,6 +143,49 @@ def test_data_parallel_step_transformer_encoder(rng):
                                    rtol=1e-2, atol=5e-4)
 
 
+def test_grad_accum_matches_full_batch(rng):
+    """grad_accum=N must produce the same update as the full-batch step.
+
+    The loss is a batch mean of per-example-normalized losses
+    (core/losses.py), so a mean of equal-size micro-batch means is exactly
+    the full-batch mean — with noise off (out_prob=1, samp_prob=0) the
+    accumulated gradients match up to fp reassociation."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(rng, cfg, B=8, T=12, T_dec=5)
+    batch["logmel_len"] = jnp.full((8,), 12)
+    batch["char_len"] = jnp.full((8,), 4)
+
+    results = []
+    for accum in (1, 4):
+        state = train_step_lib.create_state(params, cfg, _lm_cfg())
+        asr_step, _ = train_step_lib.make_train_step(cfg, _lm_cfg(),
+                                                     grad_accum=accum)
+        s, m = jax.jit(asr_step)(state, batch, jax.random.PRNGKey(7))
+        results.append((s, m))
+    (s1, m1), (s4, m4) = results
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    assert int(s4.global_step) == 1
+
+
+def test_grad_accum_rejects_indivisible_batch(rng):
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = train_step_lib.create_state(params, cfg, _lm_cfg())
+    asr_step, _ = train_step_lib.make_train_step(cfg, _lm_cfg(), grad_accum=3)
+    batch = make_batch(rng, cfg, B=8, T=12, T_dec=5)
+    batch["logmel_len"] = jnp.full((8,), 12)
+    batch["char_len"] = jnp.full((8,), 4)
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(asr_step)(state, batch, jax.random.PRNGKey(0))
+
+
 def test_data_parallel_step_matches_single_device(rng):
     """The sharded step on an 8-device mesh must produce (numerically) the
     same loss and updated params as single-device execution."""
