@@ -40,6 +40,9 @@ class EncoderConfig:
                                      # bias (zero-init; off = sinusoidal only)
     conv_kernel: int = 0             # Conformer-style depthwise-conv module
                                      # per block (kernel size; 0 = off)
+    remat: bool = False              # rematerialize each encoder layer/block
+                                     # in backward (jax.checkpoint): per-layer
+                                     # activations are recomputed, not stored
 
 
 @dataclass
@@ -303,6 +306,11 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="Overlap checkpoint serialization/disk IO with "
                              "training (the step loop only pays the "
                              "device->host fetch)")
+    parser.add_argument("-remat", default=False, action="store_true",
+                        help="Rematerialize encoder layers/blocks in the "
+                             "backward pass (jax.checkpoint): trades "
+                             "recompute FLOPs for ~num_layers-fold less "
+                             "encoder activation memory; numerics unchanged")
     parser.add_argument("-grad_accum", default=1, type=int,
                         help="Accumulate gradients over N micro-batches per "
                              "optimizer update (must divide every bucket's "

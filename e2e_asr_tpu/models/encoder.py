@@ -128,16 +128,31 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
     time_major_states: dict[int, Array] = {}
     seq_lens: dict[int, Array] = {}
 
+    def run_layer(layer_params, x_tm, lens, key):
+        out = rnn.rnn_layer(layer_params, x_tm, lens, cell=cell,
+                            bidirectional=cfg.bi_dir,
+                            compute_dtype=compute_dtype)
+        if train and cfg.out_prob < 1.0:
+            out = dropout(key, out, cfg.out_prob)
+        return out
+
+    if train and cfg.remat:
+        # Per-layer rematerialization: the backward pass recomputes each
+        # layer's forward instead of storing its [T,B,*] residuals —
+        # activation memory drops ~num_layers-fold at ~1 extra forward of
+        # FLOPs. Composes with the Pallas kernels' custom VJPs (their
+        # residuals are produced during the recompute, never stored).
+        run_layer = jax.checkpoint(run_layer)
+
+    if train and cfg.out_prob < 1.0:
+        assert rng is not None
     layer_in = x  # batch-major [B, T, F]
     for i in range(max_depth):
         depth = i + 1
-        out_tm = rnn.rnn_layer(params[f"layer_{depth}"],
-                               jnp.transpose(layer_in, (1, 0, 2)), seq_len,
-                               cell=cell, bidirectional=cfg.bi_dir,
-                               compute_dtype=compute_dtype)
-        if train and cfg.out_prob < 1.0:
-            assert rng is not None
-            out_tm = dropout(jax.random.fold_in(rng, depth), out_tm, cfg.out_prob)
+        key = (jax.random.fold_in(rng, depth) if rng is not None
+               else jax.random.PRNGKey(0))
+        out_tm = run_layer(params[f"layer_{depth}"],
+                           jnp.transpose(layer_in, (1, 0, 2)), seq_len, key)
 
         if depth in want_time_major:
             time_major_states[depth] = out_tm

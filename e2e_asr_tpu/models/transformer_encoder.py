@@ -186,21 +186,17 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
     keep = cfg.out_prob if train else 1.0
     drop_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-    attn_states: dict[int, Array] = {}
-    time_major: dict[int, Array] = {}
-    seq_lens: dict[int, Array] = {}
-    for i in range(1, max_depth + 1):
-        blk = params[f"block_{i}"]
+    def run_block(blk, h, k_a, k_c, k_f):
         a = _mhsa(blk, _layer_norm(blk["ln1"], h), attn_bias,
                   cfg.num_heads, compute_dtype=compute_dtype, train=train)
         if train and keep < 1.0:
-            a = dropout(jax.random.fold_in(drop_rng, 3 * i), a, keep)
+            a = dropout(k_a, a, keep)
         h = h + a
         if "conv" in blk:
             c = _conv_module(blk["conv"], h, vmask,
                              compute_dtype=compute_dtype)
             if train and keep < 1.0:
-                c = dropout(jax.random.fold_in(drop_rng, 3 * i + 1), c, keep)
+                c = dropout(k_c, c, keep)
             h = h + c
         f = dense(blk["ffn2"],
                   jax.nn.gelu(dense(blk["ffn1"],
@@ -208,8 +204,22 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
                                     compute_dtype=compute_dtype)),
                   compute_dtype=compute_dtype)
         if train and keep < 1.0:
-            f = dropout(jax.random.fold_in(drop_rng, 3 * i + 2), f, keep)
-        h = h + f
+            f = dropout(k_f, f, keep)
+        return h + f
+
+    if train and cfg.remat:
+        # Per-block rematerialization (-remat): backward recomputes the
+        # block forward instead of storing its [B,T,D] residuals.
+        run_block = jax.checkpoint(run_block)
+
+    attn_states: dict[int, Array] = {}
+    time_major: dict[int, Array] = {}
+    seq_lens: dict[int, Array] = {}
+    for i in range(1, max_depth + 1):
+        h = run_block(params[f"block_{i}"], h,
+                      jax.random.fold_in(drop_rng, 3 * i),
+                      jax.random.fold_in(drop_rng, 3 * i + 1),
+                      jax.random.fold_in(drop_rng, 3 * i + 2))
         if i in want_attn or i in want_tm:
             out = _layer_norm(params["ln_out"], h) * vmask
             if i in want_attn:

@@ -113,3 +113,58 @@ def test_unidirectional_encoder(rng):
                                       {"char": 2})
     assert attn[2].shape[2] == 6
     assert np.all(np.asarray(attn[2])[1, 3:] == 0.0)  # ceil(5/2)=3 valid
+
+
+def test_remat_matches_no_remat_rnn(rng):
+    """-remat must leave loss and gradients unchanged (it only changes WHEN
+    activations are computed, never what) — including through the dropout
+    key scheme and the custom-VJP rnn kernels' scan fallback."""
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    num_layers = {"char": 3}
+    params = encoder.init(jax.random.PRNGKey(0), cfg, 3, feat_dim=4)
+    x = jnp.asarray(rng.normal(size=(2, 16, 4)).astype(np.float32))
+    lens = jnp.array([16, 9])
+    key = jax.random.PRNGKey(3)
+
+    def loss(p, c):
+        attn, _, _ = encoder.apply(p, c, x, lens, num_layers, train=True,
+                                   rng=key)
+        return sum(jnp.sum(a ** 2) for a in attn.values())
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_matches_no_remat_transformer(rng):
+    import dataclasses
+
+    cfg = EncoderConfig(encoder_type="transformer", hidden_size=8,
+                        num_heads=2, ffn_mult=2, subsample=2, out_prob=0.8,
+                        conv_kernel=3)
+    num_layers = {"char": 2}
+    params = encoder.init(jax.random.PRNGKey(0), cfg, 2, feat_dim=4)
+    x = jnp.asarray(rng.normal(size=(2, 12, 4)).astype(np.float32))
+    lens = jnp.array([12, 7])
+    key = jax.random.PRNGKey(5)
+
+    def loss(p, c):
+        attn, _, _ = encoder.apply(p, c, x, lens, num_layers, train=True,
+                                   rng=key)
+        return sum(jnp.sum(a ** 2) for a in attn.values())
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
