@@ -79,7 +79,10 @@ def launch_eval(cfg: ExperimentConfig) -> None:
     # (main.py:203-215).
     import jax
     params = step_lib.init_params(jax.random.PRNGKey(10), cfg.model)
-    state = step_lib.create_state(params, cfg.model, cfg.lm)
+    # -ema_decay checkpoints carry EMA shadow leaves; the template must
+    # match the archive (restore is strict by name).
+    state = step_lib.create_state(params, cfg.model, cfg.lm,
+                                  ema=tc.ema_decay > 0 or tc.eval_ema)
     ckpt_path = None
     if tc.eval_avg_ckpts > 1:
         # Checkpoint-averaged eval (extension; tools/average_ckpts math).
@@ -96,6 +99,7 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                 state = ckpt_lib.restore(ckpt_path, state)
                 break
     print(f"Using the model from: {ckpt_path}")
+    eval_params = state.ema_params if tc.eval_ema else state.params
 
     _, rev_vocab = text.initialize_vocabulary(
         path.join(tc.vocab_dir, "char.vocab"))
@@ -120,18 +124,18 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         evaluator = CTCEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
                                  compute_dtype=compute_dtype,
                                  beam_size=cfg.beam.beam_size)
-        evaluator(state.params, dev_set.epoch())
+        evaluator(eval_params, dev_set.epoch())
     elif (cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0
           and cfg.beam.ctc_rescore == 0.0):
         evaluator = GreedyEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
                                     compute_dtype=compute_dtype)
-        evaluator(state.params, dev_set.epoch())
+        evaluator(eval_params, dev_set.epoch())
     else:
         evaluator = BeamEvaluator(cfg.model, cfg.beam, rev_vocab,
                                   tc.best_model_dir,
                                   compute_dtype=compute_dtype,
                                   lm_params=lm_params)
-        evaluator(state.params, dev_set.epoch())
+        evaluator(eval_params, dev_set.epoch())
     print(f"Total decoding time: {time.time() - start:.1f}s")
 
 

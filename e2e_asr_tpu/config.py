@@ -155,6 +155,11 @@ class TrainConfig:
     grad_accum: int = 1              # micro-batches per optimizer update
                                      # (train/step.py): activation memory
                                      # drops ~N-fold, update = full batch
+    ema_decay: float = 0.0           # Polyak/EMA shadow weights updated
+                                     # after every step (0 = off); dev-WER
+                                     # selection + -eval_ema use them
+    eval_ema: bool = False           # eval CLI decodes the EMA weights
+                                     # (requires a -ema_decay checkpoint)
 
 
 @dataclass
@@ -317,6 +322,14 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                              "batch size); cuts activation memory ~N-fold "
                              "for large models at unchanged update "
                              "semantics")
+    parser.add_argument("-ema_decay", default=0.0, type=float,
+                        help="Maintain Polyak/EMA shadow weights with this "
+                             "decay (e.g. 0.999); 0 disables. Dev-WER "
+                             "checkpoint selection evaluates the EMA "
+                             "weights when enabled")
+    parser.add_argument("-eval_ema", default=False, action="store_true",
+                        help="Evaluate the EMA shadow weights from a "
+                             "checkpoint trained with -ema_decay")
     parser.add_argument("-data_axis", default=-1, type=int,
                         help="Mesh data-parallel axis size (-1: derive from "
                         "device count and bucket batch sizes)")

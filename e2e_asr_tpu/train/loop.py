@@ -75,7 +75,8 @@ class Trainer:
         asr_step, lm_step = step_lib.make_train_step(
             self.model_cfg, self.lm_cfg, compute_dtype=dtype,
             spec_augment=self.train_cfg.spec_augment,
-            grad_accum=self.train_cfg.grad_accum)
+            grad_accum=self.train_cfg.grad_accum,
+            ema_decay=self.train_cfg.ema_decay)
         self.asr_step = jax.jit(asr_step, donate_argnums=0)
         self.lm_step = jax.jit(lm_step, donate_argnums=0)
 
@@ -237,7 +238,8 @@ class Trainer:
 
         params = step_lib.init_params(
             jax.random.PRNGKey(10 if not tc.chaos else int(time.time())), cfg)
-        state = step_lib.create_state(params, cfg, self.lm_cfg)
+        state = step_lib.create_state(params, cfg, self.lm_cfg,
+                                      ema=tc.ema_decay > 0)
 
         restored = ckpt_lib.restore_latest(tc.train_dir, state)
         if restored is not None:
@@ -394,7 +396,12 @@ class Trainer:
 
         if evaluator is not None and dev_set is not None:
             t0 = time.time()
-            asr_err_cur = evaluator(state.params, dev_set.epoch())
+            # With -ema_decay, checkpoint selection scores the EMA shadow
+            # weights — the weights -eval_ema decodes (the raw params keep
+            # training; both live in the checkpoint).
+            eval_params = (state.ema_params if tc.ema_decay > 0
+                           else state.params)
+            asr_err_cur = evaluator(eval_params, dev_set.epoch())
             print(f"ASR error: {asr_err_cur:.4f}, Decoding time: "
                   f"{time.time() - t0:.1f}s")
             with open(path.join(tc.train_dir, "asr_err.txt"), "a") as f:

@@ -35,6 +35,9 @@ class TrainState(NamedTuple):
     epoch: Array            # int32 scalar
     lm_epoch: Array         # int32 scalar — resume-visible LM epoch counter
                             # (lm_model.py:62, train.py:289-291)
+    ema_params: Any = None  # Polyak/EMA shadow weights (-ema_decay > 0;
+                            # extension). None contributes no pytree leaves,
+                            # so checkpoints without EMA are unchanged.
 
 
 def make_optimizer(learning_rate: float, max_grad_norm: float):
@@ -44,7 +47,10 @@ def make_optimizer(learning_rate: float, max_grad_norm: float):
     )
 
 
-def create_state(params, model_cfg: Seq2SeqConfig, lm_cfg: LMConfig) -> TrainState:
+def create_state(params, model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
+                 ema: bool = False) -> TrainState:
+    """ema=True seeds EMA shadow weights at the initial params (so the
+    running average needs no bias correction)."""
     asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
     return TrainState(
@@ -55,6 +61,10 @@ def create_state(params, model_cfg: Seq2SeqConfig, lm_cfg: LMConfig) -> TrainSta
         lm_global_step=jnp.zeros((), jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
         lm_epoch=jnp.zeros((), jnp.int32),
+        # Real copies, not aliases: params and ema_params both live in the
+        # (donated) state — aliased buffers would be donated twice.
+        ema_params=(jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params) if ema else None),
     )
 
 
@@ -99,7 +109,7 @@ def _ctc_labels(batch: dict):
 
 def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                     compute_dtype=None, spec_augment: bool = False,
-                    grad_accum: int = 1):
+                    grad_accum: int = 1, ema_decay: float = 0.0):
     """Build jittable (asr_step, lm_step) closures.
 
     spec_augment applies on-device time/frequency masking to the features
@@ -114,11 +124,27 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     losses, so a mean of equal-size micro-batch means is exactly the
     full-batch mean). Dropout/scheduled-sampling noise is drawn per
     micro-batch (rng folded on the micro index), matching what a smaller
-    physical batch would see."""
+    physical batch would see.
+
+    ema_decay > 0 maintains Polyak/EMA shadow weights (state.ema_params,
+    seeded at the initial params by create_state(ema=True)):
+    ema <- d*ema + (1-d)*params after EVERY update, including LM-task
+    updates (which touch the shared decoder leaves). Evaluate them with
+    -eval_ema; the train loop's dev-WER selection uses them automatically
+    when enabled."""
     asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def ema_update(state: TrainState, new_params):
+        if ema_decay <= 0:
+            return None
+        if state.ema_params is None:
+            raise ValueError("ema_decay > 0 needs create_state(ema=True)")
+        d = ema_decay
+        return jax.tree_util.tree_map(lambda e, p: e * d + p * (1.0 - d),
+                                      state.ema_params, new_params)
 
     def batch_loss(params, batch: dict, rng: Array):
         """(total, per_task) for one (micro-)batch, any model family."""
@@ -177,6 +203,9 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
         new_params = optax.apply_updates(state.params, updates)
         new_state = state._replace(params=new_params, opt_state=new_opt,
                                    global_step=state.global_step + 1)
+        if ema_decay > 0:
+            new_state = new_state._replace(
+                ema_params=ema_update(state, new_params))
         metrics = {"loss": total, **{f"loss_{t}": v for t, v in per_task.items()}}
         return new_state, metrics
 
@@ -192,6 +221,9 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
         new_params = optax.apply_updates(state.params, updates)
         new_state = state._replace(params=new_params, lm_opt_state=new_opt,
                                    lm_global_step=state.lm_global_step + 1)
+        if ema_decay > 0:
+            new_state = new_state._replace(
+                ema_params=ema_update(state, new_params))
         return new_state, {"lm_loss": loss}
 
     return asr_step, lm_step

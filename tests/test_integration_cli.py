@@ -199,3 +199,30 @@ def test_cli_train_async_ckpt(workspace):
     assert found is not None and os.path.isfile(found[0])
     # resume path: max_epochs already reached -> restores and exits cleanly
     launch_train(parse_options(_args(root, ["-async_ckpt", "-run_id", "21"])))
+
+
+def test_cli_ema_train_and_eval(workspace):
+    """-ema_decay trains with EMA shadow weights in the checkpoint;
+    -eval_ema decodes them (and differs from the raw-weights eval only in
+    which params feed the same evaluator)."""
+    import numpy as np
+
+    root = workspace
+    extra = ["-ema_decay", "0.9", "-run_id", "23"]
+    cfg = parse_options(_args(root, extra))
+    assert cfg.train.ema_decay == 0.9
+    launch_train(cfg)
+    ckpts = sorted(glob.glob(os.path.join(cfg.train.train_dir,
+                                          "asr.ckpt-*.npz")))
+    assert ckpts
+    names = np.load(ckpts[-1]).files
+    assert any(n.startswith("ema_params/") for n in names)
+    # EMA leaves must lag their raw counterparts after training.
+    arch = np.load(ckpts[-1])
+    raw = arch["params/encoder/layer_1/fw/kernel"]
+    ema = arch["ema_params/encoder/layer_1/fw/kernel"]
+    assert not np.allclose(raw, ema)
+
+    launch_eval(parse_options(_args(root, extra + ["-dev", "-eval_ema"])))
+    out = os.path.join(cfg.train.best_model_dir, "decoded_asr.txt")
+    assert os.path.isfile(out)

@@ -216,3 +216,66 @@ def test_data_parallel_step_matches_single_device(rng):
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_ema_shadow_weights(rng):
+    """state.ema_params must equal the hand-computed EMA of the params
+    trajectory — across ASR steps AND interleaved LM steps (the LM updates
+    shared decoder leaves, so EMA must track them too)."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    d = 0.5
+    state = train_step_lib.create_state(params, cfg, _lm_cfg(), ema=True)
+    asr_step, lm_step = train_step_lib.make_train_step(cfg, _lm_cfg(),
+                                                       ema_decay=d)
+    asr_step, lm_step = jax.jit(asr_step), jax.jit(lm_step)
+    batch = make_batch(rng, cfg)
+    ids = rng.integers(3, 11, size=(6, 4))
+    ids[0] = 1
+
+    ref_ema = params
+    for i in range(3):
+        state, _ = asr_step(state, batch, jax.random.PRNGKey(i))
+        ref_ema = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * p, ref_ema, state.params)
+        state, _ = lm_step(state, jnp.asarray(ids),
+                           jnp.array([5, 5, 4, 5]), jax.random.PRNGKey(i))
+        ref_ema = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * p, ref_ema, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_ema),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # EMA must lag the raw params (it still carries the init).
+    assert not np.allclose(
+        np.asarray(state.ema_params["encoder"]["layer_1"]["fw"]["kernel"]),
+        np.asarray(state.params["encoder"]["layer_1"]["fw"]["kernel"]))
+
+
+def test_ema_checkpoint_roundtrip(rng, tmp_path):
+    """EMA leaves live in the checkpoint under ema_params/... and restore
+    exactly; a no-EMA state's archive is unchanged (None adds no leaves)."""
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = train_step_lib.create_state(params, cfg, _lm_cfg(), ema=True)
+    asr_step, _ = train_step_lib.make_train_step(cfg, _lm_cfg(),
+                                                 ema_decay=0.9)
+    state, _ = jax.jit(asr_step)(state, make_batch(rng, cfg),
+                                 jax.random.PRNGKey(0))
+    p = ckpt_lib.save(str(tmp_path), "asr.ckpt", 1, state)
+    names = set(np.load(p).files)
+    assert any(n.startswith("ema_params/") for n in names)
+
+    template = train_step_lib.create_state(
+        seq2seq.init(jax.random.PRNGKey(9), cfg), cfg, _lm_cfg(), ema=True)
+    restored = ckpt_lib.restore(p, template)
+    for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(restored.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    plain = train_step_lib.create_state(params, cfg, _lm_cfg())
+    p2 = ckpt_lib.save(str(tmp_path), "plain.ckpt", 1, plain)
+    assert not any(n.startswith("ema_params/")
+                   for n in np.load(p2).files)
