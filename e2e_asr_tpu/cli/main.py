@@ -100,6 +100,10 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                 break
     print(f"Using the model from: {ckpt_path}")
     eval_params = state.ema_params if tc.eval_ema else state.params
+    if tc.quantize == "int8":
+        from e2e_asr_tpu.core import quant
+        eval_params = quant.quantize(eval_params)
+        print("Quantized params to int8 (weight-only, per-channel)")
 
     _, rev_vocab = text.initialize_vocabulary(
         path.join(tc.vocab_dir, "char.vocab"))

@@ -160,6 +160,9 @@ class TrainConfig:
                                      # selection + -eval_ema use them
     eval_ema: bool = False           # eval CLI decodes the EMA weights
                                      # (requires a -ema_decay checkpoint)
+    quantize: str = ""               # "int8": eval/serving decodes int8
+                                     # weight-only quantized params
+                                     # (core/quant.py)
 
 
 @dataclass
@@ -330,6 +333,11 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-eval_ema", default=False, action="store_true",
                         help="Evaluate the EMA shadow weights from a "
                              "checkpoint trained with -ema_decay")
+    parser.add_argument("-quantize", default="", choices=["", "int8"],
+                        help="Weight-only quantization for eval/serving: "
+                             "int8 per-output-channel symmetric "
+                             "(core/quant.py); dequant runs inside the "
+                             "jitted decode")
     parser.add_argument("-data_axis", default=-1, type=int,
                         help="Mesh data-parallel axis size (-1: derive from "
                         "device count and bucket batch sizes)")

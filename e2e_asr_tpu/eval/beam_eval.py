@@ -14,6 +14,7 @@ import jax
 import numpy as np
 
 from e2e_asr_tpu.config import BeamConfig, Seq2SeqConfig
+from e2e_asr_tpu.core import quant
 from e2e_asr_tpu.data import text
 from e2e_asr_tpu.eval.beam import beam_decode
 from e2e_asr_tpu.eval.score import WerAccumulator
@@ -27,6 +28,12 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
 
     @jax.jit
     def run(params, feats, feat_lens, lm_p):
+        params = quant.maybe_dequantize(params)
+        # Shared-LM fusion reads the decoder's own leaves — derived inside
+        # the jit so it sees the dequantized tree (beam_search.py:111-134
+        # weight-tying semantics).
+        if lm_p is None and beam_cfg.lm_weight != 0.0:
+            lm_p = rnn_lm.shared_lm_params(params)
         attn_states, _, enc_lens = seq2seq.encode(
             params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
         depth = cfg.num_layers["char"]
@@ -35,10 +42,7 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                            lm_params=lm_p)
 
     def decode(params, batch):
-        lm_p = lm_params
-        if lm_p is None and beam_cfg.lm_weight != 0.0:
-            lm_p = rnn_lm.shared_lm_params(params)
-        return run(params, batch["logmel"], batch["logmel_len"], lm_p)
+        return run(params, batch["logmel"], batch["logmel_len"], lm_params)
 
     return decode
 
@@ -58,6 +62,7 @@ class BeamEvaluator:
 
             @jax.jit
             def run(params, feats, feat_lens):
+                params = quant.maybe_dequantize(params)
                 return ctc_rescore_decode(
                     params, cfg, beam_cfg, feats, feat_lens,
                     ctc_weight=beam_cfg.ctc_rescore,

@@ -13,6 +13,7 @@ import jax
 import numpy as np
 
 from e2e_asr_tpu.config import Seq2SeqConfig
+from e2e_asr_tpu.core import quant
 from e2e_asr_tpu.data import text
 from e2e_asr_tpu.eval.score import WerAccumulator
 from e2e_asr_tpu.models import seq2seq
@@ -25,9 +26,14 @@ class GreedyEvaluator:
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
         self.file_prefix = file_prefix
-        self._decode = jax.jit(partial(
-            seq2seq.apply_greedy, cfg=cfg, task="char", go_id=text.GO_ID,
-            compute_dtype=compute_dtype))
+        def decode(params, feats, feat_lens):
+            # Serving path: params may arrive int8-quantized (core/quant.py);
+            # dequant inside the jit so the int8 tree is the program input.
+            params = quant.maybe_dequantize(params)
+            return seq2seq.apply_greedy(params, cfg, feats, feat_lens,
+                                        task="char", go_id=text.GO_ID,
+                                        compute_dtype=compute_dtype)
+        self._decode = jax.jit(decode)
 
     def __call__(self, params, batches, *, write_files: bool = True) -> float:
         """Returns the filler-filtered WER over `batches` (an iterable of
@@ -87,6 +93,7 @@ class CTCEvaluator(GreedyEvaluator):
             from e2e_asr_tpu.eval.ctc_beam import ctc_beam_search
 
             def decode(params, feats, feat_lens):
+                params = quant.maybe_dequantize(params)
                 tokens, _ = ctc_beam_search(params, cfg, feats, feat_lens,
                                             beam_size=beam_size,
                                             compute_dtype=compute_dtype)
@@ -95,6 +102,7 @@ class CTCEvaluator(GreedyEvaluator):
             from e2e_asr_tpu.models import ctc
 
             def decode(params, feats, feat_lens):
+                params = quant.maybe_dequantize(params)
                 return ctc.greedy_decode(params, cfg, feats, feat_lens,
                                          compute_dtype=compute_dtype)
         self._decode = jax.jit(decode)

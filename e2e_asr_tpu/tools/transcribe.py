@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "pyramid reduction)")
     parser.add_argument("-margin", type=int, default=64,
                         help="context margin frames on each side of a chunk")
+    parser.add_argument("-int8_ckpt", type=str, default="",
+                        help="int8 serving artifact from "
+                             "tools/quantize_ckpt.py (overrides -ckpt; "
+                             "1/4 the load size, dequantized once at "
+                             "startup for the long-form paths)")
     parser.add_argument("-ckpt", type=str, default="",
                         help="explicit checkpoint file (else best/latest "
                              "from the run dir)")
@@ -68,6 +73,7 @@ def main(argv=None) -> list[str]:
     wavs, window, margin = args.pop("wavs"), args.pop("window"), args.pop("margin")
     ckpt_file, segment = args.pop("ckpt"), args.pop("segment")
     stream_block_s = args.pop("stream_block_s")
+    int8_ckpt = args.pop("int8_ckpt")
 
     _, rev_vocab = text.initialize_vocabulary(
         path.join(args["vocab_dir"], "char.vocab"))
@@ -75,7 +81,11 @@ def main(argv=None) -> list[str]:
     tc = cfg.train
 
     params = step_lib.init_params(jax.random.PRNGKey(10), cfg.model)
-    if ckpt_file:
+    if int8_ckpt:
+        from e2e_asr_tpu.core import quant
+        qs = quant.load_artifact(int8_ckpt, params)
+        params, ckpt_path = quant.dequantize(qs), int8_ckpt
+    elif ckpt_file:
         state = step_lib.create_state(params, cfg.model, cfg.lm)
         state = ckpt_lib.restore(ckpt_file, state)
         params, ckpt_path = state.params, ckpt_file

@@ -201,6 +201,47 @@ def test_cli_train_async_ckpt(workspace):
     launch_train(parse_options(_args(root, ["-async_ckpt", "-run_id", "21"])))
 
 
+def test_cli_quantized_eval_and_transcribe(workspace):
+    """-quantize int8 decodes through the standard eval CLI; the exported
+    serving artifact (tools/quantize_ckpt.py) drives transcribe -int8_ckpt."""
+    import numpy as np
+
+    from e2e_asr_tpu.data.audio import write_wav
+    from e2e_asr_tpu.tools import transcribe
+    from e2e_asr_tpu.tools.quantize_ckpt import quantize_checkpoint
+
+    root = workspace
+    cfg = parse_options(_args(root))
+    ckpts = sorted(glob.glob(os.path.join(cfg.train.train_dir,
+                                          "asr.ckpt-*.npz")))
+    if not ckpts:
+        launch_train(cfg)
+        ckpts = sorted(glob.glob(os.path.join(cfg.train.train_dir,
+                                              "asr.ckpt-*.npz")))
+
+    launch_eval(parse_options(_args(root, ["-dev", "-quantize", "int8"])))
+    assert os.path.isfile(os.path.join(cfg.train.best_model_dir,
+                                       "decoded_asr.txt"))
+
+    art = os.path.join(root, "model.int8.npz")
+    stats = quantize_checkpoint(ckpts[-1], art)
+    assert stats["ratio"] < 0.2
+
+    sr = 16000
+    t = np.arange(int(1.6 * sr)) / sr
+    wave = (np.sin(2 * np.pi * 440 * t) * 8000).astype(np.int16)
+    wav_path = os.path.join(root, "q.wav")
+    write_wav(wav_path, wave, sr)
+    out = transcribe.main([
+        wav_path, "-vocab_dir", os.path.join(root, "vocab"),
+        "-tb_dir", os.path.join(root, "models"),
+        "-int8_ckpt", art, "-window", "80", "-margin", "16",
+        "-beam_size", "2", "-hsize", "8", "-hsize_dec", "8",
+        "-emb_size", "8", "-attn_vec_size", "4", "-lm_hsize", "8",
+        "-feat_len", "8", "-max_out_char", "8"])
+    assert len(out) == 1 and isinstance(out[0], str)
+
+
 def test_cli_ema_train_and_eval(workspace):
     """-ema_decay trains with EMA shadow weights in the checkpoint;
     -eval_ema decodes them (and differs from the raw-weights eval only in
