@@ -290,19 +290,25 @@ def _measure_decode(jax, jnp, cfg, rng):
         path = "megakernel" if B <= 2 else "step-fused"
         # Pipelined: back-to-back dispatch, one final sync (the serving
         # model; also the on-device latency with this env's RPC amortized).
-        n = 20
-        t0 = time.perf_counter()
-        for _ in range(n):
-            tokens, _, _ = decode(params, batch)
-        np.asarray(tokens)
-        dt_pipe = (time.perf_counter() - t0) / n
-        # Per-call: host sync (and tunnel RPC) on every call.
-        n = 5
-        t0 = time.perf_counter()
-        for _ in range(n):
-            tokens, _, _ = decode(params, batch)
+        # Best-of-3 on both rows: tunnel variance protection (the same
+        # payload measures 2.4-5.4 ms across reps here).
+        dt_pipe = 1e9
+        for _ in range(3):
+            n = 20
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tokens, _, _ = decode(params, batch)
             np.asarray(tokens)
-        dt_sync = (time.perf_counter() - t0) / n
+            dt_pipe = min(dt_pipe, (time.perf_counter() - t0) / n)
+        # Per-call: host sync (and tunnel RPC) on every call.
+        dt_sync = 1e9
+        for _ in range(3):
+            n = 5
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tokens, _, _ = decode(params, batch)
+                np.asarray(tokens)
+            dt_sync = min(dt_sync, (time.perf_counter() - t0) / n)
         rows[str(B)] = {
             "pipelined_ms": dt_pipe * 1e3,
             "pipelined_rtfx": audio_s / dt_pipe,
