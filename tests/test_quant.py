@@ -106,6 +106,20 @@ def test_beam_decode_parity(trained_setup):
     assert wer_q == wer_f
 
 
+def test_beam_lm_fusion_over_quantized(trained_setup):
+    """Shared-LM fusion (lm_weight > 0, no external LM) must derive the LM
+    view from the DEQUANTIZED tree inside the jit — and match the float
+    run's WER on the trained model."""
+    cfg, _, state, ds, rev_vocab, root = trained_setup
+    beam_cfg = BeamConfig(beam_size=4, max_steps=16, lm_weight=0.1)
+    ev_f = BeamEvaluator(cfg, beam_cfg, rev_vocab,
+                         os.path.join(root, "lm_f"))
+    ev_q = BeamEvaluator(cfg, beam_cfg, rev_vocab,
+                         os.path.join(root, "lm_q"))
+    assert ev_q(quant.quantize(state.params), ds.epoch()) == \
+        ev_f(state.params, ds.epoch())
+
+
 def test_artifact_roundtrip(trained_setup, tmp_path):
     """quantize_ckpt exports from a real checkpoint; load_artifact rebuilds
     the exact QuantState against the model template; artifact is a fraction
