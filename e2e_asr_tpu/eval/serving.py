@@ -1,0 +1,190 @@
+"""Dynamic-batching serving engine: many concurrent transcription requests,
+batched onto the chip.
+
+Extension (no reference counterpart — /root/reference decodes offline
+files). TPU-first design:
+
+- **Static shapes only**: requests are grouped into fixed frame-length
+  buckets and padded to a fixed batch size, so each (bucket, B) pair
+  compiles exactly once and every subsequent batch reuses the executable.
+  This is the serving analogue of training's bucketed batches
+  (data/speech.py).
+- **Batch to fill the MXU**: a background worker drains the queue, packing
+  up to `max_batch` same-bucket requests per launch; under light load it
+  waits at most `max_wait_ms` before launching a partial (padded) batch,
+  trading a bounded latency for occupancy.
+- **Row independence**: the batched beam decode treats rows independently
+  and the encoder masks by `logmel_len`, so padding rows and shorter
+  utterances sharing a bucket cannot perturb a request's transcript —
+  batched output == one-by-one output (tests/test_serving.py pins this).
+
+Feed float32 log-mel features (frontend.logmel.featurize_utterance for raw
+audio); results come back as futures resolving to transcript strings.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.config import BeamConfig, Seq2SeqConfig
+from e2e_asr_tpu.data import text
+from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
+
+
+@dataclass
+class ServingStats:
+    requests: int = 0
+    batches: int = 0
+    rows_decoded: int = 0          # includes padding rows
+    occupancy_sum: float = 0.0     # real rows / batch rows, summed
+
+    @property
+    def mean_occupancy(self) -> float:
+        return self.occupancy_sum / self.batches if self.batches else 0.0
+
+
+@dataclass
+class _Request:
+    feats: np.ndarray              # [T, feat] float32
+    future: Future = field(default_factory=Future)
+
+
+class BatchingTranscriber:
+    """Queue -> bucket -> pad -> batched beam decode -> transcripts."""
+
+    def __init__(self, params, cfg: Seq2SeqConfig, rev_vocab: list[str], *,
+                 beam_cfg: BeamConfig | None = None,
+                 bucket_frames: tuple[int, ...] = (128, 256, 512),
+                 max_batch: int = 8, max_wait_ms: float = 20.0,
+                 compute_dtype=None):
+        self.params = params       # float tree or core.quant.QuantState
+        self.cfg = cfg
+        self.rev_vocab = rev_vocab
+        self.bucket_frames = tuple(sorted(bucket_frames))
+        self.max_batch = int(max_batch)
+        self.max_wait_s = max_wait_ms / 1e3
+        self.stats = ServingStats()
+        self._decode = make_beam_decoder(
+            cfg, beam_cfg or BeamConfig(beam_size=4,
+                                        max_steps=cfg.max_output["char"]),
+            compute_dtype=compute_dtype)
+        self._queues: dict[int, list[_Request]] = {
+            b: [] for b in self.bucket_frames}
+        self._cv = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, feats: np.ndarray) -> Future:
+        """Non-blocking: returns a Future resolving to the transcript."""
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2 or feats.shape[1] != self.cfg.feat_length:
+            raise ValueError(f"feats must be [T, {self.cfg.feat_length}], "
+                             f"got {feats.shape}")
+        if feats.shape[0] > self.bucket_frames[-1]:
+            raise ValueError(
+                f"utterance of {feats.shape[0]} frames exceeds the largest "
+                f"bucket ({self.bucket_frames[-1]}); use eval/longform for "
+                "long-form audio")
+        req = _Request(feats=feats)
+        bucket = next(b for b in self.bucket_frames if feats.shape[0] <= b)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("transcriber is closed")
+            self._queues[bucket].append(req)
+            self.stats.requests += 1
+            self._cv.notify()
+        return req.future
+
+    def transcribe(self, feats: np.ndarray) -> str:
+        """Blocking convenience wrapper."""
+        return self.submit(feats).result()
+
+    def close(self) -> None:
+        """Drain remaining requests, then stop the worker."""
+        with self._cv:
+            if self._closed:
+                return
+            self._closed = True
+            self._cv.notify()
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker ------------------------------------------------------------
+
+    def _take_batch(self) -> tuple[int, list[_Request]] | None:
+        """Called under the lock: pick the fullest bucket's batch, or None.
+
+        Blocks (condition-waits) until a batch is worth launching: a full
+        batch immediately, a partial one once its oldest request has waited
+        max_wait_ms, everything immediately when closing.
+        """
+        deadline = None
+        while True:
+            best = None
+            for b, q in self._queues.items():
+                if q and (best is None
+                          or len(q) > len(self._queues[best])):
+                    best = b
+            if best is not None:
+                q = self._queues[best]
+                if (len(q) >= self.max_batch or self._closed
+                        or (deadline is not None
+                            and time.monotonic() >= deadline)):
+                    take, rest = q[:self.max_batch], q[self.max_batch:]
+                    self._queues[best] = rest
+                    return best, take
+                if deadline is None:
+                    deadline = time.monotonic() + self.max_wait_s
+                self._cv.wait(timeout=max(0.0,
+                                          deadline - time.monotonic()))
+            elif self._closed:
+                return None
+            else:
+                deadline = None
+                self._cv.wait()
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                picked = self._take_batch()
+            if picked is None:
+                return
+            bucket, reqs = picked
+            try:
+                self._decode_batch(bucket, reqs)
+            except Exception as e:  # pragma: no cover - propagate to callers
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _decode_batch(self, bucket: int, reqs: list[_Request]) -> None:
+        B = self.max_batch                      # static batch: one compile
+        feats = np.zeros((B, bucket, self.cfg.feat_length), np.float32)
+        lens = np.ones((B,), np.int32)          # padding rows: 1 frame
+        for i, r in enumerate(reqs):
+            feats[i, :r.feats.shape[0]] = r.feats
+            lens[i] = r.feats.shape[0]
+        batch = {"logmel": jnp.asarray(feats),
+                 "logmel_len": jnp.asarray(lens)}
+        tokens, tok_lens, _ = self._decode(self.params, batch)
+        tokens = np.asarray(tokens)
+        self.stats.batches += 1
+        self.stats.rows_decoded += B
+        self.stats.occupancy_sum += len(reqs) / B
+        for i, r in enumerate(reqs):
+            sent = text.ids_to_sentence(tokens[i], self.rev_vocab)
+            _, words = text.get_relevant_words(sent)
+            r.future.set_result(" ".join(words))

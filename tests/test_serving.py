@@ -1,0 +1,126 @@
+"""Dynamic-batching serving engine (eval/serving.py): batched == one-by-one
+transcripts, batching actually batches, quantized params serve, lifecycle."""
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from e2e_asr_tpu.config import BeamConfig
+from e2e_asr_tpu.core import quant
+from e2e_asr_tpu.data.synth import make_vocab_dir
+from e2e_asr_tpu.data import text
+from e2e_asr_tpu.eval.serving import BatchingTranscriber
+from e2e_asr_tpu.models import seq2seq
+from tests.test_e2e import small_model_cfg
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serving")
+    sizes = make_vocab_dir(str(root / "vocab"))
+    cfg = small_model_cfg(sizes["char"])
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    _, rev_vocab = text.initialize_vocabulary(
+        str(root / "vocab" / "char.vocab"))
+    return cfg, params, rev_vocab
+
+
+def _feats(rng, T, feat=8):
+    return rng.normal(size=(T, feat)).astype(np.float32)
+
+
+def test_batched_equals_one_by_one(setup):
+    """Mixed-length requests batched (padded rows, shared buckets) must
+    transcribe identically to a max_batch=1 engine (row independence +
+    length masking)."""
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(0)
+    lengths = [16, 40, 33, 60, 12, 64, 25, 57]
+    feats = [_feats(rng, T) for T in lengths]
+    kw = dict(beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+              bucket_frames=(32, 64))
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=4,
+                             max_wait_ms=50, **kw) as batched:
+        got = [f.result(timeout=120) for f in
+               [batched.submit(x) for x in feats]]
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=1,
+                             max_wait_ms=1, **kw) as single:
+        want = [single.transcribe(x) for x in feats]
+    assert got == want
+
+
+def test_batching_occupancy(setup):
+    """Same-bucket requests submitted together pack into few batches."""
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(1)
+    feats = [_feats(rng, 30) for _ in range(8)]
+    tr = BatchingTranscriber(params, cfg, rev_vocab, max_batch=4,
+                             max_wait_ms=300,
+                             beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+                             bucket_frames=(32,))
+    with tr:
+        futs = [tr.submit(x) for x in feats]
+        for f in futs:
+            f.result(timeout=120)
+    assert tr.stats.requests == 8
+    assert tr.stats.batches <= 4            # not one launch per request
+    assert tr.stats.mean_occupancy >= 0.5
+
+
+def test_concurrent_submitters(setup):
+    """Thread-per-client submission: all futures resolve, results match the
+    serial run."""
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(2)
+    feats = [_feats(rng, 20 + 3 * i) for i in range(6)]
+    kw = dict(beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+              bucket_frames=(64,), max_batch=3, max_wait_ms=50)
+    results = [None] * len(feats)
+    with BatchingTranscriber(params, cfg, rev_vocab, **kw) as tr:
+        def client(i):
+            results[i] = tr.transcribe(feats[i])
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(feats))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    with BatchingTranscriber(params, cfg, rev_vocab, **kw) as tr2:
+        want = [tr2.transcribe(x) for x in feats]
+    assert results == want
+
+
+def test_quantized_params_serve(setup):
+    """A QuantState (int8 serving artifact) drives the engine directly and
+    matches float transcripts."""
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(3)
+    feats = [_feats(rng, 24) for _ in range(3)]
+    kw = dict(beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+              bucket_frames=(32,), max_batch=3, max_wait_ms=50)
+    with BatchingTranscriber(quant.quantize(params), cfg, rev_vocab,
+                             **kw) as tq:
+        got = [tq.transcribe(x) for x in feats]
+    with BatchingTranscriber(params, cfg, rev_vocab, **kw) as tf_:
+        want = [tf_.transcribe(x) for x in feats]
+    assert got == want
+
+
+def test_lifecycle_and_validation(setup):
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(4)
+    tr = BatchingTranscriber(params, cfg, rev_vocab,
+                             beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+                             bucket_frames=(32,), max_batch=2,
+                             max_wait_ms=10)
+    with pytest.raises(ValueError):
+        tr.submit(_feats(rng, 40))          # exceeds largest bucket
+    with pytest.raises(ValueError):
+        tr.submit(rng.normal(size=(16, 5)).astype(np.float32))  # wrong feat
+    f = tr.submit(_feats(rng, 16))
+    tr.close()
+    assert isinstance(f.result(timeout=120), str)  # drained before stop
+    tr.close()                               # idempotent
+    with pytest.raises(RuntimeError):
+        tr.submit(_feats(rng, 16))           # closed
