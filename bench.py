@@ -345,6 +345,43 @@ def _measure_decode(jax, jnp, cfg, rng):
     return rows
 
 
+def _measure_serving(jax, jnp, cfg, rng):
+    """Dynamic-batching serving engine (eval/serving.py): aggregate
+    throughput of 64 concurrent worst-case requests, batched vs one-by-one
+    through the same engine."""
+    from e2e_asr_tpu.config import BeamConfig
+    from e2e_asr_tpu.eval.serving import BatchingTranscriber
+    from e2e_asr_tpu.models import seq2seq
+
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    # Worst case: <eos> never wins, every decode runs max_steps.
+    b = params["decoder_char"]["output_proj"]["bias"]
+    params["decoder_char"]["output_proj"]["bias"] = b.at[2].set(-1e9)
+    rev_vocab = (["<pad>", "<go>", "<eos>"]
+                 + [chr(97 + i % 26) for i in range(VOCAB - 3)])
+    N = 64
+    feats = [rng.normal(size=(DECODE_T, FEAT)).astype(np.float32)
+             for _ in range(N)]
+    audio_s = N * DECODE_T * FRAME_HOP_S
+    out = {}
+    for label, mb in (("batched_8", 8), ("one_by_one", 1)):
+        tr = BatchingTranscriber(
+            params, cfg, rev_vocab,
+            beam_cfg=BeamConfig(beam_size=BEAM, max_steps=120),
+            bucket_frames=(DECODE_T,), max_batch=mb, max_wait_ms=5.0)
+        with tr:
+            tr.transcribe(feats[0])           # compile outside the window
+            t0 = time.perf_counter()
+            futs = [tr.submit(x) for x in feats]
+            for f in futs:
+                f.result()
+            dt = time.perf_counter() - t0
+        out[label] = {"wall_s": dt, "requests_per_sec": N / dt,
+                      "aggregate_rtfx": audio_s / dt,
+                      "mean_occupancy": tr.stats.mean_occupancy}
+    return out
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -366,6 +403,7 @@ def main() -> None:
     gru = _measure_gru(jax, jnp, rng)
     driver_fps, driver_resident_fps = _measure_driver(jax, jnp)
     decode_rows = _measure_decode(jax, jnp, cfg, rng)
+    serving = _measure_serving(jax, jnp, cfg, rng)
 
     details = {
         "train_frames_per_sec_per_chip": frames_per_sec,
@@ -400,6 +438,7 @@ def main() -> None:
             "per-call ~= pipelined."),
         "decode_shape": {"T": DECODE_T, "beam": BEAM,
                          "max_steps": 120, "worst_case_no_eos": True},
+        "serving_engine": serving,
         "device": str(jax.devices()[0]),
         "tf_baseline_frames_per_sec_estimate": TF_BASELINE_FRAMES_PER_SEC,
         "tf_baseline_measured": TF_BASELINE_MEASURED,
