@@ -61,8 +61,20 @@ class BatchingTranscriber:
                  beam_cfg: BeamConfig | None = None,
                  bucket_frames: tuple[int, ...] = (128, 256, 512),
                  max_batch: int = 8, max_wait_ms: float = 20.0,
-                 compute_dtype=None):
+                 compute_dtype=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh for data-parallel serving —
+        params are replicated, each launch's batch rows are sharded over
+        the "data" axis (one jitted SPMD program; XLA handles the rest).
+        max_batch must be divisible by the data-axis size."""
+        self.mesh = mesh
+        if mesh is not None and max_batch % mesh.shape["data"]:
+            raise ValueError(
+                f"max_batch {max_batch} not divisible by the mesh's "
+                f"data axis ({mesh.shape['data']})")
         self.params = params       # float tree or core.quant.QuantState
+        if mesh is not None:
+            from e2e_asr_tpu.core import mesh as mesh_lib
+            self.params = mesh_lib.replicate(mesh, params)
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.bucket_frames = tuple(sorted(bucket_frames))
@@ -179,6 +191,9 @@ class BatchingTranscriber:
             lens[i] = r.feats.shape[0]
         batch = {"logmel": jnp.asarray(feats),
                  "logmel_len": jnp.asarray(lens)}
+        if self.mesh is not None:
+            from e2e_asr_tpu.core import mesh as mesh_lib
+            batch = mesh_lib.shard_batch(self.mesh, batch)
         tokens, tok_lens, _ = self._decode(self.params, batch)
         tokens = np.asarray(tokens)
         self.stats.batches += 1

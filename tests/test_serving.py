@@ -107,6 +107,31 @@ def test_quantized_params_serve(setup):
     assert got == want
 
 
+def test_mesh_data_parallel_serving(setup):
+    """DP serving over a 4-device mesh: params replicated, batch rows
+    sharded — transcripts identical to single-device serving."""
+    from e2e_asr_tpu.core import mesh as mesh_lib
+
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(5)
+    feats = [_feats(rng, 18 + 2 * i) for i in range(8)]
+    kw = dict(beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+              bucket_frames=(32,), max_batch=4, max_wait_ms=50)
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=1,
+                              devices=jax.devices()[:4])
+    with BatchingTranscriber(params, cfg, rev_vocab, mesh=mesh,
+                             **kw) as tm:
+        got = [f.result(timeout=120) for f in
+               [tm.submit(x) for x in feats]]
+    with BatchingTranscriber(params, cfg, rev_vocab, **kw) as ts:
+        want = [f.result(timeout=120) for f in
+                [ts.submit(x) for x in feats]]
+    assert got == want
+    with pytest.raises(ValueError):
+        BatchingTranscriber(params, cfg, rev_vocab, mesh=mesh,
+                            max_batch=3)  # 3 % 4 != 0
+
+
 def test_lifecycle_and_validation(setup):
     cfg, params, rev_vocab = setup
     rng = np.random.default_rng(4)
