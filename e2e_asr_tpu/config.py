@@ -163,6 +163,11 @@ class TrainConfig:
     quantize: str = ""               # "int8": eval/serving decodes int8
                                      # weight-only quantized params
                                      # (core/quant.py)
+    pp_stages: int = 1               # pipeline-parallel stages for the
+                                     # transformer block stack
+                                     # (core/pipeline.py); 1 = off
+    pp_micro: int = 2                # microbatches per pipeline step
+                                     # (must divide each bucket batch)
 
 
 @dataclass
@@ -333,6 +338,15 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-eval_ema", default=False, action="store_true",
                         help="Evaluate the EMA shadow weights from a "
                              "checkpoint trained with -ema_decay")
+    parser.add_argument("-pp_stages", default=1, type=int,
+                        help="Pipeline-parallel stages for the transformer "
+                             "encoder's block stack (blocks sharded over a "
+                             "stage mesh axis, microbatches flow via "
+                             "ppermute); 1 disables. Mutually exclusive "
+                             "with -data_axis/-model_axis")
+    parser.add_argument("-pp_micro", default=2, type=int,
+                        help="Microbatches per pipeline-parallel step "
+                             "(must divide every bucket batch size)")
     parser.add_argument("-quantize", default="", choices=["", "int8"],
                         help="Weight-only quantization for eval/serving: "
                              "int8 per-output-channel symmetric "

@@ -53,17 +53,21 @@ def encode(params: dict, cfg: Seq2SeqConfig, feats: Array, feat_lens: Array,
 
 
 def apply_train(params: dict, cfg: Seq2SeqConfig, batch: dict, *, rng: Array,
-                compute_dtype=None) -> tuple[Array, dict[str, Array]]:
+                compute_dtype=None, encode_fn=None,
+                ) -> tuple[Array, dict[str, Array]]:
     """Full training forward: returns (total_loss, per-task losses).
 
     batch: {"logmel": [B,T,F], "logmel_len": [B],
             task: [B,T_task] ids starting with <go>, f"{task}_len": [B]}.
     Target lengths count the shifted targets (incl. <eos>, excl. <go>).
+
+    encode_fn: optional drop-in for `encode` with the same signature/return
+    (e.g. core/pipeline.encode_pipeline under pipeline parallelism).
     """
     rng_enc, rng_dec = jax.random.split(rng)
-    attn_states, _, enc_lens = encode(params, cfg, batch["logmel"],
-                                      batch["logmel_len"], train=True,
-                                      rng=rng_enc, compute_dtype=compute_dtype)
+    attn_states, _, enc_lens = (encode_fn or encode)(
+        params, cfg, batch["logmel"], batch["logmel_len"], train=True,
+        rng=rng_enc, compute_dtype=compute_dtype)
     task_losses: dict[str, Array] = {}
     for i, task in enumerate(cfg.tasks):
         depth = cfg.num_layers[task]

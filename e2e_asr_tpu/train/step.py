@@ -109,7 +109,8 @@ def _ctc_labels(batch: dict):
 
 def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                     compute_dtype=None, spec_augment: bool = False,
-                    grad_accum: int = 1, ema_decay: float = 0.0):
+                    grad_accum: int = 1, ema_decay: float = 0.0,
+                    pp_mesh=None, pp_micro: int = 1):
     """Build jittable (asr_step, lm_step) closures.
 
     spec_augment applies on-device time/frequency masking to the features
@@ -131,7 +132,22 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     ema <- d*ema + (1-d)*params after EVERY update, including LM-task
     updates (which touch the shared decoder leaves). Evaluate them with
     -eval_ema; the train loop's dev-WER selection uses them automatically
-    when enabled."""
+    when enabled.
+
+    pp_mesh: a ("stage",) Mesh engages pipeline parallelism for the
+    transformer encoder's block stack (core/pipeline.py — blocks sharded
+    over stages, pp_micro microbatches flowing via ppermute). Attention
+    family only."""
+    encode_fn = None
+    if pp_mesh is not None:
+        from functools import partial
+
+        from e2e_asr_tpu.core import pipeline as pipeline_lib
+        if model_cfg.model_family != "attention" or model_cfg.ctc_weight > 0:
+            raise NotImplementedError(
+                "pipeline parallelism currently covers the attention family")
+        encode_fn = partial(pipeline_lib.encode_pipeline, mesh=pp_mesh,
+                            n_micro=pp_micro)
     asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
     if grad_accum < 1:
@@ -163,7 +179,8 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                                ctc_weight=model_cfg.ctc_weight, rng=rng,
                                compute_dtype=compute_dtype)
         return seq2seq.apply_train(params, model_cfg, batch, rng=rng,
-                                   compute_dtype=compute_dtype)
+                                   compute_dtype=compute_dtype,
+                                   encode_fn=encode_fn)
 
     def asr_step(state: TrainState, batch: dict, rng: Array):
         if spec_augment:

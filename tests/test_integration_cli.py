@@ -175,6 +175,21 @@ def test_cli_transformer_encoder_family(workspace):
     launch_eval(parse_options(_args(root, extra + ["-dev"])))
 
 
+def test_cli_pipeline_parallel_training(workspace):
+    """-pp_stages 2 trains the transformer family with the block stack
+    pipelined over a 2-device stage mesh; checkpoints land and a normal
+    (serial) eval decodes them."""
+    root = workspace
+    extra = ["-encoder_type", "transformer", "-num_heads", "2",
+             "-ffn_mult", "2", "-enc_subsample", "4", "-nlc", "2",
+             "-pp_stages", "2", "-pp_micro", "2", "-run_id", "29"]
+    cfg = parse_options(_args(root, extra))
+    assert cfg.train.pp_stages == 2
+    launch_train(cfg)
+    assert glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
+    launch_eval(parse_options(_args(root, extra + ["-dev"])))
+
+
 def test_cli_eval_with_checkpoint_averaging(workspace):
     """-eval_avg_ckpts N evaluates the mean of the last N checkpoints."""
     root = workspace

@@ -1,0 +1,194 @@
+"""Pipeline parallelism for the transformer family (core/pipeline.py):
+exact forward/grad equality with the serial encoder on the virtual mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_tpu.config import DecoderConfig, EncoderConfig, Seq2SeqConfig
+from e2e_asr_tpu.core import pipeline
+from e2e_asr_tpu.models import seq2seq
+
+jax.config.update("jax_enable_x64", False)
+
+
+def _cfg(depth=4, conv=0, rel=False):
+    return Seq2SeqConfig(
+        tasks=["char"],
+        num_layers={"char": depth},
+        max_output={"char": 12},
+        encoder=EncoderConfig(hidden_size=8, encoder_type="transformer",
+                              num_heads=2, subsample=4, out_prob=1.0,
+                              conv_kernel=conv, rel_pos_bias=rel),
+        decoders={"char": DecoderConfig(
+            hidden_size_dec=8, emb_size=8, vocab_size=13,
+            attention_vec_size=8, lm_hidden_size=8, out_prob_dec=1.0,
+            samp_prob=0.0, max_output=12)},
+        feat_length=8)
+
+
+def _data(rng, B=8, T=32, feat=8):
+    feats = jnp.asarray(rng.normal(size=(B, T, feat)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(T // 2, T + 1, size=(B,)).astype(np.int32))
+    return feats, lens
+
+
+@pytest.mark.parametrize("stages,micro,conv,rel", [
+    (2, 2, 0, False),
+    (4, 2, 0, False),
+    (2, 4, 3, True),     # Conformer conv module + rel-pos bias variant
+])
+def test_pipeline_forward_matches_serial(rng, stages, micro, conv, rel):
+    cfg = _cfg(depth=4, conv=conv, rel=rel)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    feats, lens = _data(rng)
+    mesh = pipeline.make_stage_mesh(stages)
+
+    attn_s, tm_s, lens_s = seq2seq.encode(params, cfg, feats, lens)
+    attn_p, tm_p, lens_p = pipeline.encode_pipeline(
+        params, cfg, feats, lens, mesh=mesh, n_micro=micro)
+    d = cfg.num_layers["char"]
+    np.testing.assert_allclose(np.asarray(attn_p[d]), np.asarray(attn_s[d]),
+                               rtol=1e-4, atol=5e-6)
+    # Serial only emits time_major for the CTC "state" tap; the pipeline
+    # returns both views — check its transpose consistency instead.
+    np.testing.assert_array_equal(
+        np.asarray(tm_p[d]), np.asarray(attn_p[d]).transpose(1, 0, 2))
+    np.testing.assert_array_equal(np.asarray(lens_p[d]),
+                                  np.asarray(lens_s[d]))
+
+
+def test_pipeline_train_grads_match_serial(rng):
+    """Full training loss (pipelined encoder -> attention decoder -> CE):
+    loss AND parameter gradients equal the serial path (out_prob=1, so the
+    math is identical; only the schedule differs)."""
+    from e2e_asr_tpu.core import losses
+    from e2e_asr_tpu.models import attn_decoder
+
+    cfg = _cfg(depth=4)
+    params = seq2seq.init(jax.random.PRNGKey(1), cfg)
+    feats, lens = _data(rng)
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(6, B)).astype(np.int32)
+    ids[0] = 1
+    dec_in = jnp.asarray(ids)
+    tgt_lens = jnp.full((B,), 5, jnp.int32)
+    mesh = pipeline.make_stage_mesh(4)
+
+    def loss_fn(params, use_pp):
+        if use_pp:
+            attn, _, enc_lens = pipeline.encode_pipeline(
+                params, cfg, feats, lens, mesh=mesh, n_micro=2, train=True,
+                rng=jax.random.PRNGKey(7))
+        else:
+            attn, _, enc_lens = seq2seq.encode(
+                params, cfg, feats, lens, train=True,
+                rng=jax.random.PRNGKey(7))
+        d = cfg.num_layers["char"]
+        logits = attn_decoder.apply_train(
+            params["decoder_char"], cfg.decoders["char"], dec_in,
+            attn[d], enc_lens[d], rng=jax.random.PRNGKey(8))
+        targets, _ = losses.shifted_targets(dec_in, tgt_lens)
+        return losses.cross_entropy_loss(logits, targets, tgt_lens)
+
+    l_s, g_s = jax.value_and_grad(lambda p: loss_fn(p, False))(params)
+    l_p, g_p = jax.value_and_grad(lambda p: loss_fn(p, True))(params)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    for (ks, a), (kp, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_s),
+            jax.tree_util.tree_leaves_with_path(g_p)):
+        assert ks == kp
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=str(ks))
+
+
+def test_pipeline_train_step_matches_serial(rng):
+    """Full jitted train steps (loss + Adam updates) with pp_mesh track the
+    serial steps: same losses, same parameters after 3 steps."""
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.train import step as step_lib
+
+    cfg = _cfg(depth=4)
+    lm_cfg = LMConfig(vocab_size=13, lm_hidden_size=8, proj_size=8,
+                      emb_size=8)
+    params = seq2seq.init(jax.random.PRNGKey(3), cfg)
+    feats, lens = _data(rng)
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(B, 6)).astype(np.int32)
+    ids[:, 0] = 1
+    batch = {"logmel": feats, "logmel_len": lens,
+             "char": jnp.asarray(ids), "char_len": jnp.full((B,), 5,
+                                                            jnp.int32)}
+    mesh = pipeline.make_stage_mesh(2)
+
+    def run(pp):
+        state = step_lib.create_state(params, cfg, lm_cfg)
+        step, _ = step_lib.make_train_step(
+            cfg, lm_cfg, pp_mesh=mesh if pp else None, pp_micro=2)
+        step = jax.jit(step)
+        losses = []
+        for i in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        return losses, state.params
+
+    l_s, p_s = run(False)
+    l_p, p_p = run(True)
+    # Per-step losses equal = the pipelined loss function tracks serial
+    # through real (donated, jitted) train steps. Single-step GRADIENT
+    # equality is pinned exactly by test_pipeline_train_grads_match_serial;
+    # post-Adam params are only drift-bounded because Adam turns
+    # epsilon-level grad jitter on near-zero-gradient elements into
+    # +-lr*sign flips (update ~ m/sqrt(v) with v ~ 0).
+    np.testing.assert_allclose(l_p, l_s, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_s),
+                    jax.tree_util.tree_leaves(p_p)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.max(np.abs(a - b)) < 10e-3  # < ~3 steps' worth of lr
+
+
+def test_pipeline_dropout_deterministic(rng):
+    """Dropout draws per (block, microbatch) masks: not bit-equal to
+    serial, but deterministic in the rng and finite."""
+    cfg = _cfg(depth=2)
+    cfg.encoder.out_prob = 0.8
+    params = seq2seq.init(jax.random.PRNGKey(2), cfg)
+    feats, lens = _data(rng)
+    mesh = pipeline.make_stage_mesh(2)
+    kw = dict(mesh=mesh, n_micro=2, train=True)
+    a1, _, _ = pipeline.encode_pipeline(params, cfg, feats, lens,
+                                        rng=jax.random.PRNGKey(5), **kw)
+    a2, _, _ = pipeline.encode_pipeline(params, cfg, feats, lens,
+                                        rng=jax.random.PRNGKey(5), **kw)
+    a3, _, _ = pipeline.encode_pipeline(params, cfg, feats, lens,
+                                        rng=jax.random.PRNGKey(6), **kw)
+    d = cfg.num_layers["char"]
+    np.testing.assert_array_equal(np.asarray(a1[d]), np.asarray(a2[d]))
+    assert not np.allclose(np.asarray(a1[d]), np.asarray(a3[d]))
+    assert np.isfinite(np.asarray(a1[d])).all()
+
+
+def test_pipeline_validation(rng):
+    cfg = _cfg(depth=4)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    feats, lens = _data(rng)
+    mesh3 = pipeline.make_stage_mesh(3)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline.encode_pipeline(params, cfg, feats, lens, mesh=mesh3,
+                                 n_micro=2)
+    mesh2 = pipeline.make_stage_mesh(2)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline.encode_pipeline(params, cfg, feats, lens, mesh=mesh2,
+                                 n_micro=3)          # 8 % 3 != 0
+    rnn_cfg = _cfg(depth=4)
+    rnn_cfg.encoder.encoder_type = "rnn"
+    with pytest.raises(ValueError, match="transformer"):
+        pipeline.encode_pipeline(params, rnn_cfg, feats, lens, mesh=mesh2,
+                                 n_micro=2)
+    multi = _cfg(depth=4)
+    multi.tasks = ["char", "phone"]
+    multi.num_layers = {"char": 4, "phone": 2}
+    with pytest.raises(NotImplementedError):
+        pipeline.encode_pipeline(params, multi, feats, lens, mesh=mesh2,
+                                 n_micro=2)
