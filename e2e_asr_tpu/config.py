@@ -168,6 +168,9 @@ class TrainConfig:
                                      # (core/pipeline.py); 1 = off
     pp_micro: int = 2                # microbatches per pipeline step
                                      # (must divide each bucket batch)
+    sp_shards: int = 1               # sequence-parallel time shards for
+                                     # the transformer blocks
+                                     # (core/seq_parallel.py); 1 = off
 
 
 @dataclass
@@ -347,6 +350,12 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-pp_micro", default=2, type=int,
                         help="Microbatches per pipeline-parallel step "
                              "(must divide every bucket batch size)")
+    parser.add_argument("-sp_shards", default=1, type=int,
+                        help="Sequence-parallel time shards for the "
+                             "transformer blocks (activations sharded over "
+                             "T, one K/V all-gather per block); 1 disables. "
+                             "Mutually exclusive with -pp_stages and "
+                             "-data_axis/-model_axis")
     parser.add_argument("-quantize", default="", choices=["", "int8"],
                         help="Weight-only quantization for eval/serving: "
                              "int8 per-output-channel symmetric "

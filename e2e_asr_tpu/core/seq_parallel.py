@@ -1,0 +1,158 @@
+"""Sequence parallelism (sp) for the transformer encoder family.
+
+Extension (no reference counterpart). Activations are sharded over TIME
+across a ("seq",) mesh axis — each device holds [B, T/S, D] — which divides
+the dominant activation memory (and the LN/FFN/projection FLOPs) S ways for
+long pre-subsample sequences (long-form training, 'run/eval on audio minutes
+long'):
+
+- LayerNorm, QKV/output projections, FFN, residuals, dropout: strictly
+  local to the time shard — no communication at all.
+- Attention: queries stay local; K and V are `all_gather`ed over the seq
+  axis (the one collective per block, riding ICI), so every device scores
+  its local queries against the full sequence — exactly the serial math.
+- The learned relative-position bias indexes its table with the shard's
+  absolute row offset (axis_index * T/S), so biases match serial exactly.
+- Outputs reassemble for free via the sharded out_spec.
+
+Scope: `conv_kernel > 0` (the Conformer depthwise conv) crosses shard
+boundaries and would need halo exchange — raises for now. T after
+subsampling must divide the seq-axis size.
+
+Numerics: identical op order to the serial encoder per shard; forward and
+grads are exactly equal (tests/test_seq_parallel.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from e2e_asr_tpu.config import EncoderConfig, Seq2SeqConfig
+from e2e_asr_tpu.core.layers import dense, dropout
+from e2e_asr_tpu.core.pipeline import shard_map  # version-portable import
+from e2e_asr_tpu.models import transformer_encoder as te
+
+Array = jax.Array
+
+
+def make_seq_mesh(n_shards: int, devices=None) -> Mesh:
+    devices = list(jax.devices() if devices is None else devices)
+    if len(devices) < n_shards:
+        raise ValueError(f"need {n_shards} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n_shards]), ("seq",))
+
+
+def _mhsa_sp(blk: dict, h: Array, bias_full: Array, row0: Array,
+             num_heads: int, T_full: int, compute_dtype=None) -> Array:
+    """MHSA with local queries [B,Ts,D] against all-gathered K/V [B,T,*].
+
+    bias_full: [B,1,1,T] padding bias (replicated — built from lens).
+    row0: this shard's absolute first row (for the rel-bias row slice).
+    """
+    import math
+
+    B, Ts, D = h.shape
+    hd = D // num_heads
+    qkv = dense(blk["qkv"], h, compute_dtype=compute_dtype)    # [B,Ts,3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    shp = lambda x, t: x.reshape(B, t, num_heads, hd).transpose(0, 2, 1, 3)
+    q = shp(q, Ts)                                             # [B,nh,Ts,hd]
+    # One collective per block: K/V over the seq axis -> full sequence.
+    k = shp(jax.lax.all_gather(k, "seq", axis=1, tiled=True), T_full)
+    v = shp(jax.lax.all_gather(v, "seq", axis=1, tiled=True), T_full)
+    if compute_dtype is not None:
+        q, k, v = (x.astype(compute_dtype) for x in (q, k, v))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(hd)
+    if "rel_bias" in blk:
+        full = te._rel_bias(blk["rel_bias"], T_full)           # [1,nh,T,T]
+        s = s + jax.lax.dynamic_slice_in_dim(full, row0, Ts, axis=2)
+    a = jax.nn.softmax(s + bias_full, axis=-1)
+    if compute_dtype is not None:
+        a = a.astype(compute_dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", a, v,
+                   preferred_element_type=jnp.float32)
+    o = o.transpose(0, 2, 1, 3).reshape(B, Ts, D)
+    return dense(blk["attn_out"], o, compute_dtype=compute_dtype)
+
+
+def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
+                        feat_lens: Array, *, mesh: Mesh,
+                        train: bool = False, rng: Array | None = None,
+                        compute_dtype=None):
+    """seq2seq.encode with transformer activations sharded over time: same
+    (attention_states, time_major_states, seq_lens) contract."""
+    from e2e_asr_tpu.models.encoder import pyramid_reduce
+    from e2e_asr_tpu.models.seq2seq import stack_frames
+
+    enc_cfg = cfg.encoder
+    if enc_cfg.encoder_type != "transformer":
+        raise ValueError("sequence parallelism targets the transformer "
+                         "family (time-local blocks + one attention "
+                         "gather); the recurrent pyramid is sequential "
+                         "in time by construction")
+    if enc_cfg.conv_kernel > 0:
+        raise NotImplementedError("conv module under sequence parallelism "
+                                  "needs halo exchange — not implemented")
+    depth = max(cfg.num_layers.values())
+    if set(cfg.num_layers.values()) != {depth}:
+        raise NotImplementedError("all decoder taps must sit at the final "
+                                  "block under sequence parallelism")
+    S = mesh.shape["seq"]
+    eparams = params["encoder"]
+
+    x = stack_frames(feats, enc_cfg.stack_cons)
+    if enc_cfg.subsample > 1:
+        x, lens = pyramid_reduce(x, feat_lens, enc_cfg.subsample)
+    else:
+        lens = feat_lens.astype(jnp.int32)
+    B, T, _ = x.shape
+    if T % S:
+        raise ValueError(f"post-subsample length {T} not divisible by "
+                         f"{S} sequence shards")
+    D = te.d_model(enc_cfg)
+    h = dense(eparams["input_proj"], x, compute_dtype=compute_dtype)
+    h = h + jnp.asarray(te._sinusoidal(T, D))
+
+    valid = jnp.arange(T)[None, :] < lens[:, None]              # [B,T]
+    bias_full = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+    keep = enc_cfg.out_prob if train else 1.0
+    drop_rng = rng if rng is not None else jax.random.PRNGKey(0)
+    Ts = T // S
+
+    blocks = [eparams[f"block_{i}"] for i in range(1, depth + 1)]
+
+    def staged(blocks, h, bias_full):
+        sid = jax.lax.axis_index("seq")
+        row0 = sid * Ts
+        for i, blk in enumerate(blocks, start=1):
+            a = _mhsa_sp(blk, te._layer_norm(blk["ln1"], h), bias_full,
+                         row0, enc_cfg.num_heads, T,
+                         compute_dtype=compute_dtype)
+            if train and keep < 1.0:
+                # Per-(block, shard) masks — same discipline as the
+                # pipeline's per-microbatch dropout.
+                a = dropout(jax.random.fold_in(
+                    jax.random.fold_in(drop_rng, 3 * i), sid), a, keep)
+            h = h + a
+            f = dense(blk["ffn2"],
+                      jax.nn.gelu(dense(blk["ffn1"],
+                                        te._layer_norm(blk["ln2"], h),
+                                        compute_dtype=compute_dtype)),
+                      compute_dtype=compute_dtype)
+            if train and keep < 1.0:
+                f = dropout(jax.random.fold_in(
+                    jax.random.fold_in(drop_rng, 3 * i + 2), sid), f, keep)
+            h = h + f
+        return h
+
+    h = shard_map(staged, mesh=mesh,
+                  in_specs=(P(), P(None, "seq", None), P()),
+                  out_specs=P(None, "seq", None))(blocks, h, bias_full)
+
+    vmask = valid.astype(h.dtype)[:, :, None]
+    out = te._layer_norm(eparams["ln_out"], h) * vmask
+    return ({depth: out}, {depth: jnp.transpose(out, (1, 0, 2))},
+            {depth: lens})

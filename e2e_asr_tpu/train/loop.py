@@ -71,17 +71,25 @@ class Trainer:
         if self.train_cfg.rng_impl:
             jax.config.update("jax_default_prng_impl",
                               self.train_cfg.rng_impl)
-        pp_mesh = None
-        if self.train_cfg.pp_stages > 1:
-            # Pipeline parallelism claims the devices as pipeline stages
-            # (core/pipeline.py); the ("data","model") mesh is not combined
-            # with it for now.
-            from e2e_asr_tpu.core import pipeline as pipeline_lib
+        pp_mesh = sp_mesh = None
+        if self.train_cfg.pp_stages > 1 or self.train_cfg.sp_shards > 1:
+            # Pipeline/sequence parallelism claims the devices as stages /
+            # time shards (core/pipeline.py, core/seq_parallel.py); the
+            # ("data","model") mesh is not combined with them for now.
+            if self.train_cfg.pp_stages > 1 and self.train_cfg.sp_shards > 1:
+                raise ValueError("-pp_stages and -sp_shards are mutually "
+                                 "exclusive")
             if use_mesh and (self.train_cfg.data_axis > 1
                              or self.train_cfg.model_axis > 1):
-                raise ValueError("-pp_stages is mutually exclusive with "
-                                 "-data_axis/-model_axis")
-            pp_mesh = pipeline_lib.make_stage_mesh(self.train_cfg.pp_stages)
+                raise ValueError("-pp_stages/-sp_shards are mutually "
+                                 "exclusive with -data_axis/-model_axis")
+            if self.train_cfg.pp_stages > 1:
+                from e2e_asr_tpu.core import pipeline as pipeline_lib
+                pp_mesh = pipeline_lib.make_stage_mesh(
+                    self.train_cfg.pp_stages)
+            else:
+                from e2e_asr_tpu.core import seq_parallel as sp_lib
+                sp_mesh = sp_lib.make_seq_mesh(self.train_cfg.sp_shards)
             use_mesh = False
         self.mesh = self._make_mesh() if use_mesh else None
         asr_step, lm_step = step_lib.make_train_step(
@@ -89,7 +97,8 @@ class Trainer:
             spec_augment=self.train_cfg.spec_augment,
             grad_accum=self.train_cfg.grad_accum,
             ema_decay=self.train_cfg.ema_decay,
-            pp_mesh=pp_mesh, pp_micro=self.train_cfg.pp_micro)
+            pp_mesh=pp_mesh, pp_micro=self.train_cfg.pp_micro,
+            sp_mesh=sp_mesh)
         self.asr_step = jax.jit(asr_step, donate_argnums=0)
         self.lm_step = jax.jit(lm_step, donate_argnums=0)
 

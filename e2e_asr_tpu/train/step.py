@@ -110,7 +110,7 @@ def _ctc_labels(batch: dict):
 def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                     compute_dtype=None, spec_augment: bool = False,
                     grad_accum: int = 1, ema_decay: float = 0.0,
-                    pp_mesh=None, pp_micro: int = 1):
+                    pp_mesh=None, pp_micro: int = 1, sp_mesh=None):
     """Build jittable (asr_step, lm_step) closures.
 
     spec_augment applies on-device time/frequency masking to the features
@@ -139,15 +139,22 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     over stages, pp_micro microbatches flowing via ppermute). Attention
     family only."""
     encode_fn = None
-    if pp_mesh is not None:
+    if pp_mesh is not None and sp_mesh is not None:
+        raise ValueError("pp_mesh and sp_mesh are mutually exclusive")
+    if pp_mesh is not None or sp_mesh is not None:
         from functools import partial
 
-        from e2e_asr_tpu.core import pipeline as pipeline_lib
         if model_cfg.model_family != "attention" or model_cfg.ctc_weight > 0:
             raise NotImplementedError(
-                "pipeline parallelism currently covers the attention family")
-        encode_fn = partial(pipeline_lib.encode_pipeline, mesh=pp_mesh,
-                            n_micro=pp_micro)
+                "pipeline/sequence parallelism currently covers the "
+                "attention family")
+        if pp_mesh is not None:
+            from e2e_asr_tpu.core import pipeline as pipeline_lib
+            encode_fn = partial(pipeline_lib.encode_pipeline, mesh=pp_mesh,
+                                n_micro=pp_micro)
+        else:
+            from e2e_asr_tpu.core import seq_parallel as sp_lib
+            encode_fn = partial(sp_lib.encode_seq_parallel, mesh=sp_mesh)
     asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
     if grad_accum < 1:

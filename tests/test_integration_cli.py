@@ -190,6 +190,20 @@ def test_cli_pipeline_parallel_training(workspace):
     launch_eval(parse_options(_args(root, extra + ["-dev"])))
 
 
+def test_cli_sequence_parallel_training(workspace):
+    """-sp_shards 2 trains the transformer family with activations sharded
+    over time; a serial eval decodes the checkpoint."""
+    root = workspace
+    extra = ["-encoder_type", "transformer", "-num_heads", "2",
+             "-ffn_mult", "2", "-enc_subsample", "4", "-nlc", "2",
+             "-sp_shards", "2", "-run_id", "31"]
+    cfg = parse_options(_args(root, extra))
+    assert cfg.train.sp_shards == 2
+    launch_train(cfg)
+    assert glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
+    launch_eval(parse_options(_args(root, extra + ["-dev"])))
+
+
 def test_cli_eval_with_checkpoint_averaging(workspace):
     """-eval_avg_ckpts N evaluates the mean of the last N checkpoints."""
     root = workspace

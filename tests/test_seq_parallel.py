@@ -1,0 +1,93 @@
+"""Sequence parallelism for the transformer family (core/seq_parallel.py):
+exact forward/grad equality with the serial encoder on the virtual mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_tpu.core import seq_parallel
+from e2e_asr_tpu.models import seq2seq
+from tests.test_pipeline import _cfg, _data
+
+
+@pytest.mark.parametrize("shards,rel", [(2, False), (4, True)])
+def test_sp_forward_matches_serial(rng, shards, rel):
+    cfg = _cfg(depth=2, rel=rel)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    feats, lens = _data(rng)                    # T=32, subsample 4 -> T'=8
+    mesh = seq_parallel.make_seq_mesh(shards)
+
+    attn_s, _, lens_s = seq2seq.encode(params, cfg, feats, lens)
+    attn_p, tm_p, lens_p = seq_parallel.encode_seq_parallel(
+        params, cfg, feats, lens, mesh=mesh)
+    d = cfg.num_layers["char"]
+    np.testing.assert_allclose(np.asarray(attn_p[d]), np.asarray(attn_s[d]),
+                               rtol=1e-4, atol=5e-6)
+    np.testing.assert_array_equal(
+        np.asarray(tm_p[d]), np.asarray(attn_p[d]).transpose(1, 0, 2))
+    np.testing.assert_array_equal(np.asarray(lens_p[d]),
+                                  np.asarray(lens_s[d]))
+
+
+def test_sp_train_grads_match_serial(rng):
+    """Pipelined-in-time encoder -> decoder -> CE: loss and grads equal the
+    serial path (out_prob=1)."""
+    from e2e_asr_tpu.core import losses
+    from e2e_asr_tpu.models import attn_decoder
+
+    cfg = _cfg(depth=2)
+    params = seq2seq.init(jax.random.PRNGKey(1), cfg)
+    feats, lens = _data(rng)
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(6, B)).astype(np.int32)
+    ids[0] = 1
+    dec_in = jnp.asarray(ids)
+    tgt_lens = jnp.full((B,), 5, jnp.int32)
+    mesh = seq_parallel.make_seq_mesh(2)
+
+    def loss_fn(params, use_sp):
+        if use_sp:
+            attn, _, enc_lens = seq_parallel.encode_seq_parallel(
+                params, cfg, feats, lens, mesh=mesh, train=True,
+                rng=jax.random.PRNGKey(7))
+        else:
+            attn, _, enc_lens = seq2seq.encode(
+                params, cfg, feats, lens, train=True,
+                rng=jax.random.PRNGKey(7))
+        d = cfg.num_layers["char"]
+        logits = attn_decoder.apply_train(
+            params["decoder_char"], cfg.decoders["char"], dec_in,
+            attn[d], enc_lens[d], rng=jax.random.PRNGKey(8))
+        targets, _ = losses.shifted_targets(dec_in, tgt_lens)
+        return losses.cross_entropy_loss(logits, targets, tgt_lens)
+
+    l_s, g_s = jax.value_and_grad(lambda p: loss_fn(p, False))(params)
+    l_p, g_p = jax.value_and_grad(lambda p: loss_fn(p, True))(params)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    for (ks, a), (kp, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_s),
+            jax.tree_util.tree_leaves_with_path(g_p)):
+        assert ks == kp
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(ks))
+
+
+def test_sp_validation(rng):
+    cfg = _cfg(depth=2)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    feats, lens = _data(rng)
+    with pytest.raises(ValueError, match="not divisible"):
+        seq_parallel.encode_seq_parallel(
+            params, cfg, feats, lens, mesh=seq_parallel.make_seq_mesh(3))
+    conv_cfg = _cfg(depth=2, conv=3)
+    conv_params = seq2seq.init(jax.random.PRNGKey(0), conv_cfg)
+    with pytest.raises(NotImplementedError, match="halo"):
+        seq_parallel.encode_seq_parallel(
+            conv_params, conv_cfg, feats, lens,
+            mesh=seq_parallel.make_seq_mesh(2))
+    rnn_cfg = _cfg(depth=2)
+    rnn_cfg.encoder.encoder_type = "rnn"
+    with pytest.raises(ValueError, match="transformer"):
+        seq_parallel.encode_seq_parallel(
+            params, rnn_cfg, feats, lens,
+            mesh=seq_parallel.make_seq_mesh(2))
