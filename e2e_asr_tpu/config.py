@@ -40,6 +40,11 @@ class EncoderConfig:
                                      # bias (zero-init; off = sinusoidal only)
     conv_kernel: int = 0             # Conformer-style depthwise-conv module
                                      # per block (kernel size; 0 = off)
+    moe_experts: int = 0             # Switch-style MoE FFN: experts per
+                                     # block (0 = dense FFN); top-1 routing
+                                     # with capacity + load-balance aux loss
+    moe_capacity: float = 1.25       # expert capacity factor
+    moe_aux_weight: float = 0.01     # load-balance aux loss weight
     remat: bool = False              # rematerialize each encoder layer/block
                                      # in backward (jax.checkpoint): per-layer
                                      # activations are recomputed, not stored
@@ -171,6 +176,9 @@ class TrainConfig:
     sp_shards: int = 1               # sequence-parallel time shards for
                                      # the transformer blocks
                                      # (core/seq_parallel.py); 1 = off
+    ep_shards: int = 1               # expert-parallel shards for MoE FFNs
+                                     # (core/expert_parallel mesh threaded
+                                     # into the transformer blocks); 1 = off
 
 
 @dataclass
@@ -264,6 +272,18 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-rel_pos_bias", "--rel_pos_bias", default=False,
                         action="store_true")
     parser.add_argument("-conv_kernel", "--conv_kernel", default=0, type=int)
+    parser.add_argument("-moe_experts", "--moe_experts", default=0, type=int,
+                        help="Switch-style MoE FFN experts per transformer "
+                             "block (0 = dense FFN); top-1 routing with "
+                             "capacity + load-balance aux loss")
+    parser.add_argument("-moe_capacity", "--moe_capacity", default=1.25,
+                        type=float)
+    parser.add_argument("-moe_aux_weight", "--moe_aux_weight", default=0.01,
+                        type=float)
+    parser.add_argument("-ep_shards", default=1, type=int,
+                        help="Expert-parallel shards: MoE experts sharded "
+                             "over an \"expert\" mesh axis (must divide "
+                             "-moe_experts); 1 disables")
     # Decoder (decoder.py:182-193, attn_decoder.py:174-186)
     parser.add_argument("-hsize_dec", "--hidden_size_dec", default=256, type=int)
     parser.add_argument("-emb_size", "--emb_size", default=256, type=int)

@@ -95,6 +95,7 @@ def pyramid_reduce(x: Array, lens: Array, skip_step: int) -> tuple[Array, Array]
 def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
           num_layers: dict[str, int], *, train: bool = False,
           rng: Array | None = None, compute_dtype=None,
+          aux_sink: list | None = None, ep_mesh=None,
           ) -> tuple[dict[int, Array], dict[int, Array], dict[int, Array]]:
     """Run the encoder.
 
@@ -113,7 +114,8 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
         from e2e_asr_tpu.models import transformer_encoder
         return transformer_encoder.apply(params, cfg, x, seq_len, num_layers,
                                          train=train, rng=rng,
-                                         compute_dtype=compute_dtype)
+                                         compute_dtype=compute_dtype,
+                                         aux_sink=aux_sink, ep_mesh=ep_mesh)
     max_depth = max(num_layers.values())
     want_attn = {d for t, d in num_layers.items() if t != "state"}
     want_time_major = {d for t, d in num_layers.items() if t == "state"}

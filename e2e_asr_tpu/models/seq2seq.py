@@ -45,15 +45,16 @@ def stack_frames(x: Array, stack_cons: int) -> Array:
 
 def encode(params: dict, cfg: Seq2SeqConfig, feats: Array, feat_lens: Array,
            *, train: bool = False, rng: Array | None = None,
-           compute_dtype=None):
+           compute_dtype=None, aux_sink: list | None = None, ep_mesh=None):
     feats = stack_frames(feats, cfg.encoder.stack_cons)
     return encoder.apply(params["encoder"], cfg.encoder, feats, feat_lens,
                          cfg.num_layers, train=train, rng=rng,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, aux_sink=aux_sink,
+                         ep_mesh=ep_mesh)
 
 
 def apply_train(params: dict, cfg: Seq2SeqConfig, batch: dict, *, rng: Array,
-                compute_dtype=None, encode_fn=None,
+                compute_dtype=None, encode_fn=None, ep_mesh=None,
                 ) -> tuple[Array, dict[str, Array]]:
     """Full training forward: returns (total_loss, per-task losses).
 
@@ -63,11 +64,16 @@ def apply_train(params: dict, cfg: Seq2SeqConfig, batch: dict, *, rng: Array,
 
     encode_fn: optional drop-in for `encode` with the same signature/return
     (e.g. core/pipeline.encode_pipeline under pipeline parallelism).
+    ep_mesh: ("expert",) mesh for expert-parallel MoE FFNs.
     """
     rng_enc, rng_dec = jax.random.split(rng)
+    moe = cfg.encoder.moe_experts > 0 and encode_fn is None
+    aux_sink: list | None = [] if moe else None
+    kw = dict(train=True, rng=rng_enc, compute_dtype=compute_dtype)
+    if encode_fn is None:
+        kw.update(aux_sink=aux_sink, ep_mesh=ep_mesh)
     attn_states, _, enc_lens = (encode_fn or encode)(
-        params, cfg, batch["logmel"], batch["logmel_len"], train=True,
-        rng=rng_enc, compute_dtype=compute_dtype)
+        params, cfg, batch["logmel"], batch["logmel_len"], **kw)
     task_losses: dict[str, Array] = {}
     for i, task in enumerate(cfg.tasks):
         depth = cfg.num_layers[task]
@@ -84,6 +90,11 @@ def apply_train(params: dict, cfg: Seq2SeqConfig, batch: dict, *, rng: Array,
     total = sum(task_losses.values())
     if cfg.avg:
         total = total / float(len(cfg.tasks))
+    if aux_sink:
+        # MoE load-balance aux loss (one term per MoE block).
+        aux = sum(aux_sink)
+        task_losses["moe_aux"] = aux
+        total = total + cfg.encoder.moe_aux_weight * aux
     return total, task_losses
 
 

@@ -53,9 +53,25 @@ def init(key: Array, cfg: EncoderConfig, max_depth: int, feat_dim: int) -> dict:
             "qkv": dense_params(next(ks), D, 3 * D),
             "attn_out": dense_params(next(ks), D, D),
             "ln2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
-            "ffn1": dense_params(next(ks), D, cfg.ffn_mult * D),
-            "ffn2": dense_params(next(ks), cfg.ffn_mult * D, D),
         }
+        if cfg.moe_experts > 0:
+            # Switch-style MoE FFN (extension): E expert FFNs + a top-1
+            # router; the dense ffn1/ffn2 are replaced per block.
+            from e2e_asr_tpu.core.layers import glorot_uniform
+            E, F = cfg.moe_experts, cfg.ffn_mult * D
+            km = jax.random.split(next(ks), 2 * E + 1)
+            blk["moe"] = {
+                "router": dense_params(km[0], D, E),
+                "w1": jnp.stack([glorot_uniform(km[1 + e], (D, F))
+                                 for e in range(E)]),
+                "b1": jnp.zeros((E, F)),
+                "w2": jnp.stack([glorot_uniform(km[1 + E + e], (F, D))
+                                 for e in range(E)]),
+                "b2": jnp.zeros((E, D)),
+            }
+        else:
+            blk["ffn1"] = dense_params(next(ks), D, cfg.ffn_mult * D)
+            blk["ffn2"] = dense_params(next(ks), cfg.ffn_mult * D, D)
         if cfg.rel_pos_bias:
             # Zero-init learned relative-position bias per head (T5-style):
             # at init the model is exactly the sinusoidal-only baseline.
@@ -119,6 +135,71 @@ def _conv_module(p: dict, h: Array, vmask: Array, compute_dtype=None) -> Array:
     return dense(p["pw2"], x, compute_dtype=compute_dtype)
 
 
+def _moe_ffn(p: dict, x: Array, capacity_factor: float, aux_sink,
+             ep_mesh=None, compute_dtype=None) -> Array:
+    """Switch-style top-1 MoE FFN (extension; replaces the dense FFN when
+    EncoderConfig.moe_experts > 0).
+
+    Static-shape dense dispatch, the TPU formulation: a [N,E,C] one-hot
+    dispatch tensor routes each token to its argmax expert at a fixed
+    capacity C = ceil(cap_factor*N/E); over-capacity tokens fall through to
+    the residual stream (output 0). The load-balance aux loss
+    (E * sum_e frac_e * meanprob_e) is appended to aux_sink for the trainer
+    to weigh in. Padded frames route like real ones (the serial dense FFN
+    also computes them; outputs are masked downstream) — they spend
+    capacity, which bucketing keeps modest.
+
+    ep_mesh: optional ("expert",) mesh — experts sharded via shard_map
+    (each device computes its E/n experts; one psum combines [N,D]).
+    """
+    from e2e_asr_tpu.core.pipeline import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    B, T, D = x.shape
+    E = p["b1"].shape[0]
+    N = B * T
+    xf = x.reshape(N, D)
+    logits = dense(p["router"], xf).astype(jnp.float32)       # [N,E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    gate = jnp.max(probs, axis=-1)                            # [N]
+    onehot = jax.nn.one_hot(jnp.argmax(probs, axis=-1), E,
+                            dtype=jnp.float32)                # [N,E]
+    C = max(1, int(math.ceil(capacity_factor * N / E)))
+    pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot         # [N,E]
+    disp = onehot * (pos < C)
+    dtensor = disp[:, :, None] * jax.nn.one_hot(
+        pos.astype(jnp.int32), C, dtype=jnp.float32)          # [N,E,C]
+    if aux_sink is not None:
+        frac = jnp.mean(onehot, axis=0)
+        aux_sink.append(E * jnp.sum(frac * jnp.mean(probs, axis=0)))
+
+    cd = compute_dtype or jnp.float32
+
+    def expert_compute(dt, w1, b1, w2, b2):
+        ein = jnp.einsum("nec,nd->ecd", dt.astype(cd), xf.astype(cd),
+                         preferred_element_type=jnp.float32)  # [El,C,D]
+        mid = jax.nn.gelu(jnp.einsum(
+            "ecd,edf->ecf", ein.astype(cd), w1.astype(cd),
+            preferred_element_type=jnp.float32) + b1[:, None, :])
+        eo = jnp.einsum("ecf,efd->ecd", mid.astype(cd), w2.astype(cd),
+                        preferred_element_type=jnp.float32) + b2[:, None, :]
+        return jnp.einsum("nec,ecd->nd", dt.astype(cd), eo.astype(cd),
+                          preferred_element_type=jnp.float32)  # [N,D]
+
+    if ep_mesh is None:
+        out = expert_compute(dtensor, p["w1"], p["b1"], p["w2"], p["b2"])
+    else:
+        def sharded(dt, w1, b1, w2, b2):
+            return jax.lax.psum(expert_compute(dt, w1, b1, w2, b2),
+                                "expert")
+        out = shard_map(sharded, mesh=ep_mesh,
+                        in_specs=(P(None, "expert", None), P("expert"),
+                                  P("expert"), P("expert"), P("expert")),
+                        out_specs=P())(dtensor, p["w1"], p["b1"],
+                                       p["w2"], p["b2"])
+    return (out * gate[:, None]).reshape(B, T, D)
+
+
 def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
           compute_dtype=None, train: bool = False) -> Array:
     from e2e_asr_tpu.core.rnn import use_pallas_lstm
@@ -161,6 +242,7 @@ def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
 def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
           num_layers: dict[str, int], *, train: bool = False,
           rng: Array | None = None, compute_dtype=None,
+          aux_sink: list | None = None, ep_mesh=None,
           ) -> tuple[dict[int, Array], dict[int, Array], dict[int, Array]]:
     """Same contract as encoder.apply: x [B,T,F] (already frame-stacked),
     returns per-depth (attention_states, time_major_states, seq_lens)."""
@@ -198,11 +280,16 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
             if train and keep < 1.0:
                 c = dropout(k_c, c, keep)
             h = h + c
-        f = dense(blk["ffn2"],
-                  jax.nn.gelu(dense(blk["ffn1"],
-                                    _layer_norm(blk["ln2"], h),
-                                    compute_dtype=compute_dtype)),
-                  compute_dtype=compute_dtype)
+        if "moe" in blk:
+            f = _moe_ffn(blk["moe"], _layer_norm(blk["ln2"], h),
+                         cfg.moe_capacity, aux_sink if train else None,
+                         ep_mesh=ep_mesh, compute_dtype=compute_dtype)
+        else:
+            f = dense(blk["ffn2"],
+                      jax.nn.gelu(dense(blk["ffn1"],
+                                        _layer_norm(blk["ln2"], h),
+                                        compute_dtype=compute_dtype)),
+                      compute_dtype=compute_dtype)
         if train and keep < 1.0:
             f = dropout(k_f, f, keep)
         return h + f
@@ -210,6 +297,10 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
     if train and cfg.remat:
         # Per-block rematerialization (-remat): backward recomputes the
         # block forward instead of storing its [B,T,D] residuals.
+        if cfg.moe_experts > 0:
+            raise NotImplementedError("-remat with MoE blocks: the aux-loss "
+                                      "side channel cannot cross the "
+                                      "checkpoint boundary")
         run_block = jax.checkpoint(run_block)
 
     attn_states: dict[int, Array] = {}

@@ -91,6 +91,16 @@ class Trainer:
                 from e2e_asr_tpu.core import seq_parallel as sp_lib
                 sp_mesh = sp_lib.make_seq_mesh(self.train_cfg.sp_shards)
             use_mesh = False
+        ep_mesh = None
+        if self.train_cfg.ep_shards > 1:
+            import numpy as np
+            from jax.sharding import Mesh
+            if self.model_cfg.encoder.moe_experts % self.train_cfg.ep_shards:
+                raise ValueError("-ep_shards must divide -moe_experts")
+            ep_mesh = Mesh(
+                np.array(jax.devices()[: self.train_cfg.ep_shards]),
+                ("expert",))
+            use_mesh = False
         self.mesh = self._make_mesh() if use_mesh else None
         asr_step, lm_step = step_lib.make_train_step(
             self.model_cfg, self.lm_cfg, compute_dtype=dtype,
@@ -98,7 +108,7 @@ class Trainer:
             grad_accum=self.train_cfg.grad_accum,
             ema_decay=self.train_cfg.ema_decay,
             pp_mesh=pp_mesh, pp_micro=self.train_cfg.pp_micro,
-            sp_mesh=sp_mesh)
+            sp_mesh=sp_mesh, ep_mesh=ep_mesh)
         self.asr_step = jax.jit(asr_step, donate_argnums=0)
         self.lm_step = jax.jit(lm_step, donate_argnums=0)
 

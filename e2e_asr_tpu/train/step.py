@@ -110,7 +110,8 @@ def _ctc_labels(batch: dict):
 def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                     compute_dtype=None, spec_augment: bool = False,
                     grad_accum: int = 1, ema_decay: float = 0.0,
-                    pp_mesh=None, pp_micro: int = 1, sp_mesh=None):
+                    pp_mesh=None, pp_micro: int = 1, sp_mesh=None,
+                    ep_mesh=None):
     """Build jittable (asr_step, lm_step) closures.
 
     spec_augment applies on-device time/frequency masking to the features
@@ -187,7 +188,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                                compute_dtype=compute_dtype)
         return seq2seq.apply_train(params, model_cfg, batch, rng=rng,
                                    compute_dtype=compute_dtype,
-                                   encode_fn=encode_fn)
+                                   encode_fn=encode_fn, ep_mesh=ep_mesh)
 
     def asr_step(state: TrainState, batch: dict, rng: Array):
         if spec_augment:
