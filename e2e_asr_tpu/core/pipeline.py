@@ -191,6 +191,10 @@ def encode_pipeline(params: dict, cfg: Seq2SeqConfig, feats: Array,
     if set(cfg.num_layers.values()) != {depth}:
         raise NotImplementedError("all decoder taps must sit at the final "
                                   "block under pipeline parallelism")
+    if enc_cfg.moe_experts > 0:
+        raise NotImplementedError("MoE blocks under pipeline parallelism: "
+                                  "use -ep_shards (expert parallelism) "
+                                  "instead")
     eparams = params["encoder"]
 
     x = stack_frames(feats, enc_cfg.stack_cons)

@@ -96,6 +96,10 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     if enc_cfg.conv_kernel > 0:
         raise NotImplementedError("conv module under sequence parallelism "
                                   "needs halo exchange — not implemented")
+    if enc_cfg.moe_experts > 0:
+        raise NotImplementedError("MoE blocks under sequence parallelism: "
+                                  "use -ep_shards (expert parallelism) "
+                                  "instead")
     depth = max(cfg.num_layers.values())
     if set(cfg.num_layers.values()) != {depth}:
         raise NotImplementedError("all decoder taps must sit at the final "

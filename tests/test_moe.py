@@ -106,6 +106,22 @@ def test_moe_aux_loss_and_router_grads(rng):
     assert np.abs(g_w1).max() > 0
 
 
+def test_moe_rejected_under_pp_and_sp(rng):
+    """MoE composes with ep, not with pp/sp (yet) — clear errors, not
+    KeyErrors."""
+    from e2e_asr_tpu.core import pipeline, seq_parallel
+
+    cfg = _moe_cfg(E=2)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    feats, lens = _data(rng)
+    with pytest.raises(NotImplementedError, match="ep_shards"):
+        pipeline.encode_pipeline(params, cfg, feats, lens,
+                                 mesh=pipeline.make_stage_mesh(2), n_micro=2)
+    with pytest.raises(NotImplementedError, match="ep_shards"):
+        seq_parallel.encode_seq_parallel(
+            params, cfg, feats, lens, mesh=seq_parallel.make_seq_mesh(2))
+
+
 def test_moe_cli_train_and_eval(tmp_path):
     """-moe_experts 2 -ep_shards 2 trains and greedy-evals through the CLI
     driver."""
