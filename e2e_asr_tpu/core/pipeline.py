@@ -42,7 +42,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from e2e_asr_tpu.config import EncoderConfig, Seq2SeqConfig
-from e2e_asr_tpu.core.layers import dense, dropout
+from e2e_asr_tpu.core.layers import dense
 from e2e_asr_tpu.models import transformer_encoder as te
 
 Array = jax.Array
@@ -68,29 +68,8 @@ def stack_blocks(params: dict, depth: int):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
 
 
-def _block_fwd(blk: dict, h: Array, bias: Array, vmask: Array, keys,
-               keep: float, cfg: EncoderConfig, compute_dtype,
-               train: bool) -> Array:
-    """One pre-LN block — op-for-op the serial encoder's run_block
-    (transformer_encoder.apply)."""
-    a = te._mhsa(blk, te._layer_norm(blk["ln1"], h), bias, cfg.num_heads,
-                 compute_dtype=compute_dtype, train=train)
-    if train and keep < 1.0:
-        a = dropout(keys[0], a, keep)
-    h = h + a
-    if "conv" in blk:
-        c = te._conv_module(blk["conv"], h, vmask,
-                            compute_dtype=compute_dtype)
-        if train and keep < 1.0:
-            c = dropout(keys[1], c, keep)
-        h = h + c
-    f = dense(blk["ffn2"],
-              jax.nn.gelu(dense(blk["ffn1"], te._layer_norm(blk["ln2"], h),
-                                compute_dtype=compute_dtype)),
-              compute_dtype=compute_dtype)
-    if train and keep < 1.0:
-        f = dropout(keys[2], f, keep)
-    return h + f
+# The block math is te.block_fwd — ONE definition shared with the serial
+# encoder, so pipeline numerics cannot drift from what the tests pin.
 
 
 def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
@@ -133,8 +112,9 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
                     jax.random.fold_in(
                         jax.random.fold_in(drop_rng, 3 * gi + o), m_idx)
                     for o in (0, 1, 2))
-                return _block_fwd(blk, h, bias, vmask, keys, keep, cfg,
-                                  compute_dtype, train), None
+                return te.block_fwd(blk, h, bias, vmask, keys, keep, cfg,
+                                    compute_dtype=compute_dtype,
+                                    train=train), None
 
             h, _ = jax.lax.scan(body, h, (blocks, jnp.arange(Ls)))
             return h

@@ -141,11 +141,7 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                 a = dropout(jax.random.fold_in(
                     jax.random.fold_in(drop_rng, 3 * i), sid), a, keep)
             h = h + a
-            f = dense(blk["ffn2"],
-                      jax.nn.gelu(dense(blk["ffn1"],
-                                        te._layer_norm(blk["ln2"], h),
-                                        compute_dtype=compute_dtype)),
-                      compute_dtype=compute_dtype)
+            f = te._ffn_fwd(blk, h, compute_dtype=compute_dtype)
             if train and keep < 1.0:
                 f = dropout(jax.random.fold_in(
                     jax.random.fold_in(drop_rng, 3 * i + 2), sid), f, keep)

@@ -239,6 +239,47 @@ def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
     return dense(p["attn_out"], o, compute_dtype=compute_dtype)
 
 
+def _ffn_fwd(blk: dict, h: Array, compute_dtype=None) -> Array:
+    """The dense pre-LN FFN half of a block (shared by the serial, pipeline,
+    and sequence-parallel paths)."""
+    return dense(blk["ffn2"],
+                 jax.nn.gelu(dense(blk["ffn1"], _layer_norm(blk["ln2"], h),
+                                   compute_dtype=compute_dtype)),
+                 compute_dtype=compute_dtype)
+
+
+def block_fwd(blk: dict, h: Array, attn_bias: Array, vmask: Array, keys,
+              keep: float, cfg: EncoderConfig, compute_dtype=None,
+              train: bool = False, aux_sink: list | None = None,
+              ep_mesh=None) -> Array:
+    """One pre-LN encoder block — THE single definition of the block math.
+
+    The serial encoder (`apply`) and the pipeline-parallel path
+    (core/pipeline.py) both call this; the sequence-parallel path reuses
+    `_ffn_fwd` but swaps `_mhsa` for its gathered-K/V variant. keys is the
+    (attn, conv, ffn) dropout-key triple.
+    """
+    a = _mhsa(blk, _layer_norm(blk["ln1"], h), attn_bias, cfg.num_heads,
+              compute_dtype=compute_dtype, train=train)
+    if train and keep < 1.0:
+        a = dropout(keys[0], a, keep)
+    h = h + a
+    if "conv" in blk:
+        c = _conv_module(blk["conv"], h, vmask, compute_dtype=compute_dtype)
+        if train and keep < 1.0:
+            c = dropout(keys[1], c, keep)
+        h = h + c
+    if "moe" in blk:
+        f = _moe_ffn(blk["moe"], _layer_norm(blk["ln2"], h),
+                     cfg.moe_capacity, aux_sink if train else None,
+                     ep_mesh=ep_mesh, compute_dtype=compute_dtype)
+    else:
+        f = _ffn_fwd(blk, h, compute_dtype=compute_dtype)
+    if train and keep < 1.0:
+        f = dropout(keys[2], f, keep)
+    return h + f
+
+
 def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
           num_layers: dict[str, int], *, train: bool = False,
           rng: Array | None = None, compute_dtype=None,
@@ -269,30 +310,9 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
     drop_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
     def run_block(blk, h, k_a, k_c, k_f):
-        a = _mhsa(blk, _layer_norm(blk["ln1"], h), attn_bias,
-                  cfg.num_heads, compute_dtype=compute_dtype, train=train)
-        if train and keep < 1.0:
-            a = dropout(k_a, a, keep)
-        h = h + a
-        if "conv" in blk:
-            c = _conv_module(blk["conv"], h, vmask,
-                             compute_dtype=compute_dtype)
-            if train and keep < 1.0:
-                c = dropout(k_c, c, keep)
-            h = h + c
-        if "moe" in blk:
-            f = _moe_ffn(blk["moe"], _layer_norm(blk["ln2"], h),
-                         cfg.moe_capacity, aux_sink if train else None,
-                         ep_mesh=ep_mesh, compute_dtype=compute_dtype)
-        else:
-            f = dense(blk["ffn2"],
-                      jax.nn.gelu(dense(blk["ffn1"],
-                                        _layer_norm(blk["ln2"], h),
-                                        compute_dtype=compute_dtype)),
-                      compute_dtype=compute_dtype)
-        if train and keep < 1.0:
-            f = dropout(k_f, f, keep)
-        return h + f
+        return block_fwd(blk, h, attn_bias, vmask, (k_a, k_c, k_f), keep,
+                         cfg, compute_dtype=compute_dtype, train=train,
+                         aux_sink=aux_sink, ep_mesh=ep_mesh)
 
     if train and cfg.remat:
         # Per-block rematerialization (-remat): backward recomputes the
