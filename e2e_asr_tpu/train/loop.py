@@ -95,8 +95,15 @@ class Trainer:
         if self.train_cfg.ep_shards > 1:
             import numpy as np
             from jax.sharding import Mesh
+            if self.model_cfg.encoder.moe_experts < 1:
+                raise ValueError("-ep_shards needs -moe_experts (there are "
+                                 "no experts to shard)")
             if self.model_cfg.encoder.moe_experts % self.train_cfg.ep_shards:
                 raise ValueError("-ep_shards must divide -moe_experts")
+            if use_mesh and (self.train_cfg.data_axis > 1
+                             or self.train_cfg.model_axis > 1):
+                raise ValueError("-ep_shards is mutually exclusive with "
+                                 "-data_axis/-model_axis")
             ep_mesh = Mesh(
                 np.array(jax.devices()[: self.train_cfg.ep_shards]),
                 ("expert",))

@@ -140,6 +140,17 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     over stages, pp_micro microbatches flowing via ppermute). Attention
     family only."""
     encode_fn = None
+    if model_cfg.encoder.moe_experts > 0:
+        if model_cfg.encoder.encoder_type != "transformer":
+            raise ValueError("-moe_experts needs -encoder_type transformer "
+                             "(the RNN encoder has no MoE blocks)")
+        if model_cfg.model_family != "attention" or model_cfg.ctc_weight > 0:
+            raise NotImplementedError(
+                "MoE aux-loss threading covers the attention family only "
+                "(ctc/hybrid losses do not surface the load-balance term)")
+    elif ep_mesh is not None:
+        raise ValueError("ep_mesh without -moe_experts: there are no "
+                         "experts to shard")
     if pp_mesh is not None and sp_mesh is not None:
         raise ValueError("pp_mesh and sp_mesh are mutually exclusive")
     if pp_mesh is not None or sp_mesh is not None:
