@@ -51,6 +51,7 @@ class ServingStats:
 @dataclass
 class _Request:
     feats: np.ndarray              # [T, feat] float32
+    t: float = field(default_factory=time.monotonic)   # enqueue time
     future: Future = field(default_factory=Future)
 
 
@@ -137,36 +138,38 @@ class BatchingTranscriber:
     # -- worker ------------------------------------------------------------
 
     def _take_batch(self) -> tuple[int, list[_Request]] | None:
-        """Called under the lock: pick the fullest bucket's batch, or None.
+        """Called under the lock: pick the next batch, or None when done.
 
-        Blocks (condition-waits) until a batch is worth launching: a full
-        batch immediately, a partial one once its oldest request has waited
-        max_wait_ms, everything immediately when closing.
+        A full bucket launches immediately (fullest first). Otherwise the
+        wait deadline tracks the OLDEST request across ALL buckets — each
+        request's timestamp, not a per-pick timer — so no bucket can be
+        starved by traffic in another: every request launches within
+        max_wait_ms of enqueue (plus the decode time of batches ahead of
+        it). Closing drains everything immediately.
         """
-        deadline = None
         while True:
-            best = None
-            for b, q in self._queues.items():
-                if q and (best is None
-                          or len(q) > len(self._queues[best])):
-                    best = b
-            if best is not None:
-                q = self._queues[best]
-                if (len(q) >= self.max_batch or self._closed
-                        or (deadline is not None
-                            and time.monotonic() >= deadline)):
-                    take, rest = q[:self.max_batch], q[self.max_batch:]
-                    self._queues[best] = rest
-                    return best, take
-                if deadline is None:
-                    deadline = time.monotonic() + self.max_wait_s
-                self._cv.wait(timeout=max(0.0,
-                                          deadline - time.monotonic()))
-            elif self._closed:
-                return None
-            else:
-                deadline = None
+            nonempty = [(b, q) for b, q in self._queues.items() if q]
+            if not nonempty:
+                if self._closed:
+                    return None
                 self._cv.wait()
+                continue
+            full = [bq for bq in nonempty if len(bq[1]) >= self.max_batch]
+            pick = max(full, key=lambda bq: len(bq[1]), default=None)
+            if pick is None:
+                if self._closed:
+                    pick = max(nonempty, key=lambda bq: len(bq[1]))
+                else:
+                    b, q = min(nonempty, key=lambda bq: bq[1][0].t)
+                    now = time.monotonic()
+                    if now < q[0].t + self.max_wait_s:
+                        self._cv.wait(
+                            timeout=q[0].t + self.max_wait_s - now)
+                        continue
+                    pick = (b, q)
+            b, q = pick
+            take, self._queues[b] = q[:self.max_batch], q[self.max_batch:]
+            return b, take
 
     def _run(self) -> None:
         while True:

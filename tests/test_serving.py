@@ -132,6 +132,54 @@ def test_mesh_data_parallel_serving(setup):
                             max_batch=3)  # 3 % 4 != 0
 
 
+def test_no_bucket_starvation_under_sustained_load(setup):
+    """A lone request in a quiet bucket must launch within ~max_wait_ms
+    even while another bucket sustains full-batch traffic (the deadline
+    tracks each request's enqueue time, not the fullest bucket)."""
+    import time
+
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(6)
+    tr = BatchingTranscriber(params, cfg, rev_vocab,
+                             beam_cfg=BeamConfig(beam_size=2, max_steps=8),
+                             bucket_frames=(32, 64), max_batch=2,
+                             max_wait_ms=100)
+    try:
+        # Warm both buckets' compiles outside the timed window.
+        tr.transcribe(_feats(rng, 16))
+        tr.transcribe(_feats(rng, 48))
+
+        stop = threading.Event()
+        pumped = []
+
+        def pump():   # keep the 64-bucket saturated with full batches
+            while not stop.is_set() and len(pumped) < 400:
+                with tr._cv:
+                    backlog = len(tr._queues[64])
+                if backlog < 4:
+                    pumped.append(tr.submit(_feats(rng, 48)))
+                else:
+                    time.sleep(0.002)
+
+        t = threading.Thread(target=pump)
+        t.start()
+        time.sleep(0.2)                      # pump is saturating
+        t0 = time.monotonic()
+        lone = tr.submit(_feats(rng, 16))    # quiet bucket
+        lone.result(timeout=30)
+        waited = time.monotonic() - t0
+        stop.set()
+        t.join()
+        # Generous CPU slack over the 100 ms deadline; the broken scheduler
+        # waits until the pump stops (~10+ s) or times out.
+        assert waited < 5.0, waited
+        for f in pumped:
+            f.result(timeout=120)
+    finally:
+        stop.set()
+        tr.close()
+
+
 def test_lifecycle_and_validation(setup):
     cfg, params, rev_vocab = setup
     rng = np.random.default_rng(4)
