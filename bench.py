@@ -317,22 +317,27 @@ def _measure_decode(jax, jnp, cfg, rng):
             "path": path,
         }
     # The B=1 serving case through the round-2 step-fused path, for the
-    # before/after record next to the mega-kernel row above.
+    # before/after record next to the mega-kernel row above. The env var is
+    # read at TRACE time, so a FRESH decoder closure is mandatory — the
+    # existing `decode` already holds a B=1 mega-kernel executable in its
+    # jit cache and would silently re-serve it.
     os.environ["E2E_ASR_NO_MEGA"] = "1"
     try:
+        decode_nm = make_beam_decoder(cfg, beam_cfg,
+                                      compute_dtype=jnp.bfloat16)
         B = 1
         batch = {
             "logmel": jnp.asarray(
                 rng.normal(size=(B, DECODE_T, FEAT)).astype(np.float32)),
             "logmel_len": jnp.full((B,), DECODE_T, jnp.int32),
         }
-        tokens, _, _ = decode(params, batch)
+        tokens, _, _ = decode_nm(params, batch)
         np.asarray(tokens)
         audio_s = B * DECODE_T * FRAME_HOP_S
         n = 20
         t0 = time.perf_counter()
         for _ in range(n):
-            tokens, _, _ = decode(params, batch)
+            tokens, _, _ = decode_nm(params, batch)
         np.asarray(tokens)
         dt_pipe = (time.perf_counter() - t0) / n
         rows["1_step_fused"] = {

@@ -73,8 +73,19 @@ def supported(dec_cfg, beam_cfg, params, T_enc: int, H_enc: int,
         return False
     w_bytes = _param_bytes([v for v in params.values()])
     A = params["attn_query"]["kernel"].shape[-1]
+    w_out = params["output_proj"]["kernel"]
+    V = w_out.shape[-1]
+    Vp = _round_up(V, 128)
+    # w_out/b_out are shipped PADDED to Vp (launch pads them below), and
+    # the per-step working set holds several [k,Vp]/[k,V] tensors (logits,
+    # candidate scores, flat_i + pad_cols iotas, col_V, one-hot combine) —
+    # count ~6 of them plus the padding delta, or large-vocab configs pass
+    # the gate and then blow Mosaic's real allocation (CLAUDE.md: estimates
+    # undercount; keep margin).
+    w_bytes += 4 * (Vp - V) * (w_out.shape[0] + 1)
     act_bytes = 4 * (T_enc * (H_enc + A + 1)      # enc, hidden_features, mask
                      + k * T_enc * A              # tanh intermediate
+                     + 6 * k * Vp                 # vocab-axis working set
                      + 4 * k * S)                 # seqs + fin_seqs (+slack)
     return w_bytes + act_bytes <= 11 * 1024 * 1024
 
