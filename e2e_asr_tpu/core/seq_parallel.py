@@ -13,11 +13,15 @@ long'):
   its local queries against the full sequence — exactly the serial math.
 - The learned relative-position bias indexes its table with the shard's
   absolute row offset (axis_index * T/S), so biases match serial exactly.
+- The Conformer depthwise conv exchanges a (k-1)-frame halo with the two
+  neighbor shards via `ppermute` (edge shards receive the collective's
+  zero-fill — exactly the serial SAME zero padding), then runs the conv
+  VALID over [left_halo | local | right_halo]; all other conv-module ops
+  are pointwise and stay local.
 - Outputs reassemble for free via the sharded out_spec.
 
-Scope: `conv_kernel > 0` (the Conformer depthwise conv) crosses shard
-boundaries and would need halo exchange — raises for now. T after
-subsampling must divide the seq-axis size.
+Scope: T after subsampling must divide the seq-axis size, and each time
+shard must be at least as long as the conv halo it lends out.
 
 Numerics: identical op order to the serial encoder per shard; forward and
 grads are exactly equal (tests/test_seq_parallel.py).
@@ -78,6 +82,40 @@ def _mhsa_sp(blk: dict, h: Array, bias_full: Array, row0: Array,
     return dense(blk["attn_out"], o, compute_dtype=compute_dtype)
 
 
+def _conv_sp(p: dict, h: Array, vmask: Array, kernel: int, S: int,
+             compute_dtype=None) -> Array:
+    """te._conv_module with the depthwise conv's receptive field crossing
+    shard boundaries via halo exchange.
+
+    SAME padding at stride 1 pads (k-1)//2 low / k-1-(k-1)//2 high, so each
+    shard borrows that many post-GLU frames from its left/right neighbor
+    (exchanged AFTER the padding mask — identical values to the serial
+    conv's inputs) and convolves VALID over the extended sequence. Edge
+    shards get ppermute's zero fill = serial's zero padding.
+    """
+    D = h.shape[-1]
+    x = te._layer_norm(p["ln"], h)
+    x = dense(p["pw1"], x, compute_dtype=compute_dtype)        # [B,Ts,2D]
+    a, b = jnp.split(x, 2, axis=-1)
+    x = (a * jax.nn.sigmoid(b)) * vmask                        # GLU, masked
+    lo, hi = (kernel - 1) // 2, kernel - 1 - (kernel - 1) // 2
+    parts = []
+    if lo:
+        parts.append(jax.lax.ppermute(
+            x[:, -lo:, :], "seq", [(i, i + 1) for i in range(S - 1)]))
+    parts.append(x)
+    if hi:
+        parts.append(jax.lax.ppermute(
+            x[:, :hi, :], "seq", [(i, i - 1) for i in range(1, S)]))
+    ext = jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+    x = jax.lax.conv_general_dilated(
+        ext, p["dw"][:, None, :], window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=D)
+    x = te._layer_norm(p["ln2"], x)
+    x = x * jax.nn.sigmoid(x)                                  # swish
+    return dense(p["pw2"], x, compute_dtype=compute_dtype)
+
+
 def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                         feat_lens: Array, *, mesh: Mesh,
                         train: bool = False, rng: Array | None = None,
@@ -93,9 +131,6 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                          "family (time-local blocks + one attention "
                          "gather); the recurrent pyramid is sequential "
                          "in time by construction")
-    if enc_cfg.conv_kernel > 0:
-        raise NotImplementedError("conv module under sequence parallelism "
-                                  "needs halo exchange — not implemented")
     if enc_cfg.moe_experts > 0:
         raise NotImplementedError("MoE blocks under sequence parallelism: "
                                   "use -ep_shards (expert parallelism) "
@@ -125,10 +160,16 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     keep = enc_cfg.out_prob if train else 1.0
     drop_rng = rng if rng is not None else jax.random.PRNGKey(0)
     Ts = T // S
+    halo = enc_cfg.conv_kernel - 1 - (enc_cfg.conv_kernel - 1) // 2
+    if halo > Ts:
+        raise ValueError(f"conv halo {halo} exceeds the {Ts}-frame time "
+                         f"shard (fewer -sp_shards, or a smaller "
+                         f"-conv_kernel)")
 
     blocks = [eparams[f"block_{i}"] for i in range(1, depth + 1)]
+    vmask = valid.astype(h.dtype)[:, :, None]                   # [B,T,1]
 
-    def staged(blocks, h, bias_full):
+    def staged(blocks, h, bias_full, vmask_sh):
         sid = jax.lax.axis_index("seq")
         row0 = sid * Ts
         for i, blk in enumerate(blocks, start=1):
@@ -141,6 +182,14 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                 a = dropout(jax.random.fold_in(
                     jax.random.fold_in(drop_rng, 3 * i), sid), a, keep)
             h = h + a
+            if "conv" in blk:
+                c = _conv_sp(blk["conv"], h, vmask_sh, enc_cfg.conv_kernel,
+                             S, compute_dtype=compute_dtype)
+                if train and keep < 1.0:
+                    c = dropout(jax.random.fold_in(
+                        jax.random.fold_in(drop_rng, 3 * i + 1), sid),
+                        c, keep)
+                h = h + c
             f = te._ffn_fwd(blk, h, compute_dtype=compute_dtype)
             if train and keep < 1.0:
                 f = dropout(jax.random.fold_in(
@@ -149,10 +198,10 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
         return h
 
     h = shard_map(staged, mesh=mesh,
-                  in_specs=(P(), P(None, "seq", None), P()),
-                  out_specs=P(None, "seq", None))(blocks, h, bias_full)
-
-    vmask = valid.astype(h.dtype)[:, :, None]
+                  in_specs=(P(), P(None, "seq", None), P(),
+                            P(None, "seq", None)),
+                  out_specs=P(None, "seq", None))(blocks, h, bias_full,
+                                                  vmask)
     out = te._layer_norm(eparams["ln_out"], h) * vmask
     return ({depth: out}, {depth: jnp.transpose(out, (1, 0, 2))},
             {depth: lens})

@@ -10,9 +10,14 @@ from e2e_asr_tpu.models import seq2seq
 from tests.test_pipeline import _cfg, _data
 
 
-@pytest.mark.parametrize("shards,rel", [(2, False), (4, True)])
-def test_sp_forward_matches_serial(rng, shards, rel):
-    cfg = _cfg(depth=2, rel=rel)
+@pytest.mark.parametrize("shards,rel,conv", [
+    (2, False, 0),
+    (4, True, 0),
+    (2, False, 3),    # Conformer conv: odd kernel, symmetric halo
+    (4, True, 4),     # even kernel: asymmetric halo (lo=1, hi=2) at Ts=2
+])
+def test_sp_forward_matches_serial(rng, shards, rel, conv):
+    cfg = _cfg(depth=2, rel=rel, conv=conv)
     params = seq2seq.init(jax.random.PRNGKey(0), cfg)
     feats, lens = _data(rng)                    # T=32, subsample 4 -> T'=8
     mesh = seq_parallel.make_seq_mesh(shards)
@@ -29,13 +34,15 @@ def test_sp_forward_matches_serial(rng, shards, rel):
                                   np.asarray(lens_s[d]))
 
 
-def test_sp_train_grads_match_serial(rng):
+@pytest.mark.parametrize("conv", [0, 3])
+def test_sp_train_grads_match_serial(rng, conv):
     """Pipelined-in-time encoder -> decoder -> CE: loss and grads equal the
-    serial path (out_prob=1)."""
+    serial path (out_prob=1); conv=3 routes halo gradients back through
+    ppermute's transpose."""
     from e2e_asr_tpu.core import losses
     from e2e_asr_tpu.models import attn_decoder
 
-    cfg = _cfg(depth=2)
+    cfg = _cfg(depth=2, conv=conv)
     params = seq2seq.init(jax.random.PRNGKey(1), cfg)
     feats, lens = _data(rng)
     B = feats.shape[0]
@@ -79,12 +86,12 @@ def test_sp_validation(rng):
     with pytest.raises(ValueError, match="not divisible"):
         seq_parallel.encode_seq_parallel(
             params, cfg, feats, lens, mesh=seq_parallel.make_seq_mesh(3))
-    conv_cfg = _cfg(depth=2, conv=3)
+    conv_cfg = _cfg(depth=2, conv=9)   # halo 4 > Ts=2 at 4 shards
     conv_params = seq2seq.init(jax.random.PRNGKey(0), conv_cfg)
-    with pytest.raises(NotImplementedError, match="halo"):
+    with pytest.raises(ValueError, match="halo"):
         seq_parallel.encode_seq_parallel(
             conv_params, conv_cfg, feats, lens,
-            mesh=seq_parallel.make_seq_mesh(2))
+            mesh=seq_parallel.make_seq_mesh(4))
     rnn_cfg = _cfg(depth=2)
     rnn_cfg.encoder.encoder_type = "rnn"
     with pytest.raises(ValueError, match="transformer"):
