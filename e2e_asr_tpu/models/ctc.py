@@ -38,11 +38,12 @@ def init(key: Array, cfg: Seq2SeqConfig, vocab_size: int) -> dict:
 
 def logits(params: dict, cfg: Seq2SeqConfig, feats: Array, feat_lens: Array,
            *, train: bool = False, rng: Array | None = None,
-           compute_dtype=None) -> tuple[Array, Array]:
+           compute_dtype=None, aux_sink: list | None = None,
+           ep_mesh=None) -> tuple[Array, Array]:
     """Per-frame logits [B, T_enc, V] and encoder lengths [B]."""
     attn_states, _, enc_lens = seq2seq.encode(
         params, cfg, feats, feat_lens, train=train, rng=rng,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, aux_sink=aux_sink, ep_mesh=ep_mesh)
     depth = cfg.num_layers["char"]
     out = dense(params["ctc_head"], attn_states[depth],
                 compute_dtype=compute_dtype)
@@ -50,12 +51,18 @@ def logits(params: dict, cfg: Seq2SeqConfig, feats: Array, feat_lens: Array,
 
 
 def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
-         rng: Array | None = None, compute_dtype=None) -> Array:
+         rng: Array | None = None, compute_dtype=None, ep_mesh=None) -> Array:
     """Mean CTC loss. batch: logmel/logmel_len plus `labels` [B, L] (token
-    ids, 0-padded, NO <go>/<eos>) and `label_lens` [B]."""
+    ids, 0-padded, NO <go>/<eos>) and `label_lens` [B]. MoE encoders fold
+    their moe_aux_weight-scaled load-balance aux loss into the total during
+    training (rng given)."""
+    train = rng is not None
+    aux_sink: list | None = ([] if train and cfg.encoder.moe_experts > 0
+                             else None)
     lg, enc_lens = logits(params, cfg, batch["logmel"], batch["logmel_len"],
-                          train=rng is not None, rng=rng,
-                          compute_dtype=compute_dtype)
+                          train=train, rng=rng,
+                          compute_dtype=compute_dtype, aux_sink=aux_sink,
+                          ep_mesh=ep_mesh)
     T = lg.shape[1]
     logit_pad = (jnp.arange(T)[None, :]
                  >= enc_lens.astype(jnp.int32)[:, None]).astype(jnp.float32)
@@ -65,7 +72,10 @@ def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
                  ).astype(jnp.float32)
     per_example = optax.ctc_loss(lg, logit_pad, batch["labels"], label_pad,
                                  blank_id=BLANK_ID)
-    return jnp.mean(per_example)
+    total = jnp.mean(per_example)
+    if aux_sink:
+        total = total + cfg.encoder.moe_aux_weight * sum(aux_sink)
+    return total
 
 
 def best_path_from_logits(lg: Array, enc_lens: Array) -> Array:

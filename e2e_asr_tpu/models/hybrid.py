@@ -32,15 +32,19 @@ def init(key: Array, cfg: Seq2SeqConfig) -> dict:
 
 
 def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *, ctc_weight: float,
-         rng: Array, compute_dtype=None) -> tuple[Array, dict]:
+         rng: Array, compute_dtype=None, ep_mesh=None) -> tuple[Array, dict]:
     """batch: the seq2seq batch plus `labels` [B, L] / `label_lens` [B]
     (token ids without <go>/<eos>, 0-padded) for the CTC term.
 
-    Returns (total, {"attention": ..., "ctc": ...} plus per-task CEs)."""
+    Returns (total, {"attention": ..., "ctc": ...} plus per-task CEs).
+    MoE encoders surface their load-balance aux loss here exactly as in
+    seq2seq.apply_train ("moe_aux" metric, moe_aux_weight-scaled term)."""
     rng_enc, rng_dec = jax.random.split(rng)
+    aux_sink: list | None = [] if cfg.encoder.moe_experts > 0 else None
     attn_states, _, enc_lens = seq2seq.encode(
         params, cfg, batch["logmel"], batch["logmel_len"], train=True,
-        rng=rng_enc, compute_dtype=compute_dtype)
+        rng=rng_enc, compute_dtype=compute_dtype, aux_sink=aux_sink,
+        ep_mesh=ep_mesh)
 
     # Attention branch (same math as seq2seq.apply_train, reusing the encode).
     task_losses: dict = {}
@@ -76,4 +80,8 @@ def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *, ctc_weight: float,
 
     total = (1.0 - ctc_weight) * attention_total + ctc_weight * ctc_total
     metrics = {"attention": attention_total, "ctc": ctc_total, **task_losses}
+    if aux_sink:
+        aux = sum(aux_sink)
+        metrics["moe_aux"] = aux
+        total = total + cfg.encoder.moe_aux_weight * aux
     return total, metrics

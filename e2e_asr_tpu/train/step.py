@@ -144,10 +144,6 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
         if model_cfg.encoder.encoder_type != "transformer":
             raise ValueError("-moe_experts needs -encoder_type transformer "
                              "(the RNN encoder has no MoE blocks)")
-        if model_cfg.model_family != "attention" or model_cfg.ctc_weight > 0:
-            raise NotImplementedError(
-                "MoE aux-loss threading covers the attention family only "
-                "(ctc/hybrid losses do not surface the load-balance term)")
     elif ep_mesh is not None:
         raise ValueError("ep_mesh without -moe_experts: there are no "
                          "experts to shard")
@@ -188,7 +184,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             cb = dict(batch)
             cb["labels"], cb["label_lens"] = _ctc_labels(batch)
             total = ctc.loss(params, model_cfg, cb, rng=rng,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, ep_mesh=ep_mesh)
             return total, {"ctc": total}
         if model_cfg.ctc_weight > 0:
             from e2e_asr_tpu.models import hybrid
@@ -196,7 +192,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             hb["labels"], hb["label_lens"] = _ctc_labels(batch)
             return hybrid.loss(params, model_cfg, hb,
                                ctc_weight=model_cfg.ctc_weight, rng=rng,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, ep_mesh=ep_mesh)
         return seq2seq.apply_train(params, model_cfg, batch, rng=rng,
                                    compute_dtype=compute_dtype,
                                    encode_fn=encode_fn, ep_mesh=ep_mesh)

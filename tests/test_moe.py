@@ -106,6 +106,39 @@ def test_moe_aux_loss_and_router_grads(rng):
     assert np.abs(g_w1).max() > 0
 
 
+@pytest.mark.parametrize("family,ctc_w", [("attention", 0.3), ("ctc", 0.0)])
+def test_moe_aux_reaches_hybrid_and_ctc_families(rng, family, ctc_w):
+    """The load-balance aux term flows through the hybrid and pure-CTC
+    training objectives too: the router gets gradients via make_train_step,
+    and for hybrid the metric surfaces as loss_moe_aux."""
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.train import step as step_lib
+
+    cfg = _moe_cfg(E=2)
+    cfg.model_family = family
+    cfg.ctc_weight = ctc_w
+    lm_cfg = LMConfig(vocab_size=13, lm_hidden_size=8, proj_size=8,
+                      emb_size=8)
+    params = step_lib.init_params(jax.random.PRNGKey(5), cfg)
+    feats, lens = _data(rng)
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(B, 6)).astype(np.int32)
+    ids[:, 0] = 1
+    batch = {"logmel": feats, "logmel_len": lens,
+             "char": jnp.asarray(ids),
+             "char_len": jnp.full((B,), 5, jnp.int32)}
+    asr_step, _ = step_lib.make_train_step(cfg, lm_cfg)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    new_state, metrics = asr_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    if family == "attention":                  # hybrid surfaces the metric
+        assert float(metrics["loss_moe_aux"]) > 0
+    g = jax.tree_util.tree_map(jnp.subtract, new_state.params, params)
+    moved = np.abs(np.asarray(
+        g["encoder"]["block_1"]["moe"]["router"]["kernel"])).max()
+    assert moved > 0
+
+
 def test_moe_rejected_under_pp_and_sp(rng):
     """MoE composes with ep, not with pp/sp (yet) — clear errors, not
     KeyErrors."""
