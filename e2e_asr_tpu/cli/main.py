@@ -129,6 +129,13 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                  compute_dtype=compute_dtype,
                                  beam_size=cfg.beam.beam_size)
         evaluator(eval_params, dev_set.epoch())
+    elif cfg.model.model_family == "transducer":
+        from e2e_asr_tpu.eval.greedy import TransducerEvaluator
+        evaluator = TransducerEvaluator(cfg.model, rev_vocab,
+                                        tc.best_model_dir,
+                                        compute_dtype=compute_dtype,
+                                        beam_size=cfg.beam.beam_size)
+        evaluator(eval_params, dev_set.epoch())
     elif (cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0
           and cfg.beam.ctc_rescore == 0.0):
         evaluator = GreedyEvaluator(cfg.model, rev_vocab, tc.best_model_dir,

@@ -64,6 +64,8 @@ class DecoderConfig:
     attention_vec_size: int = 128
     lm_hidden_size: int = 256        # internal "LM LSTM" inside the decoder
     ind_softmax: bool = False        # independent (non-LM-shared) softmax
+    joint_dim: int = 256             # transducer family only: width of the
+                                     # additive joint (models/transducer.py)
 
 
 @dataclass
@@ -94,6 +96,7 @@ class Seq2SeqConfig:
     label_smoothing: float = 0.0     # extension; 0.0 = reference behavior
     ctc_weight: float = 0.0          # extension: hybrid CTC/attention when >0
     model_family: str = "attention"  # extension: "attention" | "ctc"
+                                     #            | "transducer"
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoders: dict[str, DecoderConfig] = field(default_factory=dict)
     feat_length: int = 80
@@ -211,6 +214,8 @@ def get_run_dir_name(opts: dict[str, Any]) -> str:
         xfmr_string += "ctc_w" + str(opts["ctc_weight"]) + "_"
     if opts.get("model_family", "attention") == "ctc":
         xfmr_string += "ctcfam_"
+    if opts.get("model_family", "attention") == "transducer":
+        xfmr_string += "rnnt_"
     return (xfmr_string + skip_string + num_layer_string +
             ("lstm_" if opts["use_lstm"] else "") +
             (("stack_" + str(opts["stack_cons"]) + "_")
@@ -262,10 +267,14 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="hybrid CTC/attention training weight "
                              "(extension; 0 = pure attention, reference)")
     parser.add_argument("-model_family", "--model_family", default="attention",
-                        type=str, choices=["attention", "ctc"],
+                        type=str, choices=["attention", "ctc", "transducer"],
                         help="extension: 'ctc' trains the encoder-only CTC "
-                             "recognizer (models/ctc.py); eval uses CTC "
-                             "best-path (beam_size 1) or prefix beam search")
+                             "recognizer (models/ctc.py); 'transducer' the "
+                             "RNN-T family (models/transducer.py, streaming-"
+                             "native). Eval: CTC best-path/prefix beam, "
+                             "transducer greedy/prefix beam")
+    parser.add_argument("-joint_dim", "--joint_dim", default=256, type=int,
+                        help="transducer joint network width")
     parser.add_argument("-num_heads", "--num_heads", default=4, type=int)
     parser.add_argument("-ffn_mult", "--ffn_mult", default=4, type=int)
     parser.add_argument("-enc_subsample", "--subsample", default=8, type=int)
@@ -410,7 +419,8 @@ def process_args(options: dict[str, Any],
     if options.get("gru"):
         options["use_lstm"] = False    # flows into encoder/decoder configs
                                        # and the run-dir name (no "lstm_")
-    if options.get("model_family", "attention") == "ctc":
+    family = options.get("model_family", "attention")
+    if family == "ctc":
         if options.get("lm_prob", 0.0) > 0:
             raise ValueError(
                 "-model_family ctc has no attention decoder, so the "
@@ -419,6 +429,15 @@ def process_args(options: dict[str, Any],
             raise ValueError(
                 "-ctc_weight is the HYBRID family's knob; -model_family ctc "
                 "is already pure CTC")
+    if family == "transducer":
+        if options.get("lm_prob", 0.0) > 0:
+            raise ValueError(
+                "-model_family transducer has no attention decoder, so the "
+                "weight-tied LM task cannot attach: use -lm_prob 0")
+        if options.get("ctc_weight", 0.0) > 0:
+            raise ValueError(
+                "-ctc_weight is the HYBRID family's knob; the transducer "
+                "family has its own alignment-free objective")
 
     run_dir = get_run_dir_name(options)
     train_dir = os.path.join(options["train_base_dir"], run_dir)

@@ -106,3 +106,35 @@ class CTCEvaluator(GreedyEvaluator):
                 return ctc.greedy_decode(params, cfg, feats, feat_lens,
                                          compute_dtype=compute_dtype)
         self._decode = jax.jit(decode)
+
+
+class TransducerEvaluator(GreedyEvaluator):
+    """Same scoring/artifact loop over the transducer family
+    (models/transducer.py): batched greedy decode at beam_size 1, on-device
+    prefix beam search otherwise. Both return emission-ordered left-packed
+    token ids — the contract ids_to_sentence already handles."""
+
+    def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
+                 out_dir: str, *, compute_dtype=None, beam_size: int = 1,
+                 file_prefix: str = "asr"):
+        self.cfg = cfg
+        self.rev_vocab = rev_vocab
+        self.out_dir = out_dir
+        self.file_prefix = file_prefix
+        if beam_size > 1:
+            from e2e_asr_tpu.eval.transducer_beam import transducer_beam_search
+
+            def decode(params, feats, feat_lens):
+                params = quant.maybe_dequantize(params)
+                tokens, _ = transducer_beam_search(
+                    params, cfg, feats, feat_lens, beam_size=beam_size,
+                    compute_dtype=compute_dtype)
+                return tokens
+        else:
+            from e2e_asr_tpu.models import transducer
+
+            def decode(params, feats, feat_lens):
+                params = quant.maybe_dequantize(params)
+                return transducer.greedy_decode(params, cfg, feats, feat_lens,
+                                                compute_dtype=compute_dtype)
+        self._decode = jax.jit(decode)

@@ -160,6 +160,39 @@ def transcribe_ctc_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     return ids
 
 
+def transcribe_transducer_longform(params: dict, cfg: Seq2SeqConfig,
+                                   feats: Array, *, window: int = 512,
+                                   margin: int = 64, beam_size: int = 1,
+                                   compute_dtype=None) -> Array:
+    """Long-form decode for the transducer family (models/transducer.py):
+    chunked encoder -> one monotonic greedy/beam pass over the stitched
+    states. Like CTC (and unlike the attention decoder), the transducer
+    consumes frames strictly left to right, so arbitrary audio lengths
+    decode in one pass with no segmentation; the output cap scales with the
+    stitched length instead of the training-time max_output.
+
+    Returns token ids [n] (specials-free, unpadded).
+    """
+    from e2e_asr_tpu.models import transducer
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    enc, enc_len = encode_longform(params, cfg, feats, window=window,
+                                   margin=margin, compute_dtype=compute_dtype)
+    cap = 4 * int(enc.shape[1])
+    if beam_size > 1:
+        from e2e_asr_tpu.eval.transducer_beam import transducer_beam_decode
+        seqs, seq_lens, _ = transducer_beam_decode(
+            params, cfg, enc, enc_len, beam_size=beam_size,
+            compute_dtype=compute_dtype, max_output=cap)
+        ids = seqs[0, 0][:int(seq_lens[0, 0])]
+    else:
+        packed = transducer.greedy_decode_states(
+            params, cfg, enc, enc_len, compute_dtype=compute_dtype,
+            max_output=cap)[0]
+        ids = packed[packed > 0]
+    return ids
+
+
 def token_attention_frames(params: dict, cfg, enc: Array, enc_lens: Array,
                            tokens: Array, *, compute_dtype=None) -> Array:
     """Teacher-forced replay of the attention decoder over its OWN

@@ -59,6 +59,8 @@ class StreamingTranscriber:
                                                 hop_length)
         self.n_mels = n_mels or cfg.feat_length
         self.is_ctc = cfg.model_family == "ctc"
+        self.is_transducer = cfg.model_family == "transducer"
+        self._rnnt_state = None         # carried prediction-net state
 
         self._samples = np.zeros((0,), np.float32)
         self._frames = np.zeros((0, self.n_mels), np.float32)
@@ -143,6 +145,28 @@ class StreamingTranscriber:
                     if t != ctc.BLANK_ID and t != self._ctc_prev_id:
                         new_ids.append(t)
                     self._ctc_prev_id = t
+                self._n_decoded = total
+        elif self.is_transducer:
+            # The transducer decoder is monotonic and stateful: decode each
+            # new stitched span immediately, carrying the prediction-net
+            # state across chunk boundaries — exactly equal to one greedy
+            # pass over the concatenated states (models/transducer.py).
+            from e2e_asr_tpu.models import transducer
+
+            if total > self._n_decoded:
+                delta = enc[self._n_decoded:]
+                if self._rnnt_state is None:
+                    self._rnnt_state = transducer.init_decode_state(
+                        self.params, self.cfg, 1,
+                        compute_dtype=self.compute_dtype)
+                tokens, self._rnnt_state = transducer.greedy_decode_states(
+                    self.params, self.cfg, jnp.asarray(delta)[None],
+                    jnp.asarray([delta.shape[0]]),
+                    compute_dtype=self.compute_dtype,
+                    max_output=4 * delta.shape[0],
+                    init_state=self._rnnt_state, return_state=True)
+                new_ids.extend(int(i) for i in np.asarray(tokens[0])
+                               if i != 0)
                 self._n_decoded = total
         else:
             while (total - self._n_decoded >= self.seg

@@ -1,0 +1,297 @@
+"""Transducer (RNN-T) model family: encoder + prediction network + joint.
+
+An extension beyond the reference (which is attention-decoder only,
+/root/reference/seq2seq_model.py; README.md:8-14): the transducer objective
+(Graves 2012, arXiv:1211.3711) marginalizes over monotonic alignments, which
+makes it the streaming-native family — unlike attention, decoding consumes
+encoder frames strictly left to right, so it pairs with a unidirectional
+(-bi_dir false) or chunked encoder for online recognition.
+
+Structure (shares every encoder family via seq2seq.encode):
+- prediction network: LSTM stack over <go>-shifted label embeddings
+  (cfg.decoders["char"]: emb_size / hidden_size_dec / num_layers_dec);
+- additive joint: tanh(enc_proj[t] + pred_proj[u]) -> vocab logits
+  (joint_dim-wide, per Graves 2012 eq. 15-18).
+
+TPU-first memory design: the full joint tensor [B, T, U+1, V] is never
+resident. Per-frame chunks of it are computed inside a lax.scan under
+jax.checkpoint — forward peaks at one [B, t_chunk, U+1, V] block, backward
+recomputes blocks instead of storing softmax residuals — and only the two
+[B, T, U+1]-shaped log-prob lattices feed the alpha recurrence
+(core/transducer_loss.py).
+
+Conventions match the CTC family (models/ctc.py): blank id = 0 (the <pad>
+slot, never a real label); labels carry no <go>/<eos> framing.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_tpu.config import Seq2SeqConfig
+from e2e_asr_tpu.core import rnn
+from e2e_asr_tpu.core.cells import lstm_init, lstm_step, lstm_zero_state
+from e2e_asr_tpu.core.layers import dense, dense_params, dropout, uniform_init
+from e2e_asr_tpu.core.transducer_loss import transducer_loss
+from e2e_asr_tpu.data import text
+from e2e_asr_tpu.models import encoder as encoder_lib
+from e2e_asr_tpu.models import seq2seq
+
+Array = jax.Array
+BLANK_ID = 0
+
+
+def init(key: Array, cfg: Seq2SeqConfig, vocab_size: int) -> dict:
+    """Encoder + prediction net + joint. cfg.num_layers['char'] names the
+    encoder depth whose output feeds the joint (as in models/ctc.py)."""
+    dec = cfg.decoders["char"]
+    ks = iter(jax.random.split(key, 6 + dec.num_layers_dec))
+    max_depth = max(cfg.num_layers.values())
+    attn_size = cfg.encoder.hidden_size * (2 if cfg.encoder.bi_dir else 1)
+    layers = {}
+    in_dim = dec.emb_size
+    for i in range(dec.num_layers_dec):
+        layers[f"layer_{i}"] = lstm_init(next(ks), in_dim, dec.hidden_size_dec)
+        in_dim = dec.hidden_size_dec
+    return {
+        "encoder": encoder_lib.init(next(ks), cfg.encoder, max_depth,
+                                    cfg.feat_length),
+        "pred": {
+            # Embedding init U(-1,1) matches the decoder's (decoder.py:99).
+            "embedding": uniform_init(next(ks), (vocab_size, dec.emb_size), 1.0),
+            **layers,
+        },
+        "joint": {
+            "enc_proj": dense_params(next(ks), attn_size, dec.joint_dim),
+            "pred_proj": dense_params(next(ks), dec.hidden_size_dec,
+                                      dec.joint_dim),
+            "out": dense_params(next(ks), dec.joint_dim, vocab_size),
+        },
+    }
+
+
+def pred_states(params: dict, cfg: Seq2SeqConfig, labels: Array,
+                label_lens: Array, *, train: bool = False,
+                rng: Array | None = None, compute_dtype=None) -> Array:
+    """Teacher-forced prediction-network outputs.
+
+    labels: [B, U] token ids (0-padded). Returns [B, U+1, P] where position u
+    is the state after consuming labels[:u] (position 0 has seen only <go>).
+    """
+    dec = cfg.decoders["char"]
+    B, U = labels.shape
+    ids = jnp.concatenate(
+        [jnp.full((B, 1), text.GO_ID, labels.dtype), labels], axis=1)
+    x = params["embedding"][ids]                       # [B, U+1, E]
+    x = jnp.swapaxes(x, 0, 1)                          # [U+1, B, E]
+    lens = label_lens.astype(jnp.int32) + 1
+    for i in range(dec.num_layers_dec):
+        if train and dec.out_prob_dec < 1.0:
+            rng, k = jax.random.split(rng)
+            x = dropout(k, x, dec.out_prob_dec)
+        x = rnn.lstm_scan(params[f"layer_{i}"], x, lens,
+                          compute_dtype=compute_dtype)
+    return jnp.swapaxes(x, 0, 1)                       # [B, U+1, P]
+
+
+def _joint_chunk(out_params: dict, enc_chunk: Array, pred_proj: Array,
+                 labels: Array, compute_dtype) -> tuple[Array, Array]:
+    """Joint log-probs for a chunk of frames.
+
+    enc_chunk: [B, c, J]; pred_proj: [B, U+1, J]; labels: [B, U].
+    Returns (blank_lp [B, c, U+1], label_lp [B, c, U]) in float32.
+    """
+    joint = jnp.tanh(enc_chunk[:, :, None, :] + pred_proj[:, None, :, :])
+    logits = dense(out_params, joint, compute_dtype=compute_dtype)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    blank_lp = lp[..., BLANK_ID]                                 # [B, c, U+1]
+    U = labels.shape[1]
+    gathered = jnp.take_along_axis(
+        lp[:, :, :U, :], labels[:, None, :, None].astype(jnp.int32),
+        axis=-1)[..., 0]                                         # [B, c, U]
+    return blank_lp, gathered
+
+
+def lattice_logprobs(params: dict, labels: Array, enc: Array,
+                     pred: Array, *, t_chunk: int = 8,
+                     compute_dtype=None) -> tuple[Array, Array]:
+    """(blank_lp [B,T,U+1], label_lp [B,T,U]) without materializing the full
+    [B,T,U+1,V] joint: frames go through in t_chunk-sized blocks inside a
+    rematerialized lax.scan."""
+    joint = params["joint"]
+    enc_proj = dense(joint["enc_proj"], enc, compute_dtype=compute_dtype)
+    pred_proj = dense(joint["pred_proj"], pred, compute_dtype=compute_dtype)
+    B, T, J = enc_proj.shape
+    pad = (-T) % t_chunk
+    if pad:
+        enc_proj = jnp.pad(enc_proj, ((0, 0), (0, pad), (0, 0)))
+    n = (T + pad) // t_chunk
+    chunks = jnp.swapaxes(enc_proj, 0, 1).reshape(n, t_chunk, B, J)
+    chunks = jnp.swapaxes(chunks, 1, 2)                          # [n, B, c, J]
+
+    step = jax.checkpoint(
+        lambda _, ec: (None, _joint_chunk(joint["out"], ec, pred_proj,
+                                          labels, compute_dtype)))
+    _, (blank_lp, label_lp) = jax.lax.scan(step, None, chunks)
+    # [n, B, c, ...] -> [B, n*c, ...] -> trim the frame padding.
+    blank_lp = jnp.swapaxes(blank_lp, 1, 2).reshape(
+        n * t_chunk, B, -1).swapaxes(0, 1)[:, :T]
+    label_lp = jnp.swapaxes(label_lp, 1, 2).reshape(
+        n * t_chunk, B, -1).swapaxes(0, 1)[:, :T]
+    return blank_lp, label_lp
+
+
+def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
+         rng: Array | None = None, compute_dtype=None, ep_mesh=None,
+         t_chunk: int = 8) -> Array:
+    """Mean transducer NLL. batch: logmel/logmel_len plus `labels` [B, U]
+    (token ids, 0-padded, NO <go>/<eos>) and `label_lens` [B] — the CTC
+    family's label convention (train/step.py:_ctc_labels)."""
+    train = rng is not None
+    aux_sink: list | None = ([] if train and cfg.encoder.moe_experts > 0
+                             else None)
+    if train:
+        rng, rng_pred = jax.random.split(rng)
+    attn_states, _, enc_lens = seq2seq.encode(
+        params, cfg, batch["logmel"], batch["logmel_len"], train=train,
+        rng=rng, compute_dtype=compute_dtype, aux_sink=aux_sink,
+        ep_mesh=ep_mesh)
+    depth = cfg.num_layers["char"]
+    labels, label_lens = batch["labels"], batch["label_lens"]
+    pred = pred_states(params["pred"], cfg, labels, label_lens, train=train,
+                       rng=rng_pred if train else None,
+                       compute_dtype=compute_dtype)
+    blank_lp, label_lp = lattice_logprobs(
+        params, labels, attn_states[depth], pred, t_chunk=t_chunk,
+        compute_dtype=compute_dtype)
+    per_example = transducer_loss(blank_lp, label_lp, enc_lens[depth],
+                                  label_lens)
+    total = jnp.mean(per_example)
+    if aux_sink:
+        total = total + cfg.encoder.moe_aux_weight * sum(aux_sink)
+    return total
+
+
+def _pred_step(pred_params: dict, cfg: Seq2SeqConfig, token: Array, states):
+    """One prediction-network step. token: [B] ids; states: tuple of
+    LSTMState per layer. Returns (top output [B, P], new states)."""
+    dec = cfg.decoders["char"]
+    x = pred_params["embedding"][token]
+    new_states = []
+    for i in range(dec.num_layers_dec):
+        x, st = lstm_step(pred_params[f"layer_{i}"], x, states[i])
+        new_states.append(st)
+    return x, tuple(new_states)
+
+
+def init_decode_state(params: dict, cfg: Seq2SeqConfig, batch: int, *,
+                      compute_dtype=None):
+    """Fresh greedy-decode state: prediction net after consuming <go>.
+
+    Returns (lstm states tuple, projected pred output [B, J]) — the carry
+    greedy_decode_states threads across streaming chunks."""
+    dec = cfg.decoders["char"]
+    states = tuple(lstm_zero_state((batch,), dec.hidden_size_dec)
+                   for _ in range(dec.num_layers_dec))
+    out, states = _pred_step(params["pred"], cfg,
+                             jnp.full((batch,), text.GO_ID, jnp.int32),
+                             states)
+    pred_p = dense(params["joint"]["pred_proj"], out,
+                   compute_dtype=compute_dtype)
+    return states, pred_p
+
+
+def greedy_decode_states(params: dict, cfg: Seq2SeqConfig, enc: Array,
+                         enc_lens: Array, *, compute_dtype=None,
+                         max_symbols_per_frame: int = 4,
+                         max_output: int | None = None,
+                         init_state=None, return_state: bool = False):
+    """Batched greedy transducer decode from encoder states [B, T_enc, H].
+
+    Standard algorithm: at frame t, emit argmax symbols (advancing only the
+    prediction network) until blank or max_symbols_per_frame, then t += 1 —
+    all examples in one `lax.while_loop` with per-example frame/emit
+    counters. Returns [B, max_output] token ids in emission order
+    (left-packed, 0-padded) — the CTC evaluator's output contract.
+
+    Streaming: pass the previous chunk's state via init_state (from
+    init_decode_state / a prior return_state=True call) and set
+    return_state=True to also get the carry for the next chunk; decoding is
+    then exactly equal to one pass over the concatenated encoder states
+    (the monotonic-decoder property the attention family lacks).
+    """
+    dec = cfg.decoders["char"]
+    cap = max_output or dec.max_output
+    joint = params["joint"]
+    enc_proj = dense(joint["enc_proj"], enc, compute_dtype=compute_dtype)
+    B, T, J = enc_proj.shape
+    b_idx = jnp.arange(B)
+    t_lens = enc_lens.astype(jnp.int32)
+
+    if init_state is None:
+        states0, pred_p0 = init_decode_state(params, cfg, B,
+                                             compute_dtype=compute_dtype)
+    else:
+        states0, pred_p0 = init_state
+
+    def cond(carry):
+        return jnp.any(~carry["done"])
+
+    def body(carry):
+        t = carry["t"]
+        enc_t = enc_proj[b_idx, jnp.clip(t, 0, T - 1)]           # [B, J]
+        logits = dense(joint["out"], jnp.tanh(enc_t + carry["pred_p"]),
+                       compute_dtype=compute_dtype)
+        pick = jnp.argmax(logits, axis=-1).astype(jnp.int32)     # [B]
+        emit = ((pick != BLANK_ID) & (carry["emit"] < max_symbols_per_frame)
+                & (carry["n"] < cap) & ~carry["done"])
+        # Record emitted tokens at each example's write position.
+        cur = carry["tokens"][b_idx, jnp.clip(carry["n"], 0, cap - 1)]
+        tokens = carry["tokens"].at[
+            b_idx, jnp.clip(carry["n"], 0, cap - 1)].set(
+            jnp.where(emit, pick, cur))
+        # Advance the prediction network only where a symbol was emitted.
+        out, new_states = _pred_step(params["pred"], cfg, pick,
+                                     carry["states"])
+        pred_p_new = dense(joint["pred_proj"], out,
+                           compute_dtype=compute_dtype)
+        sel = lambda new, old: jnp.where(
+            emit.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+        states = jax.tree_util.tree_map(sel, new_states, carry["states"])
+        pred_p = sel(pred_p_new, carry["pred_p"])
+        advance = ~emit & ~carry["done"]
+        t = t + advance.astype(jnp.int32)
+        n = carry["n"] + emit.astype(jnp.int32)
+        emit_n = jnp.where(emit, carry["emit"] + 1, 0)
+        done = carry["done"] | (t >= t_lens) | (n >= cap)
+        return {"t": t, "n": n, "emit": emit_n, "states": states,
+                "pred_p": pred_p, "tokens": tokens, "done": done}
+
+    carry = {
+        "t": jnp.zeros((B,), jnp.int32),
+        "n": jnp.zeros((B,), jnp.int32),
+        "emit": jnp.zeros((B,), jnp.int32),
+        "states": states0,
+        "pred_p": pred_p0,
+        "tokens": jnp.zeros((B, cap), jnp.int32),
+        "done": t_lens <= 0,
+    }
+    final = jax.lax.while_loop(cond, body, carry)
+    if return_state:
+        return final["tokens"], (final["states"], final["pred_p"])
+    return final["tokens"]
+
+
+def greedy_decode(params: dict, cfg: Seq2SeqConfig, feats: Array,
+                  feat_lens: Array, *, compute_dtype=None,
+                  max_symbols_per_frame: int = 4) -> Array:
+    """End-to-end greedy decode: features -> token ids [B, max_output]."""
+    attn_states, _, enc_lens = seq2seq.encode(
+        params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
+    depth = cfg.num_layers["char"]
+    return greedy_decode_states(
+        params, cfg, attn_states[depth], enc_lens[depth],
+        compute_dtype=compute_dtype,
+        max_symbols_per_frame=max_symbols_per_frame)

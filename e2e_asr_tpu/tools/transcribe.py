@@ -137,6 +137,14 @@ def main(argv=None) -> list[str]:
                     window=window, margin=margin,
                     beam_size=cfg.beam.beam_size,
                     compute_dtype=compute_dtype)
+            elif cfg.model.model_family == "transducer":
+                # The transducer decoder is monotonic: one left-to-right
+                # pass at any length, no segmentation needed.
+                ids = longform.transcribe_transducer_longform(
+                    params, cfg.model, jnp.asarray(feats),
+                    window=window, margin=margin,
+                    beam_size=cfg.beam.beam_size,
+                    compute_dtype=compute_dtype)
             elif segment > 0:
                 ids = longform.transcribe_segmented(
                     params, cfg.model, jnp.asarray(feats),

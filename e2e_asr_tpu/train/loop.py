@@ -36,7 +36,8 @@ from e2e_asr_tpu.core.summary import SummaryWriter
 from e2e_asr_tpu.data import text
 from e2e_asr_tpu.data.lm import LMDataset
 from e2e_asr_tpu.data.speech import SpeechDataset
-from e2e_asr_tpu.eval.greedy import CTCEvaluator, GreedyEvaluator
+from e2e_asr_tpu.eval.greedy import (CTCEvaluator, GreedyEvaluator,
+                                     TransducerEvaluator)
 from e2e_asr_tpu.models import seq2seq
 from e2e_asr_tpu.train import step as step_lib
 
@@ -302,8 +303,9 @@ class Trainer:
         lm_iter = None
 
         rev_vocab = self._load_rev_vocab()
-        eval_cls = (CTCEvaluator if cfg.model_family == "ctc"
-                    else GreedyEvaluator)
+        eval_cls = {"ctc": CTCEvaluator,
+                    "transducer": TransducerEvaluator}.get(
+            cfg.model_family, GreedyEvaluator)
         evaluator = (eval_cls(cfg, rev_vocab, tc.best_model_dir,
                               compute_dtype=self.compute_dtype)
                      if dev_set is not None and rev_vocab else None)

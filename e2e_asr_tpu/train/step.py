@@ -90,6 +90,10 @@ def init_params(key, model_cfg: Seq2SeqConfig) -> dict:
         from e2e_asr_tpu.models import ctc
         return ctc.init(key, model_cfg,
                         vocab_size=model_cfg.decoders["char"].vocab_size)
+    if model_cfg.model_family == "transducer":
+        from e2e_asr_tpu.models import transducer
+        return transducer.init(key, model_cfg,
+                               vocab_size=model_cfg.decoders["char"].vocab_size)
     if model_cfg.ctc_weight > 0:
         from e2e_asr_tpu.models import hybrid
         return hybrid.init(key, model_cfg)
@@ -186,6 +190,14 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             total = ctc.loss(params, model_cfg, cb, rng=rng,
                              compute_dtype=compute_dtype, ep_mesh=ep_mesh)
             return total, {"ctc": total}
+        if model_cfg.model_family == "transducer":
+            from e2e_asr_tpu.models import transducer
+            tb = dict(batch)
+            tb["labels"], tb["label_lens"] = _ctc_labels(batch)
+            total = transducer.loss(params, model_cfg, tb, rng=rng,
+                                    compute_dtype=compute_dtype,
+                                    ep_mesh=ep_mesh)
+            return total, {"transducer": total}
         if model_cfg.ctc_weight > 0:
             from e2e_asr_tpu.models import hybrid
             hb = dict(batch)

@@ -160,6 +160,39 @@ def test_cli_ctc_family_flag_guards(workspace):
                                    "-ctc_weight", "0.5"]))
 
 
+def test_cli_transducer_family(workspace):
+    """-model_family transducer trains the RNN-T recognizer through the CLI
+    and evaluates with batched greedy and with the time-synchronous beam."""
+    root = workspace
+    extra = ["-model_family", "transducer", "-run_id", "14", "-nlc", "2",
+             "-joint_dim", "8"]
+    cfg = parse_options(_args(root, extra))
+    assert cfg.model.model_family == "transducer"
+    assert "rnnt_" in cfg.train.train_dir
+    assert cfg.model.decoders["char"].joint_dim == 8
+    launch_train(cfg)
+    ckpts = glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
+    assert ckpts
+    import numpy as np
+    with np.load(ckpts[0]) as z:
+        assert any(k.startswith("params/pred/") for k in z.files)
+        assert any(k.startswith("params/joint/") for k in z.files)
+        assert not any("decoder_char" in k for k in z.files)
+
+    launch_eval(parse_options(_args(root, extra + ["-dev"])))
+    launch_eval(parse_options(_args(root, extra + ["-dev", "-beam_size", "2"])))
+
+
+def test_cli_transducer_family_flag_guards(workspace):
+    root = workspace
+    with pytest.raises(ValueError):
+        parse_options(_args(root, ["-model_family", "transducer",
+                                   "-lm_prob", "0.1"]))
+    with pytest.raises(ValueError):
+        parse_options(_args(root, ["-model_family", "transducer",
+                                   "-ctc_weight", "0.5"]))
+
+
 def test_cli_transformer_encoder_family(workspace):
     """-encoder_type transformer (+ conformer options) trains and evals
     through the CLI; run dir carries the xfmr tag."""

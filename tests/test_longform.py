@@ -159,6 +159,24 @@ def test_transcribe_ctc_longform_paths():
         assert np.all(np.asarray(ids) > 0)      # blanks/pads stripped
 
 
+def test_transcribe_transducer_longform_paths():
+    """Transducer long-form decode (greedy and beam) over stitched
+    chunked-encoder states; one monotonic pass, no segmentation."""
+    import dataclasses as dc
+
+    from e2e_asr_tpu.models import transducer as rnnt_lib
+    cfg = dc.replace(tiny_cfg(), model_family="transducer")
+    params = rnnt_lib.init(jax.random.PRNGKey(11), cfg,
+                           vocab_size=cfg.decoders["char"].vocab_size)
+    r = longform.reduction_factor(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(12), (70, cfg.feat_length))
+    for beam in (1, 3):
+        ids = longform.transcribe_transducer_longform(
+            params, cfg, feats, window=8 * r, margin=2 * r, beam_size=beam)
+        assert ids.ndim == 1
+        assert np.all(np.asarray(ids) > 0)      # blank never emitted
+
+
 def test_transcribe_segmented_batches_and_concatenates():
     cfg = tiny_cfg()
     params = seq2seq.init(jax.random.PRNGKey(6), cfg)

@@ -79,6 +79,26 @@ def test_push_granularity_invariance_ctc(tmp_path):
     assert out1 == st1.transcript
 
 
+def test_push_granularity_invariance_transducer(tmp_path):
+    from e2e_asr_tpu.models import transducer as rnnt_lib
+
+    rev = _vocab(tmp_path)
+    cfg = _stream_cfg(model_family="transducer")
+    params = rnnt_lib.init(jax.random.PRNGKey(4), cfg, vocab_size=37)
+    wave = _wave(seed=9)
+    kw = dict(window=16, margin=4, n_mels=cfg.feat_length)
+
+    st1 = StreamingTranscriber(params, cfg, rev, **kw)
+    out1 = st1.push(wave) + st1.finish()
+
+    st2 = StreamingTranscriber(params, cfg, rev, **kw)
+    for block in np.array_split(wave, 13):
+        st2.push(block)
+    st2.finish()
+    assert st1.transcript == st2.transcript
+    assert out1 == st1.transcript
+
+
 def test_streaming_emits_incrementally(tmp_path):
     """With enough audio, some text must be finalized BEFORE finish()."""
     rev = _vocab(tmp_path)
