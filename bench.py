@@ -232,6 +232,63 @@ def _measure_gru(jax, jnp, rng):
             "frames_per_sec": TRAIN_B * TRAIN_T / best}
 
 
+def _measure_transducer(jax, jnp, rng):
+    """Train-step throughput + batched greedy-decode RTFx for the
+    transducer (RNN-T) family (models/transducer.py): lattice loss as a
+    frame scan with a log-semiring associative_scan over labels, joint in
+    rematerialized chunks; decode is one lax.while_loop."""
+    import dataclasses
+
+    from __graft_entry__ import _batch, _model_cfg
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.models import transducer
+    from e2e_asr_tpu.train import step as step_lib
+
+    cfg = _model_cfg(vocab_size=VOCAB, feat=FEAT)
+    cfg = dataclasses.replace(cfg, model_family="transducer")
+    lm_cfg = LMConfig(vocab_size=VOCAB)
+    params = step_lib.init_params(jax.random.PRNGKey(0), cfg)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    asr_step, _ = step_lib.make_train_step(cfg, lm_cfg,
+                                           compute_dtype=jnp.bfloat16)
+    asr_step = jax.jit(asr_step, donate_argnums=0)
+    batch = _batch(rng, B=TRAIN_B, T=TRAIN_T, feat=FEAT, L=TRAIN_L,
+                   vocab=VOCAB)
+    key = jax.random.PRNGKey(1)
+    state, m = asr_step(state, batch, key)
+    float(m["loss"])
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, m = asr_step(state, batch, key)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / 10)
+
+    # Batched greedy decode (streaming-native path), pipelined dispatch.
+    B_dec = 8
+    feats = jnp.asarray(rng.normal(size=(B_dec, DECODE_T, FEAT))
+                        .astype(np.float32))
+    feat_lens = jnp.full((B_dec,), DECODE_T, jnp.int32)
+    decode = jax.jit(lambda p, f, l: transducer.greedy_decode(
+        p, cfg, f, l, compute_dtype=jnp.bfloat16))
+    toks = decode(state.params, feats, feat_lens)
+    float(toks.sum())
+    dec_best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            toks = decode(state.params, feats, feat_lens)
+        float(toks.sum())
+        dec_best = min(dec_best, (time.perf_counter() - t0) / 5)
+    audio_s = B_dec * DECODE_T * FRAME_HOP_S
+    return {"step_ms": best * 1e3,
+            "frames_per_sec": TRAIN_B * TRAIN_T / best,
+            "greedy_decode_ms": dec_best * 1e3,
+            "greedy_decode_rtfx": audio_s / dec_best,
+            "greedy_decode_B": B_dec}
+
+
 def _measure_driver(jax, jnp):
     """Driver-level frames/sec on a synthetic bucket-0 corpus through the
     real Trainer data path."""
@@ -406,6 +463,7 @@ def main() -> None:
     full_recipe = _measure_full_recipe(jax, jnp, rng)
     transformer = _measure_transformer(jax, jnp, rng)
     gru = _measure_gru(jax, jnp, rng)
+    rnnt = _measure_transducer(jax, jnp, rng)
     driver_fps, driver_resident_fps = _measure_driver(jax, jnp)
     decode_rows = _measure_decode(jax, jnp, cfg, rng)
     serving = _measure_serving(jax, jnp, cfg, rng)
@@ -418,6 +476,7 @@ def main() -> None:
         "full_recipe": full_recipe,
         "transformer_encoder": transformer,
         "gru_family": gru,
+        "transducer_family": rnnt,
         "driver_frames_per_sec": driver_fps,
         "driver_over_step_ratio": driver_fps / frames_per_sec,
         "driver_resident_frames_per_sec": driver_resident_fps,

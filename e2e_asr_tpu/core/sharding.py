@@ -18,9 +18,15 @@ def _spec_for(path_str: str, shape, n_model: int) -> P:
     when divisible by the axis size (SWBD-style vocabs are arbitrary);
     otherwise the leaf stays replicated."""
     if n_model > 1 and len(shape) >= 1:
-        if path_str.endswith("output_proj/kernel") and shape[-1] % n_model == 0:
+        # Vocab-sized output projections: the attention decoder's softmax
+        # and the transducer joint's output layer.
+        vocab_kernel = (path_str.endswith("output_proj/kernel")
+                        or path_str.endswith("joint/out/kernel"))
+        vocab_bias = (path_str.endswith("output_proj/bias")
+                      or path_str.endswith("joint/out/bias"))
+        if vocab_kernel and shape[-1] % n_model == 0:
             return P(None, "model")        # [H, V] sharded on vocab
-        if path_str.endswith("output_proj/bias") and shape[-1] % n_model == 0:
+        if vocab_bias and shape[-1] % n_model == 0:
             return P("model")              # [V]
         if path_str.endswith("embedding") and shape[0] % n_model == 0:
             return P("model", None)        # [V, emb] sharded on vocab

@@ -36,6 +36,59 @@ from e2e_asr_tpu.data import text
 from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
 
 
+def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
+                         compute_dtype=None):
+    """decode(params, batch) -> (tokens [B, L], lens [B], scores [B]) for
+    any model family: attention beam (the reference-parity path), CTC
+    best-path/prefix beam, or transducer greedy/time-synchronous beam.
+    Every variant dequantizes int8 trees inside the jit."""
+    import jax
+
+    from e2e_asr_tpu.core import quant
+
+    if cfg.model_family == "transducer":
+        @jax.jit
+        def run(params, feats, feat_lens):
+            params = quant.maybe_dequantize(params)
+            if beam_cfg.beam_size > 1:
+                from e2e_asr_tpu.eval.transducer_beam import \
+                    transducer_beam_search
+                tokens, lens = transducer_beam_search(
+                    params, cfg, feats, feat_lens,
+                    beam_size=beam_cfg.beam_size,
+                    compute_dtype=compute_dtype)
+            else:
+                from e2e_asr_tpu.models import transducer
+                tokens = transducer.greedy_decode(
+                    params, cfg, feats, feat_lens,
+                    compute_dtype=compute_dtype)
+                lens = (tokens != 0).sum(axis=-1)
+            return tokens, lens, jnp.zeros(tokens.shape[0], jnp.float32)
+    elif cfg.model_family == "ctc":
+        @jax.jit
+        def run(params, feats, feat_lens):
+            params = quant.maybe_dequantize(params)
+            if beam_cfg.beam_size > 1:
+                from e2e_asr_tpu.eval.ctc_beam import ctc_beam_search
+                tokens, lens = ctc_beam_search(
+                    params, cfg, feats, feat_lens,
+                    beam_size=beam_cfg.beam_size,
+                    compute_dtype=compute_dtype)
+            else:
+                from e2e_asr_tpu.models import ctc
+                tokens = ctc.greedy_decode(params, cfg, feats, feat_lens,
+                                           compute_dtype=compute_dtype)
+                lens = (tokens != 0).sum(axis=-1)
+            return tokens, lens, jnp.zeros(tokens.shape[0], jnp.float32)
+    else:
+        return make_beam_decoder(cfg, beam_cfg, compute_dtype=compute_dtype)
+
+    def decode(params, batch):
+        return run(params, batch["logmel"], batch["logmel_len"])
+
+    return decode
+
+
 @dataclass
 class ServingStats:
     requests: int = 0
@@ -82,7 +135,7 @@ class BatchingTranscriber:
         self.max_batch = int(max_batch)
         self.max_wait_s = max_wait_ms / 1e3
         self.stats = ServingStats()
-        self._decode = make_beam_decoder(
+        self._decode = _make_family_decoder(
             cfg, beam_cfg or BeamConfig(beam_size=4,
                                         max_steps=cfg.max_output["char"]),
             compute_dtype=compute_dtype)

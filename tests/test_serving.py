@@ -50,6 +50,57 @@ def test_batched_equals_one_by_one(setup):
     assert got == want
 
 
+@pytest.mark.parametrize("beam", [1, 2])
+def test_transducer_family_serving(setup, beam):
+    """The engine serves the transducer family (greedy and beam): batched
+    == one-by-one, same row-independence contract."""
+    import dataclasses
+
+    from e2e_asr_tpu.models import transducer
+
+    cfg0, _, rev_vocab = setup
+    cfg = dataclasses.replace(cfg0, model_family="transducer")
+    params = transducer.init(jax.random.PRNGKey(5), cfg,
+                             vocab_size=cfg.decoders["char"].vocab_size)
+    rng = np.random.default_rng(2)
+    lengths = [16, 40, 33, 60]
+    feats = [_feats(rng, T) for T in lengths]
+    kw = dict(beam_cfg=BeamConfig(beam_size=beam, max_steps=16),
+              bucket_frames=(32, 64))
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=4,
+                             max_wait_ms=50, **kw) as batched:
+        got = [f.result(timeout=120) for f in
+               [batched.submit(x) for x in feats]]
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=1,
+                             max_wait_ms=1, **kw) as single:
+        want = [single.transcribe(x) for x in feats]
+    assert got == want
+
+
+def test_ctc_family_serving(setup):
+    """The engine serves the pure-CTC family (best-path)."""
+    import dataclasses
+
+    from e2e_asr_tpu.models import ctc as ctc_lib
+
+    cfg0, _, rev_vocab = setup
+    cfg = dataclasses.replace(cfg0, model_family="ctc")
+    params = ctc_lib.init(jax.random.PRNGKey(6), cfg,
+                          vocab_size=cfg.decoders["char"].vocab_size)
+    rng = np.random.default_rng(3)
+    feats = [_feats(rng, T) for T in (16, 40, 33, 60)]
+    kw = dict(beam_cfg=BeamConfig(beam_size=1, max_steps=16),
+              bucket_frames=(32, 64))
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=4,
+                             max_wait_ms=50, **kw) as batched:
+        got = [f.result(timeout=120) for f in
+               [batched.submit(x) for x in feats]]
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=1,
+                             max_wait_ms=1, **kw) as single:
+        want = [single.transcribe(x) for x in feats]
+    assert got == want
+
+
 def test_batching_occupancy(setup):
     """Same-bucket requests submitted together pack into few batches."""
     cfg, params, rev_vocab = setup
