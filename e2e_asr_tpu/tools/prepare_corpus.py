@@ -96,15 +96,19 @@ def read_audio(audio_path: str) -> tuple[np.ndarray, int]:
 
 
 def featurize_entries(entries, vocab: dict[str, int], *, n_mels: int = 80,
-                      verbose_every: int = 500):
-    """Yield (utt_id, logmel [T,F] f32, char int64) per entry."""
+                      verbose_every: int = 500, encode_fn=None):
+    """Yield (utt_id, logmel [T,F] f32, char int64) per entry.
+
+    encode_fn(sentence, vocab) -> ids; defaults to the char-level encoder
+    (BPE corpora pass data/bpe.sentence_to_ids_bpe)."""
     from e2e_asr_tpu.frontend.logmel import featurize_utterance
 
+    encode_fn = encode_fn or sentence_to_ids
     for i, (utt_id, audio_path, transcript) in enumerate(entries):
         wave_f32, sr = read_audio(audio_path)
         feats = featurize_utterance(wave_f32, sample_rate=sr, n_mels=n_mels)
         char = np.asarray(
-            sentence_to_ids(normalize_transcript(transcript), vocab),
+            encode_fn(normalize_transcript(transcript), vocab),
             dtype=np.int64)
         if verbose_every and (i + 1) % verbose_every == 0:
             print(f"  featurized {i + 1}/{len(entries)}")
@@ -144,11 +148,12 @@ def write_split(utts: list[tuple[str, np.ndarray, np.ndarray]],
 
 
 def write_lm_from_transcripts(transcripts: list[str], vocab: dict[str, int],
-                              out_path: str) -> None:
+                              out_path: str, encode_fn=None) -> None:
+    encode_fn = encode_fn or sentence_to_ids
     os.makedirs(path.dirname(out_path), exist_ok=True)
     records = []
     for t in transcripts:
-        ids = np.asarray(sentence_to_ids(normalize_transcript(t), vocab),
+        ids = np.asarray(encode_fn(normalize_transcript(t), vocab),
                          dtype=np.int64)
         context = {"cint_len": pb.encode_int64_feature([len(ids) - 1])}
         feature_lists = {"cint": [pb.encode_int64_feature([c]) for c in ids]}
@@ -158,13 +163,24 @@ def write_lm_from_transcripts(transcripts: list[str], vocab: dict[str, int],
 
 def prepare(out_dir: str, train_entries, dev_entries=(), test_entries=(),
             *, n_mels: int = 80, num_buckets: int = 5,
-            shard_size: int = 512) -> dict:
-    """Full preparation. Returns {"vocab_size": ..., counts...}."""
+            shard_size: int = 512, bpe_size: int = 0) -> dict:
+    """Full preparation. Returns {"vocab_size": ..., counts...}.
+
+    bpe_size > 0 learns a subword (BPE) vocabulary of that total size from
+    the training transcripts instead of the reference char vocab
+    (data/bpe.py — same one-file vocab format, merge order = file order;
+    every downstream consumer is unchanged)."""
     if not train_entries:
         print("WARNING: no training utterances found — check -train_dirs/"
               "-train_manifest (LibriSpeech mode needs *.trans.txt files)")
     transcripts = [normalize_transcript(t) for _, _, t in train_entries]
-    rev_vocab = build_vocab(transcripts)
+    encode_fn = None
+    if bpe_size > 0:
+        from e2e_asr_tpu.data.bpe import sentence_to_ids_bpe, train_bpe
+        rev_vocab = train_bpe(transcripts, bpe_size)
+        encode_fn = sentence_to_ids_bpe
+    else:
+        rev_vocab = build_vocab(transcripts)
     vocab = {tok: i for i, tok in enumerate(rev_vocab)}
     write_vocabulary(path.join(out_dir, "vocab", "char.vocab"), rev_vocab)
     print(f"vocab: {len(rev_vocab)} tokens")
@@ -177,13 +193,15 @@ def prepare(out_dir: str, train_entries, dev_entries=(), test_entries=(),
         if not entries:
             continue
         print(f"{prefix}: featurizing {len(entries)} utterances")
-        utts = list(featurize_entries(entries, vocab, n_mels=n_mels))
+        utts = list(featurize_entries(entries, vocab, n_mels=n_mels,
+                                      encode_fn=encode_fn))
         write_split(utts, tfr, prefix, num_buckets=buckets,
                     shard_size=shard_size)
         counts[prefix] = len(utts)
 
     write_lm_from_transcripts(transcripts, vocab,
-                              path.join(tfr, "lm", "lm.0001"))
+                              path.join(tfr, "lm", "lm.0001"),
+                              encode_fn=encode_fn)
     print(f"LM corpus: {len(transcripts)} sequences")
     return {"vocab_size": len(rev_vocab), **counts}
 
@@ -200,6 +218,9 @@ def main(argv=None) -> None:
     p.add_argument("-n_mels", type=int, default=80)
     p.add_argument("-num_buckets", type=int, default=5)
     p.add_argument("-shard_size", type=int, default=512)
+    p.add_argument("-bpe_size", type=int, default=0,
+                   help="learn a subword (BPE) vocab of this total size "
+                        "instead of the char vocab (0 = chars, reference)")
     args = p.parse_args(argv)
 
     def gather(dirs, manifest):
@@ -215,7 +236,7 @@ def main(argv=None) -> None:
                     gather(args.dev_dirs, args.dev_manifest),
                     gather(args.test_dirs, args.test_manifest),
                     n_mels=args.n_mels, num_buckets=args.num_buckets,
-                    shard_size=args.shard_size)
+                    shard_size=args.shard_size, bpe_size=args.bpe_size)
     print(stats)
 
 

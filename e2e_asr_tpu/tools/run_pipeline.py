@@ -77,7 +77,8 @@ def run(args, extra_flags: list[str]) -> str:
         print(f"[pipeline] prepare: train={train_dirs} dev={dev_dirs} "
               f"test={test_dirs}")
         prep_argv = ["-out", out, "-n_mels", str(args.n_mels),
-                     "-num_buckets", str(args.num_buckets)]
+                     "-num_buckets", str(args.num_buckets),
+                     "-bpe_size", str(args.bpe_size)]
         if train_dirs:
             prep_argv += ["-train_dirs", *train_dirs]
         if dev_dirs:
@@ -177,6 +178,8 @@ def main(argv=None) -> None:
     p.add_argument("-test_manifest", default="")
     p.add_argument("-n_mels", type=int, default=80)
     p.add_argument("-num_buckets", type=int, default=5)
+    p.add_argument("-bpe_size", type=int, default=0,
+                   help="subword (BPE) vocab size for prepare (0 = chars)")
     p.add_argument("-skip_prepare", action="store_true")
     p.add_argument("-skip_train", action="store_true")
     args, extra = p.parse_known_args(argv)

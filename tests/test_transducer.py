@@ -297,3 +297,13 @@ def test_transducer_overfit_and_decode(rng):
     for b in range(4):
         got = [t for t in decoded[b] if t != 0]
         assert got == list(labels[b]), (b, got, labels[b])
+
+    # Int8 weight-only quantization (core/quant.py) preserves the decode
+    # on the trained model — the serving parity contract for this family.
+    from e2e_asr_tpu.core import quant
+
+    q_decoded = np.asarray(jax.jit(
+        lambda p, f, l: transducer.greedy_decode(
+            quant.maybe_dequantize(p), cfg, f, l))(
+        quant.quantize(params), batch["logmel"], batch["logmel_len"]))
+    np.testing.assert_array_equal(q_decoded, decoded)
