@@ -233,6 +233,35 @@ def test_greedy_decode_zero_length_is_empty():
     assert (out[0] == 0).all()
 
 
+def test_transducer_over_transformer_encoder(rng):
+    """The family composes with the transformer encoder (any-encoder API):
+    loss finite, grads flow to blocks/pred/joint, greedy decode shapes."""
+    import dataclasses
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(cfg, encoder=dataclasses.replace(
+        cfg.encoder, encoder_type="transformer", num_heads=2, ffn_mult=2,
+        subsample=4, hidden_size=8))
+    params = transducer.init(jax.random.PRNGKey(9), cfg, vocab_size=12)
+    batch = {
+        "logmel": jnp.asarray(rng.normal(size=(2, 16, 4)).astype(np.float32)),
+        "logmel_len": jnp.array([16, 12]),
+        "labels": jnp.asarray([[3, 4, 5, 0], [6, 7, 0, 0]], dtype=jnp.int32),
+        "label_lens": jnp.array([3, 2]),
+    }
+    l, grads = jax.value_and_grad(
+        lambda p: transducer.loss(p, cfg, batch,
+                                  rng=jax.random.PRNGKey(2)))(params)
+    assert np.isfinite(float(l))
+    for part in ("encoder", "pred", "joint"):
+        tot = sum(np.abs(np.asarray(g)).sum()
+                  for g in jax.tree_util.tree_leaves(grads[part]))
+        assert tot > 0, part
+    out = transducer.greedy_decode(params, cfg, batch["logmel"],
+                                   batch["logmel_len"])
+    assert out.shape == (2, cfg.decoders["char"].max_output)
+
+
 def test_greedy_chunked_state_carry_exact(rng):
     """Streaming property: decoding encoder states chunk-by-chunk with the
     carried prediction-net state equals one pass over the whole sequence —
