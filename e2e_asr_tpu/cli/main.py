@@ -134,7 +134,9 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         evaluator = TransducerEvaluator(cfg.model, rev_vocab,
                                         tc.best_model_dir,
                                         compute_dtype=compute_dtype,
-                                        beam_size=cfg.beam.beam_size)
+                                        beam_size=cfg.beam.beam_size,
+                                        lm_params=lm_params,
+                                        lm_weight=cfg.beam.lm_weight)
         evaluator(eval_params, dev_set.epoch())
     elif (cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0
           and cfg.beam.ctc_rescore == 0.0):

@@ -20,12 +20,20 @@ Properties:
   alignments are NOT merged mid-search, so a prefix's mass may split across
   beam slots. Merging needs content-addressed state; fixed-shape
   implementations conventionally skip it.
+- Optional RNN-LM shallow fusion (the reference wires an external LM into
+  its attention beam, beam_search.py:111-134; the transducer form scores
+  LABEL emissions only — blank is a lattice transition the LM has no notion
+  of): score = log p_rnnt + lm_weight * log p_lm(label | emitted prefix).
+  The LM state advances only on emissions, exactly like eval/beam.py's
+  fusion LM. Pinned by an exhaustive-enumeration oracle in
+  tests/test_transducer_beam.py.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
+from e2e_asr_tpu.core import cells
 from e2e_asr_tpu.core.cells import lstm_zero_state
 from e2e_asr_tpu.core.layers import dense
 from e2e_asr_tpu.data import text
@@ -38,15 +46,20 @@ NEG_INF = -1e30
 
 def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
                            beam_size: int = 8, max_expansions: int = 3,
-                           compute_dtype=None, max_output: int | None = None
+                           compute_dtype=None, max_output: int | None = None,
+                           lm_params: dict | None = None,
+                           lm_weight: float = 0.0
                            ) -> tuple[Array, Array, Array]:
     """Beam search over encoder states.
 
     Args:
         enc: [B, T_enc, H] encoder outputs; enc_lens: [B].
+        lm_params: optional external fusion LM
+            ({"embedding","lstm","output_proj"[,"simple_proj"]}, the
+            rnn_lm.shared_lm_params layout) — engaged when lm_weight != 0.
     Returns:
         (tokens [B, k, cap] int32 0-padded in emission order,
-         lens [B, k] int32, scores [B, k] alignment log-probs),
+         lens [B, k] int32, scores [B, k] fused alignment log-probs),
         beams sorted best-first.
     """
     dec = cfg.decoders["char"]
@@ -81,6 +94,15 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         "states": states0,
         "pred_p": pred_p0,
     }
+    use_lm = lm_params is not None and lm_weight != 0.0
+    if use_lm:
+        # Checkpoint-loaded LMs arrive as numpy arrays; the embedding gather
+        # below indexes with traced ids, which numpy rejects.
+        lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params)
+        lm_hidden = lm_params["lstm"]["bias"].shape[0] // 4
+        carry0["lm_state"] = cells.lstm_zero_state((B, k), lm_hidden)
+        carry0["lm_in"] = lm_params["embedding"][
+            jnp.full((B, k), text.GO_ID, jnp.int32)]
 
     def logprobs(enc_t, pred_p):
         logits = dense(joint["out"], jnp.tanh(enc_t[:, None, :] + pred_p),
@@ -98,6 +120,18 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
             ext = jnp.full((B, k, V), NEG_INF)
         else:
             ext = c["score"][:, :, None] + lp                # [B, k, V]
+            if use_lm:
+                # Shallow fusion on LABEL emissions only; blank's slot is
+                # overwritten with NEG_INF below, so adding lm_lp everywhere
+                # first is safe.
+                lm_out, lm_new = cells.lstm_step(
+                    lm_params["lstm"], c["lm_in"], c["lm_state"])
+                if "simple_proj" in lm_params:
+                    lm_out = dense(lm_params["simple_proj"], lm_out)
+                lm_lp = jax.nn.log_softmax(
+                    dense(lm_params["output_proj"], lm_out
+                          ).astype(jnp.float32), axis=-1)
+                ext = ext + lm_weight * lm_lp
             ext = ext.at[:, :, BLANK_ID].set(NEG_INF)
             ext = jnp.where((c["n"] >= cap)[:, :, None], NEG_INF, ext)
         cand = jnp.concatenate([stay, ext.reshape(B, k * V)], axis=1)
@@ -106,9 +140,14 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         parent = jnp.where(is_stay, idx, (idx - k) // V)
         token = jnp.where(is_stay, 0, (idx - k) % V).astype(jnp.int32)
 
-        new = gather_beam({"tokens": c["tokens"], "n": c["n"],
-                           "states": c["states"], "pred_p": c["pred_p"]},
-                          parent)
+        gathered = {"tokens": c["tokens"], "n": c["n"],
+                    "states": c["states"], "pred_p": c["pred_p"]}
+        if use_lm:
+            gathered["lm_state"] = c["lm_state"]
+            gathered["lm_in"] = c["lm_in"]
+            if not force_blank:
+                gathered["lm_new"] = lm_new
+        new = gather_beam(gathered, parent)
         new_done = jnp.take_along_axis(frame_done, parent, axis=1) | is_stay
         # Emit `token` where extended.
         wrote = new["tokens"].at[
@@ -122,8 +161,20 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         sel = lambda a, b: jnp.where(bcast(~is_stay, a.ndim), a, b)
         states = jax.tree_util.tree_map(sel, states, new["states"])
         pred_p = sel(pred_p_new, new["pred_p"])
-        return ({"score": vals, "tokens": wrote, "n": n, "states": states,
-                 "pred_p": pred_p}, new_done)
+        out_c = {"score": vals, "tokens": wrote, "n": n, "states": states,
+                 "pred_p": pred_p}
+        if use_lm:
+            if force_blank:
+                out_c["lm_state"] = new["lm_state"]
+                out_c["lm_in"] = new["lm_in"]
+            else:
+                # The fusion LM advances only on emissions (stay hyps keep
+                # their pre-step state, like eval/beam.py's lm_state).
+                out_c["lm_state"] = jax.tree_util.tree_map(
+                    sel, new["lm_new"], new["lm_state"])
+                out_c["lm_in"] = sel(lm_params["embedding"][token],
+                                     new["lm_in"])
+        return (out_c, new_done)
 
     def frame_step(carry, xs):
         enc_t, valid = xs                                    # [B, J], [B]
@@ -153,7 +204,8 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
 
 def transducer_beam_search(params: dict, cfg, feats: Array, feat_lens: Array,
                            *, beam_size: int = 8, max_expansions: int = 3,
-                           compute_dtype=None) -> tuple[Array, Array]:
+                           compute_dtype=None, lm_params: dict | None = None,
+                           lm_weight: float = 0.0) -> tuple[Array, Array]:
     """End-to-end: encoder + transducer beam. Returns the best hypothesis's
     (tokens [B, cap], lens [B])."""
     attn_states, _, enc_lens = seq2seq.encode(
@@ -162,5 +214,6 @@ def transducer_beam_search(params: dict, cfg, feats: Array, feat_lens: Array,
     seqs, lens, _ = transducer_beam_decode(
         params, cfg, attn_states[depth], enc_lens[depth],
         beam_size=beam_size, max_expansions=max_expansions,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, lm_params=lm_params,
+        lm_weight=lm_weight)
     return seqs[:, 0], lens[:, 0]

@@ -108,6 +108,128 @@ def test_beam_sorted_and_padded():
             assert (seqs[b, j, lens[b, j]:] == 0).all()
 
 
+def _make_lm(vocab: int, seed: int = 7, hid: int = 16):
+    """Small external fusion LM in the rnn_lm.shared_lm_params layout."""
+    from e2e_asr_tpu.models import attn_decoder
+    dec_cfg = DecoderConfig(hidden_size_dec=hid, lm_hidden_size=hid,
+                            emb_size=8, vocab_size=vocab, out_prob_dec=1.0)
+    p = attn_decoder.init(jax.random.PRNGKey(seed), dec_cfg, attn_size=hid)
+    return {"lstm": p["lm_cell"], "output_proj": p["output_proj"],
+            "embedding": p["embedding"]}
+
+
+def test_lm_fusion_weight_zero_is_noop():
+    cfg, params, feats, feat_lens = _setup(seed=6)
+    lm = _make_lm(12)
+    base = transducer_beam_search(params, cfg, feats, feat_lens, beam_size=4)
+    fused = transducer_beam_search(params, cfg, feats, feat_lens, beam_size=4,
+                                   lm_params=lm, lm_weight=0.0)
+    for a, b in zip(base, fused):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lm_fusion_exhaustive_enumeration_oracle():
+    """With k large enough to hold EVERY alignment, the fused beam must
+    reproduce brute-force enumeration: for each frame choose blank or
+    (emit label, then forced blank), score = transducer log-probs +
+    lm_weight * LM log-prob of each emitted label given the emitted prefix
+    (LM state advances on emissions only). Pins selection, state threading,
+    and the fusion bookkeeping end to end."""
+    import itertools
+
+    from e2e_asr_tpu.core import cells
+    from e2e_asr_tpu.core.layers import dense
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.models.transducer import BLANK_ID, _pred_step
+
+    V, T, lm_weight = 4, 3, 0.7
+    rng = np.random.default_rng(11)
+    cfg = _cfg(vocab=V)
+    params = transducer.init(jax.random.PRNGKey(11), cfg, vocab_size=V)
+    lm = _make_lm(V, seed=12)
+    enc = jnp.asarray(rng.normal(size=(1, T, 16)).astype(np.float32))
+    joint = params["joint"]
+    enc_p = dense(joint["enc_proj"], enc)[0]                  # [T, J]
+
+    def joint_lp(pred_p, t):
+        logits = dense(joint["out"], jnp.tanh(enc_p[t] + pred_p))
+        return np.asarray(jax.nn.log_softmax(logits, axis=-1))
+
+    def lm_lp_and_next(lm_state, tok):
+        out, new_state = cells.lstm_step(
+            lm["lstm"], lm["embedding"][jnp.asarray([tok])], lm_state)
+        lp = np.asarray(jax.nn.log_softmax(
+            dense(lm["output_proj"], out), axis=-1))[0]
+        return lp, new_state
+
+    def pred0():
+        states = tuple(
+            cells.lstm_zero_state((1,), cfg.decoders["char"].hidden_size_dec)
+            for _ in range(cfg.decoders["char"].num_layers_dec))
+        out, states = _pred_step(params["pred"], cfg,
+                                 jnp.asarray([text.GO_ID]), states)
+        return dense(joint["pred_proj"], out)[0], states
+
+    best = []
+    for decisions in itertools.product(range(V), repeat=T):
+        pred_p, states = pred0()
+        lm_state = cells.lstm_zero_state((1,), 16)
+        lm_last = text.GO_ID
+        score, toks = 0.0, []
+        for t, d in enumerate(decisions):
+            lp = joint_lp(pred_p, t)
+            if d == BLANK_ID:
+                score += lp[BLANK_ID]
+            else:
+                lm_lp, lm_next = lm_lp_and_next(lm_state, lm_last)
+                score += lp[d] + lm_weight * lm_lp[d]
+                lm_state, lm_last = lm_next, d
+                out, states = _pred_step(params["pred"], cfg,
+                                         jnp.asarray([d]), states)
+                pred_p = dense(joint["pred_proj"], out)[0]
+                score += joint_lp(pred_p, t)[BLANK_ID]
+                toks.append(d)
+        best.append((score, tuple(toks)))
+    best.sort(key=lambda x: -x[0])
+
+    k = V ** T  # holds every alignment: the beam IS exhaustive search
+    seqs, lens, scores = transducer_beam_decode(
+        params, cfg, enc, jnp.asarray([T]), beam_size=k, max_expansions=1,
+        lm_params=lm, lm_weight=lm_weight)
+    seqs, lens, scores = map(np.asarray, (seqs, lens, scores))
+    for j in range(5):
+        np.testing.assert_allclose(scores[0, j], best[j][0], atol=1e-4)
+        assert tuple(seqs[0, j, :lens[0, j]]) == best[j][1], j
+
+
+def test_lm_fusion_suppresses_lm_disfavored_tokens():
+    """An LM that hates every token but 5 must purge non-5 emissions from
+    the fused output (and change the unfused result). Fusion can only
+    penalize emissions — LM log-probs are <= 0 and blank is never scored —
+    so the honest property is suppression, not forced emission."""
+    cfg, params, feats, feat_lens = _setup(seed=8)
+    out = params["joint"]["out"]
+    params["joint"]["out"] = {
+        "kernel": out["kernel"],
+        "bias": out["bias"].at[1:].add(4.0)}
+    lm = _make_lm(12, seed=9)
+    lm = dict(lm, output_proj={
+        "kernel": lm["output_proj"]["kernel"] * 0.0,
+        "bias": lm["output_proj"]["bias"].at[:].set(-50.0).at[5].set(50.0)})
+    base_toks, base_lens = transducer_beam_search(params, cfg, feats,
+                                                  feat_lens, beam_size=4)
+    toks, lens = transducer_beam_search(params, cfg, feats, feat_lens,
+                                        beam_size=4, lm_params=lm,
+                                        lm_weight=1.0)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    base_toks, base_lens = np.asarray(base_toks), np.asarray(base_lens)
+    assert base_lens[0] > 0, "model should emit without fusion"
+    assert (base_toks[0, :base_lens[0]] != 5).any()
+    assert (toks[0, :lens[0]] == 5).all()  # only LM-approved tokens survive
+    assert (lens[0] != base_lens[0]) or (
+        toks[0, :lens[0]] != base_toks[0, :base_lens[0]]).any()
+
+
 def test_beam_zero_length_inputs():
     cfg, params, feats, _ = _setup(seed=5)
     tokens, lens = transducer_beam_search(params, cfg, feats,
