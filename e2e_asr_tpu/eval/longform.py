@@ -128,8 +128,8 @@ def transcribe_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
 
 def transcribe_ctc_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
                             window: int = 512, margin: int = 64,
-                            beam_size: int = 1,
-                            compute_dtype=None) -> Array:
+                            beam_size: int = 1, compute_dtype=None,
+                            return_timestamps: bool = False):
     """Long-form decode for the pure-CTC family (models/ctc.py): chunked
     encoder -> CTC head over the stitched states -> best-path collapse (or
     prefix beam search when beam_size > 1).
@@ -138,7 +138,11 @@ def transcribe_ctc_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     length-generalization limit — the stitched sequence decodes in one pass
     at any audio length, no segmentation needed.
 
-    Returns token ids [n] (specials-free, unpadded).
+    Returns token ids [n] (specials-free, unpadded); with
+    return_timestamps=True, (ids, starts [n], ends [n]) where the spans are
+    inclusive encoder-frame indices from Viterbi-realigning the hypothesis
+    to the frame posteriors (eval/align.py — works for beam output too,
+    where the decode itself carries no per-token frames).
     """
     from e2e_asr_tpu.core.layers import dense
     from e2e_asr_tpu.models import ctc
@@ -157,7 +161,18 @@ def transcribe_ctc_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     else:
         packed = ctc.best_path_from_logits(lg, enc_len)[0]
         ids = packed[packed > 0]
-    return ids
+    if not return_timestamps:
+        return ids
+    from e2e_asr_tpu.eval import align
+    n = int(ids.shape[0])
+    if n == 0:
+        empty = jnp.zeros((0,), jnp.int32)
+        return ids, empty, empty
+    lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+    states, _ = align.ctc_viterbi_align(lp, enc_len, ids[None, :],
+                                        jnp.asarray([n]))
+    starts, ends = align.token_spans(states, enc_len, jnp.asarray([n]), n)
+    return ids, starts[0], ends[0]
 
 
 def transcribe_transducer_longform(params: dict, cfg: Seq2SeqConfig,

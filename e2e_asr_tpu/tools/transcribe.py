@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="decode in segments of N encoder frames "
                              "(keeps each decode within the training length "
                              "distribution); 0 = one whole-utterance decode")
+    parser.add_argument("-timestamps", action="store_true",
+                        help="emit per-word time spans (CTC family only: "
+                             "the hypothesis is Viterbi-realigned to the "
+                             "frame posteriors, eval/align.py)")
     parser.add_argument("-stream_block_s", type=float, default=0.0,
                         help="streaming demo: push the audio in blocks of "
                              "this many seconds through eval/streaming."
@@ -74,6 +78,7 @@ def main(argv=None) -> list[str]:
     ckpt_file, segment = args.pop("ckpt"), args.pop("segment")
     stream_block_s = args.pop("stream_block_s")
     int8_ckpt = args.pop("int8_ckpt")
+    timestamps = args.pop("timestamps")
 
     _, rev_vocab = text.initialize_vocabulary(
         path.join(args["vocab_dir"], "char.vocab"))
@@ -129,14 +134,28 @@ def main(argv=None) -> list[str]:
                 print(f"{wav}\t({dur:.1f}s, streamed)\t{sent}")
                 out.append(sent)
                 continue
+            if timestamps and cfg.model.model_family != "ctc":
+                raise SystemExit("-timestamps needs -model_family ctc "
+                                 "(forced alignment runs on the CTC head)")
             if cfg.model.model_family == "ctc":
                 # CTC is frame-local: one whole-sequence decode at any
                 # length, no segmentation needed.
-                ids = longform.transcribe_ctc_longform(
+                res = longform.transcribe_ctc_longform(
                     params, cfg.model, jnp.asarray(feats),
                     window=window, margin=margin,
                     beam_size=cfg.beam.beam_size,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype,
+                    return_timestamps=timestamps)
+                if timestamps:
+                    from e2e_asr_tpu.eval.align import word_timestamps
+                    ids, t_starts, t_ends = res
+                    for word, t0, t1 in word_timestamps(
+                            np.asarray(ids), np.asarray(t_starts),
+                            np.asarray(t_ends), rev_vocab, cfg.model,
+                            sample_rate=sr):
+                        print(f"  [{t0:7.2f}s - {t1:7.2f}s] {word}")
+                else:
+                    ids = res
             elif cfg.model.model_family == "transducer":
                 # The transducer decoder is monotonic: one left-to-right
                 # pass at any length, no segmentation needed.
