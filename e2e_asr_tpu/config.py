@@ -91,6 +91,7 @@ class Seq2SeqConfig:
     max_output: dict[str, int] = field(default_factory=lambda: {"char": 120})
     learning_rate: float = 1e-3
     learning_rate_decay_factor: float = 0.5
+    lr_warmup_steps: int = 0         # extension: linear LR warmup (-lr_warmup)
     max_gradient_norm: float = 5.0
     avg: bool = True                 # average loss across tasks
     label_smoothing: float = 0.0     # extension; 0.0 = reference behavior
@@ -311,6 +312,10 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-max_out_phone", "--max_output_phone", default=250, type=int)
     parser.add_argument("-lr_decay", "--learning_rate_decay_factor", default=0.5,
                         type=float)
+    parser.add_argument("-lr_warmup", "--lr_warmup_steps", default=0, type=int,
+                        help="linear LR warmup steps (extension; the "
+                             "transformer family's standard ramp — 0 = "
+                             "reference behavior)")
     parser.add_argument("-avg", "--avg", default=False, action="store_true")
     # LM (lm_model.py:118-121)
     parser.add_argument("-lm_learning_rate", default=1e-4, type=float)

@@ -40,18 +40,31 @@ class TrainState(NamedTuple):
                             # so checkpoints without EMA are unchanged.
 
 
-def make_optimizer(learning_rate: float, max_grad_norm: float):
-    return optax.chain(
+def make_optimizer(learning_rate: float, max_grad_norm: float,
+                   warmup_steps: int = 0):
+    """Adam behind global-norm clipping; optional linear LR warmup
+    (extension, -lr_warmup — the transformer family's standard ramp).
+
+    Warmup is a traced scale on the updates AFTER the dynamic-LR Adam, so
+    the decay-on-plateau policy (get_lr/set_lr on the hyperparams at chain
+    index 1) keeps working unchanged and nothing recompiles per step."""
+    parts = [
         optax.clip_by_global_norm(max_grad_norm),
         optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate),
-    )
+    ]
+    if warmup_steps > 0:
+        parts.append(optax.scale_by_schedule(
+            lambda count: jnp.minimum(1.0, (count + 1) / warmup_steps)))
+    return optax.chain(*parts)
 
 
 def create_state(params, model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                  ema: bool = False) -> TrainState:
     """ema=True seeds EMA shadow weights at the initial params (so the
     running average needs no bias correction)."""
-    asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
+    asr_opt = make_optimizer(model_cfg.learning_rate,
+                             model_cfg.max_gradient_norm,
+                             model_cfg.lr_warmup_steps)
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
     return TrainState(
         params=params,
@@ -167,7 +180,9 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
         else:
             from e2e_asr_tpu.core import seq_parallel as sp_lib
             encode_fn = partial(sp_lib.encode_seq_parallel, mesh=sp_mesh)
-    asr_opt = make_optimizer(model_cfg.learning_rate, model_cfg.max_gradient_norm)
+    asr_opt = make_optimizer(model_cfg.learning_rate,
+                             model_cfg.max_gradient_norm,
+                             model_cfg.lr_warmup_steps)
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")

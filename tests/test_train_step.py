@@ -279,3 +279,48 @@ def test_ema_checkpoint_roundtrip(rng, tmp_path):
     p2 = ckpt_lib.save(str(tmp_path), "plain.ckpt", 1, plain)
     assert not any(n.startswith("ema_params/")
                    for n in np.load(p2).files)
+
+
+def test_lr_warmup_update_scaling():
+    """Warmup scales the k-th Adam update by min(1, (k+1)/W) exactly (the
+    schedule sits AFTER adam in the chain, so moments match the plain
+    optimizer's step for step)."""
+    opt_w = train_step_lib.make_optimizer(1e-3, 5.0, warmup_steps=4)
+    opt_p = train_step_lib.make_optimizer(1e-3, 5.0)
+    params = {"w": jnp.ones((3,))}
+    sw, sp = opt_w.init(params), opt_p.init(params)
+    g = {"w": jnp.full((3,), 0.7)}
+    for k in range(6):
+        uw, sw = opt_w.update(g, sw, params)
+        up, sp = opt_p.update(g, sp, params)
+        scale = min(1.0, (k + 1) / 4)
+        np.testing.assert_allclose(np.asarray(uw["w"]),
+                                   np.asarray(up["w"]) * scale, rtol=1e-6)
+
+
+def test_lr_warmup_through_train_step_and_lr_policy(rng):
+    """-lr_warmup composes with the dynamic-LR plateau policy: first-step
+    delta is W-fold smaller, and get_lr/set_lr still address the Adam
+    hyperparams (chain index unchanged)."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg_w = dataclasses.replace(cfg, lr_warmup_steps=4)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(rng, cfg)
+    leaf = lambda s: np.asarray(s.params["encoder"]["layer_1"]["fw"]["kernel"])
+
+    state_p = train_step_lib.create_state(params, cfg, _lm_cfg())
+    step_p, _ = train_step_lib.make_train_step(cfg, _lm_cfg())
+    s_p, _ = jax.jit(step_p)(state_p, batch, jax.random.PRNGKey(0))
+
+    state_w = train_step_lib.create_state(params, cfg_w, _lm_cfg())
+    assert abs(train_step_lib.get_lr(state_w) - 1e-3) < 1e-9
+    step_w, _ = train_step_lib.make_train_step(cfg_w, _lm_cfg())
+    s_w, _ = jax.jit(step_w)(state_w, batch, jax.random.PRNGKey(0))
+
+    d_p = np.abs(leaf(s_p) - leaf(state_p))
+    d_w = np.abs(leaf(s_w) - leaf(state_w))
+    np.testing.assert_allclose(d_w, d_p * 0.25, rtol=1e-4, atol=1e-9)
+    state_w2 = train_step_lib.set_lr(s_w, 5e-4)
+    assert abs(train_step_lib.get_lr(state_w2) - 5e-4) < 1e-9
