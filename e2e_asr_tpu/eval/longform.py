@@ -178,7 +178,8 @@ def transcribe_ctc_longform(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
 def transcribe_transducer_longform(params: dict, cfg: Seq2SeqConfig,
                                    feats: Array, *, window: int = 512,
                                    margin: int = 64, beam_size: int = 1,
-                                   compute_dtype=None) -> Array:
+                                   compute_dtype=None,
+                                   return_timestamps: bool = False):
     """Long-form decode for the transducer family (models/transducer.py):
     chunked encoder -> one monotonic greedy/beam pass over the stitched
     states. Like CTC (and unlike the attention decoder), the transducer
@@ -186,10 +187,16 @@ def transcribe_transducer_longform(params: dict, cfg: Seq2SeqConfig,
     decode in one pass with no segmentation; the output cap scales with the
     stitched length instead of the training-time max_output.
 
-    Returns token ids [n] (specials-free, unpadded).
+    Returns token ids [n] (specials-free, unpadded); with
+    return_timestamps=True (greedy only — the monotonic decoder's emission
+    frames ARE the alignment, no realignment pass needed), (ids, starts,
+    ends) where starts == ends == the emission's encoder frame.
     """
     from e2e_asr_tpu.models import transducer
 
+    if return_timestamps and beam_size > 1:
+        raise ValueError("transducer timestamps come from greedy emission "
+                         "frames; use -beam_size 1")
     params = jax.tree_util.tree_map(jnp.asarray, params)
     enc, enc_len = encode_longform(params, cfg, feats, window=window,
                                    margin=margin, compute_dtype=compute_dtype)
@@ -201,10 +208,14 @@ def transcribe_transducer_longform(params: dict, cfg: Seq2SeqConfig,
             compute_dtype=compute_dtype, max_output=cap)
         ids = seqs[0, 0][:int(seq_lens[0, 0])]
     else:
-        packed = transducer.greedy_decode_states(
+        packed, frames = transducer.greedy_decode_states(
             params, cfg, enc, enc_len, compute_dtype=compute_dtype,
-            max_output=cap)[0]
-        ids = packed[packed > 0]
+            max_output=cap, return_frames=True)
+        keep = packed[0] > 0
+        ids = packed[0][keep]
+        if return_timestamps:
+            emit_f = frames[0][keep]
+            return ids, emit_f, emit_f
     return ids
 
 

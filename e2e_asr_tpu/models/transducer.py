@@ -207,7 +207,8 @@ def greedy_decode_states(params: dict, cfg: Seq2SeqConfig, enc: Array,
                          enc_lens: Array, *, compute_dtype=None,
                          max_symbols_per_frame: int = 4,
                          max_output: int | None = None,
-                         init_state=None, return_state: bool = False):
+                         init_state=None, return_state: bool = False,
+                         return_frames: bool = False):
     """Batched greedy transducer decode from encoder states [B, T_enc, H].
 
     Standard algorithm: at frame t, emit argmax symbols (advancing only the
@@ -221,6 +222,11 @@ def greedy_decode_states(params: dict, cfg: Seq2SeqConfig, enc: Array,
     return_state=True to also get the carry for the next chunk; decoding is
     then exactly equal to one pass over the concatenated encoder states
     (the monotonic-decoder property the attention family lacks).
+
+    return_frames=True also returns each emission's encoder-frame index
+    [B, max_output] (-1 past the emission count) — the transducer's
+    monotonic alignment gives token timestamps for free (eval/align.py
+    converts frames to seconds).
     """
     dec = cfg.decoders["char"]
     cap = max_output or dec.max_output
@@ -252,6 +258,10 @@ def greedy_decode_states(params: dict, cfg: Seq2SeqConfig, enc: Array,
         tokens = carry["tokens"].at[
             b_idx, jnp.clip(carry["n"], 0, cap - 1)].set(
             jnp.where(emit, pick, cur))
+        cur_f = carry["frames"][b_idx, jnp.clip(carry["n"], 0, cap - 1)]
+        frames = carry["frames"].at[
+            b_idx, jnp.clip(carry["n"], 0, cap - 1)].set(
+            jnp.where(emit, jnp.clip(t, 0, T - 1), cur_f))
         # Advance the prediction network only where a symbol was emitted.
         out, new_states = _pred_step(params["pred"], cfg, pick,
                                      carry["states"])
@@ -267,7 +277,8 @@ def greedy_decode_states(params: dict, cfg: Seq2SeqConfig, enc: Array,
         emit_n = jnp.where(emit, carry["emit"] + 1, 0)
         done = carry["done"] | (t >= t_lens) | (n >= cap)
         return {"t": t, "n": n, "emit": emit_n, "states": states,
-                "pred_p": pred_p, "tokens": tokens, "done": done}
+                "pred_p": pred_p, "tokens": tokens, "frames": frames,
+                "done": done}
 
     carry = {
         "t": jnp.zeros((B,), jnp.int32),
@@ -276,12 +287,16 @@ def greedy_decode_states(params: dict, cfg: Seq2SeqConfig, enc: Array,
         "states": states0,
         "pred_p": pred_p0,
         "tokens": jnp.zeros((B, cap), jnp.int32),
+        "frames": jnp.full((B, cap), -1, jnp.int32),
         "done": t_lens <= 0,
     }
     final = jax.lax.while_loop(cond, body, carry)
+    outs = (final["tokens"],)
+    if return_frames:
+        outs += (final["frames"],)
     if return_state:
-        return final["tokens"], (final["states"], final["pred_p"])
-    return final["tokens"]
+        outs += ((final["states"], final["pred_p"]),)
+    return outs[0] if len(outs) == 1 else outs
 
 
 def greedy_decode(params: dict, cfg: Seq2SeqConfig, feats: Array,

@@ -134,9 +134,11 @@ def main(argv=None) -> list[str]:
                 print(f"{wav}\t({dur:.1f}s, streamed)\t{sent}")
                 out.append(sent)
                 continue
-            if timestamps and cfg.model.model_family != "ctc":
+            if timestamps and cfg.model.model_family not in ("ctc",
+                                                             "transducer"):
                 raise SystemExit("-timestamps needs -model_family ctc "
-                                 "(forced alignment runs on the CTC head)")
+                                 "(forced alignment on the CTC head) or "
+                                 "transducer (greedy emission frames)")
             if cfg.model.model_family == "ctc":
                 # CTC is frame-local: one whole-sequence decode at any
                 # length, no segmentation needed.
@@ -159,11 +161,22 @@ def main(argv=None) -> list[str]:
             elif cfg.model.model_family == "transducer":
                 # The transducer decoder is monotonic: one left-to-right
                 # pass at any length, no segmentation needed.
-                ids = longform.transcribe_transducer_longform(
+                res = longform.transcribe_transducer_longform(
                     params, cfg.model, jnp.asarray(feats),
                     window=window, margin=margin,
                     beam_size=cfg.beam.beam_size,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype,
+                    return_timestamps=timestamps)
+                if timestamps:
+                    from e2e_asr_tpu.eval.align import word_timestamps
+                    ids, t_starts, t_ends = res
+                    for word, t0, t1 in word_timestamps(
+                            np.asarray(ids), np.asarray(t_starts),
+                            np.asarray(t_ends), rev_vocab, cfg.model,
+                            sample_rate=sr):
+                        print(f"  [{t0:7.2f}s - {t1:7.2f}s] {word}")
+                else:
+                    ids = res
             elif segment > 0:
                 ids = longform.transcribe_segmented(
                     params, cfg.model, jnp.asarray(feats),

@@ -218,3 +218,54 @@ def test_forced_align_empty_labels_all_blank_score():
     np.testing.assert_allclose(float(score[0]), lp[0, :, BLANK_ID].sum(),
                                atol=1e-5)
     assert (np.asarray(states)[0] == 0).all()
+
+
+def test_transducer_greedy_emission_frames():
+    """return_frames: tokens unchanged, frames monotonically non-decreasing,
+    in-range, -1 past the emission count; longform timestamps agree."""
+    import dataclasses
+
+    from e2e_asr_tpu.config import DecoderConfig
+    from e2e_asr_tpu.eval import longform
+    from e2e_asr_tpu.models import seq2seq, transducer
+
+    cfg = dataclasses.replace(_ctc_cfg(), model_family="transducer")
+    cfg.decoders["char"] = DecoderConfig(hidden_size_dec=16, emb_size=8,
+                                         vocab_size=12, joint_dim=16,
+                                         out_prob_dec=1.0, max_output=10)
+    params = transducer.init(jax.random.PRNGKey(3), cfg, vocab_size=12)
+    rng = np.random.default_rng(9)
+    feats = jnp.asarray(rng.normal(size=(2, 32, 4)).astype(np.float32))
+    feat_lens = jnp.asarray([32, 20])
+    enc, _, enc_lens = seq2seq.encode(params, cfg, feats, feat_lens)
+    depth = cfg.num_layers["char"]
+    enc, els = enc[depth], enc_lens[depth]
+    plain = np.asarray(transducer.greedy_decode_states(params, cfg, enc, els))
+    tokens, frames = transducer.greedy_decode_states(params, cfg, enc, els,
+                                                     return_frames=True)
+    tokens, frames = np.asarray(tokens), np.asarray(frames)
+    np.testing.assert_array_equal(tokens, plain)
+    for b in range(2):
+        n = int((tokens[b] > 0).sum())
+        f = frames[b, :n]
+        assert (f >= 0).all() and (f < int(els[b])).all()
+        assert (np.diff(f) >= 0).all()
+        assert (frames[b, n:] == -1).all()
+
+    # Long-form single-utterance path: ids match, starts == ends, in range.
+    plain_ids = np.asarray(longform.transcribe_transducer_longform(
+        params, cfg, feats[0, :28], window=16, margin=4))
+    ids, starts, ends = longform.transcribe_transducer_longform(
+        params, cfg, feats[0, :28], window=16, margin=4,
+        return_timestamps=True)
+    ids, starts, ends = map(np.asarray, (ids, starts, ends))
+    np.testing.assert_array_equal(ids, plain_ids)
+    np.testing.assert_array_equal(starts, ends)
+    if len(starts):
+        assert (np.diff(starts) >= 0).all() and (starts >= 0).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="greedy emission frames"):
+        longform.transcribe_transducer_longform(
+            params, cfg, feats[0, :28], window=16, margin=4, beam_size=2,
+            return_timestamps=True)
