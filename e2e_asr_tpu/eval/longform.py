@@ -255,10 +255,18 @@ def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
                          beam_cfg: BeamConfig | None = None,
                          window: int = 512, margin: int = 64,
                          compute_dtype=None,
-                         lm_params: dict | None = None) -> Array:
+                         lm_params: dict | None = None,
+                         return_timestamps: bool = False):
     """Segmented long-form decode: chunked encoder, then beam-decode the
     stitched states in SEGMENTS of seg_enc_frames encoder frames, all
     segments batched into one beam_decode call, transcripts concatenated.
+
+    return_timestamps=True also returns each kept token's GLOBAL
+    attention-argmax encoder frame (segment offset + the replayed local
+    frame) as (ids, starts, ends) with starts == ends — the attention
+    centroid is an anchor point, not a span. This is the approximate
+    attention-family analogue of the CTC family's Viterbi spans
+    (eval/align.py) and the transducer's exact emission frames.
 
     Whole-utterance attention decoding degrades far beyond the training
     length distribution (measured on-chip: a model trained on <=14-token
@@ -316,7 +324,7 @@ def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     tokens, lens, _ = beam_decode(params["decoder_char"],
                                   cfg.decoders["char"], bc, segs, seg_lens,
                                   lm_params=lm_params)
-    if overlap == 0 and not trim_loops:
+    if overlap == 0 and not trim_loops and not return_timestamps:
         flat = []
         for i in range(n_seg):
             ids = tokens[i][:int(lens[i])]
@@ -326,7 +334,7 @@ def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
         params["decoder_char"], cfg.decoders["char"], segs, seg_lens, tokens,
         compute_dtype=compute_dtype))
     tokens_np, lens_np = np.asarray(tokens), np.asarray(lens)
-    merged = []
+    merged: list = []
     for i in range(n_seg):
         if overlap:
             # core assignment: first/last segments extend to their edge
@@ -334,18 +342,28 @@ def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
             hi = seg_T - overlap if i < n_seg - 1 else seg_T
         else:
             lo, hi = 0, seg_T
-        merged.extend(trimmed_segment_tokens(
+        kept = trimmed_segment_tokens(
             tokens_np[i], frames[i], int(lens_np[i]), lo, hi,
-            trim_loops=trim_loops))
+            trim_loops=trim_loops, with_frames=return_timestamps)
+        if return_timestamps:
+            off = i * hop
+            merged.extend((tok, min(off + f, total - 1)) for tok, f in kept)
+        else:
+            merged.extend(kept)
+    if return_timestamps:
+        ids = jnp.asarray([t for t, _ in merged], jnp.int32)
+        fr = jnp.asarray([f for _, f in merged], jnp.int32)
+        return ids, fr, fr
     return jnp.asarray(merged, jnp.int32)
 
 
 def trimmed_segment_tokens(tokens_row, frames_row, n: int, lo: int, hi: int,
                            *, trim_loops: bool = True,
-                           tol: int = 1) -> list[int]:
+                           tol: int = 1, with_frames: bool = False):
     """One segment's kept tokens: specials stripped, attention centroid in
     [lo, hi), truncated at the first backward centroid jump > tol frames
-    (the hallucination-loop start) when trim_loops."""
+    (the hallucination-loop start) when trim_loops. with_frames=True
+    returns (token, local_frame) pairs instead of bare tokens."""
     out = []
     prev = -10 ** 9
     for t in range(n):
@@ -357,5 +375,5 @@ def trimmed_segment_tokens(tokens_row, frames_row, n: int, lo: int, hi: int,
             break
         prev = max(prev, f)
         if lo <= f < hi:
-            out.append(tok)
+            out.append((tok, f) if with_frames else tok)
     return out

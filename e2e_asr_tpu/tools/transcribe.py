@@ -49,9 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "(keeps each decode within the training length "
                              "distribution); 0 = one whole-utterance decode")
     parser.add_argument("-timestamps", action="store_true",
-                        help="emit per-word time spans (CTC family only: "
-                             "the hypothesis is Viterbi-realigned to the "
-                             "frame posteriors, eval/align.py)")
+                        help="emit per-word time spans: CTC = Viterbi "
+                             "realignment to the frame posteriors "
+                             "(eval/align.py), transducer = exact greedy "
+                             "emission frames, attention = attention-"
+                             "argmax anchors from the segmented decode's "
+                             "replay (needs -segment > 0)")
     parser.add_argument("-stream_block_s", type=float, default=0.0,
                         help="streaming demo: push the audio in blocks of "
                              "this many seconds through eval/streaming."
@@ -134,11 +137,11 @@ def main(argv=None) -> list[str]:
                 print(f"{wav}\t({dur:.1f}s, streamed)\t{sent}")
                 out.append(sent)
                 continue
-            if timestamps and cfg.model.model_family not in ("ctc",
-                                                             "transducer"):
-                raise SystemExit("-timestamps needs -model_family ctc "
-                                 "(forced alignment on the CTC head) or "
-                                 "transducer (greedy emission frames)")
+            if (timestamps and cfg.model.model_family == "attention"
+                    and segment <= 0):
+                raise SystemExit("attention-family -timestamps needs "
+                                 "-segment > 0 (frames come from the "
+                                 "segmented decode's attention replay)")
             if cfg.model.model_family == "ctc":
                 # CTC is frame-local: one whole-sequence decode at any
                 # length, no segmentation needed.
@@ -178,11 +181,22 @@ def main(argv=None) -> list[str]:
                 else:
                     ids = res
             elif segment > 0:
-                ids = longform.transcribe_segmented(
+                res = longform.transcribe_segmented(
                     params, cfg.model, jnp.asarray(feats),
                     seg_enc_frames=segment, beam_cfg=cfg.beam,
                     window=window, margin=margin,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype,
+                    return_timestamps=timestamps)
+                if timestamps:
+                    from e2e_asr_tpu.eval.align import word_timestamps
+                    ids, t_starts, t_ends = res
+                    for word, t0, t1 in word_timestamps(
+                            np.asarray(ids), np.asarray(t_starts),
+                            np.asarray(t_ends), rev_vocab, cfg.model,
+                            sample_rate=sr):
+                        print(f"  [{t0:7.2f}s - {t1:7.2f}s] {word}")
+                else:
+                    ids = res
             else:
                 ids = longform.transcribe_longform(
                     params, cfg.model, jnp.asarray(feats),

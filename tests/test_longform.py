@@ -256,3 +256,33 @@ def test_transcribe_segmented_overlap_geometry():
         if n_seg > 1:                      # true overlap between neighbours
             shared = starts[:-1] + seg_T - starts[1:]
             assert (shared >= 2 * ov).all()
+
+
+def test_transcribe_segmented_timestamps():
+    """return_timestamps: same kept tokens as the plain call, global
+    attention-anchor frames in range and consistent with the segment
+    geometry (frame // hop covers the owning or an adjacent segment)."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(6), cfg)
+    r = longform.reduction_factor(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(7), (90, cfg.feat_length))
+    kw = dict(seg_enc_frames=6, window=8 * r, margin=0,
+              beam_cfg=BeamConfig(beam_size=2))
+    plain = np.asarray(longform.transcribe_segmented(params, cfg, feats, **kw))
+    ids, starts, ends = longform.transcribe_segmented(
+        params, cfg, feats, return_timestamps=True, **kw)
+    ids, starts, ends = map(np.asarray, (ids, starts, ends))
+    np.testing.assert_array_equal(ids, plain)
+    np.testing.assert_array_equal(starts, ends)
+    assert starts.shape == ids.shape
+    if len(starts):
+        assert (starts >= 0).all()
+        enc_total = -(-90 // r)
+        assert (starts < enc_total).all()
+
+
+def test_trimmed_segment_tokens_with_frames():
+    toks = np.array([19, 21, 27, 2])
+    frs = np.array([0, 3, 5, 6])
+    assert longform.trimmed_segment_tokens(
+        toks, frs, 4, 0, 8, with_frames=True) == [(19, 0), (21, 3), (27, 5)]
