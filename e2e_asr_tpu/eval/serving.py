@@ -37,26 +37,34 @@ from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
 
 
 def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
-                         compute_dtype=None):
+                         compute_dtype=None, lm_params=None):
     """decode(params, batch) -> (tokens [B, L], lens [B], scores [B]) for
     any model family: attention beam (the reference-parity path), CTC
     best-path/prefix beam, or transducer greedy/time-synchronous beam.
-    Every variant dequantizes int8 trees inside the jit."""
+    Every variant dequantizes int8 trees inside the jit. lm_params +
+    beam_cfg.lm_weight engage RNN-LM shallow fusion on the attention and
+    transducer beams (the CTC prefix beam has no fusion hook)."""
     import jax
 
     from e2e_asr_tpu.core import quant
 
+    use_lm = beam_cfg.lm_weight != 0.0
     if cfg.model_family == "transducer":
+        if use_lm and lm_params is None:
+            raise ValueError("transducer LM fusion needs lm_params "
+                             "(no internal shared LM in this family)")
+
         @jax.jit
         def run(params, feats, feat_lens):
             params = quant.maybe_dequantize(params)
-            if beam_cfg.beam_size > 1:
+            if beam_cfg.beam_size > 1 or use_lm:
                 from e2e_asr_tpu.eval.transducer_beam import \
                     transducer_beam_search
                 tokens, lens = transducer_beam_search(
                     params, cfg, feats, feat_lens,
-                    beam_size=beam_cfg.beam_size,
-                    compute_dtype=compute_dtype)
+                    beam_size=max(beam_cfg.beam_size, 1),
+                    compute_dtype=compute_dtype, lm_params=lm_params,
+                    lm_weight=beam_cfg.lm_weight)
             else:
                 from e2e_asr_tpu.models import transducer
                 tokens = transducer.greedy_decode(
@@ -65,6 +73,9 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
                 lens = (tokens != 0).sum(axis=-1)
             return tokens, lens, jnp.zeros(tokens.shape[0], jnp.float32)
     elif cfg.model_family == "ctc":
+        if use_lm:
+            raise ValueError("the CTC prefix beam has no LM-fusion hook; "
+                             "use the attention or transducer family")
         @jax.jit
         def run(params, feats, feat_lens):
             params = quant.maybe_dequantize(params)
@@ -81,7 +92,8 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
                 lens = (tokens != 0).sum(axis=-1)
             return tokens, lens, jnp.zeros(tokens.shape[0], jnp.float32)
     else:
-        return make_beam_decoder(cfg, beam_cfg, compute_dtype=compute_dtype)
+        return make_beam_decoder(cfg, beam_cfg, compute_dtype=compute_dtype,
+                                 lm_params=lm_params)
 
     def decode(params, batch):
         return run(params, batch["logmel"], batch["logmel_len"])
@@ -115,7 +127,7 @@ class BatchingTranscriber:
                  beam_cfg: BeamConfig | None = None,
                  bucket_frames: tuple[int, ...] = (128, 256, 512),
                  max_batch: int = 8, max_wait_ms: float = 20.0,
-                 compute_dtype=None, mesh=None):
+                 compute_dtype=None, mesh=None, lm_params=None):
         """mesh: optional jax.sharding.Mesh for data-parallel serving —
         params are replicated, each launch's batch rows are sharded over
         the "data" axis (one jitted SPMD program; XLA handles the rest).
@@ -138,7 +150,7 @@ class BatchingTranscriber:
         self._decode = _make_family_decoder(
             cfg, beam_cfg or BeamConfig(beam_size=4,
                                         max_steps=cfg.max_output["char"]),
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, lm_params=lm_params)
         self._queues: dict[int, list[_Request]] = {
             b: [] for b in self.bucket_frames}
         self._cv = threading.Condition()

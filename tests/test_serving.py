@@ -248,3 +248,50 @@ def test_lifecycle_and_validation(setup):
     tr.close()                               # idempotent
     with pytest.raises(RuntimeError):
         tr.submit(_feats(rng, 16))           # closed
+
+
+def test_lm_fused_serving_transducer_and_attention(setup):
+    """lm_params + lm_weight engage shallow fusion in the engine: fused
+    batched == fused one-by-one for both beam families; CTC rejects with a
+    clear error; transducer without lm_params rejects."""
+    import dataclasses
+
+    from e2e_asr_tpu.config import DecoderConfig
+    from e2e_asr_tpu.models import attn_decoder, transducer
+
+    cfg, params, rev_vocab = setup
+    dec = cfg.decoders["char"]
+    lm_src = attn_decoder.init(jax.random.PRNGKey(5),
+                               dataclasses.replace(dec, lm_hidden_size=dec.hidden_size_dec),
+                               attn_size=dec.hidden_size_dec)
+    lm = {"lstm": lm_src["lm_cell"], "output_proj": lm_src["output_proj"],
+          "embedding": lm_src["embedding"]}
+    rng = np.random.default_rng(3)
+    feats = [_feats(rng, T) for T in (16, 40, 33, 25)]
+    bc = BeamConfig(beam_size=2, max_steps=16, lm_weight=0.4)
+
+    t_cfg = dataclasses.replace(cfg, model_family="transducer")
+    t_cfg.decoders["char"] = dataclasses.replace(dec, joint_dim=16)
+    t_params = transducer.init(jax.random.PRNGKey(1), t_cfg,
+                               vocab_size=dec.vocab_size)
+    for fam_cfg, fam_params in ((cfg, params), (t_cfg, t_params)):
+        kw = dict(beam_cfg=bc, bucket_frames=(32, 64), lm_params=lm)
+        with BatchingTranscriber(fam_params, fam_cfg, rev_vocab,
+                                 max_batch=4, max_wait_ms=50, **kw) as b:
+            got = [f.result(timeout=120) for f in
+                   [b.submit(x) for x in feats]]
+        with BatchingTranscriber(fam_params, fam_cfg, rev_vocab,
+                                 max_batch=1, max_wait_ms=1, **kw) as s:
+            want = [s.transcribe(x) for x in feats]
+        assert got == want, fam_cfg.model_family
+
+    with pytest.raises(ValueError, match="no internal shared LM"):
+        BatchingTranscriber(t_params, t_cfg, rev_vocab, beam_cfg=bc,
+                            bucket_frames=(32,))
+    c_cfg = dataclasses.replace(cfg, model_family="ctc")
+    from e2e_asr_tpu.models import ctc as ctc_lib
+    c_params = ctc_lib.init(jax.random.PRNGKey(2), c_cfg,
+                            vocab_size=dec.vocab_size)
+    with pytest.raises(ValueError, match="no LM-fusion hook"):
+        BatchingTranscriber(c_params, c_cfg, rev_vocab, beam_cfg=bc,
+                            bucket_frames=(32,), lm_params=lm)
