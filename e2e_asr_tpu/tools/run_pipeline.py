@@ -116,12 +116,12 @@ def run(args, extra_flags: list[str]) -> str:
     from e2e_asr_tpu.core import checkpoint as ckpt_lib
     from e2e_asr_tpu.data import text
     from e2e_asr_tpu.data.speech import SpeechDataset
-    from e2e_asr_tpu.models import rnn_lm, seq2seq
+    from e2e_asr_tpu.models import rnn_lm
     from e2e_asr_tpu.tools.beam_grid import grid_search
     from e2e_asr_tpu.train import step as step_lib
 
     cfg = cli_main.parse_options(list(cli_argv))
-    params0 = seq2seq.init(jax.random.PRNGKey(10), cfg.model)
+    params0 = step_lib.init_params(jax.random.PRNGKey(10), cfg.model)
     template = step_lib.create_state(params0, cfg.model, cfg.lm)
     restored = (ckpt_lib.restore_latest(cfg.train.best_model_dir, template)
                 or ckpt_lib.restore_latest(cfg.train.train_dir, template))
@@ -145,6 +145,35 @@ def run(args, extra_flags: list[str]) -> str:
     use_lm = cfg.train.lm_prob > 0
     compute_dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
                      else None)
+    if cfg.model.model_family != "attention":
+        # The beam grid sweeps the ATTENTION beam's knobs
+        # (grid_search_for_beam.py parity); the CTC/transducer families get
+        # a direct dev + test eval at the configured beam size instead.
+        from e2e_asr_tpu.eval.greedy import CTCEvaluator, TransducerEvaluator
+        ev_cls = (CTCEvaluator if cfg.model.model_family == "ctc"
+                  else TransducerEvaluator)
+        final_dir = path.join(out, "grid", "final_eval")
+        dev_err = ev_cls(cfg.model, rev_vocab, final_dir,
+                         compute_dtype=compute_dtype,
+                         beam_size=cfg.beam.beam_size)(
+            state.params, dev.epoch())
+        lines = [f"family {cfg.model.model_family} "
+                 f"beam {cfg.beam.beam_size}",
+                 f"dev err: {dev_err:.4f}"]
+        if test is not None:
+            test_err = ev_cls(cfg.model, rev_vocab, final_dir,
+                              compute_dtype=compute_dtype,
+                              beam_size=cfg.beam.beam_size,
+                              file_prefix="test")(state.params, test.epoch())
+            lines.append(f"test err: {test_err:.4f}")
+        report = path.join(final_dir, "score.txt")
+        with open(report, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"[pipeline] done ({cfg.model.model_family}): "
+              f"dev err {dev_err:.4f}")
+        print(f"[pipeline] WER report: {report}")
+        print(open(report).read().strip())
+        return report
     best_cfg, best_err = grid_search(
         state.params, cfg.model, rev_vocab, lambda: dev.epoch(),
         path.join(out, "grid"), use_lm=use_lm,
@@ -160,7 +189,7 @@ def run(args, extra_flags: list[str]) -> str:
     return report
 
 
-def main(argv=None) -> None:
+def main(argv=None) -> str:
     # add_help=False: forwarded model flags are single-dash (-hsize, ...) and
     # would prefix-match argparse's -h; use -help for usage.
     p = argparse.ArgumentParser(
@@ -183,7 +212,7 @@ def main(argv=None) -> None:
     p.add_argument("-skip_prepare", action="store_true")
     p.add_argument("-skip_train", action="store_true")
     args, extra = p.parse_known_args(argv)
-    run(args, extra)
+    return run(args, extra)
 
 
 if __name__ == "__main__":

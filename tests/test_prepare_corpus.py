@@ -161,3 +161,28 @@ def test_run_pipeline_one_command(librispeech_tree, tmp_path):
         "-max_out_char", "16", "-buck_batch_sizes", "4,4",
         "-steps_per_checkpoint", "2", "-max_epochs", "1",
         "-compute_dtype", "float32", "-run_id", "71", "-beam_size", "2"])
+
+
+def test_run_pipeline_nonattention_family(librispeech_tree, tmp_path):
+    """The one-command pipeline for a non-attention family: the attention
+    beam grid is replaced by a direct dev+test family eval (the grid's
+    knobs are attention-beam-specific)."""
+    from e2e_asr_tpu.tools import run_pipeline
+
+    root, _ = librispeech_tree
+    out = str(tmp_path / "work_t")
+    report = run_pipeline.main([
+        "-corpus", str(root), "-out", out, "-num_buckets", "2",
+        "-test_dirs", str(root / "dev-clean"),
+        "-model_family", "transducer",
+        "-hsize", "8", "-hsize_dec", "8", "-emb_size", "8",
+        "-attn_vec_size", "4", "-lm_hsize", "8",
+        "-max_out_char", "16", "-buck_batch_sizes", "4,4",
+        "-steps_per_checkpoint", "2", "-max_epochs", "1",
+        "-compute_dtype", "float32", "-run_id", "72", "-beam_size", "2"])
+    assert os.path.isfile(report)
+    txt = open(report).read()
+    assert "family transducer" in txt and "dev err" in txt
+    assert "test err" in txt
+    assert os.path.isfile(os.path.join(
+        out, "grid", "final_eval", "decoded_test.txt"))
