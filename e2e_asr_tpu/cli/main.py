@@ -105,9 +105,20 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         eval_params = quant.quantize(eval_params)
         print("Quantized params to int8 (weight-only, per-channel)")
 
-    _, rev_vocab = text.initialize_vocabulary(
+    vocab, rev_vocab = text.initialize_vocabulary(
         path.join(tc.vocab_dir, "char.vocab"))
     compute_dtype = (jnp.bfloat16 if tc.compute_dtype == "bfloat16" else None)
+
+    bias = None
+    if cfg.beam.boost_phrases and cfg.beam.boost_weight != 0.0:
+        from e2e_asr_tpu.data.bpe import is_bpe_vocab
+        from e2e_asr_tpu.eval import biasing
+        phrases = biasing.load_phrases(cfg.beam.boost_phrases, vocab,
+                                       bpe=is_bpe_vocab(rev_vocab))
+        bias = (biasing.build_bias_trie(phrases, len(rev_vocab)),
+                cfg.beam.boost_weight)
+        print(f"Contextual biasing: {len(phrases)} phrases, "
+              f"boost {cfg.beam.boost_weight}")
 
     lm_params = None
     if cfg.beam.lm_path:
@@ -127,7 +138,9 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         from e2e_asr_tpu.eval.greedy import CTCEvaluator
         evaluator = CTCEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
                                  compute_dtype=compute_dtype,
-                                 beam_size=cfg.beam.beam_size)
+                                 beam_size=cfg.beam.beam_size,
+                                 lm_params=lm_params,
+                                 lm_weight=cfg.beam.lm_weight, bias=bias)
         evaluator(eval_params, dev_set.epoch())
     elif cfg.model.model_family == "transducer":
         from e2e_asr_tpu.eval.greedy import TransducerEvaluator
@@ -136,10 +149,12 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                         compute_dtype=compute_dtype,
                                         beam_size=cfg.beam.beam_size,
                                         lm_params=lm_params,
-                                        lm_weight=cfg.beam.lm_weight)
+                                        lm_weight=cfg.beam.lm_weight,
+                                        bias=bias)
         evaluator(eval_params, dev_set.epoch())
     elif (cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0
-          and cfg.beam.ctc_rescore == 0.0):
+          and cfg.beam.ctc_rescore == 0.0 and cfg.beam.joint_ctc == 0.0
+          and bias is None):
         evaluator = GreedyEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
                                     compute_dtype=compute_dtype)
         evaluator(eval_params, dev_set.epoch())
@@ -147,7 +162,7 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         evaluator = BeamEvaluator(cfg.model, cfg.beam, rev_vocab,
                                   tc.best_model_dir,
                                   compute_dtype=compute_dtype,
-                                  lm_params=lm_params)
+                                  lm_params=lm_params, bias=bias)
         evaluator(eval_params, dev_set.epoch())
     print(f"Total decoding time: {time.time() - start:.1f}s")
 

@@ -119,6 +119,11 @@ class BeamConfig:
     apply_cov_penalty: bool = False  # extension: GNMT-style coverage penalty
     max_steps: int = 120             # hard cap (beam_search.py:269)
     ctc_rescore: float = 0.0         # extension: hybrid n-best CTC rescoring
+    joint_ctc: float = 0.0           # extension: one-pass joint CTC/attention
+    ctc_pre_beam: int = 0            # joint decoding: CTC-score only the
+                                     # attention top-P tokens (0 = full vocab)
+    boost_phrases: str = ""          # extension: contextual-biasing phrase file
+    boost_weight: float = 0.0        # per-matched-token biasing bonus
 
 
 @dataclass
@@ -334,6 +339,25 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="extension: rescore the attention beam n-best "
                              "with the hybrid checkpoint's CTC head, weight "
                              "w in (1-w)*attention + w*ctc")
+    parser.add_argument("-joint_ctc", "--joint_ctc", default=0.0, type=float,
+                        help="extension: one-pass joint CTC/attention "
+                             "decoding — every beam step ranks "
+                             "(1-w)*attention + w*CTC-prefix-score "
+                             "(+ lm_weight*LM); needs a hybrid checkpoint")
+    parser.add_argument("-ctc_pre_beam", "--ctc_pre_beam", default=0,
+                        type=int,
+                        help="joint decoding: CTC-score only the attention "
+                             "top-P tokens per step (0 = full vocabulary; "
+                             "use with large BPE vocabularies)")
+    parser.add_argument("-boost_phrases", "--boost_phrases", default="",
+                        type=str,
+                        help="extension: contextual biasing — file with one "
+                             "boost phrase per line (names, commands, rare "
+                             "terms); works with every model family's beam")
+    parser.add_argument("-boost_weight", "--boost_weight", default=0.0,
+                        type=float,
+                        help="contextual-biasing bonus per matched token "
+                             "(divergence gives partial bonuses back)")
     # Eval mode
     parser.add_argument("-dev", default=False, action="store_true")
     parser.add_argument("-test", default=False, action="store_true")

@@ -65,6 +65,8 @@ class BeamState(NamedTuple):
     fin_lens: Array          # [B, k] int32
     cum_alpha: Array         # [B, k, T_enc] accumulated attention (coverage)
     fin_cov: Array           # [B, k] coverage term frozen at finalization
+    ctc_ps: Any = ()         # CTC prefix-scorer state (joint decoding) or ()
+    bias_node: Any = ()      # [B, k] int32 biasing-trie node or ()
 
 
 def _cell_step(use_lstm: bool, params, x, state):
@@ -196,6 +198,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
                 enc_states: Array, enc_lens: Array,
                 lm_params: dict | None = None,
                 return_nbest: bool = False,
+                ctc_scorer=None,
+                bias: tuple[dict, float] | None = None,
                 ) -> tuple[Array, Array, Array]:
     """Batched beam search.
 
@@ -207,6 +211,14 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         return_nbest: additionally return the full final candidate set
             (finished ∪ live, 2k entries; empty slots score NEG_INF) for
             downstream rescoring. Selection semantics are unchanged.
+        ctc_scorer: eval/ctc_prefix.CTCPrefixScorer for one-pass joint
+            CTC/attention decoding — engaged when beam_cfg.joint_ctc > 0;
+            ranks (1-w)·log p_att + w·Δpsi_ctc + lm_weight·log p_lm.
+        bias: (trie, boost_weight) contextual biasing (eval/biasing.py):
+            candidates advancing a boost-phrase match earn boost_weight per
+            token, divergence gives the partial bonus back, completions
+            commit it; still-live partial matches are uncommitted at the
+            final comparison.
     Returns:
         (tokens [B, max_steps] int32, lens [B] int32, scores [B] f32)
         [, (all_seqs [B, 2k, max_steps], all_lens [B, 2k],
@@ -217,6 +229,9 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     V = dec_cfg.vocab_size
     max_steps = beam_cfg.max_steps
     use_lm = lm_params is not None and beam_cfg.lm_weight != 0.0
+    use_joint = ctc_scorer is not None and beam_cfg.joint_ctc > 0.0
+    use_bias = bias is not None and bias[1] != 0.0
+    jw = beam_cfg.joint_ctc
     penalty = beam_cfg.word_ins_penalty
     use_cov = beam_cfg.apply_cov_penalty and beam_cfg.cov_penalty != 0.0
     T_enc = enc_states.shape[1]
@@ -227,6 +242,7 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     # per utterance (ops/beam_megakernel.py) — no per-step launch cost.
     from e2e_asr_tpu.ops import beam_megakernel as bmk
     if (use_sel_kernel and not use_lm and not use_cov and not return_nbest
+            and not use_joint and not use_bias
             and bmk.supported(dec_cfg, beam_cfg, dec_params, T_enc,
                               enc_states.shape[-1], B)):
         return bmk.beam_decode_mega(dec_params, dec_cfg, beam_cfg,
@@ -257,6 +273,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         fin_lens=jnp.zeros((B, k), jnp.int32),
         cum_alpha=jnp.zeros((B, k, T_enc)),
         fin_cov=jnp.zeros((B, k)),
+        ctc_ps=(ctc_scorer.init_state(k) if use_joint else ()),
+        bias_node=(jnp.zeros((B, k), jnp.int32) if use_bias else ()),
     )
 
     def cov_term(cum_alpha):
@@ -275,13 +293,25 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         new_cell_states, new_dec_lm, new_context, alpha, logp = _dec_step(
             dec_params, dec_cfg, ctx, state)
         cum_all = state.cum_alpha + alpha        # per parent hyp [B,k,T]
+        if use_joint:
+            # One-pass joint CTC/attention: every candidate extension also
+            # pays/earns its CTC prefix-score delta (eval/ctc_prefix.py).
+            ctc_delta, cand_ps = ctc_scorer.step(state.ctc_ps, logp)
+            combined = (1.0 - jw) * logp + jw * ctc_delta
+        else:
+            cand_ps = ()
+            combined = logp
         if use_lm:
             new_lm_state, lm_logp = _lm_step(lm_params, state.lm_state,
                                              state.lm_inputs)
-            combined = logp + beam_cfg.lm_weight * lm_logp
+            combined = combined + beam_cfg.lm_weight * lm_logp
         else:
             new_lm_state = state.lm_state
-            combined = logp
+        if use_bias:
+            from e2e_asr_tpu.eval import biasing
+            b_delta, b_targets = biasing.bias_step(bias[0], state.bias_node,
+                                                   bias[1])
+            combined = combined + b_delta
 
         if use_sel_kernel:
             # One-launch fused selection (ops/beam_select_pallas.py).
@@ -349,6 +379,14 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         safe_token = jnp.where(slot_valid, sel_token, 0)
         new_inputs = emb[safe_token]
         new_lm_inputs = (lm_params["embedding"][safe_token] if use_lm else ())
+        new_ctc_ps = (ctc_scorer.select(cand_ps, sel_parent, safe_token)
+                      if use_joint else ())
+        if use_bias:
+            from e2e_asr_tpu.eval import biasing
+            new_bias_node = biasing.bias_select(b_targets, sel_parent,
+                                                safe_token)
+        else:
+            new_bias_node = ()
 
         new_seqs = jnp.take_along_axis(cand_seqs, order[:, :, None], axis=1)
 
@@ -369,12 +407,21 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             fin_lens=fin_lens,
             cum_alpha=g_cum_alpha,
             fin_cov=fin_cov,
+            ctc_ps=new_ctc_ps,
+            bias_node=new_bias_node,
         )
 
     final = jax.lax.while_loop(cond, body, init)
 
     # Final candidates: finished ∪ still-live (beam_search.py:334-338).
     live_scores = jnp.where(final.alive, final.scores, NEG_INF)
+    if use_bias:
+        # Unfinished hypotheses give back their partial-match bonus (the
+        # finished ones already did, through the <eos> candidate's delta).
+        from e2e_asr_tpu.eval import biasing
+        live_scores = live_scores - jnp.where(
+            final.alive, biasing.pending_bonus(bias[0], final.bias_node,
+                                               bias[1]), 0.0)
     all_scores = jnp.concatenate([final.fin_scores, live_scores], axis=1)
     if use_cov:
         live_cov = cov_term(final.cum_alpha)

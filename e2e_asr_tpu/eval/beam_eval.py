@@ -22,9 +22,10 @@ from e2e_asr_tpu.models import rnn_lm, seq2seq
 
 
 def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
-                      *, compute_dtype=None, lm_params=None):
+                      *, compute_dtype=None, lm_params=None, bias=None):
     """Build a jitted batch -> (tokens, lens, scores) closure."""
     dec_cfg = cfg.decoders["char"]
+    use_joint = beam_cfg.joint_ctc > 0.0
 
     @jax.jit
     def run(params, feats, feat_lens, lm_p):
@@ -37,11 +38,25 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
         attn_states, _, enc_lens = seq2seq.encode(
             params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
         depth = cfg.num_layers["char"]
+        scorer = None
+        if use_joint:
+            # One-pass joint CTC/attention (eval/ctc_prefix.py): the hybrid
+            # checkpoint's CTC head scores the SAME encoder pass.
+            from e2e_asr_tpu.core.layers import dense
+            from e2e_asr_tpu.eval.ctc_prefix import CTCPrefixScorer
+            ctc_logits = dense(params["ctc_head"], attn_states[depth],
+                               compute_dtype=compute_dtype)
+            scorer = CTCPrefixScorer(
+                ctc_logits, enc_lens[depth],
+                pre_beam=beam_cfg.ctc_pre_beam or None)
         return beam_decode(params["decoder_char"], dec_cfg, beam_cfg,
                            attn_states[depth], enc_lens[depth],
-                           lm_params=lm_p)
+                           lm_params=lm_p, ctc_scorer=scorer, bias=bias)
 
     def decode(params, batch):
+        if use_joint and "ctc_head" not in params:
+            raise ValueError("-joint_ctc needs a hybrid checkpoint "
+                             "(train with -ctc_weight > 0)")
         return run(params, batch["logmel"], batch["logmel_len"], lm_params)
 
     return decode
@@ -50,10 +65,17 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
 class BeamEvaluator:
     def __init__(self, cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                  rev_vocab: list[str], out_dir: str, *, compute_dtype=None,
-                 lm_params=None):
+                 lm_params=None, bias=None):
         self.beam_cfg = beam_cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
+        if beam_cfg.ctc_rescore > 0 and beam_cfg.joint_ctc > 0:
+            raise ValueError("-ctc_rescore and -joint_ctc are two joint-"
+                             "decoding modes; pick one")
+        if beam_cfg.ctc_rescore > 0 and bias is not None:
+            raise ValueError("contextual biasing steers the one-pass beams "
+                             "(-joint_ctc is fine); it cannot reach "
+                             "-ctc_rescore's offline n-best")
         if beam_cfg.ctc_rescore > 0:
             # Hybrid-family joint decoding: n-best rescored under the CTC
             # head (eval/rescore.py; requires a hybrid checkpoint).
@@ -73,7 +95,7 @@ class BeamEvaluator:
         else:
             self._decode = make_beam_decoder(cfg, beam_cfg,
                                              compute_dtype=compute_dtype,
-                                             lm_params=lm_params)
+                                             lm_params=lm_params, bias=bias)
 
     def __call__(self, params, batches, *, write_files: bool = True) -> float:
         acc = WerAccumulator()

@@ -84,19 +84,29 @@ class CTCEvaluator(GreedyEvaluator):
 
     def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
                  out_dir: str, *, compute_dtype=None, beam_size: int = 1,
-                 file_prefix: str = "asr"):
+                 file_prefix: str = "asr", lm_params: dict | None = None,
+                 lm_weight: float = 0.0,
+                 bias: tuple[dict, float] | None = None):
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
         self.file_prefix = file_prefix
-        if beam_size > 1:
+        use_lm = lm_weight != 0.0
+        if use_lm and lm_params is None:
+            # Like the transducer family, pure CTC has no internal weight-tied
+            # LM to fall back to — fusion needs an external -lm_path.
+            raise ValueError("CTC LM fusion needs -lm_path "
+                             "(no internal shared LM in this family)")
+        if beam_size > 1 or use_lm or bias is not None:
             from e2e_asr_tpu.eval.ctc_beam import ctc_beam_search
 
             def decode(params, feats, feat_lens):
                 params = quant.maybe_dequantize(params)
                 tokens, _ = ctc_beam_search(params, cfg, feats, feat_lens,
-                                            beam_size=beam_size,
-                                            compute_dtype=compute_dtype)
+                                            beam_size=max(beam_size, 1),
+                                            compute_dtype=compute_dtype,
+                                            lm_params=lm_params,
+                                            lm_weight=lm_weight, bias=bias)
                 return tokens
         else:
             from e2e_asr_tpu.models import ctc
@@ -117,7 +127,8 @@ class TransducerEvaluator(GreedyEvaluator):
     def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
                  out_dir: str, *, compute_dtype=None, beam_size: int = 1,
                  file_prefix: str = "asr", lm_params: dict | None = None,
-                 lm_weight: float = 0.0):
+                 lm_weight: float = 0.0,
+                 bias: tuple[dict, float] | None = None):
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
@@ -129,7 +140,7 @@ class TransducerEvaluator(GreedyEvaluator):
             # decoder_char leaves that don't exist here).
             raise ValueError("transducer LM fusion needs -lm_path "
                              "(no internal shared LM in this family)")
-        if beam_size > 1 or use_lm:
+        if beam_size > 1 or use_lm or bias is not None:
             from e2e_asr_tpu.eval.transducer_beam import transducer_beam_search
 
             def decode(params, feats, feat_lens):
@@ -137,7 +148,7 @@ class TransducerEvaluator(GreedyEvaluator):
                 tokens, _ = transducer_beam_search(
                     params, cfg, feats, feat_lens, beam_size=max(beam_size, 1),
                     compute_dtype=compute_dtype, lm_params=lm_params,
-                    lm_weight=lm_weight)
+                    lm_weight=lm_weight, bias=bias)
                 return tokens
         else:
             from e2e_asr_tpu.models import transducer

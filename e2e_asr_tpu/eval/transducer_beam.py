@@ -48,7 +48,8 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
                            beam_size: int = 8, max_expansions: int = 3,
                            compute_dtype=None, max_output: int | None = None,
                            lm_params: dict | None = None,
-                           lm_weight: float = 0.0
+                           lm_weight: float = 0.0,
+                           bias: tuple[dict, float] | None = None
                            ) -> tuple[Array, Array, Array]:
     """Beam search over encoder states.
 
@@ -57,6 +58,9 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         lm_params: optional external fusion LM
             ({"embedding","lstm","output_proj"[,"simple_proj"]}, the
             rnn_lm.shared_lm_params layout) — engaged when lm_weight != 0.
+        bias: (trie, boost_weight) contextual biasing (eval/biasing.py) on
+            label emissions; unfinished partial matches give their bonus
+            back at the final comparison.
     Returns:
         (tokens [B, k, cap] int32 0-padded in emission order,
          lens [B, k] int32, scores [B, k] fused alignment log-probs),
@@ -95,6 +99,10 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         "pred_p": pred_p0,
     }
     use_lm = lm_params is not None and lm_weight != 0.0
+    use_bias = bias is not None and bias[1] != 0.0
+    if use_bias:
+        from e2e_asr_tpu.eval import biasing
+        carry0["bias_node"] = jnp.zeros((B, k), jnp.int32)
     if use_lm:
         # Checkpoint-loaded LMs arrive as numpy arrays; the embedding gather
         # below indexes with traced ids, which numpy rejects.
@@ -132,6 +140,11 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
                     dense(lm_params["output_proj"], lm_out
                           ).astype(jnp.float32), axis=-1)
                 ext = ext + lm_weight * lm_lp
+            if use_bias:
+                b_delta, b_targets = biasing.bias_step(bias[0],
+                                                       c["bias_node"],
+                                                       bias[1])
+                ext = ext + b_delta
             ext = ext.at[:, :, BLANK_ID].set(NEG_INF)
             ext = jnp.where((c["n"] >= cap)[:, :, None], NEG_INF, ext)
         cand = jnp.concatenate([stay, ext.reshape(B, k * V)], axis=1)
@@ -142,6 +155,8 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
 
         gathered = {"tokens": c["tokens"], "n": c["n"],
                     "states": c["states"], "pred_p": c["pred_p"]}
+        if use_bias:
+            gathered["bias_node"] = c["bias_node"]
         if use_lm:
             gathered["lm_state"] = c["lm_state"]
             gathered["lm_in"] = c["lm_in"]
@@ -163,6 +178,14 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         pred_p = sel(pred_p_new, new["pred_p"])
         out_c = {"score": vals, "tokens": wrote, "n": n, "states": states,
                  "pred_p": pred_p}
+        if use_bias:
+            if force_blank:
+                out_c["bias_node"] = new["bias_node"]
+            else:
+                # The trie advances only on emissions, like the fusion LM.
+                out_c["bias_node"] = sel(
+                    biasing.bias_select(b_targets, parent, token),
+                    new["bias_node"])
         if use_lm:
             if force_blank:
                 out_c["lm_state"] = new["lm_state"]
@@ -196,16 +219,23 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
     xs = (jnp.swapaxes(enc_proj, 0, 1), jnp.swapaxes(valid_seq, 0, 1))
     final, _ = jax.lax.scan(frame_step, carry0, xs)
 
-    order = jnp.argsort(-final["score"], axis=1, stable=True)
+    scores = final["score"]
+    if use_bias:
+        # Unfinished partial matches earn nothing.
+        scores = scores - biasing.pending_bonus(bias[0], final["bias_node"],
+                                                bias[1])
+    order = jnp.argsort(-scores, axis=1, stable=True)
     return (jnp.take_along_axis(final["tokens"], order[:, :, None], axis=1),
             jnp.take_along_axis(final["n"], order, axis=1),
-            jnp.take_along_axis(final["score"], order, axis=1))
+            jnp.take_along_axis(scores, order, axis=1))
 
 
 def transducer_beam_search(params: dict, cfg, feats: Array, feat_lens: Array,
                            *, beam_size: int = 8, max_expansions: int = 3,
                            compute_dtype=None, lm_params: dict | None = None,
-                           lm_weight: float = 0.0) -> tuple[Array, Array]:
+                           lm_weight: float = 0.0,
+                           bias: tuple[dict, float] | None = None
+                           ) -> tuple[Array, Array]:
     """End-to-end: encoder + transducer beam. Returns the best hypothesis's
     (tokens [B, cap], lens [B])."""
     attn_states, _, enc_lens = seq2seq.encode(
@@ -215,5 +245,5 @@ def transducer_beam_search(params: dict, cfg, feats: Array, feat_lens: Array,
         params, cfg, attn_states[depth], enc_lens[depth],
         beam_size=beam_size, max_expansions=max_expansions,
         compute_dtype=compute_dtype, lm_params=lm_params,
-        lm_weight=lm_weight)
+        lm_weight=lm_weight, bias=bias)
     return seqs[:, 0], lens[:, 0]

@@ -130,6 +130,20 @@ def test_cli_hybrid_ctc_attention(workspace):
     launch_eval(parse_options(_args(root, extra + [
         "-dev", "-beam_size", "2", "-ctc_rescore", "0.3"])))
 
+    # One-pass joint CTC/attention decoding (eval/ctc_prefix.py), full-vocab
+    # and pre-beam-pruned.
+    launch_eval(parse_options(_args(root, extra + [
+        "-dev", "-beam_size", "2", "-joint_ctc", "0.3"])))
+    launch_eval(parse_options(_args(root, extra + [
+        "-dev", "-beam_size", "2", "-joint_ctc", "0.3",
+        "-ctc_pre_beam", "6"])))
+
+    # The two joint-decoding modes are mutually exclusive.
+    with pytest.raises(ValueError):
+        launch_eval(parse_options(_args(root, extra + [
+            "-dev", "-beam_size", "2", "-ctc_rescore", "0.3",
+            "-joint_ctc", "0.3"])))
+
 
 def test_cli_pure_ctc_family(workspace):
     """-model_family ctc trains the encoder-only CTC recognizer through the
@@ -149,6 +163,56 @@ def test_cli_pure_ctc_family(workspace):
 
     launch_eval(parse_options(_args(root, extra + ["-dev"])))
     launch_eval(parse_options(_args(root, extra + ["-dev", "-beam_size", "2"])))
+
+
+def test_cli_ctc_beam_with_external_lm(workspace):
+    """Pure-CTC eval with -lm_path/-lm_weight: the prefix beam fuses an
+    external RNN-LM loaded from an attention-family checkpoint (whose
+    decoder_char leaves ARE the shared LM, rnn_lm.shared_lm_params)."""
+    root = workspace
+    extra = ["-model_family", "ctc", "-run_id", "12", "-nlc", "2"]
+    cfg = parse_options(_args(root, extra))
+    if not glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg)
+    cfg_lm_src = parse_options(_args(root))
+    if not glob.glob(os.path.join(cfg_lm_src.train.train_dir,
+                                  "asr.ckpt-*.npz")):
+        launch_train(cfg_lm_src)
+    lm_ckpt = sorted(glob.glob(os.path.join(cfg_lm_src.train.train_dir,
+                                            "asr.ckpt-*.npz")))[-1]
+    launch_eval(parse_options(_args(root, extra + [
+        "-dev", "-beam_size", "2", "-lm_weight", "0.05",
+        "-lm_path", lm_ckpt])))
+
+    # Guard: fusion without a source LM is a hard error for this family.
+    with pytest.raises(ValueError):
+        launch_eval(parse_options(_args(root, extra + [
+            "-dev", "-beam_size", "2", "-lm_weight", "0.05"])))
+
+
+def test_cli_contextual_biasing(workspace, tmp_path):
+    """-boost_phrases/-boost_weight engage the biasing trie in the attention
+    beam and in the CTC prefix beam (greedy dispatch must not swallow it)."""
+    root = workspace
+    cfg = parse_options(_args(root))
+    if not glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg)
+    boost = tmp_path / "boost.txt"
+    boost.write_text("a b\nc\n")
+    launch_eval(parse_options(_args(root, [
+        "-dev", "-beam_size", "2", "-boost_phrases", str(boost),
+        "-boost_weight", "0.5"])))
+    # beam_size 1 + biasing still routes through the beam evaluator.
+    launch_eval(parse_options(_args(root, [
+        "-dev", "-boost_phrases", str(boost), "-boost_weight", "0.5"])))
+
+    extra = ["-model_family", "ctc", "-run_id", "12", "-nlc", "2"]
+    cfg_ctc = parse_options(_args(root, extra))
+    if not glob.glob(os.path.join(cfg_ctc.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg_ctc)
+    launch_eval(parse_options(_args(root, extra + [
+        "-dev", "-beam_size", "2", "-boost_phrases", str(boost),
+        "-boost_weight", "0.5"])))
 
 
 def test_cli_ctc_family_flag_guards(workspace):
