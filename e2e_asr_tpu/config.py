@@ -177,6 +177,10 @@ class TrainConfig:
     quantize: str = ""               # "int8": eval/serving decodes int8
                                      # weight-only quantized params
                                      # (core/quant.py)
+    mwer: bool = False               # minimum-WER sequence fine-tuning
+                                     # (train/mwer.py) instead of CE
+    mwer_nbest: int = 4              # n-best size for the MWER expectation
+    mwer_ce: float = 0.01            # CE anchor weight in the MWER loss
     pp_stages: int = 1               # pipeline-parallel stages for the
                                      # transformer block stack
                                      # (core/pipeline.py); 1 = off
@@ -399,6 +403,16 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-eval_ema", default=False, action="store_true",
                         help="Evaluate the EMA shadow weights from a "
                              "checkpoint trained with -ema_decay")
+    parser.add_argument("-mwer", default=False, action="store_true",
+                        help="Minimum-WER sequence fine-tuning: ASR steps "
+                             "minimize expected filler-filtered word errors "
+                             "over the model's own n-best (resume a CE "
+                             "checkpoint; attention family)")
+    parser.add_argument("-mwer_nbest", default=4, type=int,
+                        help="n-best size for the MWER expectation")
+    parser.add_argument("-mwer_ce", default=0.01, type=float,
+                        help="cross-entropy anchor weight inside the MWER "
+                             "objective (Prabhavalkar et al. 2018)")
     parser.add_argument("-pp_stages", default=1, type=int,
                         help="Pipeline-parallel stages for the transformer "
                              "encoder's block stack (blocks sharded over a "
@@ -467,6 +481,17 @@ def process_args(options: dict[str, Any],
             raise ValueError(
                 "-ctc_weight is the HYBRID family's knob; the transducer "
                 "family has its own alignment-free objective")
+
+    if options.get("mwer"):
+        if family != "attention" or options.get("ctc_weight", 0.0) > 0:
+            raise ValueError("-mwer currently covers the attention family "
+                             "(pure CE objective)")
+        if options.get("grad_accum", 1) > 1:
+            raise ValueError("-mwer and -grad_accum are not combined "
+                             "(the MWER step scores an n-best per batch)")
+        if options.get("ema_decay", 0.0) > 0:
+            raise ValueError("-mwer fine-tuning does not update EMA "
+                             "shadows; drop -ema_decay for this phase")
 
     run_dir = get_run_dir_name(options)
     train_dir = os.path.join(options["train_base_dir"], run_dir)

@@ -310,6 +310,19 @@ class Trainer:
                               compute_dtype=self.compute_dtype)
                      if dev_set is not None and rev_vocab else None)
 
+        mwer_stepper = None
+        if tc.mwer:
+            # MWER fine-tuning (train/mwer.py): the ASR step becomes
+            # decode-n-best -> host word-error counts -> expected-WER grad
+            # step. Same run dir / optimizer state: resumes a CE checkpoint.
+            from e2e_asr_tpu.train import mwer as mwer_lib
+            if not rev_vocab:
+                raise ValueError("-mwer needs the char vocab for word-error "
+                                 "counting")
+            mwer_stepper = mwer_lib.MWERStepper(
+                cfg, rev_vocab, nbest=tc.mwer_nbest, ce_weight=tc.mwer_ce,
+                compute_dtype=self.compute_dtype)
+
         writer = SummaryWriter(path.join(tc.train_dir, "summary"))
 
         # best score + error history (train.py:221-253)
@@ -385,7 +398,10 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 if tc.profile_dir and current_step == 10:
                     jax.profiler.start_trace(tc.profile_dir)
-                state, metrics = self.asr_step(state, dev_b, sub)
+                if mwer_stepper is not None:
+                    state, metrics = mwer_stepper(state, dev_b, sub)
+                else:
+                    state, metrics = self.asr_step(state, dev_b, sub)
                 current_step += 1
                 if tc.profile_dir and current_step == 15:
                     float(metrics["loss"])  # sync before stopping the trace

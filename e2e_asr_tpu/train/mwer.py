@@ -1,0 +1,196 @@
+"""Minimum-WER (MWER) sequence training for the attention family.
+
+Fine-tuning objective (Prabhavalkar et al. 2018, "Minimum Word Error Rate
+Training for Attention-based Sequence-to-Sequence Models"): instead of
+per-token cross entropy, minimize the EXPECTED number of word errors over
+the model's own n-best list,
+
+    L_mwer = E_{y ~ p̂(y|x)} [ W(y, y*) ]  =  Σ_i p̂_i · W_i ,
+
+where p̂ renormalizes the model's sequence probabilities over the n-best
+(softmax of teacher-forced log P(y_i|x)) and W_i counts word errors. The
+softmax Jacobian gives the variance-reduced REINFORCE form automatically
+(each hypothesis's gradient is weighted by W_i − Σ p̂_j W_j, so hypotheses
+better than the expectation are pushed up). A small cross-entropy term on
+the ground truth (`ce_weight`, default 0.01) keeps the model anchored, as
+in the paper.
+
+Error counts use the framework's OWN eval metric — detokenized,
+filler-filtered word errors (eval/score.py, data/text.py) — so training
+optimizes exactly what `Score:` reports. That computation is host-side
+string work, so an MWER step is a three-phase sandwich:
+
+    1. jitted n-best decode (the standard batched beam, return_nbest=True),
+    2. host word-error counting per candidate,
+    3. jitted grad step: one encoder pass, every candidate teacher-forced
+       against N-fold-tiled encoder states, expected-error loss + CE, Adam.
+
+Only FINISHED candidates (eos-terminated) enter the n-best: their
+teacher-forced log P is a complete sequence probability, so p̂ is properly
+comparable across lengths. Utterances with no finished candidate fall back
+to the CE term alone that step (mask: zero MWER contribution).
+
+No reference counterpart (/root/reference trains pure CE); the reference's
+Adam/clip/dynamic-LR optimizer is reused unchanged so MWER fine-tuning
+resumes a CE checkpoint's optimizer state.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.config import BeamConfig, Seq2SeqConfig
+from e2e_asr_tpu.data import text
+from e2e_asr_tpu.eval.score import edit_distance
+from e2e_asr_tpu.models import attn_decoder, seq2seq
+from e2e_asr_tpu.train import step as step_lib
+
+Array = jax.Array
+NEG_INF = -1e30
+
+
+def make_mwer_fns(model_cfg: Seq2SeqConfig, *, nbest: int = 4,
+                  ce_weight: float = 0.01, compute_dtype=None):
+    """Build (decode_nbest, grad_step) closures. Both are jitted; the word
+    error counts flow between them through the host (count_word_errors)."""
+    if model_cfg.model_family != "attention" or model_cfg.ctc_weight > 0:
+        raise ValueError("-mwer currently covers the attention family "
+                         "(pure CE objective)")
+    from e2e_asr_tpu.eval.beam import beam_decode
+
+    dec_cfg = model_cfg.decoders["char"]
+    # Deterministic teacher forcing for sequence scoring: no scheduled
+    # sampling, no dropout (the noise sources of apply_train are off).
+    score_cfg = dataclasses.replace(dec_cfg, samp_prob=0.0, out_prob_dec=1.0)
+    beam_cfg = BeamConfig(beam_size=nbest, max_steps=dec_cfg.max_output)
+    depth = model_cfg.num_layers["char"]
+
+    @jax.jit
+    def decode_nbest(params, feats, feat_lens):
+        """-> (seqs [B, k, L] eos-terminated, lens [B, k], valid [B, k]).
+        Only the finished buffer (first k n-best slots) qualifies."""
+        attn_states, _, enc_lens = seq2seq.encode(
+            params, model_cfg, feats, feat_lens,
+            compute_dtype=compute_dtype)
+        (_, _, _), (seqs, lens, scores) = beam_decode(
+            params["decoder_char"], dec_cfg, beam_cfg,
+            attn_states[depth], enc_lens[depth], return_nbest=True)
+        k = beam_cfg.beam_size
+        fin_seqs, fin_lens, fin_scores = (seqs[:, :k], lens[:, :k],
+                                          scores[:, :k])
+        valid = (fin_scores > NEG_INF / 2) & (fin_lens > 0)
+        return fin_seqs, fin_lens, valid
+
+    @jax.jit
+    def grad_step(state: step_lib.TrainState, batch: dict, seqs: Array,
+                  lens: Array, valid: Array, errors: Array, rng: Array):
+        """One MWER update. errors: [B, k] float word-error counts."""
+        B, k, L = seqs.shape
+
+        def loss_fn(params):
+            attn_states, _, enc_lens = seq2seq.encode(
+                params, model_cfg, batch["logmel"], batch["logmel_len"],
+                compute_dtype=compute_dtype)
+            enc, el = attn_states[depth], enc_lens[depth]
+            # Tile the one encoder pass k-fold for candidate scoring.
+            H = enc.shape[-1]
+            enc_t = jnp.broadcast_to(enc[:, None], (B, k) + enc.shape[1:]
+                                     ).reshape(B * k, enc.shape[1], H)
+            el_t = jnp.broadcast_to(el[:, None], (B, k)).reshape(B * k)
+            # Teacher-forced inputs: <go> + candidate tokens (eos included).
+            dec_in = jnp.concatenate(
+                [jnp.full((B * k, 1), text.GO_ID, jnp.int32),
+                 seqs.reshape(B * k, L)], axis=1).T          # [L+1, B*k]
+            logits = attn_decoder.apply_train(
+                params["decoder_char"], score_cfg, dec_in, enc_t, el_t,
+                rng=rng, compute_dtype=compute_dtype)        # [L, B*k, V]
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tgt = dec_in[1:]                                 # [L, B*k]
+            tok_lp = jnp.take_along_axis(lp, tgt[:, :, None],
+                                         axis=-1)[:, :, 0]
+            mask = (jnp.arange(L)[:, None]
+                    < lens.reshape(B * k)[None, :])
+            seq_lp = jnp.sum(tok_lp * mask, axis=0).reshape(B, k)
+
+            # Renormalize over the VALID candidates; all-invalid rows
+            # contribute zero MWER (CE still trains them this step).
+            masked = jnp.where(valid, seq_lp, NEG_INF)
+            p_hat = jax.nn.softmax(masked, axis=1)
+            any_valid = jnp.any(valid, axis=1)
+            expected = jnp.sum(p_hat * jax.lax.stop_gradient(errors), axis=1)
+            mwer = jnp.sum(jnp.where(any_valid, expected, 0.0)) / jnp.maximum(
+                jnp.sum(any_valid), 1)
+
+            ce, per_task = seq2seq.apply_train(
+                params, model_cfg, batch, rng=rng,
+                compute_dtype=compute_dtype)
+            return mwer + ce_weight * ce, (mwer, ce, per_task)
+
+        (total, (mwer, ce, per_task)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        asr_opt = step_lib.make_optimizer(model_cfg.learning_rate,
+                                          model_cfg.max_gradient_norm,
+                                          model_cfg.lr_warmup_steps)
+        import optax
+        updates, new_opt = asr_opt.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(params=new_params, opt_state=new_opt,
+                                   global_step=state.global_step + 1)
+        metrics = {"loss": total, "mwer": mwer, "loss_char": ce,
+                   **{f"ce_{t}": v for t, v in per_task.items()}}
+        return new_state, metrics
+
+    return decode_nbest, grad_step
+
+
+def count_word_errors(seqs: np.ndarray, lens: np.ndarray, valid: np.ndarray,
+                      refs: np.ndarray, rev_vocab: list[str]) -> np.ndarray:
+    """Host phase: filler-filtered word-error counts per candidate.
+
+    seqs/lens/valid: [B, k] n-best arrays; refs: [B, L_ref] gold char ids
+    including the leading <go> (the dataset's `char` field).
+    """
+    B, k = lens.shape
+    errors = np.zeros((B, k), np.float32)
+    for b in range(B):
+        gold_sent = text.ids_to_sentence(refs[b, 1:], rev_vocab)
+        _, gold_words = text.get_relevant_words(gold_sent)
+        for j in range(k):
+            if not valid[b, j]:
+                continue
+            hyp_sent = text.ids_to_sentence(seqs[b, j, : lens[b, j]],
+                                            rev_vocab)
+            _, hyp_words = text.get_relevant_words(hyp_sent)
+            st = edit_distance(hyp_words, gold_words)
+            errors[b, j] = st.insertions + st.deletions + st.substitutions
+    return errors
+
+
+class MWERStepper:
+    """The three-phase MWER step with the Trainer's step signature:
+    stepper(state, device_batch, rng) -> (new_state, metrics)."""
+
+    def __init__(self, model_cfg: Seq2SeqConfig, rev_vocab: list[str], *,
+                 nbest: int = 4, ce_weight: float = 0.01,
+                 compute_dtype=None):
+        self.rev_vocab = rev_vocab
+        self._decode, self._grad = make_mwer_fns(
+            model_cfg, nbest=nbest, ce_weight=ce_weight,
+            compute_dtype=compute_dtype)
+
+    def __call__(self, state, batch: dict, rng: Array):
+        seqs, lens, valid = self._decode(state.params, batch["logmel"],
+                                         batch["logmel_len"])
+        seqs_h, lens_h, valid_h = (np.asarray(seqs), np.asarray(lens),
+                                   np.asarray(valid))
+        # Padding rows of the fixed-shape batch train on nothing: their
+        # candidates count zero errors and CE masks them via char_len.
+        valid_h = valid_h & np.asarray(batch["valid"])[:, None]
+        errors = count_word_errors(seqs_h, lens_h, valid_h,
+                                   np.asarray(batch["char"]), self.rev_vocab)
+        return self._grad(state, batch, seqs, lens,
+                          jnp.asarray(valid_h), jnp.asarray(errors), rng)

@@ -190,6 +190,25 @@ def test_cli_ctc_beam_with_external_lm(workspace):
             "-dev", "-beam_size", "2", "-lm_weight", "0.05"])))
 
 
+def test_cli_mwer_finetune(workspace):
+    """-mwer resumes the CE run's own dir/optimizer state and runs the
+    three-phase expected-WER step through the standard driver."""
+    root = workspace
+    cfg = parse_options(_args(root))
+    if not glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg)
+    cfg_mwer = parse_options(_args(root, ["-mwer", "-mwer_nbest", "2",
+                                          "-max_epochs", "2"]))
+    # Same run dir: MWER fine-tuning continues the CE checkpoint.
+    assert cfg_mwer.train.train_dir == cfg.train.train_dir
+    launch_train(cfg_mwer)
+
+    with pytest.raises(ValueError):
+        parse_options(_args(root, ["-mwer", "-model_family", "ctc"]))
+    with pytest.raises(ValueError):
+        parse_options(_args(root, ["-mwer", "-grad_accum", "2"]))
+
+
 def test_cli_contextual_biasing(workspace, tmp_path):
     """-boost_phrases/-boost_weight engage the biasing trie in the attention
     beam and in the CTC prefix beam (greedy dispatch must not swallow it)."""

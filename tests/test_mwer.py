@@ -1,0 +1,145 @@
+"""Minimum-WER sequence training (train/mwer.py): error counting, the
+expected-error gradient's preference for lower-error candidates, n-best
+decode contract, and the full three-phase stepper."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.data import text
+from e2e_asr_tpu.models import attn_decoder, seq2seq
+from e2e_asr_tpu.train import mwer as mwer_lib
+from e2e_asr_tpu.config import LMConfig
+from e2e_asr_tpu.train import step as step_lib
+from tests.test_seq2seq import make_batch, tiny_cfg
+
+
+def _seq_logprob(params, cfg, batch, seqs, lens):
+    """Teacher-forced log P(candidate | x), the quantity MWER renormalizes."""
+    dec_cfg = dataclasses.replace(cfg.decoders["char"], samp_prob=0.0,
+                                  out_prob_dec=1.0)
+    depth = cfg.num_layers["char"]
+    attn_states, _, enc_lens = seq2seq.encode(
+        params, cfg, batch["logmel"], batch["logmel_len"])
+    enc, el = attn_states[depth], enc_lens[depth]
+    B, k, L = seqs.shape
+    H = enc.shape[-1]
+    enc_t = jnp.broadcast_to(enc[:, None], (B, k) + enc.shape[1:]).reshape(
+        B * k, enc.shape[1], H)
+    el_t = jnp.broadcast_to(el[:, None], (B, k)).reshape(B * k)
+    dec_in = jnp.concatenate(
+        [jnp.full((B * k, 1), text.GO_ID, jnp.int32),
+         seqs.reshape(B * k, L)], axis=1).T
+    logits = attn_decoder.apply_train(params["decoder_char"], dec_cfg,
+                                      dec_in, enc_t, el_t,
+                                      rng=jax.random.PRNGKey(0))
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok = jnp.take_along_axis(lp, dec_in[1:][:, :, None], axis=-1)[:, :, 0]
+    mask = jnp.arange(L)[:, None] < lens.reshape(B * k)[None, :]
+    return jnp.sum(tok * mask, axis=0).reshape(B, k)
+
+
+def test_count_word_errors():
+    # vocab: specials + ▁ a b
+    rev = ["<pad>", "<go>", "<eos>", "▁", "a", "b"]
+    # ref: "ab a"  (go, ▁ a b ▁ a, eos)
+    refs = np.array([[1, 3, 4, 5, 3, 4, 2]], np.int32)
+    seqs = np.zeros((1, 3, 8), np.int32)
+    lens = np.zeros((1, 3), np.int32)
+    valid = np.array([[True, True, False]])
+    seqs[0, 0, :7] = [3, 4, 5, 3, 4, 2, 0]   # exact -> 0 errors
+    lens[0, 0] = 6
+    seqs[0, 1, :5] = [3, 4, 5, 3, 5]         # "ab b" -> 1 substitution
+    lens[0, 1] = 5
+    seqs[0, 2, :3] = [3, 5, 2]               # invalid slot -> ignored
+    lens[0, 2] = 3
+    errs = mwer_lib.count_word_errors(seqs, lens, valid, refs, rev)
+    np.testing.assert_array_equal(errs[0], [0.0, 1.0, 0.0])
+
+
+def test_mwer_gradient_prefers_lower_error_candidate(rng):
+    """With two fixed candidates (errors 0 vs 3) and no CE anchor, MWER
+    steps must grow the log-probability margin of the better candidate and
+    shrink the expected error."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(rng, cfg, B=2, T=12, T_dec=5)
+    state = step_lib.create_state(params, cfg, LMConfig())
+
+    _, grad_step = mwer_lib.make_mwer_fns(cfg, nbest=2, ce_weight=0.0)
+    L = 4
+    seqs = jnp.asarray(np.array(
+        [[[4, 5, 2, 0], [6, 7, 2, 0]],
+         [[8, 3, 2, 0], [5, 5, 2, 0]]], np.int32))
+    lens = jnp.full((2, 2), 3, jnp.int32)
+    valid = jnp.ones((2, 2), bool)
+    errors = jnp.asarray(np.array([[0.0, 3.0], [0.0, 3.0]], np.float32))
+
+    lp0 = np.asarray(_seq_logprob(state.params, cfg, batch, seqs, lens))
+    margin0 = lp0[:, 0] - lp0[:, 1]
+    first_expected = None
+    for i in range(8):
+        state, metrics = grad_step(state, batch, seqs, lens, valid, errors,
+                                   jax.random.PRNGKey(i))
+        if first_expected is None:
+            first_expected = float(metrics["mwer"])
+    lp1 = np.asarray(_seq_logprob(state.params, cfg, batch, seqs, lens))
+    margin1 = lp1[:, 0] - lp1[:, 1]
+    assert np.all(margin1 > margin0), (margin0, margin1)
+    assert float(metrics["mwer"]) < first_expected
+    assert int(state.global_step) == 8
+
+
+def test_mwer_all_invalid_rows_fall_back_to_ce(rng):
+    """No finished candidates -> zero MWER term; the step is still finite
+    and updates via CE."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(rng, cfg, B=2, T=12, T_dec=5)
+    state = step_lib.create_state(params, cfg, LMConfig())
+    _, grad_step = mwer_lib.make_mwer_fns(cfg, nbest=2, ce_weight=1.0)
+    seqs = jnp.zeros((2, 2, 4), jnp.int32)
+    lens = jnp.zeros((2, 2), jnp.int32)
+    valid = jnp.zeros((2, 2), bool)
+    errors = jnp.zeros((2, 2), jnp.float32)
+    state2, metrics = grad_step(state, batch, seqs, lens, valid, errors,
+                                jax.random.PRNGKey(0))
+    assert float(metrics["mwer"]) == 0.0
+    assert np.isfinite(float(metrics["loss"]))
+    # CE gradient actually moved the params.
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        state2.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_decode_nbest_contract(rng):
+    """Valid n-best slots are eos-terminated finished hypotheses."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(2), cfg)
+    batch = make_batch(rng, cfg, B=2, T=12, T_dec=5)
+    decode_nbest, _ = mwer_lib.make_mwer_fns(cfg, nbest=3)
+    seqs, lens, valid = decode_nbest(params, batch["logmel"],
+                                     batch["logmel_len"])
+    assert seqs.shape[:2] == (2, 3) and lens.shape == (2, 3)
+    s, l, v = np.asarray(seqs), np.asarray(lens), np.asarray(valid)
+    for b in range(2):
+        for j in range(3):
+            if v[b, j]:
+                assert s[b, j, l[b, j] - 1] == text.EOS_ID
+
+
+def test_full_stepper_runs(rng):
+    """The three-phase MWERStepper end to end on a synthetic batch."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(3), cfg)
+    batch = make_batch(rng, cfg, B=2, T=12, T_dec=5)
+    batch["valid"] = np.array([True, True])
+    state = step_lib.create_state(params, cfg, LMConfig())
+    rev = ["<pad>", "<go>", "<eos>"] + list("▁abcdefgh")
+    stepper = mwer_lib.MWERStepper(cfg, rev, nbest=2, ce_weight=0.01)
+    state2, metrics = stepper(state, batch, jax.random.PRNGKey(0))
+    assert int(state2.global_step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert "mwer" in metrics
