@@ -124,6 +124,8 @@ class BeamConfig:
                                      # attention top-P tokens (0 = full vocab)
     boost_phrases: str = ""          # extension: contextual-biasing phrase file
     boost_weight: float = 0.0        # per-matched-token biasing bonus
+    nbest: int = 1                   # extension: write the top-N hypotheses
+                                     # per utterance (nbest_*.txt)
 
 
 @dataclass
@@ -362,6 +364,10 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         type=float,
                         help="contextual-biasing bonus per matched token "
                              "(divergence gives partial bonuses back)")
+    parser.add_argument("-nbest", "--nbest", default=1, type=int,
+                        help="extension: also write the top-N hypotheses "
+                             "per utterance with scores (nbest_*.txt); "
+                             "works with every family's beam")
     # Eval mode
     parser.add_argument("-dev", default=False, action="store_true")
     parser.add_argument("-test", default=False, action="store_true")

@@ -22,10 +22,16 @@ from e2e_asr_tpu.models import rnn_lm, seq2seq
 
 
 def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
-                      *, compute_dtype=None, lm_params=None, bias=None):
-    """Build a jitted batch -> (tokens, lens, scores) closure."""
+                      *, compute_dtype=None, lm_params=None, bias=None,
+                      nbest: int = 1):
+    """Build a jitted batch -> (tokens, lens, scores) closure; with
+    nbest > 1 the closure instead returns the score-sorted top-N
+    (seqs [B,N,L], lens [B,N], scores [B,N])."""
     dec_cfg = cfg.decoders["char"]
     use_joint = beam_cfg.joint_ctc > 0.0
+    if nbest > 1 and beam_cfg.beam_size < nbest:
+        import dataclasses
+        beam_cfg = dataclasses.replace(beam_cfg, beam_size=nbest)
 
     @jax.jit
     def run(params, feats, feat_lens, lm_p):
@@ -49,6 +55,17 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
             scorer = CTCPrefixScorer(
                 ctc_logits, enc_lens[depth],
                 pre_beam=beam_cfg.ctc_pre_beam or None)
+        if nbest > 1:
+            import jax.numpy as jnp
+            (_, _, _), (seqs, lens, scores) = beam_decode(
+                params["decoder_char"], dec_cfg, beam_cfg,
+                attn_states[depth], enc_lens[depth],
+                lm_params=lm_p, ctc_scorer=scorer, bias=bias,
+                return_nbest=True)
+            order = jnp.argsort(-scores, axis=1, stable=True)[:, :nbest]
+            return (jnp.take_along_axis(seqs, order[:, :, None], axis=1),
+                    jnp.take_along_axis(lens, order, axis=1),
+                    jnp.take_along_axis(scores, order, axis=1))
         return beam_decode(params["decoder_char"], dec_cfg, beam_cfg,
                            attn_states[depth], enc_lens[depth],
                            lm_params=lm_p, ctc_scorer=scorer, bias=bias)
@@ -65,10 +82,14 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
 class BeamEvaluator:
     def __init__(self, cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                  rev_vocab: list[str], out_dir: str, *, compute_dtype=None,
-                 lm_params=None, bias=None):
+                 lm_params=None, bias=None, nbest: int = 1):
         self.beam_cfg = beam_cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
+        self.nbest = nbest
+        if nbest > 1 and beam_cfg.ctc_rescore > 0:
+            raise ValueError("-nbest is not available with -ctc_rescore "
+                             "(the rescorer consumes the n-best itself)")
         if beam_cfg.ctc_rescore > 0 and beam_cfg.joint_ctc > 0:
             raise ValueError("-ctc_rescore and -joint_ctc are two joint-"
                              "decoding modes; pick one")
@@ -95,7 +116,8 @@ class BeamEvaluator:
         else:
             self._decode = make_beam_decoder(cfg, beam_cfg,
                                              compute_dtype=compute_dtype,
-                                             lm_params=lm_params, bias=bias)
+                                             lm_params=lm_params, bias=bias,
+                                             nbest=nbest)
 
     def __call__(self, params, batches, *, write_files: bool = True) -> float:
         acc = WerAccumulator()
@@ -105,11 +127,17 @@ class BeamEvaluator:
                                 f"raw_{self.beam_cfg.beam_size}.txt")
         gold_f = open(gold_path, "w") if write_files else None
         raw_f = open(raw_path, "w") if write_files else None
+        nb_path = os.path.join(self.out_dir,
+                               f"nbest_{self.beam_cfg.beam_size}.txt")
+        nb_f = open(nb_path, "w") if write_files and self.nbest > 1 else None
         try:
             for batch in batches:
-                tokens, lens, _ = self._decode(params, batch)
+                tokens, lens, scores = self._decode(params, batch)
                 tokens = np.asarray(tokens)
                 lens = np.asarray(lens)
+                if self.nbest > 1:
+                    all_seqs, all_scores = tokens, np.asarray(scores)
+                    tokens, lens = tokens[:, 0], lens[:, 0]
                 for i in range(tokens.shape[0]):
                     if not batch["valid"][i]:
                         continue
@@ -124,10 +152,21 @@ class BeamEvaluator:
                         uid = batch["utt_ids"][i]
                         gold_f.write(f"{uid}\t{' '.join(gold_words)}\n")
                         raw_f.write(f"{uid}\t{' '.join(raw_words)}\n")
+                    if nb_f is not None:
+                        uid = batch["utt_ids"][i]
+                        for r in range(all_seqs.shape[1]):
+                            if all_scores[i, r] <= -1e29:
+                                continue
+                            sent = text.ids_to_sentence(all_seqs[i, r],
+                                                        self.rev_vocab)
+                            nb_f.write(f"{uid}\t{r}\t{all_scores[i, r]:.4f}"
+                                       f"\t{sent}\n")
         finally:
-            for f in (gold_f, raw_f):
+            for f in (gold_f, raw_f, nb_f):
                 if f:
                     f.close()
+        if nb_f is not None:
+            print(f"N-best at: {nb_path}")
         if write_files:
             print(f"Output at: {raw_path}")
         print(f"Score: {acc.score:f}")

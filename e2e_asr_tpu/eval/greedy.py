@@ -37,20 +37,34 @@ class GreedyEvaluator:
 
     def __call__(self, params, batches, *, write_files: bool = True) -> float:
         """Returns the filler-filtered WER over `batches` (an iterable of
-        dataset batches with `valid` masks)."""
+        dataset batches with `valid` masks). Evaluators that set
+        `_nbest_decode` (returning sorted [B,N,L]/[B,N]/[B,N] n-best sets)
+        additionally write nbest_*.txt with per-hypothesis scores; the WER
+        is always the top hypothesis's."""
         acc = WerAccumulator()
         os.makedirs(self.out_dir, exist_ok=True)
         gold_path = os.path.join(self.out_dir, f"gold_{self.file_prefix}.txt")
         raw_path = os.path.join(self.out_dir, f"raw_{self.file_prefix}.txt")
         dec_path = os.path.join(self.out_dir, f"decoded_{self.file_prefix}.txt")
+        nb_decode = getattr(self, "_nbest_decode", None)
         gold_f = open(gold_path, "w") if write_files else None
         raw_f = open(raw_path, "w") if write_files else None
         dec_f = open(dec_path, "w") if write_files else None
+        nb_path = os.path.join(self.out_dir, f"nbest_{self.file_prefix}.txt")
+        nb_f = (open(nb_path, "w")
+                if write_files and nb_decode is not None else None)
         try:
             for batch in batches:
-                ids = np.asarray(self._decode(
-                    params=params, feats=batch["logmel"],
-                    feat_lens=batch["logmel_len"]))           # [B, T_out]
+                if nb_decode is not None:
+                    seqs, _, scores = nb_decode(
+                        params=params, feats=batch["logmel"],
+                        feat_lens=batch["logmel_len"])
+                    seqs, scores = np.asarray(seqs), np.asarray(scores)
+                    ids = seqs[:, 0]
+                else:
+                    ids = np.asarray(self._decode(
+                        params=params, feats=batch["logmel"],
+                        feat_lens=batch["logmel_len"]))       # [B, T_out]
                 for i in range(ids.shape[0]):
                     if not batch["valid"][i]:
                         continue
@@ -65,13 +79,24 @@ class GreedyEvaluator:
                         gold_f.write(f"{uid}\t{' '.join(gold_words)}\n")
                         raw_f.write(f"{uid}\t{' '.join(raw_words)}\n")
                         dec_f.write(f"{uid}\t{' '.join(hyp_words)}\n")
+                    if nb_f is not None:
+                        uid = batch["utt_ids"][i]
+                        for r in range(seqs.shape[1]):
+                            if scores[i, r] <= -1e29:
+                                continue
+                            sent = text.ids_to_sentence(seqs[i, r],
+                                                        self.rev_vocab)
+                            nb_f.write(f"{uid}\t{r}\t{scores[i, r]:.4f}"
+                                       f"\t{sent}\n")
         finally:
-            for f in (gold_f, raw_f, dec_f):
+            for f in (gold_f, raw_f, dec_f, nb_f):
                 if f:
                     f.close()
         print(f"Total sentences: {acc.sentences}")
         if write_files:
             print(f"Output at: {raw_path}")
+            if nb_f is not None:
+                print(f"N-best at: {nb_path}")
         print(f"Score: {acc.score:f}")
         return acc.score
 
@@ -86,7 +111,7 @@ class CTCEvaluator(GreedyEvaluator):
                  out_dir: str, *, compute_dtype=None, beam_size: int = 1,
                  file_prefix: str = "asr", lm_params: dict | None = None,
                  lm_weight: float = 0.0,
-                 bias: tuple[dict, float] | None = None):
+                 bias: tuple[dict, float] | None = None, nbest: int = 1):
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
@@ -97,7 +122,23 @@ class CTCEvaluator(GreedyEvaluator):
             # LM to fall back to — fusion needs an external -lm_path.
             raise ValueError("CTC LM fusion needs -lm_path "
                              "(no internal shared LM in this family)")
-        if beam_size > 1 or use_lm or bias is not None:
+        if nbest > 1:
+            from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
+            from e2e_asr_tpu.models import ctc
+            k = max(beam_size, nbest)
+
+            def nb(params, feats, feat_lens):
+                params = quant.maybe_dequantize(params)
+                lg, el = ctc.logits(params, cfg, feats, feat_lens,
+                                    compute_dtype=compute_dtype)
+                seqs, lens, scores = ctc_beam_decode(
+                    jax.nn.log_softmax(lg, axis=-1), el, beam_size=k,
+                    blank_id=ctc.BLANK_ID, lm_params=lm_params,
+                    lm_weight=lm_weight, bias=bias)
+                return (seqs[:, :nbest], lens[:, :nbest], scores[:, :nbest])
+            self._nbest_decode = jax.jit(nb)
+            self._decode = None
+        elif beam_size > 1 or use_lm or bias is not None:
             from e2e_asr_tpu.eval.ctc_beam import ctc_beam_search
 
             def decode(params, feats, feat_lens):
@@ -108,6 +149,7 @@ class CTCEvaluator(GreedyEvaluator):
                                             lm_params=lm_params,
                                             lm_weight=lm_weight, bias=bias)
                 return tokens
+            self._decode = jax.jit(decode)
         else:
             from e2e_asr_tpu.models import ctc
 
@@ -115,7 +157,7 @@ class CTCEvaluator(GreedyEvaluator):
                 params = quant.maybe_dequantize(params)
                 return ctc.greedy_decode(params, cfg, feats, feat_lens,
                                          compute_dtype=compute_dtype)
-        self._decode = jax.jit(decode)
+            self._decode = jax.jit(decode)
 
 
 class TransducerEvaluator(GreedyEvaluator):
@@ -128,7 +170,7 @@ class TransducerEvaluator(GreedyEvaluator):
                  out_dir: str, *, compute_dtype=None, beam_size: int = 1,
                  file_prefix: str = "asr", lm_params: dict | None = None,
                  lm_weight: float = 0.0,
-                 bias: tuple[dict, float] | None = None):
+                 bias: tuple[dict, float] | None = None, nbest: int = 1):
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
@@ -140,7 +182,24 @@ class TransducerEvaluator(GreedyEvaluator):
             # decoder_char leaves that don't exist here).
             raise ValueError("transducer LM fusion needs -lm_path "
                              "(no internal shared LM in this family)")
-        if beam_size > 1 or use_lm or bias is not None:
+        if nbest > 1:
+            from e2e_asr_tpu.eval.transducer_beam import transducer_beam_decode
+            k = max(beam_size, nbest)
+
+            def nb(params, feats, feat_lens):
+                params = quant.maybe_dequantize(params)
+                attn_states, _, enc_lens = seq2seq.encode(
+                    params, cfg, feats, feat_lens,
+                    compute_dtype=compute_dtype)
+                depth = cfg.num_layers["char"]
+                seqs, lens, scores = transducer_beam_decode(
+                    params, cfg, attn_states[depth], enc_lens[depth],
+                    beam_size=k, compute_dtype=compute_dtype,
+                    lm_params=lm_params, lm_weight=lm_weight, bias=bias)
+                return (seqs[:, :nbest], lens[:, :nbest], scores[:, :nbest])
+            self._nbest_decode = jax.jit(nb)
+            self._decode = None
+        elif beam_size > 1 or use_lm or bias is not None:
             from e2e_asr_tpu.eval.transducer_beam import transducer_beam_search
 
             def decode(params, feats, feat_lens):
@@ -150,6 +209,7 @@ class TransducerEvaluator(GreedyEvaluator):
                     compute_dtype=compute_dtype, lm_params=lm_params,
                     lm_weight=lm_weight, bias=bias)
                 return tokens
+            self._decode = jax.jit(decode)
         else:
             from e2e_asr_tpu.models import transducer
 
@@ -157,4 +217,4 @@ class TransducerEvaluator(GreedyEvaluator):
                 params = quant.maybe_dequantize(params)
                 return transducer.greedy_decode(params, cfg, feats, feat_lens,
                                                 compute_dtype=compute_dtype)
-        self._decode = jax.jit(decode)
+            self._decode = jax.jit(decode)

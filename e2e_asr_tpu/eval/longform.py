@@ -248,10 +248,36 @@ def token_attention_frames(params: dict, cfg, enc: Array, enc_lens: Array,
     return frames.T.astype(jnp.int32)                  # [B, L]
 
 
+def frame_energy(feats, r: int) -> np.ndarray:
+    """Per-ENCODER-frame energy proxy: the log-mel features averaged over
+    mel bins, mean-pooled over each encoder frame's r input frames."""
+    e = np.asarray(feats, np.float32).mean(axis=-1)            # [T]
+    T = e.shape[0]
+    n = math.ceil(T / r)
+    e = np.pad(e, (0, n * r - T), constant_values=e.min())
+    return e.reshape(n, r).mean(axis=1)                        # [T_enc-ish]
+
+
+def vad_boundaries(energy: np.ndarray, total: int, seg_T: int,
+                   slack: int) -> list[int]:
+    """Silence-aligned segment starts: each boundary lands on the
+    minimum-energy encoder frame within `slack` frames BEFORE the nominal
+    cut (prev + seg_T), so segments end at pauses instead of mid-word and
+    never exceed seg_T frames."""
+    starts = [0]
+    while starts[-1] + seg_T < total:
+        target = starts[-1] + seg_T
+        lo = max(starts[-1] + 1, target - slack)
+        window = energy[lo: min(target, total - 1) + 1]
+        starts.append(lo + int(np.argmin(window)))
+    return starts
+
+
 def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
                          seg_enc_frames: int = 64,
                          overlap: int = 0,
                          trim_loops: bool = True,
+                         vad: bool = False, vad_slack: int = 16,
                          beam_cfg: BeamConfig | None = None,
                          window: int = 512, margin: int = 64,
                          compute_dtype=None,
@@ -296,6 +322,13 @@ def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     length distribution; text-alignment merging mis-splices on
     hallucinated repeats — VALIDATION.md round-3).
 
+    vad=True aligns segment boundaries with PAUSES: each cut moves up to
+    vad_slack encoder frames earlier, onto the minimum-energy frame
+    (frame_energy/vad_boundaries), so decode windows start and end at
+    silences instead of mid-word — segments become variable-length
+    (<= seg_enc_frames, attention-masked to their true span). Not combined
+    with overlap (whose fixed core-tiling geometry assumes uniform hops).
+
     Returns concatenated token ids [total] (no <eos>/<pad> between segments).
     """
     import dataclasses
@@ -305,20 +338,35 @@ def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
     if overlap and 2 * overlap >= seg_enc_frames:
         raise ValueError(f"need 2*overlap < seg_enc_frames, got "
                          f"{overlap}/{seg_enc_frames}")
+    if vad and overlap:
+        raise ValueError("vad segmentation and overlap mode are separate "
+                         "boundary strategies; pick one")
     params = jax.tree_util.tree_map(jnp.asarray, params)
     enc, enc_len = encode_longform(params, cfg, feats, window=window,
                                    margin=margin, compute_dtype=compute_dtype)
     total = int(enc_len[0])
     seg_T = seg_enc_frames
     hop = seg_T - 2 * overlap
-    n_seg = 1 + max(0, math.ceil((total - seg_T) / hop))
-    enc_p = jnp.pad(enc[0], ((0, (n_seg - 1) * hop + seg_T - enc.shape[1]),
-                             (0, 0)))
+    if vad:
+        seg_starts = vad_boundaries(
+            frame_energy(feats, reduction_factor(cfg)), total, seg_T,
+            vad_slack)
+        n_seg = len(seg_starts)
+    else:
+        n_seg = 1 + max(0, math.ceil((total - seg_T) / hop))
+        seg_starts = [i * hop for i in range(n_seg)]
+    enc_p = jnp.pad(enc[0], ((0, max(0, seg_starts[-1] + seg_T
+                                     - enc.shape[1])), (0, 0)))
     segs = jnp.stack([
-        jax.lax.dynamic_slice_in_dim(enc_p, i * hop, seg_T, axis=0)
-        for i in range(n_seg)])
-    starts = jnp.arange(n_seg) * hop
-    seg_lens = jnp.clip(total - starts, 1, seg_T).astype(jnp.int32)
+        jax.lax.dynamic_slice_in_dim(enc_p, s, seg_T, axis=0)
+        for s in seg_starts])
+    starts = jnp.asarray(seg_starts, jnp.int32)
+    if vad:
+        # Non-overlapping variable spans tiling [0, total).
+        ends = jnp.asarray(seg_starts[1:] + [total], jnp.int32)
+        seg_lens = jnp.clip(ends - starts, 1, seg_T).astype(jnp.int32)
+    else:
+        seg_lens = jnp.clip(total - starts, 1, seg_T).astype(jnp.int32)
     max_steps = int(seg_T * 1.3) + 16
     bc = dataclasses.replace(beam_cfg or BeamConfig(), max_steps=max_steps)
     tokens, lens, _ = beam_decode(params["decoder_char"],
@@ -346,7 +394,7 @@ def transcribe_segmented(params: dict, cfg: Seq2SeqConfig, feats: Array, *,
             tokens_np[i], frames[i], int(lens_np[i]), lo, hi,
             trim_loops=trim_loops, with_frames=return_timestamps)
         if return_timestamps:
-            off = i * hop
+            off = seg_starts[i]
             merged.extend((tok, min(off + f, total - 1)) for tok, f in kept)
         else:
             merged.extend(kept)

@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "emission frames, attention = attention-"
                              "argmax anchors from the segmented decode's "
                              "replay (needs -segment > 0)")
+    parser.add_argument("-vad", action="store_true",
+                        help="align segment boundaries with pauses "
+                             "(minimum-energy frames) instead of fixed "
+                             "hops; attention family with -segment > 0")
+    parser.add_argument("-vad_slack", type=int, default=16,
+                        help="how many encoder frames before the nominal "
+                             "cut the pause search may move a boundary")
     parser.add_argument("-stream_block_s", type=float, default=0.0,
                         help="streaming demo: push the audio in blocks of "
                              "this many seconds through eval/streaming."
@@ -79,6 +86,7 @@ def main(argv=None) -> list[str]:
     args = vars(build_parser().parse_args(argv))
     wavs, window, margin = args.pop("wavs"), args.pop("window"), args.pop("margin")
     ckpt_file, segment = args.pop("ckpt"), args.pop("segment")
+    vad, vad_slack = args.pop("vad"), args.pop("vad_slack")
     stream_block_s = args.pop("stream_block_s")
     int8_ckpt = args.pop("int8_ckpt")
     timestamps = args.pop("timestamps")
@@ -185,6 +193,7 @@ def main(argv=None) -> list[str]:
                     params, cfg.model, jnp.asarray(feats),
                     seg_enc_frames=segment, beam_cfg=cfg.beam,
                     window=window, margin=margin,
+                    vad=vad, vad_slack=vad_slack,
                     compute_dtype=compute_dtype,
                     return_timestamps=timestamps)
                 if timestamps:

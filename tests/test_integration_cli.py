@@ -234,6 +234,37 @@ def test_cli_contextual_biasing(workspace, tmp_path):
         "-boost_weight", "0.5"])))
 
 
+def test_cli_nbest_output(workspace):
+    """-nbest N writes rank/score/hypothesis lists for the attention beam
+    and the family beams."""
+    root = workspace
+    cfg = parse_options(_args(root))
+    if not glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg)
+    cfg_nb = parse_options(_args(root, ["-dev", "-beam_size", "3",
+                                        "-nbest", "3"]))
+    launch_eval(cfg_nb)
+    nb_path = os.path.join(cfg_nb.train.best_model_dir, "nbest_3.txt")
+    assert os.path.isfile(nb_path)
+    lines = [ln.split("\t") for ln in open(nb_path).read().splitlines()]
+    assert lines and all(len(ln) == 4 for ln in lines)
+    by_uid = {}
+    for uid, rank, score, _ in lines:
+        by_uid.setdefault(uid, []).append(float(score))
+    for scores in by_uid.values():
+        assert scores == sorted(scores, reverse=True)   # rank order = score order
+        assert 1 <= len(scores) <= 3
+
+    extra = ["-model_family", "ctc", "-run_id", "12", "-nlc", "2"]
+    cfg_ctc = parse_options(_args(root, extra))
+    if not glob.glob(os.path.join(cfg_ctc.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg_ctc)
+    cfg_cnb = parse_options(_args(root, extra + ["-dev", "-nbest", "2"]))
+    launch_eval(cfg_cnb)
+    assert os.path.isfile(os.path.join(cfg_cnb.train.best_model_dir,
+                                       "nbest_asr.txt"))
+
+
 def test_cli_ctc_family_flag_guards(workspace):
     root = workspace
     with pytest.raises(ValueError):

@@ -286,3 +286,54 @@ def test_trimmed_segment_tokens_with_frames():
     frs = np.array([0, 3, 5, 6])
     assert longform.trimmed_segment_tokens(
         toks, frs, 4, 0, 8, with_frames=True) == [(19, 0), (21, 3), (27, 5)]
+
+
+def test_vad_boundaries_land_on_silence():
+    energy = np.full(20, 5.0, np.float32)
+    energy[7] = -3.0       # pause inside the first cut's slack window
+    energy[16] = -4.0      # pause inside the second's
+    starts = longform.vad_boundaries(energy, total=20, seg_T=10, slack=4)
+    assert starts == [0, 7, 16]
+    spans = np.diff(starts + [20])
+    assert np.all(spans <= 10) and np.all(spans > 0)
+    # Without any dip the cut stays at the minimum of the slack window
+    # (ties resolve to its first frame) and never exceeds seg_T.
+    flat = np.zeros(25, np.float32)
+    starts2 = longform.vad_boundaries(flat, total=25, seg_T=10, slack=3)
+    assert starts2[0] == 0 and all(
+        0 < b - a <= 10 for a, b in zip(starts2, starts2[1:] + [25]))
+
+
+def test_frame_energy_pooling():
+    feats = np.zeros((10, 4), np.float32)
+    feats[4:8] = 7.0                       # loud frames
+    e = longform.frame_energy(feats, r=4)  # ceil(10/4)=3 encoder frames
+    assert e.shape == (3,)
+    assert e[1] == 7.0 and e[0] == 0.0
+
+
+def test_transcribe_segmented_vad_mode():
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(6), cfg)
+    r = longform.reduction_factor(cfg)
+    feats = np.array(jax.random.normal(jax.random.PRNGKey(7),
+                                       (90, cfg.feat_length)))
+    feats[30:34] = -12.0                   # a clear pause
+    ids = longform.transcribe_segmented(
+        params, cfg, jnp.asarray(feats), seg_enc_frames=6, vad=True,
+        vad_slack=3, window=8 * r, margin=0,
+        beam_cfg=BeamConfig(beam_size=2))
+    assert ids.ndim == 1
+    assert np.all(np.asarray(ids) > 2)
+    # Timestamps ride the VAD offsets.
+    out = longform.transcribe_segmented(
+        params, cfg, jnp.asarray(feats), seg_enc_frames=6, vad=True,
+        vad_slack=3, window=8 * r, margin=0,
+        beam_cfg=BeamConfig(beam_size=2), return_timestamps=True)
+    ids_t, starts_t, _ = out
+    assert len(ids_t) == len(starts_t)
+    import pytest
+    with pytest.raises(ValueError):
+        longform.transcribe_segmented(
+            params, cfg, jnp.asarray(feats), seg_enc_frames=6, vad=True,
+            overlap=1, window=8 * r, margin=0)
