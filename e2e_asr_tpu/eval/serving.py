@@ -37,18 +37,21 @@ from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
 
 
 def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
-                         compute_dtype=None, lm_params=None):
+                         compute_dtype=None, lm_params=None, bias=None):
     """decode(params, batch) -> (tokens [B, L], lens [B], scores [B]) for
     any model family: attention beam (the reference-parity path), CTC
     best-path/prefix beam, or transducer greedy/time-synchronous beam.
     Every variant dequantizes int8 trees inside the jit. lm_params +
-    beam_cfg.lm_weight engage RNN-LM shallow fusion on the attention and
-    transducer beams (the CTC prefix beam has no fusion hook)."""
+    beam_cfg.lm_weight engage RNN-LM shallow fusion on every family's
+    beam; bias = (trie, boost_weight) engages contextual biasing
+    (eval/biasing.py) — the engine-level glossary applies to every
+    request."""
     import jax
 
     from e2e_asr_tpu.core import quant
 
     use_lm = beam_cfg.lm_weight != 0.0
+    use_bias = bias is not None and bias[1] != 0.0
     if cfg.model_family == "transducer":
         if use_lm and lm_params is None:
             raise ValueError("transducer LM fusion needs lm_params "
@@ -57,14 +60,14 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
         @jax.jit
         def run(params, feats, feat_lens):
             params = quant.maybe_dequantize(params)
-            if beam_cfg.beam_size > 1 or use_lm:
+            if beam_cfg.beam_size > 1 or use_lm or use_bias:
                 from e2e_asr_tpu.eval.transducer_beam import \
                     transducer_beam_search
                 tokens, lens = transducer_beam_search(
                     params, cfg, feats, feat_lens,
                     beam_size=max(beam_cfg.beam_size, 1),
                     compute_dtype=compute_dtype, lm_params=lm_params,
-                    lm_weight=beam_cfg.lm_weight)
+                    lm_weight=beam_cfg.lm_weight, bias=bias)
             else:
                 from e2e_asr_tpu.models import transducer
                 tokens = transducer.greedy_decode(
@@ -73,18 +76,20 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
                 lens = (tokens != 0).sum(axis=-1)
             return tokens, lens, jnp.zeros(tokens.shape[0], jnp.float32)
     elif cfg.model_family == "ctc":
-        if use_lm:
-            raise ValueError("the CTC prefix beam has no LM-fusion hook; "
-                             "use the attention or transducer family")
+        if use_lm and lm_params is None:
+            raise ValueError("CTC LM fusion needs lm_params "
+                             "(no internal shared LM in this family)")
+
         @jax.jit
         def run(params, feats, feat_lens):
             params = quant.maybe_dequantize(params)
-            if beam_cfg.beam_size > 1:
+            if beam_cfg.beam_size > 1 or use_lm or use_bias:
                 from e2e_asr_tpu.eval.ctc_beam import ctc_beam_search
                 tokens, lens = ctc_beam_search(
                     params, cfg, feats, feat_lens,
-                    beam_size=beam_cfg.beam_size,
-                    compute_dtype=compute_dtype)
+                    beam_size=max(beam_cfg.beam_size, 1),
+                    compute_dtype=compute_dtype, lm_params=lm_params,
+                    lm_weight=beam_cfg.lm_weight, bias=bias)
             else:
                 from e2e_asr_tpu.models import ctc
                 tokens = ctc.greedy_decode(params, cfg, feats, feat_lens,
@@ -93,7 +98,7 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
             return tokens, lens, jnp.zeros(tokens.shape[0], jnp.float32)
     else:
         return make_beam_decoder(cfg, beam_cfg, compute_dtype=compute_dtype,
-                                 lm_params=lm_params)
+                                 lm_params=lm_params, bias=bias)
 
     def decode(params, batch):
         return run(params, batch["logmel"], batch["logmel_len"])
@@ -127,11 +132,14 @@ class BatchingTranscriber:
                  beam_cfg: BeamConfig | None = None,
                  bucket_frames: tuple[int, ...] = (128, 256, 512),
                  max_batch: int = 8, max_wait_ms: float = 20.0,
-                 compute_dtype=None, mesh=None, lm_params=None):
+                 compute_dtype=None, mesh=None, lm_params=None, bias=None):
         """mesh: optional jax.sharding.Mesh for data-parallel serving —
         params are replicated, each launch's batch rows are sharded over
         the "data" axis (one jitted SPMD program; XLA handles the rest).
-        max_batch must be divisible by the data-axis size."""
+        max_batch must be divisible by the data-axis size.
+
+        bias: (trie, boost_weight) engine-level contextual-biasing glossary
+        (eval/biasing.py) applied to every request's beam."""
         self.mesh = mesh
         if mesh is not None and max_batch % mesh.shape["data"]:
             raise ValueError(
@@ -150,7 +158,7 @@ class BatchingTranscriber:
         self._decode = _make_family_decoder(
             cfg, beam_cfg or BeamConfig(beam_size=4,
                                         max_steps=cfg.max_output["char"]),
-            compute_dtype=compute_dtype, lm_params=lm_params)
+            compute_dtype=compute_dtype, lm_params=lm_params, bias=bias)
         self._queues: dict[int, list[_Request]] = {
             b: [] for b in self.bucket_frames}
         self._cv = threading.Condition()

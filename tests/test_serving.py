@@ -295,3 +295,62 @@ def test_lm_fused_serving_transducer_and_attention(setup):
     with pytest.raises(ValueError, match="no LM-fusion hook"):
         BatchingTranscriber(c_params, c_cfg, rev_vocab, beam_cfg=bc,
                             bucket_frames=(32,), lm_params=lm)
+
+
+def test_biased_serving_batched_equals_one_by_one(setup):
+    """An engine-level biasing glossary applies to every request; batched ==
+    one-by-one under biasing (attention family)."""
+    from e2e_asr_tpu.eval import biasing
+
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(7)
+    V = cfg.decoders["char"].vocab_size
+    trie = biasing.build_bias_trie([[4, 5], [7]], V)
+    feats = [_feats(rng, T) for T in [16, 40, 33, 60]]
+    kw = dict(beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+              bucket_frames=(32, 64), bias=(trie, 1.5))
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=4,
+                             max_wait_ms=50, **kw) as batched:
+        got = [f.result(timeout=120) for f in
+               [batched.submit(x) for x in feats]]
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=1,
+                             max_wait_ms=1, **kw) as single:
+        want = [single.transcribe(x) for x in feats]
+    assert got == want
+
+
+def test_ctc_lm_fused_serving(setup):
+    """The engine's CTC path now fuses an external RNN-LM (and takes the
+    biasing glossary): batched == one-by-one."""
+    import dataclasses
+
+    from e2e_asr_tpu.eval import biasing
+    from e2e_asr_tpu.models import ctc, rnn_lm
+
+    cfg_base, params_attn, rev_vocab = setup
+    cfg = dataclasses.replace(cfg_base, model_family="ctc")
+    V = cfg.decoders["char"].vocab_size
+    params = ctc.init(jax.random.PRNGKey(3), cfg, vocab_size=V)
+    lm_params = rnn_lm.shared_lm_params(params_attn)
+    trie = biasing.build_bias_trie([[4, 6, 8]], V)
+    rng = np.random.default_rng(8)
+    feats = [_feats(rng, T) for T in [16, 40, 33]]
+    kw = dict(beam_cfg=BeamConfig(beam_size=2, max_steps=16,
+                                  lm_weight=0.1),
+              bucket_frames=(32, 64), lm_params=lm_params,
+              bias=(trie, 0.7))
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=4,
+                             max_wait_ms=50, **kw) as batched:
+        got = [f.result(timeout=120) for f in
+               [batched.submit(x) for x in feats]]
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=1,
+                             max_wait_ms=1, **kw) as single:
+        want = [single.transcribe(x) for x in feats]
+    assert got == want
+
+    # Fusion without a source LM is a hard error for this family.
+    with pytest.raises(ValueError):
+        BatchingTranscriber(params, cfg, rev_vocab,
+                            beam_cfg=BeamConfig(beam_size=2, max_steps=16,
+                                                lm_weight=0.1),
+                            bucket_frames=(32,))
