@@ -179,6 +179,10 @@ class TrainConfig:
     quantize: str = ""               # "int8": eval/serving decodes int8
                                      # weight-only quantized params
                                      # (core/quant.py)
+    freeze: str = ""                 # comma-separated pytree-path substrings
+                                     # trained with zero gradient
+    speed_perturb: str = ""          # "lo,hi": per-utterance tempo
+                                     # augmentation factors (e.g. 0.9,1.1)
     mwer: bool = False               # minimum-WER sequence fine-tuning
                                      # (train/mwer.py) instead of CE
     mwer_nbest: int = 4              # n-best size for the MWER expectation
@@ -409,6 +413,13 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-eval_ema", default=False, action="store_true",
                         help="Evaluate the EMA shadow weights from a "
                              "checkpoint trained with -ema_decay")
+    parser.add_argument("-freeze", default="", type=str,
+                        help="comma-separated parameter-path substrings to "
+                             "freeze (zero gradient), e.g. 'encoder' for "
+                             "decoder-only fine-tuning after -pretrain_*")
+    parser.add_argument("-speed_perturb", default="", type=str,
+                        help="'lo,hi' per-utterance tempo augmentation "
+                             "(feature-level time stretch), e.g. 0.9,1.1")
     parser.add_argument("-mwer", default=False, action="store_true",
                         help="Minimum-WER sequence fine-tuning: ASR steps "
                              "minimize expected filler-filtered word errors "

@@ -50,3 +50,27 @@ def spec_augment(rng: Array, feats: Array, feat_lens: Array, *,
                 & (time_ids < (t0 + w)[:, None, None]))
         out = jnp.where(mask, 0.0, out)
     return out
+
+
+def speed_perturb(rng: Array, feats: Array, feat_lens: Array,
+                  lo: float, hi: float) -> tuple[Array, Array]:
+    """Per-utterance tempo augmentation on features: each row is
+    time-stretched by an independent factor s ~ U(lo, hi) — output frame t
+    reads input position t*s via linear interpolation, so s > 1 compresses
+    (faster speech) and s < 1 dilates (slower). New lengths are
+    floor(len/s), capped at the bucket width T (a stretched tail past T is
+    truncated — acceptable for augmentation, the bucket's static shape is
+    the TPU contract). feats: [B, T, F]; returns (feats', lens')."""
+    B, T, F = feats.shape
+    s = jax.random.uniform(rng, (B,), minval=lo, maxval=hi)
+    lens = feat_lens.astype(jnp.float32)
+    new_lens = jnp.clip(jnp.floor(lens / s), 1, T).astype(jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.float32)[None, :] * s[:, None]   # [B, T]
+    lo_i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, T - 1)
+    hi_i = jnp.clip(lo_i + 1, 0, T - 1)
+    frac = jnp.clip(pos - lo_i.astype(jnp.float32), 0.0, 1.0)[:, :, None]
+    take = lambda idx: jnp.take_along_axis(  # noqa: E731
+        feats, idx[:, :, None], axis=1)
+    out = take(lo_i) * (1.0 - frac) + take(hi_i) * frac
+    valid = (jnp.arange(T)[None, :] < new_lens[:, None])[:, :, None]
+    return jnp.where(valid, out, 0.0), new_lens

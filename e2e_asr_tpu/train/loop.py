@@ -110,13 +110,22 @@ class Trainer:
                 ("expert",))
             use_mesh = False
         self.mesh = self._make_mesh() if use_mesh else None
+        freeze = tuple(f for f in self.train_cfg.freeze.split(",") if f)
+        sp = None
+        if self.train_cfg.speed_perturb:
+            parts = [float(x) for x in self.train_cfg.speed_perturb.split(",")]
+            if len(parts) != 2 or not (0 < parts[0] <= parts[1]):
+                raise ValueError("-speed_perturb wants 'lo,hi' with "
+                                 f"0 < lo <= hi, got {parts}")
+            sp = (parts[0], parts[1])
         asr_step, lm_step = step_lib.make_train_step(
             self.model_cfg, self.lm_cfg, compute_dtype=dtype,
             spec_augment=self.train_cfg.spec_augment,
             grad_accum=self.train_cfg.grad_accum,
             ema_decay=self.train_cfg.ema_decay,
             pp_mesh=pp_mesh, pp_micro=self.train_cfg.pp_micro,
-            sp_mesh=sp_mesh, ep_mesh=ep_mesh)
+            sp_mesh=sp_mesh, ep_mesh=ep_mesh, freeze=freeze,
+            speed_perturb=sp)
         self.asr_step = jax.jit(asr_step, donate_argnums=0)
         self.lm_step = jax.jit(lm_step, donate_argnums=0)
 

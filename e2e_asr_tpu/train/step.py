@@ -128,7 +128,8 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                     compute_dtype=None, spec_augment: bool = False,
                     grad_accum: int = 1, ema_decay: float = 0.0,
                     pp_mesh=None, pp_micro: int = 1, sp_mesh=None,
-                    ep_mesh=None):
+                    ep_mesh=None, freeze: tuple[str, ...] = (),
+                    speed_perturb: tuple[float, float] | None = None):
     """Build jittable (asr_step, lm_step) closures.
 
     spec_augment applies on-device time/frequency masking to the features
@@ -155,7 +156,17 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     pp_mesh: a ("stage",) Mesh engages pipeline parallelism for the
     transformer encoder's block stack (core/pipeline.py — blocks sharded
     over stages, pp_micro microbatches flowing via ppermute). Attention
-    family only."""
+    family only.
+
+    freeze: "/"-joined pytree-path substrings whose leaves train with ZERO
+    gradient (transfer-learning fine-tuning, e.g. freeze=("encoder",)
+    after -pretrain_*_path init). Applied to ASR and LM tasks alike —
+    Adam's moments see zeros, so frozen leaves never move.
+
+    speed_perturb=(lo, hi): on-device tempo augmentation — each utterance's
+    features are time-stretched by an independent factor s ~ U(lo, hi)
+    (linear interpolation on the frame axis; lengths rescale by 1/s),
+    the standard speed-perturbation recipe applied at the feature level."""
     encode_fn = None
     if model_cfg.encoder.moe_experts > 0:
         if model_cfg.encoder.encoder_type != "transformer":
@@ -186,6 +197,18 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     lm_opt = make_optimizer(lm_cfg.lm_learning_rate, lm_cfg.max_gradient_norm)
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def apply_freeze(grads):
+        if not freeze:
+            return grads
+        flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
+        out = []
+        for path, g in flat:
+            name = "/".join(getattr(k, "key", getattr(k, "name", str(k)))
+                            for k in path)
+            out.append(jnp.zeros_like(g)
+                       if any(f in name for f in freeze) else g)
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     def ema_update(state: TrainState, new_params):
         if ema_decay <= 0:
@@ -225,6 +248,13 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                                    encode_fn=encode_fn, ep_mesh=ep_mesh)
 
     def asr_step(state: TrainState, batch: dict, rng: Array):
+        if speed_perturb is not None:
+            from e2e_asr_tpu.frontend.specaugment import speed_perturb as sp
+            rng, sp_rng = jax.random.split(rng)
+            batch = dict(batch)
+            batch["logmel"], batch["logmel_len"] = sp(
+                sp_rng, batch["logmel"], batch["logmel_len"],
+                speed_perturb[0], speed_perturb[1])
         if spec_augment:
             from e2e_asr_tpu.frontend.specaugment import spec_augment as sa
             rng, sa_rng = jax.random.split(rng)
@@ -235,6 +265,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
         if grad_accum == 1:
             (total, per_task), grads = jax.value_and_grad(
                 batch_loss, has_aux=True)(state.params, batch, rng)
+            grads = apply_freeze(grads)
         else:
             B = batch["logmel"].shape[0]
             if B % grad_accum:
@@ -255,6 +286,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                 body, jax.tree_util.tree_map(jnp.zeros_like, state.params),
                 (micro, jnp.arange(grad_accum)))
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, g_sum)
+            grads = apply_freeze(grads)
             total = totals.mean()
             per_task = {k: v.mean() for k, v in per_tasks.items()}
 
@@ -276,6 +308,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                                compute_dtype=compute_dtype)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = apply_freeze(grads)
         updates, new_opt = lm_opt.update(grads, state.lm_opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state._replace(params=new_params, lm_opt_state=new_opt,
