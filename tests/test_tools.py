@@ -103,3 +103,46 @@ def test_grid_search_final_test_eval(tmp_path, rng):
     # Decoded-output artifacts for the test set exist.
     assert any(f.startswith(("decoded", "raw", "gold"))
                for f in os.listdir(final))
+
+
+def test_compare_wer_bootstrap(tmp_path):
+    """Paired bootstrap: a clearly better system gets p_improve ~ 1 and a
+    CI excluding zero; identical systems get delta 0."""
+    import numpy as np
+
+    from e2e_asr_tpu.tools import compare_wer
+
+    rng = np.random.default_rng(0)
+    gold_lines, a_lines, b_lines = [], [], []
+    for i in range(60):
+        words = [f"w{rng.integers(0, 50)}" for _ in range(8)]
+        gold_lines.append(f"u{i}\t{' '.join(words)}")
+        # System B: exact. System A: 2 substitutions per utterance.
+        wrong = list(words)
+        wrong[0], wrong[3] = "xx", "yy"
+        a_lines.append(f"u{i}\t{' '.join(wrong)}")
+        b_lines.append(f"u{i}\t{' '.join(words)}")
+    gold = tmp_path / "gold.txt"
+    fa = tmp_path / "a.txt"
+    fb = tmp_path / "b.txt"
+    gold.write_text("\n".join(gold_lines) + "\n")
+    fa.write_text("\n".join(a_lines) + "\n")
+    fb.write_text("\n".join(b_lines) + "\n")
+
+    r = compare_wer.compare(str(gold), str(fa), str(fb), samples=2000)
+    assert r["wer_b"] == 0.0
+    assert abs(r["wer_a"] - 0.25) < 1e-9          # 2/8 per utterance
+    assert r["p_improve"] == 1.0
+    assert r["ci_high"] < 0.0                     # B better, CI excludes 0
+
+    r2 = compare_wer.compare(str(gold), str(fa), str(fa), samples=500)
+    assert r2["delta"] == 0.0 and r2["p_improve"] == 0.0
+
+    # Missing utterances count as full deletions.
+    fb2 = tmp_path / "b2.txt"
+    fb2.write_text("\n".join(b_lines[:30]) + "\n")
+    r3 = compare_wer.compare(str(gold), str(fa), str(fb2), samples=200)
+    assert r3["wer_b"] > 0.4
+
+    # CLI entry point prints the report.
+    compare_wer.main([str(gold), str(fa), str(fb), "-samples", "200"])
