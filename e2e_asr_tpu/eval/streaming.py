@@ -37,6 +37,53 @@ from e2e_asr_tpu.models import seq2seq
 Array = jax.Array
 
 
+def featurize_delta(samples: np.ndarray, n_framed: int, *, sample_rate: int,
+                    frame_length: int, hop_length: int, n_mels: int):
+    """Featurize exactly the newly completed frames of a retained sample
+    buffer. Returns (new_frames [n, n_mels], n_total) — deterministic in
+    the absolute stream position (frame k covers samples
+    [k*hop, k*hop+frame_length))."""
+    from e2e_asr_tpu.frontend.logmel import featurize_utterance
+
+    n_total = max(0, 1 + (len(samples) - frame_length) // hop_length)
+    if n_total <= n_framed:
+        return np.zeros((0, n_mels), np.float32), n_framed
+    sl = samples[n_framed * hop_length:
+                 (n_total - 1) * hop_length + frame_length]
+    new = featurize_utterance(sl, sample_rate=sample_rate,
+                              frame_length=frame_length,
+                              hop_length=hop_length, n_mels=n_mels)
+    return new, n_total
+
+
+def assemble_chunk(frames: np.ndarray, i: int, W: int, M: int,
+                   n_mels: int, *, flush: bool):
+    """Build encoder chunk i from the frame buffer.
+
+    Returns (chunk [W+2M, n_mels], valid_length, main_frames) when chunk i
+    is ready (all W main frames plus the right margin exist — or, on
+    flush, any main frames at all), else None. Deterministic in the
+    absolute stream position; shared by the single-stream transcriber and
+    the batched streaming server."""
+    have = frames.shape[0]
+    if flush:
+        main = min(W, have - i * W)
+        if main <= 0:
+            return None
+    else:
+        if have < (i + 1) * W + M:
+            return None
+        main = W
+    lo = i * W - M
+    pad_left = max(0, -lo)
+    piece = frames[max(0, lo): i * W + main + M]
+    chunk = np.zeros((W + 2 * M, n_mels), np.float32)
+    chunk[pad_left:pad_left + piece.shape[0]] = piece
+    trail = min(M, have - (i * W + main))
+    length = M - pad_left + main + max(0, trail) + pad_left
+    return chunk, length, main
+
+
 class StreamingTranscriber:
     def __init__(self, params: dict, cfg: Seq2SeqConfig,
                  rev_vocab: list[str], *, window: int = 512, margin: int = 64,
@@ -74,42 +121,23 @@ class StreamingTranscriber:
 
     # -- frontend ----------------------------------------------------------
     def _featurize_new(self):
-        from e2e_asr_tpu.frontend.logmel import featurize_utterance
-
-        n_total = max(0, 1 + (len(self._samples) - self.frame_length)
-                      // self.hop)
-        if n_total <= self._n_framed:
-            return
-        k0 = self._n_framed
-        sl = self._samples[k0 * self.hop:
-                           (n_total - 1) * self.hop + self.frame_length]
-        new = featurize_utterance(sl, sample_rate=self.sr,
-                                  frame_length=self.frame_length,
-                                  hop_length=self.hop, n_mels=self.n_mels)
-        self._frames = np.concatenate([self._frames, new], axis=0)
-        self._n_framed = n_total
+        new, n_total = featurize_delta(
+            self._samples, self._n_framed, sample_rate=self.sr,
+            frame_length=self.frame_length, hop_length=self.hop,
+            n_mels=self.n_mels)
+        if n_total > self._n_framed:
+            self._frames = np.concatenate([self._frames, new], axis=0)
+            self._n_framed = n_total
 
     # -- encoder -----------------------------------------------------------
     def _encode_ready_chunks(self, *, flush: bool = False):
         W, M = self.window, self.margin
         while True:
-            i = self._n_chunks
-            have = self._frames.shape[0]
-            if flush:
-                main = min(W, have - i * W)
-                if main <= 0:
-                    break
-            else:
-                if have < (i + 1) * W + M:
-                    break
-                main = W
-            lo = i * W - M
-            pad_left = max(0, -lo)
-            piece = self._frames[max(0, lo): i * W + main + M]
-            chunk = np.zeros((W + 2 * M, self.n_mels), np.float32)
-            chunk[pad_left:pad_left + piece.shape[0]] = piece
-            trail = min(M, have - (i * W + main))
-            length = M - pad_left + main + max(0, trail) + pad_left
+            ready = assemble_chunk(self._frames, self._n_chunks, W, M,
+                                   self.n_mels, flush=flush)
+            if ready is None:
+                break
+            chunk, length, main = ready
             attn, _, lens = seq2seq.encode(
                 self.params, self.cfg, jnp.asarray(chunk)[None],
                 jnp.asarray([length]), train=False,
@@ -211,3 +239,266 @@ class StreamingTranscriber:
     @property
     def transcript(self) -> str:
         return text.ids_to_sentence(self._ids, self.rev_vocab)
+
+
+class _Session:
+    """Host-side per-stream state (the StreamingTranscriber fields)."""
+
+    def __init__(self, n_mels: int):
+        self.samples = np.zeros((0,), np.float32)
+        self.frames = np.zeros((0, n_mels), np.float32)
+        self.n_framed = 0
+        self.n_chunks = 0
+        self.states: list[np.ndarray] = []
+        self.n_decoded = 0
+        self.ctc_prev_id = -1
+        self.ids: list[int] = []
+        self.text_len = 0
+
+    def stitched(self) -> np.ndarray:
+        return (np.concatenate(self.states, axis=0) if self.states
+                else np.zeros((0, 1), np.float32))
+
+
+class BatchedStreamingServer:
+    """Many concurrent audio streams, ONE set of jitted batched programs.
+
+    The per-stream math is StreamingTranscriber's, unchanged — deterministic
+    in each stream's absolute position, so every session's transcript is
+    token-for-token identical to a dedicated single-stream transcriber
+    (test-pinned). What changes is the launch schedule: each `step()` tick
+    gathers every session's ready work and runs it as ONE fixed-shape
+    batched call per stage —
+
+    - encoder: all sessions' ready chunks, batched rows [S, W+2M, F]
+      (identical chunk geometry across streams = a static shape);
+    - CTC: one batched head+argmax over the new stitched spans (frame-local
+      best-path collapse, per-session boundary carry on the host);
+    - transducer: one batched stateful greedy step over ALL slots — the
+      prediction-net state lives as [S, ...] arrays; idle slots pass
+      length-0 spans and their state rows ride through unchanged;
+    - attention: all completed training-length segments in one batched
+      beam_decode.
+
+    Sessions are slots in a fixed-capacity table (max_streams) so every
+    program compiles once; open/finish recycle slots. The synchronous
+    `step()` keeps scheduling deterministic (serving loops call it from
+    their own thread; there is no internal concurrency to reason about).
+    """
+
+    def __init__(self, params: dict, cfg: Seq2SeqConfig,
+                 rev_vocab: list[str], *, max_streams: int = 8,
+                 window: int = 512, margin: int = 64,
+                 seg_enc_frames: int = 64, beam_cfg: BeamConfig | None = None,
+                 compute_dtype=None, sample_rate: int = 16000,
+                 frame_length: int = 400, hop_length: int = 160,
+                 n_mels: int | None = None):
+        r = longform.reduction_factor(cfg)
+        if window % r or margin % r:
+            raise ValueError(f"window/margin must be multiples of the "
+                             f"encoder reduction factor {r}")
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.cfg = cfg
+        self.rev_vocab = rev_vocab
+        self.S = int(max_streams)
+        self.window, self.margin, self.r = window, margin, r
+        self.seg = seg_enc_frames
+        self.beam_cfg = beam_cfg or BeamConfig()
+        self.compute_dtype = compute_dtype
+        self.sr, self.frame_length, self.hop = (sample_rate, frame_length,
+                                                hop_length)
+        self.n_mels = n_mels or cfg.feat_length
+        self.is_ctc = cfg.model_family == "ctc"
+        self.is_transducer = cfg.model_family == "transducer"
+        self._sessions: list[_Session | None] = [None] * self.S
+        self._rnnt_state = None          # batched [S, ...] pred-net state
+        self.span = window // r          # per-chunk stitched-frame quantum
+
+    # -- session management ------------------------------------------------
+    def open(self) -> int:
+        for sid in range(self.S):
+            if self._sessions[sid] is None:
+                self._sessions[sid] = _Session(self.n_mels)
+                if self.is_transducer:
+                    from e2e_asr_tpu.models import transducer
+                    fresh = transducer.init_decode_state(
+                        self.params, self.cfg, 1,
+                        compute_dtype=self.compute_dtype)
+                    if self._rnnt_state is None:
+                        self._rnnt_state = transducer.init_decode_state(
+                            self.params, self.cfg, self.S,
+                            compute_dtype=self.compute_dtype)
+                    else:
+                        self._rnnt_state = jax.tree_util.tree_map(
+                            lambda full, one: full.at[sid].set(one[0]),
+                            self._rnnt_state, fresh)
+                return sid
+        raise RuntimeError(f"all {self.S} stream slots busy")
+
+    def push(self, sid: int, waveform: np.ndarray) -> None:
+        s = self._session(sid)
+        s.samples = np.concatenate(
+            [s.samples, np.asarray(waveform, np.float32)])
+
+    def _session(self, sid: int) -> _Session:
+        s = (self._sessions[sid] if 0 <= sid < self.S else None)
+        if s is None:
+            raise KeyError(f"stream {sid} is not open")
+        return s
+
+    # -- the batched tick --------------------------------------------------
+    def step(self, *, flush_sids: set[int] | frozenset[int] = frozenset()
+             ) -> dict[int, str]:
+        """One batched scheduling tick over every open session. Returns the
+        newly finalized transcript delta per session (possibly empty)."""
+        active = [(i, s) for i, s in enumerate(self._sessions)
+                  if s is not None]
+        for _, s in active:
+            new, n_total = featurize_delta(
+                s.samples, s.n_framed, sample_rate=self.sr,
+                frame_length=self.frame_length, hop_length=self.hop,
+                n_mels=self.n_mels)
+            if n_total > s.n_framed:
+                s.frames = np.concatenate([s.frames, new], axis=0)
+                s.n_framed = n_total
+
+        # Encode: rounds of one-ready-chunk-per-session, batched.
+        W, M = self.window, self.margin
+        depth = self.cfg.num_layers["char"]
+        m_out = M // self.r
+        while True:
+            ready = []
+            for i, s in active:
+                got = assemble_chunk(s.frames, s.n_chunks, W, M, self.n_mels,
+                                     flush=i in flush_sids)
+                if got is not None:
+                    ready.append((i, s, got))
+            if not ready:
+                break
+            chunks = np.zeros((self.S, W + 2 * M, self.n_mels), np.float32)
+            lens = np.zeros((self.S,), np.int32)
+            for i, _, (chunk, length, _) in ready:
+                chunks[i], lens[i] = chunk, length
+            attn, _, _ = seq2seq.encode(
+                self.params, self.cfg, jnp.asarray(chunks),
+                jnp.asarray(lens), train=False,
+                compute_dtype=self.compute_dtype)
+            enc = np.asarray(attn[depth])
+            for i, s, (_, _, main) in ready:
+                n_out = math.ceil(main / self.r)
+                s.states.append(enc[i, m_out:m_out + n_out])
+                s.n_chunks += 1
+
+        # Decode, one batched launch per family stage.
+        deltas = {i: [] for i, _ in active}
+        if self.is_ctc:
+            self._decode_ctc(active, deltas)
+        elif self.is_transducer:
+            self._decode_transducer(active, deltas)
+        else:
+            self._decode_attention(active, deltas, flush_sids)
+        out = {}
+        for i, s in active:
+            s.ids.extend(deltas[i])
+            full = text.ids_to_sentence(s.ids, self.rev_vocab)
+            out[i] = full[s.text_len:]
+            s.text_len = len(full)
+        return out
+
+    def _decode_ctc(self, active, deltas):
+        from e2e_asr_tpu.core.layers import dense
+        from e2e_asr_tpu.models import ctc
+
+        todo = [(i, s) for i, s in active
+                if s.stitched().shape[0] > s.n_decoded]
+        if not todo:
+            return
+        H = todo[0][1].stitched().shape[1]
+        span = max(s.stitched().shape[0] - s.n_decoded for _, s in todo)
+        spans = np.zeros((self.S, span, H), np.float32)
+        lens = np.zeros((self.S,), np.int32)
+        for i, s in todo:
+            enc = s.stitched()
+            n = enc.shape[0] - s.n_decoded
+            spans[i, :n] = enc[s.n_decoded:]
+            lens[i] = n
+        lg = dense(self.params["ctc_head"], jnp.asarray(spans),
+                   compute_dtype=self.compute_dtype)
+        ids = np.asarray(jnp.argmax(lg, axis=-1))
+        for i, s in todo:
+            for t in ids[i, : lens[i]]:
+                t = int(t)
+                if t != ctc.BLANK_ID and t != s.ctc_prev_id:
+                    deltas[i].append(t)
+                s.ctc_prev_id = t
+            s.n_decoded = s.stitched().shape[0]
+
+    def _decode_transducer(self, active, deltas):
+        from e2e_asr_tpu.models import transducer
+
+        todo = [(i, s) for i, s in active
+                if s.stitched().shape[0] > s.n_decoded]
+        if not todo:
+            return
+        H = todo[0][1].stitched().shape[1]
+        span = max(s.stitched().shape[0] - s.n_decoded for _, s in todo)
+        spans = np.zeros((self.S, span, H), np.float32)
+        lens = np.zeros((self.S,), np.int32)
+        for i, s in todo:
+            enc = s.stitched()
+            n = enc.shape[0] - s.n_decoded
+            spans[i, :n] = enc[s.n_decoded:]
+            lens[i] = n
+        tokens, self._rnnt_state = transducer.greedy_decode_states(
+            self.params, self.cfg, jnp.asarray(spans), jnp.asarray(lens),
+            compute_dtype=self.compute_dtype, max_output=4 * span,
+            init_state=self._rnnt_state, return_state=True)
+        tokens = np.asarray(tokens)
+        for i, s in todo:
+            deltas[i].extend(int(t) for t in tokens[i] if t != 0)
+            s.n_decoded = s.stitched().shape[0]
+
+    def _decode_attention(self, active, deltas, flush_sids):
+        import dataclasses
+
+        from e2e_asr_tpu.eval.beam import beam_decode
+
+        while True:
+            todo = []
+            for i, s in active:
+                total = s.stitched().shape[0]
+                if (total - s.n_decoded >= self.seg
+                        or (i in flush_sids and total > s.n_decoded)):
+                    todo.append((i, s))
+            if not todo:
+                return
+            H = todo[0][1].stitched().shape[1]
+            segs = np.zeros((self.S, self.seg, H), np.float32)
+            lens = np.zeros((self.S,), np.int32)
+            for i, s in todo:
+                enc = s.stitched()
+                n = min(self.seg, enc.shape[0] - s.n_decoded)
+                segs[i, :n] = enc[s.n_decoded:s.n_decoded + n]
+                lens[i] = n
+            bc = dataclasses.replace(self.beam_cfg,
+                                     max_steps=int(self.seg * 1.3) + 16)
+            tokens, out_lens, _ = beam_decode(
+                self.params["decoder_char"], self.cfg.decoders["char"], bc,
+                jnp.asarray(segs), jnp.asarray(np.maximum(lens, 1)))
+            tokens, out_lens = np.asarray(tokens), np.asarray(out_lens)
+            for i, s in todo:
+                ids = tokens[i][: out_lens[i]]
+                deltas[i].extend(int(t) for t in ids if t > 2)
+                s.n_decoded += int(lens[i])
+
+    # -- teardown ----------------------------------------------------------
+    def finish(self, sid: int) -> str:
+        """Flush the session's tail, close its slot, return the final
+        transcript delta."""
+        self._session(sid)
+        out = self.step(flush_sids={sid})
+        self._sessions[sid] = None
+        return out.get(sid, "")
+
+    def transcript(self, sid: int) -> str:
+        return text.ids_to_sentence(self._session(sid).ids, self.rev_vocab)

@@ -110,3 +110,106 @@ def test_streaming_emits_incrementally(tmp_path):
     late = st.finish()
     assert len(early) > 0                  # emitted before the flush
     assert st.transcript == early + late
+
+def _batched_vs_single(cfg, params, rev, waves, kw, push_plan):
+    """Run N streams through one BatchedStreamingServer (interleaved pushes
+    per `push_plan`) and each wave through a dedicated StreamingTranscriber;
+    return (batched transcripts, single transcripts)."""
+    from e2e_asr_tpu.eval.streaming import BatchedStreamingServer
+
+    srv = BatchedStreamingServer(params, cfg, rev, max_streams=4, **kw)
+    sids = [srv.open() for _ in waves]
+    texts = {s: "" for s in sids}
+    for round_pushes in push_plan:
+        for j, chunk in round_pushes:
+            srv.push(sids[j], chunk)
+        for s, d in srv.step().items():
+            texts[s] += d
+    for j, sid in enumerate(sids):
+        texts[sid] += srv.finish(sid)
+    batched = [texts[sid] for sid in sids]
+
+    single = []
+    for j, wave in enumerate(waves):
+        st = StreamingTranscriber(params, cfg, rev, **kw)
+        out = st.push(wave) + st.finish()
+        single.append(out)
+    return batched, single
+
+
+def _plan(waves, seed=0):
+    """Interleave pushes of different sizes across streams."""
+    rng = np.random.default_rng(seed)
+    pos = [0] * len(waves)
+    plan = []
+    while any(p < len(w) for p, w in zip(pos, waves)):
+        round_pushes = []
+        for j, w in enumerate(waves):
+            if pos[j] < len(w):
+                n = int(rng.integers(1500, 9000))
+                round_pushes.append((j, w[pos[j]:pos[j] + n]))
+                pos[j] += n
+        plan.append(round_pushes)
+    return plan
+
+
+def test_batched_server_matches_single_streams_attention(tmp_path):
+    rev = _vocab(tmp_path)
+    cfg = _stream_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    waves = [_wave(seconds=s, seed=i) for i, s in enumerate([1.2, 0.8, 1.6])]
+    kw = dict(window=16, margin=4, seg_enc_frames=6,
+              beam_cfg=BeamConfig(beam_size=2), n_mels=cfg.feat_length)
+    batched, single = _batched_vs_single(cfg, params, rev, waves, kw,
+                                         _plan(waves))
+    assert batched == single
+
+
+def test_batched_server_matches_single_streams_ctc(tmp_path):
+    rev = _vocab(tmp_path)
+    cfg = _stream_cfg(model_family="ctc")
+    params = ctc_lib.init(jax.random.PRNGKey(1), cfg, vocab_size=37)
+    waves = [_wave(seconds=s, seed=10 + i)
+             for i, s in enumerate([1.0, 1.4])]
+    kw = dict(window=16, margin=4, n_mels=cfg.feat_length)
+    batched, single = _batched_vs_single(cfg, params, rev, waves, kw,
+                                         _plan(waves, seed=2))
+    assert batched == single
+
+
+def test_batched_server_matches_single_streams_transducer(tmp_path):
+    from e2e_asr_tpu.models import transducer
+    from tests.test_transducer_beam import _cfg as rnnt_cfg
+
+    rev = _vocab(tmp_path)
+    cfg = rnnt_cfg(vocab=37)
+    cfg = dataclasses.replace(cfg, feat_length=6)
+    params = transducer.init(jax.random.PRNGKey(2), cfg, vocab_size=37)
+    waves = [_wave(seconds=s, seed=20 + i)
+             for i, s in enumerate([0.9, 1.3, 0.7])]
+    kw = dict(window=16, margin=4, n_mels=cfg.feat_length)
+    batched, single = _batched_vs_single(cfg, params, rev, waves, kw,
+                                         _plan(waves, seed=3))
+    assert batched == single
+
+
+def test_batched_server_slot_lifecycle(tmp_path):
+    from e2e_asr_tpu.eval.streaming import BatchedStreamingServer
+    import pytest
+
+    rev = _vocab(tmp_path)
+    cfg = _stream_cfg(model_family="ctc")
+    params = ctc_lib.init(jax.random.PRNGKey(1), cfg, vocab_size=37)
+    srv = BatchedStreamingServer(params, cfg, rev, max_streams=2, window=16,
+                                 margin=4, n_mels=cfg.feat_length)
+    a, b = srv.open(), srv.open()
+    with pytest.raises(RuntimeError):
+        srv.open()
+    srv.push(a, _wave(seconds=0.5))
+    srv.finish(a)
+    c = srv.open()               # slot recycled
+    assert c == a
+    with pytest.raises(KeyError):
+        srv.push(a + 99, _wave(seconds=0.1))
+    srv.finish(b)
+    srv.finish(c)
