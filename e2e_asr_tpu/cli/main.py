@@ -142,6 +142,7 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                  lm_params=lm_params,
                                  lm_weight=cfg.beam.lm_weight, bias=bias,
                                  nbest=cfg.beam.nbest)
+        evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
     elif cfg.model.model_family == "transducer":
         from e2e_asr_tpu.eval.greedy import TransducerEvaluator
@@ -152,12 +153,14 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                         lm_params=lm_params,
                                         lm_weight=cfg.beam.lm_weight,
                                         bias=bias, nbest=cfg.beam.nbest)
+        evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
     elif (cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0
           and cfg.beam.ctc_rescore == 0.0 and cfg.beam.joint_ctc == 0.0
           and bias is None and cfg.beam.nbest <= 1):
         evaluator = GreedyEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
                                     compute_dtype=compute_dtype)
+        evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
     else:
         evaluator = BeamEvaluator(cfg.model, cfg.beam, rev_vocab,
@@ -165,6 +168,7 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                   compute_dtype=compute_dtype,
                                   lm_params=lm_params, bias=bias,
                                   nbest=cfg.beam.nbest)
+        evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
     print(f"Total decoding time: {time.time() - start:.1f}s")
 

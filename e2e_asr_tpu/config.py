@@ -179,6 +179,7 @@ class TrainConfig:
     quantize: str = ""               # "int8": eval/serving decodes int8
                                      # weight-only quantized params
                                      # (core/quant.py)
+    score_unit: str = "word"         # "char": report CER instead of WER
     freeze: str = ""                 # comma-separated pytree-path substrings
                                      # trained with zero gradient
     speed_perturb: str = ""          # "lo,hi": per-utterance tempo
@@ -413,6 +414,11 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-eval_ema", default=False, action="store_true",
                         help="Evaluate the EMA shadow weights from a "
                              "checkpoint trained with -ema_decay")
+    parser.add_argument("-score_unit", default="word", type=str,
+                        choices=["word", "char"],
+                        help="eval metric unit: filler-filtered WORD errors "
+                             "(reference behavior) or CHARACTER errors over "
+                             "the same filtered text (CER)")
     parser.add_argument("-freeze", default="", type=str,
                         help="comma-separated parameter-path substrings to "
                              "freeze (zero gradient), e.g. 'encoder' for "

@@ -80,6 +80,8 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
 
 
 class BeamEvaluator:
+    score_unit = "word"      # "char" = CER (see GreedyEvaluator.score_unit)
+
     def __init__(self, cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                  rev_vocab: list[str], out_dir: str, *, compute_dtype=None,
                  lm_params=None, bias=None, nbest: int = 1):
@@ -147,7 +149,11 @@ class BeamEvaluator:
                                                      self.rev_vocab)
                     raw_words, hyp_words = text.get_relevant_words(hyp_sent)
                     _, gold_words = text.get_relevant_words(gold_sent)
-                    acc.add(hyp_words, gold_words)
+                    if self.score_unit == "char":
+                        acc.add(list(" ".join(hyp_words)),
+                                list(" ".join(gold_words)))
+                    else:
+                        acc.add(hyp_words, gold_words)
                     if write_files:
                         uid = batch["utt_ids"][i]
                         gold_f.write(f"{uid}\t{' '.join(gold_words)}\n")

@@ -20,6 +20,12 @@ from e2e_asr_tpu.models import seq2seq
 
 
 class GreedyEvaluator:
+    # "word" = the reference's filler-filtered WER; "char" = CER over the
+    # same filtered text (spaces included as symbols) — the standard metric
+    # for character-based languages. Set `evaluator.score_unit = "char"`
+    # (CLI: -score_unit char).
+    score_unit = "word"
+
     def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
                  out_dir: str, *, compute_dtype=None, file_prefix: str = "asr"):
         self.cfg = cfg
@@ -73,7 +79,11 @@ class GreedyEvaluator:
                     hyp_sent = text.ids_to_sentence(ids[i], self.rev_vocab)
                     raw_words, hyp_words = text.get_relevant_words(hyp_sent)
                     _, gold_words = text.get_relevant_words(gold_sent)
-                    acc.add(hyp_words, gold_words)
+                    if self.score_unit == "char":
+                        acc.add(list(" ".join(hyp_words)),
+                                list(" ".join(gold_words)))
+                    else:
+                        acc.add(hyp_words, gold_words)
                     if write_files:
                         uid = batch["utt_ids"][i]
                         gold_f.write(f"{uid}\t{' '.join(gold_words)}\n")
