@@ -184,6 +184,10 @@ class TrainConfig:
                                      # trained with zero gradient
     speed_perturb: str = ""          # "lo,hi": per-utterance tempo
                                      # augmentation factors (e.g. 0.9,1.1)
+    distill_dir: str = ""            # teacher run dir for knowledge
+                                     # distillation (train/distill.py)
+    distill_weight: float = 0.5      # KL share of the distilled loss
+    distill_temp: float = 2.0        # distillation softmax temperature
     mwer: bool = False               # minimum-WER sequence fine-tuning
                                      # (train/mwer.py) instead of CE
     mwer_nbest: int = 4              # n-best size for the MWER expectation
@@ -426,6 +430,14 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-speed_perturb", default="", type=str,
                         help="'lo,hi' per-utterance tempo augmentation "
                              "(feature-level time stretch), e.g. 0.9,1.1")
+    parser.add_argument("-distill_dir", default="", type=str,
+                        help="knowledge distillation: the TEACHER run dir "
+                             "(architecture from its parameters.txt, "
+                             "weights from its best/latest checkpoint); "
+                             "the student trains on (1-w)*CE + "
+                             "w*T^2*KL(teacher||student)")
+    parser.add_argument("-distill_weight", default=0.5, type=float)
+    parser.add_argument("-distill_temp", default=2.0, type=float)
     parser.add_argument("-mwer", default=False, action="store_true",
                         help="Minimum-WER sequence fine-tuning: ASR steps "
                              "minimize expected filler-filtered word errors "
@@ -505,6 +517,13 @@ def process_args(options: dict[str, Any],
                 "-ctc_weight is the HYBRID family's knob; the transducer "
                 "family has its own alignment-free objective")
 
+    if options.get("distill_dir"):
+        if family != "attention" or options.get("ctc_weight", 0.0) > 0:
+            raise ValueError("-distill_dir currently covers the attention "
+                             "family (teacher-forced char logits)")
+        if options.get("mwer"):
+            raise ValueError("-distill_dir and -mwer are different "
+                             "objectives; run them as separate phases")
     if options.get("mwer"):
         if family != "attention" or options.get("ctc_weight", 0.0) > 0:
             raise ValueError("-mwer currently covers the attention family "
@@ -590,6 +609,66 @@ def config_to_text(cfg: Any, indent: int = 0) -> str:
         else:
             lines.append(" " * indent + f"{f.name}\t{v}")
     return "\n".join(lines)
+
+
+def config_from_text(text: str) -> ExperimentConfig:
+    """Parse a parameters.txt dump back into the config tree (the inverse
+    of config_to_text). Unknown keys — fields from other framework
+    versions — are dropped; missing keys keep their dataclass defaults.
+    Used to reload a RUN's exact architecture from its own run dir (e.g.
+    the distillation teacher)."""
+    import ast
+
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+
+    def parse_block(idx: int, indent: int):
+        out: dict[str, Any] = {}
+        while idx < len(lines):
+            line = lines[idx]
+            cur = len(line) - len(line.lstrip())
+            if cur < indent:
+                break
+            body = line.strip()
+            if body.endswith(":") and "\t" not in body:
+                name = body[:-1]
+                sub, idx = parse_block(idx + 1, cur + 1)
+                if name.endswith("]"):               # decoders[char]:
+                    base, _, key = name[:-1].partition("[")
+                    out.setdefault(base, {})[key] = sub
+                else:
+                    out[name] = sub
+            else:
+                k, _, v = body.partition("\t")
+                try:
+                    out[k] = ast.literal_eval(v)
+                except (ValueError, SyntaxError):
+                    out[k] = v
+                idx += 1
+        return out, idx
+
+    tree, _ = parse_block(0, 0)
+
+    def build(cls, d: dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    m = dict(tree.get("model", {}))
+    enc = build(EncoderConfig, m.pop("encoder", {}))
+    decs = {k: build(DecoderConfig, v)
+            for k, v in m.pop("decoders", {}).items()}
+    names = {f.name for f in dataclasses.fields(Seq2SeqConfig)}
+    model = Seq2SeqConfig(encoder=enc, decoders=decs,
+                          **{k: v for k, v in m.items()
+                             if k in names and k not in ("encoder",
+                                                         "decoders")})
+    return ExperimentConfig(
+        model=model,
+        train=build(TrainConfig, tree.get("train", {})),
+        lm=build(LMConfig, tree.get("lm", {})),
+        beam=build(BeamConfig, tree.get("beam", {})),
+        dev=bool(tree.get("dev", False)),
+        test=bool(tree.get("test", False)),
+    )
 
 
 def clone(cfg):

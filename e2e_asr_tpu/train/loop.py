@@ -118,6 +118,14 @@ class Trainer:
                 raise ValueError("-speed_perturb wants 'lo,hi' with "
                                  f"0 < lo <= hi, got {parts}")
             sp = (parts[0], parts[1])
+        distill = None
+        if self.train_cfg.distill_dir:
+            from e2e_asr_tpu.train import distill as distill_lib
+            t_cfg, t_params = distill_lib.load_teacher(
+                self.train_cfg.distill_dir,
+                vocab_size=self.model_cfg.decoders["char"].vocab_size)
+            distill = (t_cfg, t_params, self.train_cfg.distill_weight,
+                       self.train_cfg.distill_temp)
         asr_step, lm_step = step_lib.make_train_step(
             self.model_cfg, self.lm_cfg, compute_dtype=dtype,
             spec_augment=self.train_cfg.spec_augment,
@@ -125,7 +133,7 @@ class Trainer:
             ema_decay=self.train_cfg.ema_decay,
             pp_mesh=pp_mesh, pp_micro=self.train_cfg.pp_micro,
             sp_mesh=sp_mesh, ep_mesh=ep_mesh, freeze=freeze,
-            speed_perturb=sp)
+            speed_perturb=sp, distill=distill)
         self.asr_step = jax.jit(asr_step, donate_argnums=0)
         self.lm_step = jax.jit(lm_step, donate_argnums=0)
 

@@ -129,7 +129,8 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                     grad_accum: int = 1, ema_decay: float = 0.0,
                     pp_mesh=None, pp_micro: int = 1, sp_mesh=None,
                     ep_mesh=None, freeze: tuple[str, ...] = (),
-                    speed_perturb: tuple[float, float] | None = None):
+                    speed_perturb: tuple[float, float] | None = None,
+                    distill=None):
     """Build jittable (asr_step, lm_step) closures.
 
     spec_augment applies on-device time/frequency masking to the features
@@ -166,7 +167,11 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     speed_perturb=(lo, hi): on-device tempo augmentation — each utterance's
     features are time-stretched by an independent factor s ~ U(lo, hi)
     (linear interpolation on the frame axis; lengths rescale by 1/s),
-    the standard speed-perturbation recipe applied at the feature level."""
+    the standard speed-perturbation recipe applied at the feature level.
+
+    distill=(teacher_cfg, teacher_params, weight, temperature): knowledge
+    distillation for the attention family (train/distill.py) — the char
+    task trains against the frozen teacher's tempered posteriors."""
     encode_fn = None
     if model_cfg.encoder.moe_experts > 0:
         if model_cfg.encoder.encoder_type != "transformer":
@@ -243,6 +248,12 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             return hybrid.loss(params, model_cfg, hb,
                                ctc_weight=model_cfg.ctc_weight, rng=rng,
                                compute_dtype=compute_dtype, ep_mesh=ep_mesh)
+        if distill is not None:
+            from e2e_asr_tpu.train import distill as distill_lib
+            t_cfg, t_params, w, temp = distill
+            return distill_lib.distill_loss(
+                params, model_cfg, t_params, t_cfg, batch, rng=rng,
+                weight=w, temperature=temp, compute_dtype=compute_dtype)
         return seq2seq.apply_train(params, model_cfg, batch, rng=rng,
                                    compute_dtype=compute_dtype,
                                    encode_fn=encode_fn, ep_mesh=ep_mesh)

@@ -209,6 +209,27 @@ def test_cli_mwer_finetune(workspace):
         parse_options(_args(root, ["-mwer", "-grad_accum", "2"]))
 
 
+def test_cli_distillation(workspace):
+    """-distill_dir: a smaller student trains against the teacher run's
+    checkpointed posteriors (architecture re-read from the teacher's own
+    parameters.txt)."""
+    root = workspace
+    teacher = parse_options(_args(root))
+    if not glob.glob(os.path.join(teacher.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(teacher)
+    student = parse_options(_args(root, [
+        "-run_id", "13", "-hsize", "6",
+        "-distill_dir", teacher.train.train_dir]))
+    launch_train(student)
+    assert glob.glob(os.path.join(student.train.train_dir, "asr.ckpt-*.npz"))
+
+    with pytest.raises(ValueError):
+        parse_options(_args(root, ["-distill_dir", "x", "-mwer"]))
+    with pytest.raises(ValueError):
+        parse_options(_args(root, ["-distill_dir", "x",
+                                   "-model_family", "ctc"]))
+
+
 def test_cli_contextual_biasing(workspace, tmp_path):
     """-boost_phrases/-boost_weight engage the biasing trie in the attention
     beam and in the CTC prefix beam (greedy dispatch must not swallow it)."""
