@@ -36,6 +36,19 @@ def _assert_cpu_mesh():
     yield
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches after each test module.
+
+    The full suite compiles hundreds of XLA CPU programs into one
+    long-lived process; without clearing, the accumulated executables/
+    allocator state eventually destabilizes late modules (observed as a
+    segfault in tests that pass in isolation). Cross-module cache hits are
+    rare, so the runtime cost is small."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -288,13 +288,15 @@ def test_lm_fused_serving_transducer_and_attention(setup):
     with pytest.raises(ValueError, match="no internal shared LM"):
         BatchingTranscriber(t_params, t_cfg, rev_vocab, beam_cfg=bc,
                             bucket_frames=(32,))
+    # The CTC prefix beam fuses an external LM too (test_ctc_lm_fused_
+    # serving); requesting fusion WITHOUT providing one stays a hard error.
     c_cfg = dataclasses.replace(cfg, model_family="ctc")
     from e2e_asr_tpu.models import ctc as ctc_lib
     c_params = ctc_lib.init(jax.random.PRNGKey(2), c_cfg,
                             vocab_size=dec.vocab_size)
-    with pytest.raises(ValueError, match="no LM-fusion hook"):
+    with pytest.raises(ValueError, match="CTC LM fusion needs lm_params"):
         BatchingTranscriber(c_params, c_cfg, rev_vocab, beam_cfg=bc,
-                            bucket_frames=(32,), lm_params=lm)
+                            bucket_frames=(32,))
 
 
 def test_biased_serving_batched_equals_one_by_one(setup):
