@@ -534,6 +534,9 @@ def process_args(options: dict[str, Any],
         if options.get("ema_decay", 0.0) > 0:
             raise ValueError("-mwer fine-tuning does not update EMA "
                              "shadows; drop -ema_decay for this phase")
+        if options.get("spec_augment") or options.get("speed_perturb"):
+            raise ValueError("-mwer scores the n-best on CLEAN features; "
+                             "augmentation belongs to the CE phase")
 
     run_dir = get_run_dir_name(options)
     train_dir = os.path.join(options["train_base_dir"], run_dir)

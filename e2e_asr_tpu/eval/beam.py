@@ -179,11 +179,9 @@ def _dec_step(params: dict, cfg: DecoderConfig, ctx: AttnContext,
 
 def _lm_step(lm_params: dict, state, x) -> tuple[Any, Array]:
     """External fusion LM step: returns (new_state, log_probs [B,k,V])."""
-    out, new_state = cells.lstm_step(lm_params["lstm"], x, state)
-    if "simple_proj" in lm_params:
-        out = dense(lm_params["simple_proj"], out)
-    logits = dense(lm_params["output_proj"], out)
-    return new_state, jax.nn.log_softmax(logits, -1)
+    from e2e_asr_tpu.models.rnn_lm import fusion_step
+    logp, new_state = fusion_step(lm_params, x, state)
+    return new_state, logp
 
 
 def _gather_beam(tree, idx: Array):

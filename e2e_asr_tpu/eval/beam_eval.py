@@ -17,6 +17,7 @@ from e2e_asr_tpu.config import BeamConfig, Seq2SeqConfig
 from e2e_asr_tpu.core import quant
 from e2e_asr_tpu.data import text
 from e2e_asr_tpu.eval.beam import beam_decode
+from e2e_asr_tpu.eval import score as score_lib
 from e2e_asr_tpu.eval.score import WerAccumulator
 from e2e_asr_tpu.models import rnn_lm, seq2seq
 
@@ -149,24 +150,16 @@ class BeamEvaluator:
                                                      self.rev_vocab)
                     raw_words, hyp_words = text.get_relevant_words(hyp_sent)
                     _, gold_words = text.get_relevant_words(gold_sent)
-                    if self.score_unit == "char":
-                        acc.add(list(" ".join(hyp_words)),
-                                list(" ".join(gold_words)))
-                    else:
-                        acc.add(hyp_words, gold_words)
+                    score_lib.accumulate(acc, hyp_words, gold_words,
+                                         self.score_unit)
                     if write_files:
                         uid = batch["utt_ids"][i]
                         gold_f.write(f"{uid}\t{' '.join(gold_words)}\n")
                         raw_f.write(f"{uid}\t{' '.join(raw_words)}\n")
                     if nb_f is not None:
-                        uid = batch["utt_ids"][i]
-                        for r in range(all_seqs.shape[1]):
-                            if all_scores[i, r] <= -1e29:
-                                continue
-                            sent = text.ids_to_sentence(all_seqs[i, r],
-                                                        self.rev_vocab)
-                            nb_f.write(f"{uid}\t{r}\t{all_scores[i, r]:.4f}"
-                                       f"\t{sent}\n")
+                        score_lib.write_nbest(nb_f, batch["utt_ids"][i],
+                                              all_seqs[i], all_scores[i],
+                                              self.rev_vocab)
         finally:
             for f in (gold_f, raw_f, nb_f):
                 if f:

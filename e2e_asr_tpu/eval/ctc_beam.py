@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from e2e_asr_tpu.core import cells
-from e2e_asr_tpu.core.layers import dense
 from e2e_asr_tpu.data import text
 
 Array = jax.Array
@@ -42,12 +41,8 @@ NEG_INF = -1e30
 def _lm_logprobs(lm_params: dict, lm_in: Array, lm_state):
     """Next-token log-probs from the carried (last-token-embedding, state)
     pair; returns (log_probs [..., V], advanced state)."""
-    lm_out, lm_new = cells.lstm_step(lm_params["lstm"], lm_in, lm_state)
-    if "simple_proj" in lm_params:
-        lm_out = dense(lm_params["simple_proj"], lm_out)
-    lp = jax.nn.log_softmax(
-        dense(lm_params["output_proj"], lm_out).astype(jnp.float32), axis=-1)
-    return lp, lm_new
+    from e2e_asr_tpu.models.rnn_lm import fusion_step
+    return fusion_step(lm_params, lm_in, lm_state)
 
 
 def _lse(a: Array, b: Array) -> Array:

@@ -15,6 +15,7 @@ import numpy as np
 from e2e_asr_tpu.config import Seq2SeqConfig
 from e2e_asr_tpu.core import quant
 from e2e_asr_tpu.data import text
+from e2e_asr_tpu.eval import score as score_lib
 from e2e_asr_tpu.eval.score import WerAccumulator
 from e2e_asr_tpu.models import seq2seq
 
@@ -79,25 +80,17 @@ class GreedyEvaluator:
                     hyp_sent = text.ids_to_sentence(ids[i], self.rev_vocab)
                     raw_words, hyp_words = text.get_relevant_words(hyp_sent)
                     _, gold_words = text.get_relevant_words(gold_sent)
-                    if self.score_unit == "char":
-                        acc.add(list(" ".join(hyp_words)),
-                                list(" ".join(gold_words)))
-                    else:
-                        acc.add(hyp_words, gold_words)
+                    score_lib.accumulate(acc, hyp_words, gold_words,
+                                         self.score_unit)
                     if write_files:
                         uid = batch["utt_ids"][i]
                         gold_f.write(f"{uid}\t{' '.join(gold_words)}\n")
                         raw_f.write(f"{uid}\t{' '.join(raw_words)}\n")
                         dec_f.write(f"{uid}\t{' '.join(hyp_words)}\n")
                     if nb_f is not None:
-                        uid = batch["utt_ids"][i]
-                        for r in range(seqs.shape[1]):
-                            if scores[i, r] <= -1e29:
-                                continue
-                            sent = text.ids_to_sentence(seqs[i, r],
-                                                        self.rev_vocab)
-                            nb_f.write(f"{uid}\t{r}\t{scores[i, r]:.4f}"
-                                       f"\t{sent}\n")
+                        score_lib.write_nbest(nb_f, batch["utt_ids"][i],
+                                              seqs[i], scores[i],
+                                              self.rev_vocab)
         finally:
             for f in (gold_f, raw_f, dec_f, nb_f):
                 if f:

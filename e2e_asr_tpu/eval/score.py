@@ -86,3 +86,26 @@ class WerAccumulator:
             return float(self.total_errors) / float(self.total_words)
         except ZeroDivisionError:
             return 0.0
+
+
+def accumulate(acc: "WerAccumulator", hyp_words: list[str],
+               gold_words: list[str], unit: str = "word") -> None:
+    """Add one utterance at the configured metric unit: "word" = the
+    reference's filler-filtered WER; "char" = CER over the same filtered
+    text (spaces count as symbols). One definition for every evaluator."""
+    if unit == "char":
+        acc.add(list(" ".join(hyp_words)), list(" ".join(gold_words)))
+    else:
+        acc.add(hyp_words, gold_words)
+
+
+def write_nbest(f, uid: str, seqs_row, scores_row, rev_vocab) -> None:
+    """One utterance's n-best lines (uid, rank, score, text); empty slots
+    (sentinel scores) are skipped. Shared by every evaluator so the
+    artifact format cannot drift."""
+    from e2e_asr_tpu.data import text
+    for r in range(len(scores_row)):
+        if scores_row[r] <= -1e29:
+            continue
+        sent = text.ids_to_sentence(seqs_row[r], rev_vocab)
+        f.write(f"{uid}\t{r}\t{scores_row[r]:.4f}\t{sent}\n")

@@ -254,10 +254,21 @@ class _Session:
         self.ctc_prev_id = -1
         self.ids: list[int] = []
         self.text_len = 0
+        self.outbox = ""          # finalized text not yet read by the client
+        self._stitched: np.ndarray | None = None
+
+    def add_states(self, arr: np.ndarray) -> None:
+        self.states.append(arr)
+        self._stitched = None     # invalidate the concatenation cache
 
     def stitched(self) -> np.ndarray:
-        return (np.concatenate(self.states, axis=0) if self.states
-                else np.zeros((0, 1), np.float32))
+        # Cached: step() reads this several times per tick, every tick, and
+        # a fresh concat each time would be O(stream-length^2) host copies.
+        if self._stitched is None:
+            self._stitched = (np.concatenate(self.states, axis=0)
+                              if self.states else np.zeros((0, 1),
+                                                           np.float32))
+        return self._stitched
 
 
 class BatchedStreamingServer:
@@ -312,7 +323,6 @@ class BatchedStreamingServer:
         self.is_transducer = cfg.model_family == "transducer"
         self._sessions: list[_Session | None] = [None] * self.S
         self._rnnt_state = None          # batched [S, ...] pred-net state
-        self.span = window // r          # per-chunk stitched-frame quantum
 
     # -- session management ------------------------------------------------
     def open(self) -> int:
@@ -347,10 +357,22 @@ class BatchedStreamingServer:
         return s
 
     # -- the batched tick --------------------------------------------------
-    def step(self, *, flush_sids: set[int] | frozenset[int] = frozenset()
-             ) -> dict[int, str]:
+    def step(self) -> dict[int, str]:
         """One batched scheduling tick over every open session. Returns the
-        newly finalized transcript delta per session (possibly empty)."""
+        newly finalized transcript delta per session (possibly empty) —
+        including text finalized as a side effect of another session's
+        finish() (per-session outboxes, nothing is dropped)."""
+        self._tick(frozenset())
+        out = {}
+        for i, s in enumerate(self._sessions):
+            if s is not None:
+                out[i] = s.outbox
+                s.outbox = ""
+        return out
+
+    def _tick(self, flush_sids: frozenset[int] | set[int]) -> None:
+        """Featurize/encode/decode every session's ready work (batched) and
+        append the finalized text to each session's outbox."""
         active = [(i, s) for i, s in enumerate(self._sessions)
                   if s is not None]
         for _, s in active:
@@ -386,7 +408,7 @@ class BatchedStreamingServer:
             enc = np.asarray(attn[depth])
             for i, s, (_, _, main) in ready:
                 n_out = math.ceil(main / self.r)
-                s.states.append(enc[i, m_out:m_out + n_out])
+                s.add_states(enc[i, m_out:m_out + n_out])
                 s.n_chunks += 1
 
         # Decode, one batched launch per family stage.
@@ -397,13 +419,11 @@ class BatchedStreamingServer:
             self._decode_transducer(active, deltas)
         else:
             self._decode_attention(active, deltas, flush_sids)
-        out = {}
         for i, s in active:
             s.ids.extend(deltas[i])
             full = text.ids_to_sentence(s.ids, self.rev_vocab)
-            out[i] = full[s.text_len:]
+            s.outbox += full[s.text_len:]
             s.text_len = len(full)
-        return out
 
     def _decode_ctc(self, active, deltas):
         from e2e_asr_tpu.core.layers import dense
@@ -493,12 +513,14 @@ class BatchedStreamingServer:
 
     # -- teardown ----------------------------------------------------------
     def finish(self, sid: int) -> str:
-        """Flush the session's tail, close its slot, return the final
-        transcript delta."""
-        self._session(sid)
-        out = self.step(flush_sids={sid})
+        """Flush the session's tail, close its slot, return its remaining
+        transcript text. Text the tick finalizes for OTHER sessions stays
+        in their outboxes for their next step()/finish() read."""
+        s = self._session(sid)
+        self._tick(frozenset({sid}))
+        out = s.outbox
         self._sessions[sid] = None
-        return out.get(sid, "")
+        return out
 
     def transcript(self, sid: int) -> str:
         return text.ids_to_sentence(self._session(sid).ids, self.rev_vocab)

@@ -132,13 +132,9 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
                 # Shallow fusion on LABEL emissions only; blank's slot is
                 # overwritten with NEG_INF below, so adding lm_lp everywhere
                 # first is safe.
-                lm_out, lm_new = cells.lstm_step(
-                    lm_params["lstm"], c["lm_in"], c["lm_state"])
-                if "simple_proj" in lm_params:
-                    lm_out = dense(lm_params["simple_proj"], lm_out)
-                lm_lp = jax.nn.log_softmax(
-                    dense(lm_params["output_proj"], lm_out
-                          ).astype(jnp.float32), axis=-1)
+                from e2e_asr_tpu.models.rnn_lm import fusion_step
+                lm_lp, lm_new = fusion_step(lm_params, c["lm_in"],
+                                            c["lm_state"])
                 ext = ext + lm_weight * lm_lp
             if use_bias:
                 b_delta, b_targets = biasing.bias_step(bias[0],

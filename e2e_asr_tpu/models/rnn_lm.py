@@ -12,6 +12,7 @@ transfer work (train.py:268-291, beam_search.py:111-134).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from e2e_asr_tpu.config import LMConfig
 from e2e_asr_tpu.core import losses
@@ -28,6 +29,23 @@ def shared_lm_params(params: dict) -> dict:
     if "simple_proj" in dec:
         out["simple_proj"] = dec["simple_proj"]
     return out
+
+
+def fusion_step(lm_params: dict, x: Array, state):
+    """One shallow-fusion LM step over the shared_lm_params layout: input
+    embedding(s) x [..., E] + LSTM state -> (next-token log-probs
+    [..., V] in f32, advanced state). The single definition every family's
+    beam uses (attention, CTC prefix, transducer) so fusion semantics
+    cannot drift."""
+    from e2e_asr_tpu.core import cells
+    from e2e_asr_tpu.core.layers import dense
+
+    out, new_state = cells.lstm_step(lm_params["lstm"], x, state)
+    if "simple_proj" in lm_params:
+        out = dense(lm_params["simple_proj"], out)
+    logp = jax.nn.log_softmax(
+        dense(lm_params["output_proj"], out).astype(jnp.float32), axis=-1)
+    return logp, new_state
 
 
 def apply(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,

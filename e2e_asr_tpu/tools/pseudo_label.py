@@ -88,6 +88,11 @@ def main(argv=None) -> dict:
         path.join(args["vocab_dir"], "char.vocab"))
     cfg = config_lib.process_args(args, {"char": len(vocab)})
     tc = cfg.train
+    # Subword corpora must re-encode hypotheses the way the model was
+    # trained (data/bpe.py), or the written targets would be garbage.
+    from e2e_asr_tpu.data.bpe import is_bpe_vocab, sentence_to_ids_bpe
+    bpe = is_bpe_vocab(rev_vocab)
+    encode_fn = sentence_to_ids_bpe if bpe else text.sentence_to_ids
 
     params = step_lib.init_params(jax.random.PRNGKey(10), cfg.model)
     state = step_lib.create_state(params, cfg.model, cfg.lm)
@@ -152,8 +157,7 @@ def main(argv=None) -> dict:
                     dropped += 1
                     continue
                 hyp = " ".join(words)
-                ids = np.asarray(text.sentence_to_ids(hyp, vocab),
-                                 np.int64)
+                ids = np.asarray(encode_fn(hyp, vocab), np.int64)
                 kept.append((uid, fm, ids))
                 transcripts.append((uid, hyp))
 
@@ -163,7 +167,8 @@ def main(argv=None) -> dict:
     write_split(kept, tf_dir, "train_1k", num_buckets=out_buckets,
                 shard_size=shard_size)
     write_lm_from_transcripts([t for _, t in transcripts], vocab,
-                              path.join(tf_dir, "lm", "lm.0001"))
+                              path.join(tf_dir, "lm", "lm.0001"),
+                              encode_fn=sentence_to_ids_bpe if bpe else None)
     os.makedirs(out_dir, exist_ok=True)
     with open(path.join(out_dir, "pseudo_transcripts.tsv"), "w") as f:
         for uid, hyp in transcripts:

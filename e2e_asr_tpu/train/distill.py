@@ -63,15 +63,24 @@ def distill_loss(student_params: dict, cfg: Seq2SeqConfig,
                  batch: dict, *, rng: Array, weight: float,
                  temperature: float, compute_dtype=None):
     """(total, per_task metrics incl. 'distill' = the KL term)."""
-    rng_s, rng_aux = jax.random.split(rng)
-    s_logits = _char_logits(student_params, cfg, batch, rng=rng_s,
-                            compute_dtype=compute_dtype)
+    # ONE student encoder pass feeds the char head and every aux task
+    # (seq2seq.apply_train's structure); only the teacher encodes again.
+    rng_enc, rng_dec = jax.random.split(rng)
+    attn_states, _, enc_lens = seq2seq.encode(
+        student_params, cfg, batch["logmel"], batch["logmel_len"],
+        train=True, rng=rng_enc, compute_dtype=compute_dtype)
+    depth = cfg.num_layers["char"]
+    dec_inputs_char = jnp.transpose(batch["char"], (1, 0))
+    s_logits = attn_decoder.apply_train(
+        student_params["decoder_char"], cfg.decoders["char"],
+        dec_inputs_char, attn_states[depth], enc_lens[depth],
+        rng=jax.random.fold_in(rng_dec, 0), compute_dtype=compute_dtype)
     t_logits = jax.lax.stop_gradient(_char_logits(
         teacher_params, teacher_cfg, batch, rng=None,
         compute_dtype=compute_dtype))
 
-    targets, mask = losses.shifted_targets(
-        jnp.transpose(batch["char"], (1, 0)), batch["char_len"])
+    targets, mask = losses.shifted_targets(dec_inputs_char,
+                                           batch["char_len"])
     ce = losses.cross_entropy_loss(s_logits, targets, batch["char_len"])
 
     T = temperature
@@ -85,18 +94,14 @@ def distill_loss(student_params: dict, cfg: Seq2SeqConfig,
     per_task = {"char": ce, "distill": kl}
     total = (1.0 - weight) * ce + weight * kl
 
-    # Aux tasks (phone decoders): plain CE, as in seq2seq.apply_train.
+    # Aux tasks (phone decoders): plain CE over the SAME encoder states.
     for i, task in enumerate(t for t in cfg.tasks if t != "char"):
-        depth = cfg.num_layers[task]
-        attn_states, _, enc_lens = seq2seq.encode(
-            student_params, cfg, batch["logmel"], batch["logmel_len"],
-            train=True, rng=jax.random.fold_in(rng_aux, i),
-            compute_dtype=compute_dtype)
+        d = cfg.num_layers[task]
         dec_inputs = jnp.transpose(batch[task], (1, 0))
         lg = attn_decoder.apply_train(
             student_params[f"decoder_{task}"], cfg.decoders[task],
-            dec_inputs, attn_states[depth], enc_lens[depth],
-            rng=jax.random.fold_in(rng_aux, 100 + i),
+            dec_inputs, attn_states[d], enc_lens[d],
+            rng=jax.random.fold_in(rng_dec, 1 + i),
             compute_dtype=compute_dtype)
         tg, _ = losses.shifted_targets(dec_inputs, batch[f"{task}_len"])
         aux_ce = losses.cross_entropy_loss(lg, tg, batch[f"{task}_len"])

@@ -338,7 +338,8 @@ class Trainer:
                                  "counting")
             mwer_stepper = mwer_lib.MWERStepper(
                 cfg, rev_vocab, nbest=tc.mwer_nbest, ce_weight=tc.mwer_ce,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                freeze=tuple(f for f in tc.freeze.split(",") if f))
 
         writer = SummaryWriter(path.join(tc.train_dir, "summary"))
 

@@ -53,9 +53,12 @@ NEG_INF = -1e30
 
 
 def make_mwer_fns(model_cfg: Seq2SeqConfig, *, nbest: int = 4,
-                  ce_weight: float = 0.01, compute_dtype=None):
+                  ce_weight: float = 0.01, compute_dtype=None,
+                  freeze: tuple[str, ...] = ()):
     """Build (decode_nbest, grad_step) closures. Both are jitted; the word
-    error counts flow between them through the host (count_word_errors)."""
+    error counts flow between them through the host (count_word_errors).
+    `freeze` path substrings train with zero gradient, exactly as in the
+    CE step (train/step.py apply_freeze)."""
     if model_cfg.model_family != "attention" or model_cfg.ctc_weight > 0:
         raise ValueError("-mwer currently covers the attention family "
                          "(pure CE objective)")
@@ -131,6 +134,14 @@ def make_mwer_fns(model_cfg: Seq2SeqConfig, *, nbest: int = 4,
 
         (total, (mwer, ce, per_task)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if freeze:
+            flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
+            grads = jax.tree_util.tree_unflatten(treedef, [
+                jnp.zeros_like(g) if any(
+                    f in "/".join(getattr(k, "key", getattr(k, "name",
+                                                            str(k)))
+                                  for k in path_) for f in freeze) else g
+                for path_, g in flat])
         asr_opt = step_lib.make_optimizer(model_cfg.learning_rate,
                                           model_cfg.max_gradient_norm,
                                           model_cfg.lr_warmup_steps)
@@ -176,11 +187,11 @@ class MWERStepper:
 
     def __init__(self, model_cfg: Seq2SeqConfig, rev_vocab: list[str], *,
                  nbest: int = 4, ce_weight: float = 0.01,
-                 compute_dtype=None):
+                 compute_dtype=None, freeze: tuple[str, ...] = ()):
         self.rev_vocab = rev_vocab
         self._decode, self._grad = make_mwer_fns(
             model_cfg, nbest=nbest, ce_weight=ce_weight,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, freeze=freeze)
 
     def __call__(self, state, batch: dict, rng: Array):
         seqs, lens, valid = self._decode(state.params, batch["logmel"],

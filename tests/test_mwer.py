@@ -143,3 +143,29 @@ def test_full_stepper_runs(rng):
     assert int(state2.global_step) == 1
     assert np.isfinite(float(metrics["loss"]))
     assert "mwer" in metrics
+
+
+def test_mwer_respects_freeze(rng):
+    """-freeze applies to the MWER grad step exactly as to the CE step."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(4), cfg)
+    batch = make_batch(rng, cfg, B=2, T=12, T_dec=5)
+    state = step_lib.create_state(params, cfg, LMConfig())
+    _, grad_step = mwer_lib.make_mwer_fns(cfg, nbest=2, ce_weight=0.5,
+                                          freeze=("encoder",))
+    seqs = jnp.asarray(np.array(
+        [[[4, 5, 2, 0], [6, 7, 2, 0]],
+         [[8, 3, 2, 0], [5, 5, 2, 0]]], np.int32))
+    lens = jnp.full((2, 2), 3, jnp.int32)
+    valid = jnp.ones((2, 2), bool)
+    errors = jnp.asarray(np.array([[0.0, 3.0], [0.0, 3.0]], np.float32))
+    state2, _ = grad_step(state, batch, seqs, lens, valid, errors,
+                          jax.random.PRNGKey(0))
+    enc_moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params["encoder"], state2.params["encoder"])
+    dec_moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params["decoder_char"], state2.params["decoder_char"])
+    assert max(jax.tree_util.tree_leaves(enc_moved)) == 0.0
+    assert max(jax.tree_util.tree_leaves(dec_moved)) > 0.0

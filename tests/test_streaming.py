@@ -213,3 +213,31 @@ def test_batched_server_slot_lifecycle(tmp_path):
         srv.push(a + 99, _wave(seconds=0.1))
     srv.finish(b)
     srv.finish(c)
+
+
+def test_finish_preserves_other_sessions_deltas(tmp_path):
+    """finish(A) decodes other sessions' ready work as a side effect; that
+    text must reach them via their own next step()/finish() read (it used
+    to be silently dropped)."""
+    from e2e_asr_tpu.eval.streaming import BatchedStreamingServer
+
+    rev = _vocab(tmp_path)
+    cfg = _stream_cfg(model_family="ctc")
+    params = ctc_lib.init(jax.random.PRNGKey(1), cfg, vocab_size=37)
+    kw = dict(window=16, margin=4, n_mels=cfg.feat_length)
+    wave_a = _wave(seconds=0.4, seed=30)
+    wave_b = _wave(seconds=1.5, seed=31)
+
+    srv = BatchedStreamingServer(params, cfg, rev, max_streams=2, **kw)
+    a, b = srv.open(), srv.open()
+    srv.push(a, wave_a)
+    srv.push(b, wave_b)
+    out_a = srv.finish(a)          # decodes B's ready chunks too
+    out_b = srv.step()[b] + srv.finish(b)
+
+    st = StreamingTranscriber(params, cfg, rev, **kw)
+    want_b = st.push(wave_b) + st.finish()
+    st2 = StreamingTranscriber(params, cfg, rev, **kw)
+    want_a = st2.push(wave_a) + st2.finish()
+    assert out_b == want_b
+    assert out_a == want_a
