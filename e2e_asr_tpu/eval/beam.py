@@ -184,6 +184,11 @@ def _lm_step(lm_params: dict, state, x) -> tuple[Any, Array]:
     return new_state, logp
 
 
+def _fusion_init(lm_params: dict, batch_shape):
+    from e2e_asr_tpu.models.rnn_lm import fusion_init
+    return fusion_init(lm_params, batch_shape, GO_ID)
+
+
 def _gather_beam(tree, idx: Array):
     """Gather along the beam axis (1): leaf [B,k,...] selected by idx [B,k]."""
     def g(leaf):
@@ -262,9 +267,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
                                       dec_cfg.lm_hidden_size),
         context=jnp.zeros((B, k, enc_states.shape[-1])),
         inputs=emb[go],
-        lm_state=(cells.lstm_zero_state(
-            (B, k), lm_params["lstm"]["bias"].shape[0] // 4) if use_lm else ()),
-        lm_inputs=(lm_params["embedding"][go] if use_lm else ()),
+        lm_state=(_fusion_init(lm_params, (B, k))[0] if use_lm else ()),
+        lm_inputs=(_fusion_init(lm_params, (B, k))[1] if use_lm else ()),
         num_finished=jnp.zeros((B,), jnp.int32),
         fin_scores=jnp.full((B, k), NEG_INF),
         fin_seqs=jnp.zeros((B, k, max_steps), jnp.int32),
@@ -376,7 +380,11 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
 
         safe_token = jnp.where(slot_valid, sel_token, 0)
         new_inputs = emb[safe_token]
-        new_lm_inputs = (lm_params["embedding"][safe_token] if use_lm else ())
+        if use_lm:
+            from e2e_asr_tpu.models.rnn_lm import fusion_next_input
+            new_lm_inputs = fusion_next_input(lm_params, safe_token)
+        else:
+            new_lm_inputs = ()
         new_ctc_ps = (ctc_scorer.select(cand_ps, sel_parent, safe_token)
                       if use_joint else ())
         if use_bias:

@@ -31,7 +31,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from e2e_asr_tpu.core import cells
 from e2e_asr_tpu.data import text
 
 Array = jax.Array
@@ -99,13 +98,12 @@ def ctc_beam_decode(log_probs: Array, lens: Array, *, beam_size: int = 8,
         carry0["bias_sum"] = jnp.zeros((B, k), jnp.float32)
         carry0["bias_node"] = jnp.zeros((B, k), jnp.int32)
     if use_lm:
+        from e2e_asr_tpu.models.rnn_lm import fusion_init
         # Checkpoint-loaded LMs arrive as numpy arrays; embedding gathers
         # below index with traced ids, which numpy rejects.
         lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params)
-        lm_hidden = lm_params["lstm"]["bias"].shape[0] // 4
-        carry0["lm_state"] = cells.lstm_zero_state((B, k), lm_hidden)
-        carry0["lm_in"] = lm_params["embedding"][
-            jnp.full((B, k), text.GO_ID, jnp.int32)]
+        carry0["lm_state"], carry0["lm_in"] = fusion_init(
+            lm_params, (B, k), text.GO_ID)
 
     b_idx = jnp.arange(B)[:, None]
 
@@ -207,10 +205,12 @@ def ctc_beam_decode(log_probs: Array, lens: Array, *, beam_size: int = 8,
                 old, new)
             # The LM advances only on emissions: extended slots adopt the
             # parent's advanced state + the new token's embedding.
+            from e2e_asr_tpu.models.rnn_lm import fusion_next_input
             lm_state = jax.tree_util.tree_map(
                 lambda new, old: sel(g_nd(new), g_nd(old)),
                 lm_new, carry["lm_state"])
-            lm_in = sel(lm_params["embedding"][token], g_nd(carry["lm_in"]))
+            lm_in = sel(fusion_next_input(lm_params, token),
+                        g_nd(carry["lm_in"]))
             frz = lambda new, old: jnp.where(  # noqa: E731
                 keep.reshape(keep.shape + (1,) * (new.ndim - 2)), new, old)
             out["lm_state"] = jax.tree_util.tree_map(

@@ -33,7 +33,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from e2e_asr_tpu.core import cells
 from e2e_asr_tpu.core.cells import lstm_zero_state
 from e2e_asr_tpu.core.layers import dense
 from e2e_asr_tpu.data import text
@@ -104,13 +103,12 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         from e2e_asr_tpu.eval import biasing
         carry0["bias_node"] = jnp.zeros((B, k), jnp.int32)
     if use_lm:
+        from e2e_asr_tpu.models.rnn_lm import fusion_init
         # Checkpoint-loaded LMs arrive as numpy arrays; the embedding gather
         # below indexes with traced ids, which numpy rejects.
         lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params)
-        lm_hidden = lm_params["lstm"]["bias"].shape[0] // 4
-        carry0["lm_state"] = cells.lstm_zero_state((B, k), lm_hidden)
-        carry0["lm_in"] = lm_params["embedding"][
-            jnp.full((B, k), text.GO_ID, jnp.int32)]
+        carry0["lm_state"], carry0["lm_in"] = fusion_init(
+            lm_params, (B, k), text.GO_ID)
 
     def logprobs(enc_t, pred_p):
         logits = dense(joint["out"], jnp.tanh(enc_t[:, None, :] + pred_p),
@@ -189,9 +187,10 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
             else:
                 # The fusion LM advances only on emissions (stay hyps keep
                 # their pre-step state, like eval/beam.py's lm_state).
+                from e2e_asr_tpu.models.rnn_lm import fusion_next_input
                 out_c["lm_state"] = jax.tree_util.tree_map(
                     sel, new["lm_new"], new["lm_state"])
-                out_c["lm_in"] = sel(lm_params["embedding"][token],
+                out_c["lm_in"] = sel(fusion_next_input(lm_params, token),
                                      new["lm_in"])
         return (out_c, new_done)
 

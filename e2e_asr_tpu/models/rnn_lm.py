@@ -31,21 +31,53 @@ def shared_lm_params(params: dict) -> dict:
     return out
 
 
-def fusion_step(lm_params: dict, x: Array, state):
-    """One shallow-fusion LM step over the shared_lm_params layout: input
-    embedding(s) x [..., E] + LSTM state -> (next-token log-probs
-    [..., V] in f32, advanced state). The single definition every family's
-    beam uses (attention, CTC prefix, transducer) so fusion semantics
-    cannot drift."""
+def fusion_step(lm_params: dict, x, state):
+    """One shallow-fusion LM step — the single definition every family's
+    beam uses (attention, CTC prefix, transducer), so fusion semantics
+    cannot drift. Two LM kinds share the (state, input) -> (log-probs,
+    state') flow:
+
+    - RNN (shared_lm_params layout): x = last-token embedding(s) [..., E],
+      state = LSTMState; one cell step + softmax projection.
+    - trigram table ({"ngram": [V, V, V] logp}, tools/train_ngram.py):
+      x = prev-token ids [...], state = prev-prev ids [...]; the step is
+      ONE gather (logp = table[state, x]) and the new state is x.
+
+    Returns (next-token log-probs [..., V] f32, advanced state)."""
     from e2e_asr_tpu.core import cells
     from e2e_asr_tpu.core.layers import dense
 
+    if "ngram" in lm_params:
+        return lm_params["ngram"][state, x], x
     out, new_state = cells.lstm_step(lm_params["lstm"], x, state)
     if "simple_proj" in lm_params:
         out = dense(lm_params["simple_proj"], out)
     logp = jax.nn.log_softmax(
         dense(lm_params["output_proj"], out).astype(jnp.float32), axis=-1)
     return logp, new_state
+
+
+def fusion_init(lm_params: dict, batch_shape, go_id: int):
+    """(state, input) seeding a fusion carry at the sentence start:
+    zero LSTM state + <go> embedding for RNN LMs; (<go>, <go>) id history
+    for trigram tables (the table's sentence-initial context)."""
+    from e2e_asr_tpu.core import cells
+
+    if "ngram" in lm_params:
+        ids = jnp.full(tuple(batch_shape), go_id, jnp.int32)
+        return ids, ids
+    state = cells.lstm_zero_state(
+        tuple(batch_shape), lm_params["lstm"]["bias"].shape[0] // 4)
+    return state, lm_params["embedding"][
+        jnp.full(tuple(batch_shape), go_id, jnp.int32)]
+
+
+def fusion_next_input(lm_params: dict, token_ids):
+    """The fusion carry's next input after emitting `token_ids`: the token
+    embedding for RNN LMs, the raw ids for trigram tables."""
+    if "ngram" in lm_params:
+        return token_ids.astype(jnp.int32)
+    return lm_params["embedding"][token_ids]
 
 
 def apply(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,

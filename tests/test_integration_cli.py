@@ -286,6 +286,38 @@ def test_cli_nbest_output(workspace):
                                        "nbest_asr.txt"))
 
 
+def test_cli_ngram_fusion(workspace, tmp_path):
+    """-lm_path pointing at a tools/train_ngram artifact fuses the trigram
+    through the attention beam (and the CTC prefix beam) via the shared
+    fusion hooks."""
+    from e2e_asr_tpu.data import text as text_lib
+    from e2e_asr_tpu.tools import train_ngram
+    from e2e_asr_tpu.tools.prepare_corpus import write_lm_from_transcripts
+
+    root = workspace
+    cfg = parse_options(_args(root))
+    if not glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg)
+    vocab, _ = text_lib.initialize_vocabulary(
+        os.path.join(root, "vocab", "char.vocab"))
+    write_lm_from_transcripts(["abc ab", "abc de"] * 4, vocab,
+                              str(tmp_path / "lm" / "lm.0001"))
+    train_ngram.main(["-lm_glob", str(tmp_path / "lm" / "lm.*"),
+                      "-vocab", os.path.join(root, "vocab", "char.vocab"),
+                      "-out", str(tmp_path / "tri")])
+    launch_eval(parse_options(_args(root, [
+        "-dev", "-beam_size", "2", "-lm_weight", "0.1",
+        "-lm_path", str(tmp_path / "tri.npz")])))
+
+    extra = ["-model_family", "ctc", "-run_id", "12", "-nlc", "2"]
+    cfg_ctc = parse_options(_args(root, extra))
+    if not glob.glob(os.path.join(cfg_ctc.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg_ctc)
+    launch_eval(parse_options(_args(root, extra + [
+        "-dev", "-beam_size", "2", "-lm_weight", "0.1",
+        "-lm_path", str(tmp_path / "tri.npz")])))
+
+
 def test_cli_ctc_family_flag_guards(workspace):
     root = workspace
     with pytest.raises(ValueError):
