@@ -38,11 +38,17 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def build_bias_trie(phrases: list[list[int]], vocab_size: int) -> dict:
+def build_bias_trie(phrases: list[list[int]], vocab_size: int, *,
+                    pad_to: int | None = None) -> dict:
     """Compile token-id phrases into the dense-array trie.
 
     Empty phrases and phrases with out-of-range ids are dropped.
     Returns {"trans": [N, V] int32, "depth": [N] int32, "final": [N] bool}.
+
+    pad_to: fixed node capacity — pads the arrays with edge-less nodes so
+    different phrase lists share ONE compiled program (per-request serving
+    biasing stacks padded tries on a leading batch axis); raises if the
+    phrases need more nodes.
     """
     children: list[dict[int, int]] = [{}]
     depth = [0]
@@ -63,6 +69,13 @@ def build_bias_trie(phrases: list[list[int]], vocab_size: int) -> dict:
         final[cur] = True
     import numpy as np
     N = len(children)
+    if pad_to is not None:
+        if N > pad_to:
+            raise ValueError(f"boost phrases need {N} trie nodes > "
+                             f"pad_to={pad_to}")
+        depth = depth + [0] * (pad_to - N)
+        final = final + [False] * (pad_to - N)
+        N = pad_to
     trans = np.full((N, vocab_size), -1, np.int32)
     for node, edges in enumerate(children):
         for tok, child in edges.items():
@@ -97,13 +110,31 @@ def bias_step(trie: dict, node: Array, boost: float
     """Score every candidate token for hypotheses at `node` [B, k].
 
     Returns (delta [B, k, V] additive score, targets [B, k, V]: the
-    POST-selection node per candidate, final-commit restarts applied)."""
-    row = trie["trans"][node]                     # [B, k, V]
-    restart = trie["trans"][0][None, None, :]     # [1, 1, V]
+    POST-selection node per candidate, final-commit restarts applied).
+
+    The trie may be shared (`trans` [N, V]) or PER ROW (`trans` [B, N, V],
+    stacked pad_to-sized tries — the serving engine's per-request hotword
+    mode); both shapes produce the same [B, k, V] outputs."""
+    trans, depth, final = trie["trans"], trie["depth"], trie["final"]
+    if trans.ndim == 3:                           # per-row tries
+        B, k = node.shape
+        V = trans.shape[-1]
+        row = jnp.take_along_axis(
+            trans, jnp.broadcast_to(node[:, :, None], (B, k, V)), axis=1)
+        restart = trans[:, 0, :][:, None, :]      # [B, 1, V]
+        tgt = jnp.where(row >= 0, row, jnp.maximum(restart, 0))
+        b_idx = jnp.arange(B)[:, None, None]
+        delta = boost * (depth[b_idx, tgt]
+                         - depth[jnp.arange(B)[:, None], node][:, :, None]
+                         ).astype(jnp.float32)
+        new_node = jnp.where(final[b_idx, tgt], 0, tgt)
+        return delta, new_node
+    row = trans[node]                             # [B, k, V]
+    restart = trans[0][None, None, :]             # [1, 1, V]
     tgt = jnp.where(row >= 0, row, jnp.maximum(restart, 0))
-    delta = boost * (trie["depth"][tgt]
-                     - trie["depth"][node][:, :, None]).astype(jnp.float32)
-    new_node = jnp.where(trie["final"][tgt], 0, tgt)
+    delta = boost * (depth[tgt]
+                     - depth[node][:, :, None]).astype(jnp.float32)
+    new_node = jnp.where(final[tgt], 0, tgt)
     return delta, new_node
 
 
@@ -117,4 +148,9 @@ def bias_select(targets: Array, parent: Array, token: Array) -> Array:
 def pending_bonus(trie: dict, node: Array, boost: float) -> Array:
     """The uncommitted partial-match bonus at `node` — subtract it from
     final scores so unfinished matches earn nothing."""
-    return boost * trie["depth"][node].astype(jnp.float32)
+    depth = trie["depth"]
+    if trie["trans"].ndim == 3:                   # per-row tries
+        B = node.shape[0]
+        return boost * depth[jnp.arange(B)[:, None],
+                             node].astype(jnp.float32)
+    return boost * depth[node].astype(jnp.float32)

@@ -28,6 +28,7 @@ import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -131,6 +132,77 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
     return decode
 
 
+def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
+                                   *, compute_dtype=None, lm_params=None,
+                                   weight: float):
+    """decode(params, batch) where batch carries `bias_tries` — per-row
+    padded biasing tries stacked on the batch axis ([B,N,V]/[B,N] leaves,
+    eval/biasing.py's batched shapes). The tries are PROGRAM INPUTS, so
+    every request's hotword list shares one compiled executable."""
+    from e2e_asr_tpu.core import quant
+
+    k = max(beam_cfg.beam_size, 1)
+    use_lm = beam_cfg.lm_weight != 0.0
+    if cfg.model_family == "transducer":
+        if use_lm and lm_params is None:
+            raise ValueError("transducer LM fusion needs lm_params "
+                             "(no internal shared LM in this family)")
+
+        @jax.jit
+        def run(params, feats, feat_lens, tries):
+            params = quant.maybe_dequantize(params)
+            from e2e_asr_tpu.eval import transducer_beam as tb
+            from e2e_asr_tpu.models import seq2seq as s2s
+            attn_states, _, enc_lens = s2s.encode(
+                params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
+            depth = cfg.num_layers["char"]
+            seqs, lens_k, scores = tb.transducer_beam_decode(
+                params, cfg, attn_states[depth], enc_lens[depth],
+                beam_size=k, compute_dtype=compute_dtype,
+                lm_params=lm_params, lm_weight=beam_cfg.lm_weight,
+                bias=(tries, weight))
+            return seqs[:, 0], lens_k[:, 0], scores[:, 0]
+    elif cfg.model_family == "ctc":
+        if use_lm and lm_params is None:
+            raise ValueError("CTC LM fusion needs lm_params "
+                             "(no internal shared LM in this family)")
+
+        @jax.jit
+        def run(params, feats, feat_lens, tries):
+            params = quant.maybe_dequantize(params)
+            from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
+            from e2e_asr_tpu.models import ctc
+            lg, enc_lens = ctc.logits(params, cfg, feats, feat_lens,
+                                      compute_dtype=compute_dtype)
+            seqs, lens_k, scores = ctc_beam_decode(
+                jax.nn.log_softmax(lg, axis=-1), enc_lens, beam_size=k,
+                blank_id=ctc.BLANK_ID, lm_params=lm_params,
+                lm_weight=beam_cfg.lm_weight, bias=(tries, weight))
+            return seqs[:, 0], lens_k[:, 0], scores[:, 0]
+    else:
+        @jax.jit
+        def run(params, feats, feat_lens, tries):
+            params = quant.maybe_dequantize(params)
+            from e2e_asr_tpu.eval.beam import beam_decode
+            from e2e_asr_tpu.models import rnn_lm, seq2seq
+            lm_p = lm_params
+            if lm_p is None and use_lm:
+                lm_p = rnn_lm.shared_lm_params(params)
+            attn_states, _, enc_lens = seq2seq.encode(
+                params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
+            depth = cfg.num_layers["char"]
+            return beam_decode(params["decoder_char"], cfg.decoders["char"],
+                               beam_cfg, attn_states[depth],
+                               enc_lens[depth], lm_params=lm_p,
+                               bias=(tries, weight))
+
+    def decode(params, batch):
+        return run(params, batch["logmel"], batch["logmel_len"],
+                   batch["bias_tries"])
+
+    return decode
+
+
 def nbest_posterior_confidence(scores: np.ndarray) -> np.ndarray:
     """Top-hypothesis posterior within the n-best candidate set: softmax
     over valid (non-sentinel) scores, [B, k] -> [B]. The standard
@@ -158,6 +230,7 @@ class _Request:
     feats: np.ndarray              # [T, feat] float32
     t: float = field(default_factory=time.monotonic)   # enqueue time
     future: Future = field(default_factory=Future)
+    trie: dict | None = None       # per-request padded biasing trie
 
 
 class BatchingTranscriber:
@@ -168,7 +241,8 @@ class BatchingTranscriber:
                  bucket_frames: tuple[int, ...] = (128, 256, 512),
                  max_batch: int = 8, max_wait_ms: float = 20.0,
                  compute_dtype=None, mesh=None, lm_params=None, bias=None,
-                 with_confidence: bool = False):
+                 with_confidence: bool = False,
+                 per_request_bias: float = 0.0, max_trie_nodes: int = 64):
         """mesh: optional jax.sharding.Mesh for data-parallel serving —
         params are replicated, each launch's batch rows are sharded over
         the "data" axis (one jitted SPMD program; XLA handles the rest).
@@ -179,7 +253,14 @@ class BatchingTranscriber:
 
         with_confidence: futures resolve to (text, confidence) where
         confidence is the hypothesis's posterior within the beam's n-best
-        (nbest_posterior_confidence); forces the beam path (k >= 2)."""
+        (nbest_posterior_confidence); forces the beam path (k >= 2).
+
+        per_request_bias > 0: submit(feats, boost_phrases=[...]) boosts
+        EACH request's own hotword list at this weight — tries are padded
+        to max_trie_nodes and stacked on the batch axis as a program
+        INPUT, so mixed phrase lists share one compiled executable
+        (requests without phrases ride an empty trie). Mutually exclusive
+        with the engine-level `bias` glossary and `with_confidence`."""
         self.mesh = mesh
         if mesh is not None and max_batch % mesh.shape["data"]:
             raise ValueError(
@@ -195,11 +276,33 @@ class BatchingTranscriber:
         self.max_batch = int(max_batch)
         self.max_wait_s = max_wait_ms / 1e3
         self.stats = ServingStats()
-        self._decode = _make_family_decoder(
-            cfg, beam_cfg or BeamConfig(beam_size=4,
-                                        max_steps=cfg.max_output["char"]),
-            compute_dtype=compute_dtype, lm_params=lm_params, bias=bias,
-            nbest_scores=with_confidence)
+        bc = beam_cfg or BeamConfig(beam_size=4,
+                                    max_steps=cfg.max_output["char"])
+        self.per_request_bias = float(per_request_bias)
+        self.max_trie_nodes = int(max_trie_nodes)
+        if self.per_request_bias > 0:
+            if bias is not None:
+                raise ValueError("per_request_bias and the engine-level "
+                                 "bias glossary are mutually exclusive")
+            if with_confidence:
+                raise ValueError("per_request_bias with with_confidence is "
+                                 "not supported yet")
+            if mesh is not None:
+                raise ValueError("per_request_bias under a DP mesh is not "
+                                 "supported yet (the tries would need "
+                                 "batch-axis sharding)")
+            self._decode = _make_per_request_bias_decoder(
+                cfg, bc, compute_dtype=compute_dtype, lm_params=lm_params,
+                weight=self.per_request_bias)
+            self._vocab = {tok: i for i, tok in enumerate(rev_vocab)}
+            from e2e_asr_tpu.eval import biasing as biasing_lib
+            self._empty_trie = jax.tree_util.tree_map(
+                np.asarray, biasing_lib.build_bias_trie(
+                    [], len(rev_vocab), pad_to=self.max_trie_nodes))
+        else:
+            self._decode = _make_family_decoder(
+                cfg, bc, compute_dtype=compute_dtype, lm_params=lm_params,
+                bias=bias, nbest_scores=with_confidence)
         self.with_confidence = with_confidence
         self._queues: dict[int, list[_Request]] = {
             b: [] for b in self.bucket_frames}
@@ -210,8 +313,13 @@ class BatchingTranscriber:
 
     # -- client API --------------------------------------------------------
 
-    def submit(self, feats: np.ndarray) -> Future:
-        """Non-blocking: returns a Future resolving to the transcript."""
+    def submit(self, feats: np.ndarray,
+               boost_phrases: list[str] | None = None) -> Future:
+        """Non-blocking: returns a Future resolving to the transcript.
+
+        boost_phrases (per_request_bias mode): THIS request's hotword list
+        — tokenized like training targets and compiled into its padded
+        biasing trie."""
         feats = np.asarray(feats, np.float32)
         if feats.ndim != 2 or feats.shape[1] != self.cfg.feat_length:
             raise ValueError(f"feats must be [T, {self.cfg.feat_length}], "
@@ -221,7 +329,22 @@ class BatchingTranscriber:
                 f"utterance of {feats.shape[0]} frames exceeds the largest "
                 f"bucket ({self.bucket_frames[-1]}); use eval/longform for "
                 "long-form audio")
-        req = _Request(feats=feats)
+        trie = None
+        if boost_phrases:
+            if self.per_request_bias <= 0:
+                raise ValueError("construct the engine with "
+                                 "per_request_bias > 0 to boost per-request "
+                                 "phrases")
+            from e2e_asr_tpu.data.bpe import is_bpe_vocab, sentence_to_ids_bpe
+            from e2e_asr_tpu.eval import biasing as biasing_lib
+            enc = (sentence_to_ids_bpe if is_bpe_vocab(self.rev_vocab)
+                   else text.sentence_to_ids)
+            ids = [list(enc(p, self._vocab, add_go_eos=False))
+                   for p in boost_phrases]
+            trie = jax.tree_util.tree_map(np.asarray, biasing_lib.
+                                          build_bias_trie(
+                ids, len(self.rev_vocab), pad_to=self.max_trie_nodes))
+        req = _Request(feats=feats, trie=trie)
         bucket = next(b for b in self.bucket_frames if feats.shape[0] <= b)
         with self._cv:
             if self._closed:
@@ -231,9 +354,10 @@ class BatchingTranscriber:
             self._cv.notify()
         return req.future
 
-    def transcribe(self, feats: np.ndarray) -> str:
+    def transcribe(self, feats: np.ndarray,
+                   boost_phrases: list[str] | None = None) -> str:
         """Blocking convenience wrapper."""
-        return self.submit(feats).result()
+        return self.submit(feats, boost_phrases).result()
 
     def close(self) -> None:
         """Drain remaining requests, then stop the worker."""
@@ -309,6 +433,13 @@ class BatchingTranscriber:
             lens[i] = r.feats.shape[0]
         batch = {"logmel": jnp.asarray(feats),
                  "logmel_len": jnp.asarray(lens)}
+        if self.per_request_bias > 0:
+            rows = [(r.trie if r.trie is not None else self._empty_trie)
+                    for r in reqs]
+            rows += [self._empty_trie] * (B - len(reqs))
+            batch["bias_tries"] = {
+                key: jnp.asarray(np.stack([t[key] for t in rows]))
+                for key in ("trans", "depth", "final")}
         if self.mesh is not None:
             from e2e_asr_tpu.core import mesh as mesh_lib
             batch = mesh_lib.shard_batch(self.mesh, batch)

@@ -166,3 +166,29 @@ def test_load_phrases(tmp_path):
     p.write_text("ab a\n\nb\n")
     got = biasing.load_phrases(str(p), vocab)
     assert got == [[3, 4, 5, 3, 4], [3, 5]]
+
+
+def test_batched_trie_step_matches_shared():
+    """Per-row (stacked, padded) tries give exactly the shared-trie deltas
+    when the rows hold the same phrases; rows differ independently."""
+    V = 8
+    t1 = biasing.build_bias_trie([[3, 4]], V, pad_to=6)
+    t2 = biasing.build_bias_trie([[5]], V, pad_to=6)
+    stacked = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), t1, t2)
+    node = jnp.zeros((2, 3), jnp.int32)
+    d_b, t_b = biasing.bias_step(stacked, node, 1.5)
+    d1, tt1 = biasing.bias_step(t1, node[:1], 1.5)
+    d2, tt2 = biasing.bias_step(t2, node[1:], 1.5)
+    np.testing.assert_allclose(np.asarray(d_b[0]), np.asarray(d1[0]))
+    np.testing.assert_allclose(np.asarray(d_b[1]), np.asarray(d2[0]))
+    np.testing.assert_array_equal(np.asarray(t_b[0]), np.asarray(tt1[0]))
+    np.testing.assert_array_equal(np.asarray(t_b[1]), np.asarray(tt2[0]))
+    # pending_bonus batched form
+    n3 = int(np.asarray(t1["trans"])[0, 3])
+    nodes = jnp.asarray([[n3], [0]], jnp.int32)
+    pend = biasing.pending_bonus(stacked, nodes, 2.0)
+    np.testing.assert_allclose(np.asarray(pend), [[2.0], [0.0]])
+    # pad_to overflow is a hard error
+    import pytest
+    with pytest.raises(ValueError):
+        biasing.build_bias_trie([[1, 2, 3, 4, 5, 6, 7]], V, pad_to=4)

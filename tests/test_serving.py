@@ -403,3 +403,38 @@ def test_confidence_serving_all_families(setup):
     s = np.array([[0.0, -1e30], [0.0, 0.0]], np.float32)
     c = nbest_posterior_confidence(s)
     np.testing.assert_allclose(c, [1.0, 0.5], rtol=1e-6)
+
+
+def test_per_request_biasing(setup):
+    """Each request's own hotword list steers only that request; rows
+    without phrases match the plain engine; different phrase lists share
+    one compiled program (no per-request recompiles)."""
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(13)
+    feats = [_feats(rng, 30) for _ in range(3)]
+    kw = dict(beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+              bucket_frames=(32,), max_batch=4, max_wait_ms=60)
+
+    with BatchingTranscriber(params, cfg, rev_vocab,
+                             per_request_bias=8.0, **kw) as eng:
+        futs = [eng.submit(feats[0], ["abc"]),
+                eng.submit(feats[1], ["de"]),
+                eng.submit(feats[2])]
+        got = [f.result(timeout=120) for f in futs]
+    assert got[0].startswith("abc"), got[0]
+    assert got[1].startswith("de"), got[1]
+    with BatchingTranscriber(params, cfg, rev_vocab, **kw) as plain:
+        assert got[2] == plain.transcribe(feats[2])
+
+    # Guards: phrases need the mode; mode excludes the glossary/confidence.
+    with BatchingTranscriber(params, cfg, rev_vocab, **kw) as off:
+        with pytest.raises(ValueError, match="per_request_bias"):
+            off.submit(feats[0], ["abc"])
+    from e2e_asr_tpu.eval import biasing as biasing_lib
+    trie = biasing_lib.build_bias_trie([[4]], cfg.decoders["char"].vocab_size)
+    with pytest.raises(ValueError):
+        BatchingTranscriber(params, cfg, rev_vocab, per_request_bias=1.0,
+                            bias=(trie, 1.0), **kw)
+    with pytest.raises(ValueError):
+        BatchingTranscriber(params, cfg, rev_vocab, per_request_bias=1.0,
+                            with_confidence=True, **kw)
