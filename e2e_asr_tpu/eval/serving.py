@@ -19,7 +19,12 @@ files). TPU-first design:
   batched output == one-by-one output (tests/test_serving.py pins this).
 
 Feed float32 log-mel features (frontend.logmel.featurize_utterance for raw
-audio); results come back as futures resolving to transcript strings.
+audio); results come back as futures resolving to transcript strings —
+or (text, confidence) pairs with `with_confidence=True`. Production
+extras: an engine-level biasing glossary (`bias=`), PER-REQUEST hotword
+lists (`per_request_bias=` + `submit(feats, boost_phrases=[...])`),
+RNN-LM or trigram fusion (`lm_params=`), int8 QuantState params, and a
+data-parallel device mesh.
 """
 from __future__ import annotations
 
