@@ -62,7 +62,7 @@ def _row_recurrence(base: Array, label_lp_row: Array) -> Array:
 
 
 def transducer_loss(blank_lp: Array, label_lp: Array, t_lens: Array,
-                    u_lens: Array) -> Array:
+                    u_lens: Array, *, impl: str = "auto") -> Array:
     """Negative log-likelihood of the label sequences, per example.
 
     blank_lp: [B, T, U+1] — log P(blank | t, u) at each lattice node.
@@ -74,7 +74,18 @@ def transducer_loss(blank_lp: Array, label_lp: Array, t_lens: Array,
     Graves 2012: alpha[0,0]=0; alpha[t,u] = logaddexp(
     alpha[t-1,u] + blank_lp[t-1,u], alpha[t,u-1] + label_lp[t,u-1]); loss =
     -(alpha[T-1, U] + blank_lp[T-1, U]).
+
+    impl: "auto" (fused Pallas lattice kernel unless disabled via
+    E2E_ASR_NO_PALLAS), "pallas", or "xla". The Pallas path carries a custom
+    VJP with the exact occupancy gradients (ops/transducer_pallas.py); the
+    scan below is the always-correct fallback and test oracle.
     """
+    from e2e_asr_tpu.core.rnn import use_pallas_lstm
+    if impl == "pallas" or (impl == "auto" and use_pallas_lstm()):
+        from e2e_asr_tpu.ops import transducer_pallas
+        return transducer_pallas.transducer_loss_pallas(
+            blank_lp.astype(jnp.float32), label_lp.astype(jnp.float32),
+            t_lens, u_lens)
     B, T, Up1 = blank_lp.shape
     U = Up1 - 1
     blank_lp = blank_lp.astype(jnp.float32)

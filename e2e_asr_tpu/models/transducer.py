@@ -114,16 +114,39 @@ def _joint_chunk(out_params: dict, enc_chunk: Array, pred_proj: Array,
     return blank_lp, gathered
 
 
+# Peak extra bytes one rematerialized joint chunk may cost in the backward
+# pass (the f32 log-prob block + the bf16 tanh intermediate, recomputed):
+# governs the auto-picked t_chunk below. 256MB keeps even V~4k vocabs to a
+# ~0.5GB transient on a 16GB chip while letting small-vocab configs run the
+# whole joint unchunked (the scan+remat machinery measured 3.5 ms/step of
+# pure overhead at the bench shape — t_chunk=8 vs unchunked, VALIDATION
+# round-3).
+JOINT_CHUNK_BUDGET = 256 * 1024 * 1024
+
+
+def _auto_chunk(B: int, T: int, U1: int, V: int, J: int) -> int:
+    per_frame = B * U1 * (4 * V + 2 * J)
+    return max(1, min(T, JOINT_CHUNK_BUDGET // max(per_frame, 1)))
+
+
 def lattice_logprobs(params: dict, labels: Array, enc: Array,
-                     pred: Array, *, t_chunk: int = 8,
+                     pred: Array, *, t_chunk: int | None = None,
                      compute_dtype=None) -> tuple[Array, Array]:
     """(blank_lp [B,T,U+1], label_lp [B,T,U]) without materializing the full
     [B,T,U+1,V] joint: frames go through in t_chunk-sized blocks inside a
-    rematerialized lax.scan."""
+    rematerialized lax.scan. t_chunk=None picks the largest chunk whose
+    backward-pass transient fits JOINT_CHUNK_BUDGET; when the whole joint
+    fits, the scan (and its recompute) is skipped entirely."""
     joint = params["joint"]
     enc_proj = dense(joint["enc_proj"], enc, compute_dtype=compute_dtype)
     pred_proj = dense(joint["pred_proj"], pred, compute_dtype=compute_dtype)
     B, T, J = enc_proj.shape
+    if t_chunk is None:
+        V = params["joint"]["out"]["bias"].shape[0]
+        t_chunk = _auto_chunk(B, T, pred.shape[1], V, J)
+    if t_chunk >= T:
+        return _joint_chunk(joint["out"], enc_proj, pred_proj, labels,
+                            compute_dtype)
     pad = (-T) % t_chunk
     if pad:
         enc_proj = jnp.pad(enc_proj, ((0, 0), (0, pad), (0, 0)))
@@ -145,7 +168,7 @@ def lattice_logprobs(params: dict, labels: Array, enc: Array,
 
 def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
          rng: Array | None = None, compute_dtype=None, ep_mesh=None,
-         t_chunk: int = 8) -> Array:
+         t_chunk: int | None = None) -> Array:
     """Mean transducer NLL. batch: logmel/logmel_len plus `labels` [B, U]
     (token ids, 0-padded, NO <go>/<eos>) and `label_lens` [B] — the CTC
     family's label convention (train/step.py:_ctc_labels)."""
