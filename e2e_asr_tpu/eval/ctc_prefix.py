@@ -109,28 +109,54 @@ class CTCPrefixScorer:
         phi0 = jnp.where(state["last"] < 0, 0.0, NEG_INF)[:, :, None]
         phi0 = jnp.broadcast_to(phi0, (B, k, P))
 
-        # Time-major inputs for the frame scan.
-        x_tm = jnp.swapaxes(self.lp, 0, 1)                     # [T, B, V]
-        xb_tm = jnp.swapaxes(self.lp_blank, 0, 1)              # [T, B]
-        rn_par = jnp.moveaxis(state["rn"], 2, 0)               # [T, B, k]
-        rb_par = jnp.moveaxis(state["rb"], 2, 0)
+        from e2e_asr_tpu.core.rnn import use_pallas_lstm
+        from e2e_asr_tpu.ops import ctc_prefix_pallas
+        if use_pallas_lstm() and ctc_prefix_pallas.supported(B * k, P):
+            # Fused path: one launch runs the whole frame scan
+            # (ops/ctc_prefix_pallas.py). The candidate gather happens here
+            # as ONE XLA gather over all frames (batch-dim broadcast — no
+            # [B,k,T,V] materialization).
+            xc_all = jnp.take_along_axis(
+                jnp.swapaxes(self.lp, 1, 2)[:, None],          # [B, 1, V, T]
+                cand[:, :, :, None], axis=2)                   # [B, k, P, T]
+            xc_tm = jnp.moveaxis(xc_all, 3, 0).reshape(T, B * k, P)
+            xb_tm = jnp.broadcast_to(
+                jnp.swapaxes(self.lp_blank, 0, 1)[:, :, None],
+                (T, B, k)).reshape(T, B * k, 1)
+            rn_par = jnp.moveaxis(state["rn"], 2, 0).reshape(T, B * k, 1)
+            rb_par = jnp.moveaxis(state["rb"], 2, 0).reshape(T, B * k, 1)
+            allow_neg = jnp.where(allowed, 0.0, NEG_INF).reshape(B * k, P)
+            psi_f, rn_tm, rb_tm = ctc_prefix_pallas.prefix_scan(
+                xc_tm, xb_tm, rn_par, rb_par, allow_neg,
+                phi0.reshape(B * k, P))
+            psi_f = psi_f.reshape(B, k, P)
+            rn_seq = rn_tm.reshape(T, B, k, P)
+            rb_seq = rb_tm.reshape(T, B, k, P)
+        else:
+            # Time-major inputs for the frame scan.
+            x_tm = jnp.swapaxes(self.lp, 0, 1)                 # [T, B, V]
+            xb_tm = jnp.swapaxes(self.lp_blank, 0, 1)          # [T, B]
+            rn_par = jnp.moveaxis(state["rn"], 2, 0)           # [T, B, k]
+            rb_par = jnp.moveaxis(state["rb"], 2, 0)
 
-        def frame(carry, xs):
-            rn_p, rb_p, psi_p, phi_p = carry                   # [B, k, P]
-            x_t, xb_t, rn_pt, rb_pt = xs
-            xc = jnp.take_along_axis(
-                jnp.broadcast_to(x_t[:, None, :], (B, k, V)), cand, axis=-1)
-            rn_t = _lse(rn_p, phi_p) + xc
-            rb_t = _lse(rb_p, rn_p) + xb_t[:, None, None]
-            psi_t = _lse(psi_p, phi_p + xc)
-            phi_t = _lse(rb_pt[:, :, None],
-                         jnp.where(allowed, rn_pt[:, :, None], NEG_INF))
-            return (rn_t, rb_t, psi_t, phi_t), (rn_t, rb_t)
+            def frame(carry, xs):
+                rn_p, rb_p, psi_p, phi_p = carry               # [B, k, P]
+                x_t, xb_t, rn_pt, rb_pt = xs
+                xc = jnp.take_along_axis(
+                    jnp.broadcast_to(x_t[:, None, :], (B, k, V)), cand,
+                    axis=-1)
+                rn_t = _lse(rn_p, phi_p) + xc
+                rb_t = _lse(rb_p, rn_p) + xb_t[:, None, None]
+                psi_t = _lse(psi_p, phi_p + xc)
+                phi_t = _lse(rb_pt[:, :, None],
+                             jnp.where(allowed, rn_pt[:, :, None], NEG_INF))
+                return (rn_t, rb_t, psi_t, phi_t), (rn_t, rb_t)
 
-        init = (jnp.full((B, k, P), NEG_INF), jnp.full((B, k, P), NEG_INF),
-                jnp.full((B, k, P), NEG_INF), phi0)
-        (_, _, psi_f, _), (rn_seq, rb_seq) = jax.lax.scan(
-            frame, init, (x_tm, xb_tm, rn_par, rb_par))
+            init = (jnp.full((B, k, P), NEG_INF),
+                    jnp.full((B, k, P), NEG_INF),
+                    jnp.full((B, k, P), NEG_INF), phi0)
+            (_, _, psi_f, _), (rn_seq, rb_seq) = jax.lax.scan(
+                frame, init, (x_tm, xb_tm, rn_par, rb_par))
 
         psi_prev = state["psi"]
         bad = jnp.minimum(psi_f, psi_prev[:, :, None]) < NEG_INF / 2
