@@ -85,12 +85,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    """Place a host batch dict onto the mesh, batch-dim sharded.
+
+    Single-controller: one device_put. Multi-process (real
+    jax.distributed): each process holds only ITS batch rows (the data
+    pipeline shards files by process, data/speech.py:load_files), so the
+    local batch becomes this process's slice of a global batch of
+    local_B * process_count rows — the standard per-host-batch contract
+    (validated for real by tools/multihost_smoke.py)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _place(x, sh: NamedSharding):
+    """device_put that also works when `sh` spans other processes' devices
+    (the value must then be identical on every process — true for seeded
+    params/optimizer state and for already-global arrays)."""
+    if jax.process_count() > 1 and not sh.is_fully_addressable:
+        if isinstance(x, jax.Array) and x.sharding == sh:
+            return x
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+    return jax.device_put(x, sh)
 
 
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: _place(x, sh), tree)

@@ -66,5 +66,9 @@ def state_shardings(state, mesh: Mesh):
 
 
 def place_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh (multi-process safe: seeded state is
+    identical on every process, so non-addressable shardings are filled
+    from the local copy — core/mesh._place)."""
+    from e2e_asr_tpu.core.mesh import _place
     sh = state_shardings(state, mesh)
-    return jax.tree_util.tree_map(jax.device_put, state, sh)
+    return jax.tree_util.tree_map(_place, state, sh)

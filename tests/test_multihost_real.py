@@ -1,0 +1,24 @@
+"""REAL multi-process jax.distributed smoke (tools/multihost_smoke.py).
+
+tests/test_multihost.py exercises the multi-host code paths with spoofed
+process indices; this launches TWO actual Python processes with their own
+jax.distributed runtimes (TCP coordinator, cross-process gradient
+all-reduce) and checks the loss trajectory against a single-controller run
+— the tool itself asserts both invariants and prints OK."""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_real_two_process_jax_distributed():
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "E2E_ASR_NO_PALLAS": "1"}
+    # The launcher sets its own virtual-device counts (4 for the reference
+    # run, 2 per worker); the suite's 8-device flag must not leak in.
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "e2e_asr_tpu.tools.multihost_smoke"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "multihost_smoke OK" in out.stdout, out.stdout
