@@ -43,8 +43,10 @@ def parse_options(argv=None) -> ExperimentConfig:
     if not cfg.dev and not cfg.test:
         os.makedirs(cfg.train.train_dir, exist_ok=True)
         os.makedirs(cfg.train.best_model_dir, exist_ok=True)
-        with open(path.join(cfg.train.train_dir, "parameters.txt"), "w") as f:
-            f.write(config_lib.config_to_text(cfg) + "\n")
+        if cfg.train.dist_pid == 0:     # multi-host: one writer per run dir
+            with open(path.join(cfg.train.train_dir, "parameters.txt"),
+                      "w") as f:
+                f.write(config_lib.config_to_text(cfg) + "\n")
     return cfg
 
 
@@ -189,9 +191,48 @@ def launch_eval(cfg: ExperimentConfig) -> None:
     print(f"Total decoding time: {time.time() - start:.1f}s")
 
 
+def maybe_init_backend(cfg: ExperimentConfig) -> None:
+    """Apply -platform and join the multi-host job (-dist_coordinator)
+    BEFORE any jax backend use. jax.config.update (not env JAX_PLATFORMS —
+    interpreter-startup hooks can override the env var) must precede
+    jax.distributed.initialize, which must precede the first computation.
+    Validated for real by tools/multihost_smoke.py --driver. Safe no-op when
+    neither flag is set."""
+    tc = cfg.train
+    import jax
+    if tc.platform:
+        jax.config.update("jax_platforms", tc.platform)
+    if not tc.dist_coordinator:
+        return
+    if tc.chaos:
+        # Each process would draw its own time-based seeds: the lm_prob coin
+        # flips diverge and the processes stop agreeing on which collective
+        # program to run — a deadlock, not a crash. Fail loudly instead.
+        raise ValueError("-chaos is incompatible with -dist_coordinator: "
+                         "multi-host lockstep needs deterministic seeds")
+    jax.distributed.initialize(coordinator_address=tc.dist_coordinator,
+                               num_processes=tc.dist_nprocs,
+                               process_id=tc.dist_pid)
+    if jax.process_count() != tc.dist_nprocs:
+        raise RuntimeError(
+            f"jax.distributed did not engage: process_count "
+            f"{jax.process_count()} != -dist_nprocs {tc.dist_nprocs} (a "
+            f"startup hook may have initialized the backend first — set "
+            f"-platform explicitly)")
+    print(f"dist: process {jax.process_index()}/{jax.process_count()}, "
+          f"{jax.local_device_count()} local / {jax.device_count()} global "
+          f"devices")
+
+
 def main(argv=None) -> None:
     cfg = parse_options(argv)
+    maybe_init_backend(cfg)
     if cfg.dev or cfg.test:
+        if cfg.train.dist_coordinator and cfg.train.dist_pid != 0:
+            # Decode runs on local devices only; one process suffices and
+            # owns the artifact files.
+            print("Eval runs on process 0 only; exiting.")
+            return
         launch_eval(cfg)
     else:
         launch_train(cfg)

@@ -192,6 +192,17 @@ class TrainConfig:
                                      # (train/mwer.py) instead of CE
     mwer_nbest: int = 4              # n-best size for the MWER expectation
     mwer_ce: float = 0.01            # CE anchor weight in the MWER loss
+    platform: str = ""               # force a jax platform ("cpu"/"tpu")
+                                     # BEFORE backend init — env
+                                     # JAX_PLATFORMS alone can be overridden
+                                     # by interpreter-startup hooks
+    dist_coordinator: str = ""       # host:port of process 0 — multi-host
+                                     # (jax.distributed) training; each host
+                                     # runs the same CLI with its own
+                                     # -dist_pid (cli/main.py initializes
+                                     # before any jax use)
+    dist_nprocs: int = 1             # total processes in the job
+    dist_pid: int = 0                # this process's index
     pp_stages: int = 1               # pipeline-parallel stages for the
                                      # transformer block stack
                                      # (core/pipeline.py); 1 = off
@@ -474,6 +485,17 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-model_axis", default=1, type=int,
                         help="Mesh model axis size: shards the vocab-sized "
                         "projections/embeddings (core/sharding.py)")
+    parser.add_argument("-platform", default="", type=str,
+                        help="Force the jax platform (cpu/tpu) before "
+                        "backend init; empty = leave the environment's "
+                        "choice alone")
+    parser.add_argument("-dist_coordinator", default="", type=str,
+                        help="host:port of process 0 for multi-host "
+                        "(jax.distributed) training; run the same CLI once "
+                        "per host with -dist_pid 0..N-1 and -dist_nprocs N "
+                        "(validated for real by tools/multihost_smoke.py)")
+    parser.add_argument("-dist_nprocs", default=1, type=int)
+    parser.add_argument("-dist_pid", default=0, type=int)
     parser.add_argument("-label_smoothing", default=0.0, type=float,
                         help="Label smoothing for the attention CE (extension)")
 

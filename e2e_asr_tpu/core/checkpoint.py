@@ -35,9 +35,23 @@ def _key_name(k) -> str:
     return str(k)
 
 
+def _host_leaf(leaf) -> np.ndarray:
+    """Fetch one leaf to host. Multi-host (jax.distributed) states can hold
+    arrays whose shards live on OTHER processes' devices: fully-replicated
+    leaves read locally, model-axis-sharded leaves need a cross-process
+    all-gather — a COLLECTIVE, so flatten_named must be called by every
+    process in the job even when only process 0 writes the file
+    (train/loop.py gates the write, not the fetch)."""
+    if (isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+            and not leaf.is_fully_replicated):
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
 def flatten_named(tree) -> dict[str, np.ndarray]:
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {SEP.join(_key_name(k) for k in path): np.asarray(leaf)
+    return {SEP.join(_key_name(k) for k in path): _host_leaf(leaf)
             for path, leaf in flat}
 
 
@@ -78,10 +92,16 @@ def _write_named(ckpt_dir: str, prefix: str, step: int,
 
 
 def save(ckpt_dir: str, prefix: str, step: int, state, meta: dict | None = None,
-         max_to_keep: int | None = None) -> str:
-    """Save `state` (any pytree) as {prefix}-{step}.npz and update pointer."""
-    return _write_named(ckpt_dir, prefix, step, flatten_named(state), meta,
-                        max_to_keep)
+         max_to_keep: int | None = None, primary: bool = True) -> str:
+    """Save `state` (any pytree) as {prefix}-{step}.npz and update pointer.
+
+    primary=False (non-zero processes of a multi-host job) still runs the
+    host fetch — it can be collective, see _host_leaf — but skips the file
+    write: one writer per run directory."""
+    named = flatten_named(state)
+    if not primary:
+        return ""
+    return _write_named(ckpt_dir, prefix, step, named, meta, max_to_keep)
 
 
 class AsyncCheckpointer:
@@ -129,9 +149,12 @@ class AsyncCheckpointer:
             raise RuntimeError("async checkpoint write failed") from err
 
     def save(self, ckpt_dir: str, prefix: str, step: int, state,
-             meta: dict | None = None, max_to_keep: int | None = None):
+             meta: dict | None = None, max_to_keep: int | None = None,
+             primary: bool = True):
         self._check()
         named = flatten_named(state)          # device->host, blocking
+        if not primary:                       # multi-host: fetch is
+            return                            # collective, write is pid 0's
         self._q.put(lambda: _write_named(ckpt_dir, prefix, step, named,
                                          meta, max_to_keep))
 

@@ -64,3 +64,15 @@ class SummaryWriter:
 
     def close(self) -> None:
         self._f.close()
+
+
+class NullWriter:
+    """Drop-in no-op SummaryWriter for non-primary processes in a multi-host
+    job (train/loop.py): every process runs the identical policy loop, but
+    only process 0 owns the run directory's event files."""
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        pass
+
+    def close(self) -> None:
+        pass

@@ -209,6 +209,150 @@ def launcher_main(num_processes: int = 2) -> dict:
     return {"losses": trajs[0], "reference": ref}
 
 
+def driver_main(num_processes: int = 2) -> dict:
+    """--driver: the FULL production entry point, multi-host. Spawns N
+    worker processes that each run the real CLI
+    (`python -m e2e_asr_tpu.cli.main -dist_coordinator ... -dist_pid p`)
+    over a shared run directory: jax.distributed init inside cli.main,
+    per-process file shards, the global {data} mesh, the complete Trainer
+    policy loop (bucket draining, dev-WER cadence, LR policy, best-model
+    saves) with process-0-only artifact writes. Asserts:
+
+    1. every worker exits 0 and the per-step policy lines (perplexity) are
+       IDENTICAL across workers — the processes stayed in lockstep;
+    2. exactly one writer: parameters.txt / asr_err.txt / best.txt /
+       checkpoints / decode artifacts exist once in the shared run dir;
+    3. the saved checkpoint is loadable and decodes in a plain
+       single-controller eval (`cli.main -dev`) — multi-host training
+       produces the standard interchange artifact.
+    """
+    import numpy as np
+
+    from e2e_asr_tpu.data.synth import make_vocab_dir, write_speech_corpus
+
+    root = tempfile.mkdtemp(prefix="mh_driver_")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    make_vocab_dir(os.path.join(root, "vocab"))
+    # num_processes * 2 equally-sized bucket files: every process's shard
+    # drains in the same number of steps (unequal shards would deadlock the
+    # collectives — the per-host-batch contract).
+    for i in range(2 * num_processes):
+        write_speech_corpus(os.path.join(data, f"train_1k.0.{i:04d}"), 12,
+                            seed=i, feat_length=8, char_vocab=20,
+                            min_tokens=3, max_tokens=5, frames_per_token=4)
+    write_speech_corpus(os.path.join(data, "dev.0001"), 6, seed=99,
+                        feat_length=8, char_vocab=20, min_tokens=3,
+                        max_tokens=5, frames_per_token=4)
+
+    cli_args = ["-data_dir", data,
+                "-vocab_dir", os.path.join(root, "vocab"),
+                "-tb_dir", os.path.join(root, "models"),
+                "-hsize", "8", "-hsize_dec", "8", "-emb_size", "8",
+                "-attn_vec_size", "4", "-lm_hsize", "8",
+                "-feat_len", "8", "-max_out_char", "8",
+                "-buck_batch_sizes", "4",
+                "-steps_per_checkpoint", "3", "-max_epochs", "1",
+                "-compute_dtype", "float32", "-run_id", "77",
+                # env JAX_PLATFORMS can be overridden by startup hooks; the
+                # flag forces it through jax.config BEFORE backend init.
+                "-platform", "cpu"]
+
+    port = _free_port()
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "E2E_ASR_NO_PALLAS": "1",
+           "XLA_FLAGS": f"--xla_force_host_platform_device_count="
+                        f"{LOCAL_DEVICES}"}
+    logs = [open(os.path.join(root, f"driver_{p}.log"), "w")
+            for p in range(num_processes)]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "e2e_asr_tpu.cli.main", *cli_args,
+         "-dist_coordinator", f"127.0.0.1:{port}",
+         "-dist_nprocs", str(num_processes), "-dist_pid", str(p)],
+        env=env, stdout=logs[p], stderr=subprocess.STDOUT)
+        for p in range(num_processes)]
+    codes = [p.wait(timeout=900) for p in procs]
+    for f in logs:
+        f.close()
+    outs = []
+    for p in range(num_processes):
+        with open(os.path.join(root, f"driver_{p}.log")) as f:
+            outs.append(f.read())
+    if any(codes):
+        raise RuntimeError(
+            f"CLI worker exit codes: {codes}\n" + "\n".join(
+                f"--- worker {p} ---\n" + "\n".join(o.splitlines()[-25:])
+                for p, o in enumerate(outs)))
+
+    # 0. the distributed runtime actually engaged in every worker (a silent
+    # fallback to N independent single-process runs would pass the lockstep
+    # check vacuously — exactly what a platform-hook override caused once).
+    for p, o in enumerate(outs):
+        want = (f"dist: process {p}/{num_processes}, {LOCAL_DEVICES} local "
+                f"/ {LOCAL_DEVICES * num_processes} global devices")
+        assert want in o, f"worker {p} missing '{want}'"
+
+    # 1. lockstep: the per-checkpoint policy lines match exactly.
+    policy = [[ln for ln in o.splitlines()
+               if "Perplexity" in ln or "ASR error" in ln.split(",")[0]]
+              for o in outs]
+    # Checkpoint-time/frames-per-sec fields differ per process; compare the
+    # decision-relevant fields only (_policy_fields).
+    for p in range(1, num_processes):
+        assert len(policy[p]) == len(policy[0]), (policy[0], policy[p])
+        for a, b in zip(policy[0], policy[p]):
+            assert _policy_fields(a) == _policy_fields(b), (a, b)
+
+    # 2. one writer, full artifact set in the shared run dir.
+    models_root = os.path.join(root, "models")
+    run_dirs = [d for d in os.listdir(models_root)
+                if not d.startswith("best_")]
+    assert len(run_dirs) == 1, run_dirs
+    run_dir = os.path.join(models_root, run_dirs[0])
+    best_dir = os.path.join(models_root, "best_models", run_dirs[0])
+    import glob as glob_lib
+    assert os.path.isfile(os.path.join(run_dir, "parameters.txt"))
+    assert os.path.isfile(os.path.join(run_dir, "asr_err.txt"))
+    ckpts = glob_lib.glob(os.path.join(run_dir, "asr.ckpt-*.npz"))
+    assert ckpts, os.listdir(run_dir)
+    errs = [float(x) for x in open(os.path.join(run_dir, "asr_err.txt"))]
+    assert all(np.isfinite(errs)), errs
+    # Single writer: one asr_err.txt line per dev-eval cadence in worker 0's
+    # log (a non-primary process writing too would double the count).
+    cadences = sum("ASR error:" in ln for ln in outs[0].splitlines())
+    assert len(errs) == cadences, (len(errs), cadences)
+
+    # 3. the checkpoint decodes in a plain single-controller eval.
+    out = subprocess.run(
+        [sys.executable, "-m", "e2e_asr_tpu.cli.main", *cli_args, "-dev"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert os.path.isfile(os.path.join(best_dir, "decoded_asr.txt"))
+    print(f"multihost_driver OK: {num_processes} CLI processes, "
+          f"{len(errs)} checkpoints, dev errs {errs}")
+    return {"errs": errs, "ckpts": sorted(ckpts)}
+
+
+def _policy_fields(line: str) -> list[str]:
+    """Decision-relevant fields of a Trainer policy log line: drop wall-clock
+    numbers (checkpoint/decoding time, frames/sec differ per process)."""
+    toks = line.replace(",", " ").split()
+    out, skip = [], 0
+    for t in toks:
+        if skip:
+            skip -= 1
+            continue
+        key = t.rstrip(":")
+        if key == "time":          # "Checkpoint time X" / "Decoding time: Xs"
+            skip = 1
+            continue
+        if key == "Frames/sec":    # trailing, comma-grouped — nothing
+            break                  # decision-relevant after it
+        out.append(t)
+    return out
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--process_id", type=int, default=-1)
@@ -216,9 +360,15 @@ def main(argv=None) -> None:
     parser.add_argument("--coordinator", type=str, default="")
     parser.add_argument("--data_dir", type=str, default="")
     parser.add_argument("--out", type=str, default="")
+    parser.add_argument("--driver", action="store_true",
+                        help="run the FULL CLI (cli.main) in N real "
+                        "jax.distributed processes instead of the "
+                        "step-level smoke")
     args = parser.parse_args(argv)
     if args.process_id >= 0:
         worker_main(args)
+    elif args.driver:
+        driver_main(args.num_processes)
     else:
         launcher_main(args.num_processes)
 

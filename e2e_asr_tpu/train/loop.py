@@ -66,6 +66,12 @@ class Trainer:
         self.model_cfg = cfg.model
         self.train_cfg = cfg.train
         self.lm_cfg = cfg.lm
+        # Multi-host (-dist_coordinator): every process runs the identical
+        # policy loop (deterministic seeds keep the coin flips / LR decisions
+        # in lockstep), but run-directory files have ONE writer. The
+        # device->host checkpoint fetch still runs everywhere — it can be a
+        # cross-process collective (core/checkpoint._host_leaf).
+        self._primary = jax.process_index() == 0
         dtype = (jnp.bfloat16 if self.train_cfg.compute_dtype == "bfloat16"
                  else None)
         self.compute_dtype = dtype
@@ -341,7 +347,9 @@ class Trainer:
                 compute_dtype=self.compute_dtype,
                 freeze=tuple(f for f in tc.freeze.split(",") if f))
 
-        writer = SummaryWriter(path.join(tc.train_dir, "summary"))
+        from e2e_asr_tpu.core.summary import NullWriter
+        writer = (SummaryWriter(path.join(tc.train_dir, "summary"))
+                  if self._primary else NullWriter())
 
         # best score + error history (train.py:221-253)
         asr_err_best = self._read_best()
@@ -476,11 +484,13 @@ class Trainer:
             # training; both live in the checkpoint).
             eval_params = (state.ema_params if tc.ema_decay > 0
                            else state.params)
-            asr_err_cur = evaluator(eval_params, dev_set.epoch())
+            asr_err_cur = evaluator(eval_params, dev_set.epoch(),
+                                    write_files=self._primary)
             print(f"ASR error: {asr_err_cur:.4f}, Decoding time: "
                   f"{time.time() - t0:.1f}s")
-            with open(path.join(tc.train_dir, "asr_err.txt"), "a") as f:
-                f.write(str(asr_err_cur) + "\n")
+            if self._primary:
+                with open(path.join(tc.train_dir, "asr_err.txt"), "a") as f:
+                    f.write(str(asr_err_cur) + "\n")
             writer.scalar("ASR Error", asr_err_cur, gstep)
 
             if gstep >= tc.min_steps:
@@ -500,8 +510,9 @@ class Trainer:
                 asr_err_best = asr_err_cur
                 print(f"Best ASR Error rate: {asr_err_best:.4f}")
                 print("Saving the best model !!")
-                with open(path.join(tc.train_dir, "best.txt"), "w") as f:
-                    f.write(str(asr_err_best))
+                if self._primary:
+                    with open(path.join(tc.train_dir, "best.txt"), "w") as f:
+                        f.write(str(asr_err_best))
                 self._save(tc.best_model_dir, "asr.ckpt", gstep, state,
                            meta={"best": asr_err_best}, max_to_keep=2)
 
@@ -513,10 +524,10 @@ class Trainer:
         writer = getattr(self, "_ckpt_writer", None)
         if writer is not None:
             writer.save(ckpt_dir, prefix, gstep, state, meta=meta,
-                        max_to_keep=max_to_keep)
+                        max_to_keep=max_to_keep, primary=self._primary)
         else:
             ckpt_lib.save(ckpt_dir, prefix, gstep, state, meta=meta,
-                          max_to_keep=max_to_keep)
+                          max_to_keep=max_to_keep, primary=self._primary)
 
     def _read_best(self) -> float:
         score_file = path.join(self.train_cfg.train_dir, "best.txt")

@@ -22,3 +22,20 @@ def test_real_two_process_jax_distributed():
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
     assert out.returncode == 0, out.stdout + "\n" + out.stderr
     assert "multihost_smoke OK" in out.stdout, out.stdout
+
+
+def test_real_two_process_full_cli():
+    """--driver: TWO real jax.distributed processes each running the FULL
+    production CLI (cli.main with -dist_coordinator/-dist_pid) over one
+    shared run directory — per-process file shards, global mesh, complete
+    Trainer policy loop in lockstep, process-0-only artifact writes, and a
+    checkpoint that a plain single-controller eval then decodes. The tool
+    asserts all of it and prints OK."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "E2E_ASR_NO_PALLAS": "1"}
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "e2e_asr_tpu.tools.multihost_smoke",
+         "--driver"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "multihost_driver OK" in out.stdout, out.stdout
