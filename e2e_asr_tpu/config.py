@@ -192,6 +192,15 @@ class TrainConfig:
                                      # (train/mwer.py) instead of CE
     mwer_nbest: int = 4              # n-best size for the MWER expectation
     mwer_ce: float = 0.01            # CE anchor weight in the MWER loss
+    skip_nonfinite: bool = False     # on-device guard: a non-finite loss or
+                                     # gradient skips the whole update (the
+                                     # state keeps its pre-step value) with
+                                     # no host sync (train/step.py)
+    nan_recover: int = 0             # when the checkpoint-cadence loss goes
+                                     # non-finite: restore the latest
+                                     # checkpoint and halve the LR, up to
+                                     # this many times (0 = just stop; the
+                                     # run never keeps training on NaN)
     platform: str = ""               # force a jax platform ("cpu"/"tpu")
                                      # BEFORE backend init — env
                                      # JAX_PLATFORMS alone can be overridden
@@ -485,6 +494,15 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-model_axis", default=1, type=int,
                         help="Mesh model axis size: shards the vocab-sized "
                         "projections/embeddings (core/sharding.py)")
+    parser.add_argument("-skip_nonfinite", default=False,
+                        action="store_true",
+                        help="Skip updates whose loss/grads are non-finite "
+                        "entirely on device (divergence protection; the "
+                        "poisoned step costs nothing but itself)")
+    parser.add_argument("-nan_recover", default=0, type=int,
+                        help="On a non-finite cadence loss: restore the "
+                        "latest checkpoint and halve the LR up to N times "
+                        "before stopping (0 = stop immediately)")
     parser.add_argument("-platform", default="", type=str,
                         help="Force the jax platform (cpu/tpu) before "
                         "backend init; empty = leave the environment's "

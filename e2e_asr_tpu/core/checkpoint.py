@@ -64,11 +64,19 @@ def unflatten_named(template, named: dict[str, np.ndarray]):
         if name not in named:
             raise KeyError(f"checkpoint missing leaf: {name}")
         arr = named[name]
-        if arr.shape != np.asarray(leaf).shape:
+        # Template leaves may be device arrays sharded across OTHER
+        # processes (multi-host): read shape/dtype from metadata, never
+        # force a host fetch here.
+        shape = getattr(leaf, "shape", None)
+        dtype = getattr(leaf, "dtype", None)
+        if shape is None or dtype is None:
+            as_np = np.asarray(leaf)
+            shape, dtype = as_np.shape, as_np.dtype
+        if arr.shape != shape:
             raise ValueError(
                 f"shape mismatch for {name}: ckpt {arr.shape} vs "
-                f"template {np.asarray(leaf).shape}")
-        leaves.append(arr.astype(np.asarray(leaf).dtype))
+                f"template {shape}")
+        leaves.append(arr.astype(dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -139,7 +139,8 @@ class Trainer:
             ema_decay=self.train_cfg.ema_decay,
             pp_mesh=pp_mesh, pp_micro=self.train_cfg.pp_micro,
             sp_mesh=sp_mesh, ep_mesh=ep_mesh, freeze=freeze,
-            speed_perturb=sp, distill=distill)
+            speed_perturb=sp, distill=distill,
+            skip_nonfinite=self.train_cfg.skip_nonfinite)
         self.asr_step = jax.jit(asr_step, donate_argnums=0)
         self.lm_step = jax.jit(lm_step, donate_argnums=0)
 
@@ -373,6 +374,8 @@ class Trainer:
         lm_loss_acc = jnp.zeros(())
         lm_steps = 0
         self._frames_acc = 0
+        self._skip_acc = jnp.zeros(())   # -skip_nonfinite: skipped updates
+        self._recoveries = 0             # -nan_recover restores so far
         ckpt_start = time.time()
         stop = False
 
@@ -435,15 +438,28 @@ class Trainer:
                 self._frames_acc += batch_frames
                 # char-CE for the perplexity summary (train.py:315-319);
                 # the CTC family reports its CTC loss there instead.
-                loss_acc = loss_acc + metrics.get("loss_char",
-                                                  metrics["loss"])
+                contrib = metrics.get("loss_char", metrics["loss"])
+                if tc.skip_nonfinite and "skipped" in metrics:
+                    # A skipped (non-finite) step changed nothing; keep its
+                    # NaN out of the cadence perplexity too.
+                    self._skip_acc = self._skip_acc + metrics["skipped"]
+                    contrib = jnp.where(metrics["skipped"] > 0, 0.0, contrib)
+                loss_acc = loss_acc + contrib
 
                 if current_step % tc.steps_per_checkpoint == 0:
-                    mean_loss = float(loss_acc) / tc.steps_per_checkpoint
+                    skips = (int(self._skip_acc) if tc.skip_nonfinite else 0)
+                    if skips:
+                        print(f"Skipped {skips} non-finite updates in the "
+                              f"last {tc.steps_per_checkpoint} steps")
+                        writer.scalar("Skipped updates", skips,
+                                      int(state.global_step))
+                    mean_loss = (float(loss_acc)
+                                 / max(tc.steps_per_checkpoint - skips, 1))
                     state, asr_err_best, stop = self._checkpoint_cadence(
                         state, writer, evaluator, dev_set, mean_loss,
                         previous_errs, asr_err_best, ckpt_start)
                     loss_acc = jnp.zeros(())
+                    self._skip_acc = jnp.zeros(())
                     ckpt_start = time.time()
 
             print(f"Total steps: {int(state.global_step)}")
@@ -464,6 +480,13 @@ class Trainer:
                             ckpt_start):
         tc = self.train_cfg
         stop = False
+        if not math.isfinite(loss_acc):
+            # The run has diverged. NEVER checkpoint or dev-decode a
+            # non-finite state; recover from the last good checkpoint with
+            # a halved LR (-nan_recover N times) or stop.
+            self._frames_acc = 0
+            state, stop = self._recover_nonfinite(state)
+            return state, asr_err_best, stop
         gstep = int(state.global_step)
         lr = step_lib.get_lr(state)
         ppl = math.exp(loss_acc) if loss_acc < 300 else float("inf")
@@ -519,6 +542,43 @@ class Trainer:
         self._save(tc.train_dir, "asr.ckpt", gstep, state,
                    meta={"best": asr_err_best})
         return state, asr_err_best, stop
+
+    def _recover_nonfinite(self, state):
+        """Divergence recovery (-nan_recover): restore the latest checkpoint
+        (the last state known finite) and halve the learning rate — the
+        standard answer to a mid-training blow-up — up to nan_recover
+        times. Returns (state, stop). With no recovery budget or no
+        checkpoint to fall back to, stops the run: training on NaN only
+        burns chips. Multi-host safe: every process restores the same file
+        and makes the same decision."""
+        tc = self.train_cfg
+        print("Non-finite training loss detected !!")
+        self._recoveries = getattr(self, "_recoveries", 0) + 1
+        if self._recoveries > tc.nan_recover:
+            print(f"Stopping: recovery budget exhausted "
+                  f"({tc.nan_recover} allowed)")
+            return state, True
+        if getattr(self, "_ckpt_writer", None) is not None:
+            self._ckpt_writer.flush()    # the restore target must be on disk
+        restored = ckpt_lib.restore_latest(tc.train_dir, state)
+        if restored is None:
+            print("Stopping: no checkpoint to recover from")
+            return state, True
+        state, _ = restored
+        # The checkpoint carries the LR it was saved with; decay by the
+        # ATTEMPT count so retries from the same checkpoint don't just
+        # re-run the exact trajectory that diverged.
+        new_lr = (step_lib.get_lr(state)
+                  * self.model_cfg.learning_rate_decay_factor
+                  ** self._recoveries)
+        state = step_lib.set_lr(state, new_lr)
+        if self.mesh is not None:
+            from e2e_asr_tpu.core import sharding as sharding_lib
+            state = sharding_lib.place_state(state, self.mesh)
+        print(f"Recovered from step {int(state.global_step)} "
+              f"(attempt {self._recoveries}/{tc.nan_recover}); "
+              f"LR decayed to {new_lr:.6f}")
+        return state, False
 
     def _save(self, ckpt_dir, prefix, gstep, state, *, meta, max_to_keep=None):
         writer = getattr(self, "_ckpt_writer", None)

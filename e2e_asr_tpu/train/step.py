@@ -130,7 +130,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
                     pp_mesh=None, pp_micro: int = 1, sp_mesh=None,
                     ep_mesh=None, freeze: tuple[str, ...] = (),
                     speed_perturb: tuple[float, float] | None = None,
-                    distill=None):
+                    distill=None, skip_nonfinite: bool = False):
     """Build jittable (asr_step, lm_step) closures.
 
     spec_augment applies on-device time/frequency masking to the features
@@ -171,7 +171,16 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
 
     distill=(teacher_cfg, teacher_params, weight, temperature): knowledge
     distillation for the attention family (train/distill.py) — the char
-    task trains against the frozen teacher's tempered posteriors."""
+    task trains against the frozen teacher's tempered posteriors.
+
+    skip_nonfinite=True guards every update ENTIRELY ON DEVICE (no host
+    sync, so the step pipeline keeps streaming): if the loss or any
+    gradient leaf is non-finite, the whole TrainState — params, Adam
+    moments, counters, EMA — keeps its pre-step value and
+    metrics["skipped"] reports 1.0. A poisoned batch then costs one wasted
+    step instead of permanently NaN-ing the optimizer moments (the classic
+    divergence failure the reference has no answer to). Off by default:
+    the select pass adds one extra HBM sweep over the state."""
     encode_fn = None
     if model_cfg.encoder.moe_experts > 0:
         if model_cfg.encoder.encoder_type != "transformer":
@@ -214,6 +223,21 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             out.append(jnp.zeros_like(g)
                        if any(f in name for f in freeze) else g)
         return jax.tree_util.tree_unflatten(treedef, out)
+
+    def finite_guard(state: TrainState, new_state: TrainState, total,
+                     grads, metrics: dict):
+        """All-on-device non-finite-update skip (see make_train_step doc).
+        Returns (guarded_state, metrics + skipped flag)."""
+        if not skip_nonfinite:
+            return new_state, metrics
+        ok = jnp.isfinite(total)
+        ok = jax.tree_util.tree_reduce(
+            lambda a, g: jnp.logical_and(a, jnp.all(jnp.isfinite(g))),
+            grads, ok)
+        guarded = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_state, state)
+        return guarded, {**metrics,
+                         "skipped": 1.0 - ok.astype(jnp.float32)}
 
     def ema_update(state: TrainState, new_params):
         if ema_decay <= 0:
@@ -309,7 +333,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             new_state = new_state._replace(
                 ema_params=ema_update(state, new_params))
         metrics = {"loss": total, **{f"loss_{t}": v for t, v in per_task.items()}}
-        return new_state, metrics
+        return finite_guard(state, new_state, total, grads, metrics)
 
     def lm_step(state: TrainState, token_ids: Array, seq_len: Array,
                 rng: Array, valid: Array | None = None):
@@ -327,6 +351,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
         if ema_decay > 0:
             new_state = new_state._replace(
                 ema_params=ema_update(state, new_params))
-        return new_state, {"lm_loss": loss}
+        return finite_guard(state, new_state, loss, grads,
+                            {"lm_loss": loss})
 
     return asr_step, lm_step

@@ -129,3 +129,51 @@ def test_training_is_deterministic_with_fixed_seed(tmp_path, rng):
     a, b = run(), run()
     for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_nonfinite_cadence_recovers_from_checkpoint(tmp_path):
+    """-nan_recover: a non-finite cadence loss restores the latest
+    checkpoint with a decayed LR instead of checkpointing/decoding the
+    diverged state; the budget exhausts into a stop; with no checkpoint on
+    disk the run stops immediately (train/loop.py _recover_nonfinite)."""
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+
+    t, state, writer, cfg = _trainer(tmp_path)
+    cfg.train.nan_recover = 2
+    t._recoveries = 0
+
+    # No checkpoint on disk yet -> stop (never train on NaN).
+    s, best, stop = t._checkpoint_cadence(
+        state, writer, ScriptedEvaluator([]), _FakeDevSet(), float("nan"),
+        [], 1.0, 0.0)
+    assert stop
+
+    # Save a known-good checkpoint at step 7, then diverge.
+    lr0 = step_lib.get_lr(state)
+    good = state._replace(global_step=state.global_step + 7)
+    ckpt_lib.save(cfg.train.train_dir, "asr.ckpt", 7, good, meta={})
+    t._recoveries = 0
+    t._frames_acc = 99
+    s, best, stop = t._checkpoint_cadence(
+        state, writer, ScriptedEvaluator([]), _FakeDevSet(), float("inf"),
+        [], 1.0, 0.0)
+    assert not stop
+    assert int(s.global_step) == 7            # restored
+    assert t._frames_acc == 0
+    decay = cfg.model.learning_rate_decay_factor
+    np.testing.assert_allclose(step_lib.get_lr(s), lr0 * decay, rtol=1e-6)
+    # No new checkpoint was written for the diverged state.
+    assert ckpt_lib.latest_path(cfg.train.train_dir)[0].endswith(
+        "asr.ckpt-7.npz")
+
+    # Second recovery halves again; third exceeds the budget -> stop.
+    s, _, stop = t._checkpoint_cadence(
+        s, writer, ScriptedEvaluator([]), _FakeDevSet(), float("nan"),
+        [], 1.0, 0.0)
+    assert not stop
+    np.testing.assert_allclose(step_lib.get_lr(s), lr0 * decay * decay,
+                               rtol=1e-6)
+    s, _, stop = t._checkpoint_cadence(
+        s, writer, ScriptedEvaluator([]), _FakeDevSet(), float("nan"),
+        [], 1.0, 0.0)
+    assert stop

@@ -324,3 +324,47 @@ def test_lr_warmup_through_train_step_and_lr_policy(rng):
     np.testing.assert_allclose(d_w, d_p * 0.25, rtol=1e-4, atol=1e-9)
     state_w2 = train_step_lib.set_lr(s_w, 5e-4)
     assert abs(train_step_lib.get_lr(state_w2) - 5e-4) < 1e-9
+
+
+def test_skip_nonfinite_update(rng):
+    """-skip_nonfinite: a poisoned batch (non-finite loss/grads) leaves the
+    ENTIRE TrainState bit-identical — params, Adam moments, counters — and
+    reports metrics["skipped"]=1; clean batches train normally with
+    skipped=0 (train/step.py finite_guard)."""
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = train_step_lib.create_state(params, cfg, _lm_cfg())
+    asr_step, lm_step = train_step_lib.make_train_step(
+        cfg, _lm_cfg(), skip_nonfinite=True)
+    asr_step = jax.jit(asr_step)
+    batch = make_batch(rng, cfg)
+
+    state, m = asr_step(state, batch, jax.random.PRNGKey(1))
+    assert float(m["skipped"]) == 0.0 and np.isfinite(float(m["loss"]))
+
+    snap = jax.tree_util.tree_map(np.asarray, state)
+    poisoned = dict(batch)
+    poisoned["logmel"] = batch["logmel"].at[0, 0, 0].set(jnp.inf)
+    state, m = asr_step(state, poisoned, jax.random.PRNGKey(2))
+    assert float(m["skipped"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(snap),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state.global_step) == 1          # the skipped step didn't count
+
+    state, m = asr_step(state, batch, jax.random.PRNGKey(3))
+    assert float(m["skipped"]) == 0.0
+    assert int(state.global_step) == 2
+
+    # Same contract on the LM task.
+    lm_step = jax.jit(lm_step)
+    ids = np.ones((4, 4), dtype=np.int64)
+    snap = jax.tree_util.tree_map(np.asarray, state)
+    bad_lens = jnp.array([0, 0, 0, 0])          # empty lens -> 0/0 loss
+    state, m = lm_step(state, jnp.asarray(ids), bad_lens,
+                       jax.random.PRNGKey(4))
+    if not np.isfinite(float(m["lm_loss"])):    # guard engaged
+        assert float(m["skipped"]) == 1.0
+        for a, b in zip(jax.tree_util.tree_leaves(snap),
+                        jax.tree_util.tree_leaves(state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
