@@ -121,8 +121,11 @@ def main(argv=None) -> list[str]:
     out = []
     for pattern in wavs:
         for wav in sorted(glob.glob(pattern)) or [pattern]:
-            wave, sr = read_wav(wav)
-            wave_f32 = wave.astype(np.float32) / 32768.0
+            # read_wav already returns float32 in [-1, 1] — the SAME scale
+            # prepare_corpus featurizes at training time. (A second /32768
+            # here used to push mel powers below the log floor: a
+            # train/serve feature mismatch.)
+            wave_f32, sr = read_wav(wav)
             feats = featurize_utterance(wave_f32, sample_rate=sr,
                                         n_mels=cfg.model.feat_length)
             if stream_block_s > 0:

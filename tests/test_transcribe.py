@@ -51,3 +51,40 @@ def test_transcribe_rejects_misaligned_window(tmp_path):
             "-emb_size", "8", "-attn_vec_size", "8", "-lm_hsize", "8",
             "-feat_len", "20",
         ])
+
+
+def test_transcribe_featurizes_at_training_scale(tmp_path, monkeypatch):
+    """Serve/train feature parity: transcribe must hand featurize_utterance
+    the SAME [-1, 1] waveform scale that prepare_corpus uses at training
+    time (read_wav output, which is already normalized). A second /32768
+    once pushed mel powers below the log floor — a silent train/serve
+    mismatch this pins against."""
+    from e2e_asr_tpu.data.audio import read_wav
+    from e2e_asr_tpu.frontend import logmel
+
+    vocab_dir = str(tmp_path / "vocab")
+    make_vocab_dir(vocab_dir)
+    sr = 16000
+    wave = (np.random.default_rng(3).normal(size=sr) * 9000).astype(np.int16)
+    wav_path = str(tmp_path / "c.wav")
+    write_wav(wav_path, wave, sr)
+
+    seen = []
+    real = logmel.featurize_utterance
+
+    def spy(waveform, **kw):
+        seen.append(np.asarray(waveform))
+        return real(waveform, **kw)
+
+    monkeypatch.setattr(logmel, "featurize_utterance", spy)
+    transcribe.main([
+        wav_path, "-vocab_dir", vocab_dir,
+        "-tb_dir", str(tmp_path / "models"),
+        "-window", "80", "-margin", "16", "-beam_size", "1",
+        "-nlc", "2", "-hsize", "8", "-hsize_dec", "8",
+        "-emb_size", "8", "-attn_vec_size", "8", "-lm_hsize", "8",
+        "-feat_len", "20",
+    ])
+    expect, _ = read_wav(wav_path)
+    assert seen, "featurize_utterance never called"
+    np.testing.assert_array_equal(seen[0], expect)
