@@ -63,7 +63,6 @@ def launch_eval(cfg: ExperimentConfig) -> None:
     from e2e_asr_tpu.data.speech import SpeechDataset
     from e2e_asr_tpu.eval.beam_eval import BeamEvaluator
     from e2e_asr_tpu.eval.greedy import GreedyEvaluator
-    from e2e_asr_tpu.models import seq2seq
     from e2e_asr_tpu.train import step as step_lib
     from e2e_asr_tpu.train.loop import Trainer
 
@@ -122,34 +121,10 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         print(f"Contextual biasing: {len(phrases)} phrases, "
               f"boost {cfg.beam.boost_weight}")
 
-    lm_params = None
-    if cfg.beam.lm_path:
-        import numpy as np
-
-        from e2e_asr_tpu.models import rnn_lm
-        with np.load(cfg.beam.lm_path) as z:
-            is_ngram = "ngram" in z.files
-            if is_ngram:
-                # tools/train_ngram.py artifact: a dense trigram table fused
-                # through the same hooks as an RNN-LM (rnn_lm.fusion_step).
-                table = z["ngram"]
-        if is_ngram:
-            if table.shape[-1] != len(rev_vocab):
-                raise ValueError(
-                    f"ngram table vocab {table.shape[-1]} != "
-                    f"{len(rev_vocab)} (train it on this run's vocab)")
-            lm_params = {"ngram": table}
-            print(f"Fusion LM: trigram table {table.shape}")
-        else:
-            # The fusion LM may come from a differently-shaped run (an
-            # external LM checkpoint, main.py:220-223; beam_search.py:111-134
-            # reads the rnn_decoder_char tensors by name): merge the
-            # name-matching decoder_char leaves into a fresh params template
-            # instead of a strict full-state restore.
-            lm_tree = ckpt_lib.partial_restore(
-                seq2seq.init(jax.random.PRNGKey(0), cfg.model),
-                cfg.beam.lm_path, scope="decoder_char")
-            lm_params = rnn_lm.shared_lm_params(lm_tree)
+    # Trigram table or (possibly differently-shaped) RNN-LM checkpoint —
+    # see eval/lm_loader.py for the artifact semantics.
+    from e2e_asr_tpu.eval.lm_loader import load_fusion_lm
+    lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab)
 
     start = time.time()
     if cfg.model.model_family == "ctc":

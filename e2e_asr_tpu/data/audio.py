@@ -20,8 +20,11 @@ from e2e_asr_tpu.data.text import EOS_ID, GO_ID, sentence_to_ids
 from e2e_asr_tpu.data import tfrecord
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a PCM wav file -> (float32 mono waveform in [-1, 1], sample_rate)."""
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Read a PCM wav file -> (float32 mono waveform in [-1, 1], sample_rate).
+
+    `path` may be a filename or a binary file-like object (e.g. an
+    io.BytesIO over an HTTP request body — tools/serve_http.py)."""
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()

@@ -1,0 +1,43 @@
+"""Shared fusion-LM artifact loader for decode surfaces (eval CLI, HTTP
+server, grid search): resolves a `-lm_path` file into the `lm_params` tree
+the beam decoders fuse.
+
+Two artifact kinds, discriminated by content:
+- tools/train_ngram.py dense trigram tables ({"ngram": [V,V,V]}), fused
+  through the same hooks as an RNN-LM (models/rnn_lm.fusion_step);
+- RNN-LM checkpoints — possibly from a DIFFERENTLY-SHAPED run (an external
+  LM, /root/reference/main.py:220-223; beam_search.py:111-134 reads the
+  rnn_decoder_char tensors by name): merged by name-matching partial
+  restore into a fresh params template, never a strict full-state restore.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_fusion_lm(lm_path: str, model_cfg, rev_vocab: list[str],
+                   *, verbose: bool = True):
+    """Returns the lm_params tree for `lm_path`, or None when empty."""
+    if not lm_path:
+        return None
+    import jax
+
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+    from e2e_asr_tpu.models import rnn_lm, seq2seq
+
+    with np.load(lm_path) as z:
+        is_ngram = "ngram" in z.files
+        if is_ngram:
+            table = z["ngram"]
+    if is_ngram:
+        if table.shape[-1] != len(rev_vocab):
+            raise ValueError(
+                f"ngram table vocab {table.shape[-1]} != {len(rev_vocab)} "
+                f"(train it on this run's vocab)")
+        if verbose:
+            print(f"Fusion LM: trigram table {table.shape}")
+        return {"ngram": table}
+    lm_tree = ckpt_lib.partial_restore(
+        seq2seq.init(jax.random.PRNGKey(0), model_cfg), lm_path,
+        scope="decoder_char")
+    return rnn_lm.shared_lm_params(lm_tree)

@@ -1,0 +1,175 @@
+"""HTTP transcription server (tools/serve_http.py): the HTTP surface must
+return exactly what the serving engine produces, route long audio through
+long-form, and fail malformed requests with 400s."""
+import io
+import json
+import urllib.error
+import urllib.request
+import wave as wave_mod
+
+import jax
+import numpy as np
+import pytest
+
+from e2e_asr_tpu.config import BeamConfig
+from e2e_asr_tpu.data import text
+from e2e_asr_tpu.data.synth import make_vocab_dir
+from e2e_asr_tpu.eval.serving import BatchingTranscriber
+from e2e_asr_tpu.frontend.logmel import featurize_utterance
+from e2e_asr_tpu.models import seq2seq
+from e2e_asr_tpu.tools.serve_http import TranscriptionService, make_server
+from tests.test_e2e import small_model_cfg
+
+SR = 16000
+
+
+def _wav_bytes(wave_f32: np.ndarray, sr: int = SR) -> bytes:
+    buf = io.BytesIO()
+    pcm = (np.clip(wave_f32, -1, 1) * 32767.0).astype("<i2")
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _samples_for_frames(T: int) -> int:
+    return 400 + (T - 1) * 160            # frontend frame/hop defaults
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_http")
+    sizes = make_vocab_dir(str(root / "vocab"))
+    cfg = small_model_cfg(sizes["char"])
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    _, rev_vocab = text.initialize_vocabulary(
+        str(root / "vocab" / "char.vocab"))
+    service = TranscriptionService(
+        params, cfg, rev_vocab,
+        beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+        bucket_frames=(32, 64), max_batch=2, max_wait_ms=10,
+        window=32, margin=8, segment=16)
+    srv = make_server(service)
+    import threading
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    yield base, service, (params, cfg, rev_vocab)
+    srv.shutdown()
+    service.close()
+
+
+def test_transcribe_matches_engine(server):
+    """POSTed WAV -> same transcript as feeding the identical features to a
+    standalone engine (the HTTP layer adds no feature-path divergence)."""
+    base, _, (params, cfg, rev_vocab) = server
+    rng = np.random.default_rng(1)
+    wav = rng.normal(size=_samples_for_frames(30)).astype(np.float32) * 0.3
+    status, got = _post(base + "/transcribe", _wav_bytes(wav))
+    assert status == 200
+    assert got["path"] == "batched"
+    assert got["frames"] == 30
+    feats = featurize_utterance(wav, sample_rate=SR, n_mels=cfg.feat_length)
+    with BatchingTranscriber(
+            params, cfg, rev_vocab,
+            beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+            bucket_frames=(32, 64), max_batch=1, max_wait_ms=1) as eng:
+        want = eng.transcribe(feats)
+    assert got["text"] == want
+    assert "confidence" not in got
+
+
+def test_concurrent_posts_batch_together(server):
+    """Parallel HTTP clients share batched launches (occupancy > single-row)
+    and each gets its own transcript."""
+    import threading
+    base, service, _ = server
+    rng = np.random.default_rng(2)
+    wavs = [rng.normal(size=_samples_for_frames(24 + 2 * i)).astype(
+        np.float32) * 0.3 for i in range(4)]
+    results = [None] * 4
+
+    def client(i):
+        results[i] = _post(base + "/transcribe", _wav_bytes(wavs[i]))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(st == 200 and "text" in body for st, body in results)
+    assert service.engine.stats.requests >= 4
+
+
+def test_longform_fallback(server):
+    """Audio beyond the largest bucket takes the long-form path and still
+    returns a transcript."""
+    base, _, _ = server
+    rng = np.random.default_rng(3)
+    wav = rng.normal(size=_samples_for_frames(101)).astype(np.float32) * 0.3
+    status, got = _post(base + "/transcribe", _wav_bytes(wav))
+    assert status == 200
+    assert got["path"] == "longform"
+    assert got["frames"] == 101
+    assert isinstance(got["text"], str)
+
+
+def test_health_stats_and_errors(server):
+    base, _, _ = server
+    assert _get(base + "/healthz") == (200, {"ok": True})
+    status, stats = _get(base + "/stats")
+    assert status == 200 and stats["requests"] >= 1
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/transcribe", b"this is not a wav file")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/nope")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/transcribe", b"")
+    assert e.value.code == 400
+
+
+def test_per_request_boost_query(tmp_path):
+    """?boost=word|word engages per-request biasing: the boosted transcript
+    comes back 200 and can differ from the unboosted one."""
+    sizes = make_vocab_dir(str(tmp_path / "vocab"))
+    cfg = small_model_cfg(sizes["char"])
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    _, rev_vocab = text.initialize_vocabulary(
+        str(tmp_path / "vocab" / "char.vocab"))
+    service = TranscriptionService(
+        params, cfg, rev_vocab,
+        beam_cfg=BeamConfig(beam_size=2, max_steps=12),
+        bucket_frames=(32,), max_batch=1, max_wait_ms=1,
+        per_request_bias=2.0)
+    srv = make_server(service)
+    import threading
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(4)
+        wav = rng.normal(size=_samples_for_frames(20)).astype(
+            np.float32) * 0.3
+        word = next(w for w in rev_vocab if w.isalpha())
+        st1, plain = _post(base + "/transcribe", _wav_bytes(wav))
+        st2, boosted = _post(base + f"/transcribe?boost={word}",
+                             _wav_bytes(wav))
+        assert st1 == st2 == 200
+        assert "text" in plain and "text" in boosted
+    finally:
+        srv.shutdown()
+        service.close()
