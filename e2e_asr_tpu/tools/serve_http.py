@@ -9,8 +9,17 @@ stdlib HTTP front so any client can POST audio:
         -> {"text": ..., "duration_s": ..., "frames": N, "path": "batched"}
         optional query params:
           boost=phrase1|phrase2   per-request hotwords (needs -boost_weight)
+    POST /stream/open           -> {"sid": N, "pcm": "s16le mono", ...}
+    POST /stream/<sid>/push     body = raw little-endian PCM16 mono audio
+    GET  /stream/<sid>/read     -> {"delta": newly finalized text}
+    POST /stream/<sid>/finish   -> {"delta": remaining text}; frees the slot
     GET  /healthz               -> {"ok": true}
     GET  /stats                 -> serving-engine stats (occupancy, batches)
+
+Streaming sessions ride eval/streaming.BatchedStreamingServer: every open
+stream shares ONE set of fixed-shape batched programs (encoder chunks,
+decode segments), stepped by a pump thread — concurrent live streams batch
+onto the chip exactly like offline requests do.
 
 TPU-first shape discipline is inherited from the engine: requests are
 bucketed/padded onto fixed-shape executables, so concurrent callers share
@@ -31,6 +40,7 @@ import io
 import json
 import sys
 import threading
+import time
 import wave as wave_mod
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from os import path
@@ -139,9 +149,90 @@ class TranscriptionService:
         self.engine.close()
 
 
+class StreamingService:
+    """HTTP adapter over eval/streaming.BatchedStreamingServer: concurrent
+    low-latency sessions share the server's fixed-shape batched programs.
+
+    The batched server is synchronous and single-threaded by design
+    (deterministic scheduling); this adapter serializes every call through
+    one lock and drives `step()` from a pump thread, accumulating each
+    session's finalized deltas in an unread buffer that `GET .../read`
+    drains. Audio arrives as raw little-endian PCM16 mono at the server's
+    sample rate (a stream has no WAV header — it has no length yet)."""
+
+    def __init__(self, params, cfg, rev_vocab, *, max_streams=8,
+                 beam_cfg=None, compute_dtype=None, window=512, margin=64,
+                 segment=64, sample_rate=16000, tick_s=0.02):
+        from e2e_asr_tpu.eval import longform
+        from e2e_asr_tpu.eval.streaming import BatchedStreamingServer
+
+        r = longform.reduction_factor(cfg)
+        self.server = BatchedStreamingServer(
+            params, cfg, rev_vocab, max_streams=max_streams,
+            window=max(r, window - window % r),
+            margin=max(r, margin - margin % r),
+            seg_enc_frames=max(segment, 1), beam_cfg=beam_cfg,
+            compute_dtype=compute_dtype, sample_rate=sample_rate,
+            n_mels=cfg.feat_length)
+        self.sample_rate = sample_rate
+        self.tick_s = tick_s
+        self._lock = threading.Lock()
+        self._unread: dict[int, str] = {}
+        self._stop = False
+        self._pump = threading.Thread(target=self._run, daemon=True)
+        self._pump.start()
+
+    def open(self) -> int:
+        with self._lock:
+            sid = self.server.open()         # RuntimeError when slots busy
+            self._unread[sid] = ""
+            return sid
+
+    def push(self, sid: int, body: bytes) -> dict:
+        if not body or len(body) % 2:
+            raise ValueError("push body must be little-endian PCM16 mono "
+                             f"(got {len(body)} bytes)")
+        wave = np.frombuffer(body, dtype="<i2").astype(np.float32) / 32768.0
+        with self._lock:
+            if sid not in self._unread:
+                raise KeyError(f"stream {sid} is not open")
+            self.server.push(sid, wave)
+        return {"sid": sid, "pushed_s": round(len(wave) / self.sample_rate,
+                                              3)}
+
+    def read(self, sid: int) -> dict:
+        with self._lock:
+            if sid not in self._unread:
+                raise KeyError(f"stream {sid} is not open")
+            delta, self._unread[sid] = self._unread[sid], ""
+        return {"sid": sid, "delta": delta}
+
+    def finish(self, sid: int) -> dict:
+        with self._lock:
+            if sid not in self._unread:
+                raise KeyError(f"stream {sid} is not open")
+            tail = self.server.finish(sid)
+            delta = self._unread.pop(sid) + tail
+        return {"sid": sid, "delta": delta}
+
+    def _run(self) -> None:
+        while not self._stop:
+            with self._lock:
+                if any(s is not None for s in self.server._sessions):
+                    for sid, d in self.server.step().items():
+                        if d and sid in self._unread:
+                            self._unread[sid] += d
+            time.sleep(self.tick_s)
+
+    def close(self) -> None:
+        self._stop = True
+        self._pump.join()
+
+
 class _Handler(BaseHTTPRequestHandler):
     # Set per-server in make_server().
     service: TranscriptionService = None
+    streaming: StreamingService | None = None
     protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # quiet by default (tests/daemons)
@@ -156,34 +247,70 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _stream_route(self, route: str) -> tuple[int, str] | None:
+        """'/stream/<sid>/<verb>' -> (sid, verb), or None."""
+        parts = route.strip("/").split("/")
+        if len(parts) == 3 and parts[0] == "stream" and parts[1].isdigit():
+            return int(parts[1]), parts[2]
+        return None
+
     def do_GET(self):
         route = urlparse(self.path).path
         if route == "/healthz":
             self._json(200, {"ok": True})
-        elif route == "/stats":
+            return
+        if route == "/stats":
             st = self.service.engine.stats
             self._json(200, {
                 "requests": st.requests, "batches": st.batches,
                 "rows_decoded": st.rows_decoded,
                 "mean_occupancy": round(st.mean_occupancy, 4)})
-        else:
-            self._json(404, {"error": f"no route {route}"})
+            return
+        sr = self._stream_route(route)
+        if sr and sr[1] == "read" and self.streaming is not None:
+            try:
+                self._json(200, self.streaming.read(sr[0]))
+            except KeyError as e:
+                self._json(404, {"error": str(e).strip("'")})
+            return
+        self._json(404, {"error": f"no route {route}"})
 
     def do_POST(self):
         url = urlparse(self.path)
-        if url.path != "/transcribe":
-            self._json(404, {"error": f"no route {url.path}"})
-            return
         try:
             length = int(self.headers.get("Content-Length", "0"))
-            if length <= 0:
-                raise ValueError("empty request body (expected a WAV file)")
-            body = self.rfile.read(length)
-            q = parse_qs(url.query)
-            boost = None
-            if q.get("boost"):
-                boost = [p for p in q["boost"][0].split("|") if p]
-            self._json(200, self.service.transcribe_wav(body, boost))
+            body = self.rfile.read(length) if length > 0 else b""
+            if url.path == "/transcribe":
+                if not body:
+                    raise ValueError("empty request body (expected a WAV "
+                                     "file)")
+                q = parse_qs(url.query)
+                boost = None
+                if q.get("boost"):
+                    boost = [p for p in q["boost"][0].split("|") if p]
+                self._json(200, self.service.transcribe_wav(body, boost))
+                return
+            if url.path == "/stream/open" and self.streaming is not None:
+                try:
+                    self._json(200, {
+                        "sid": self.streaming.open(),
+                        "pcm": "s16le mono",
+                        "sample_rate": self.streaming.sample_rate})
+                except RuntimeError as e:   # all slots busy
+                    self._json(503, {"error": str(e)})
+                return
+            sr = self._stream_route(url.path)
+            if sr and self.streaming is not None and sr[1] in ("push",
+                                                               "finish"):
+                sid, verb = sr
+                try:
+                    self._json(200, self.streaming.push(sid, body)
+                               if verb == "push"
+                               else self.streaming.finish(sid))
+                except KeyError as e:
+                    self._json(404, {"error": str(e).strip("'")})
+                return
+            self._json(404, {"error": f"no route {url.path}"})
         except (ValueError, wave_mod.Error, EOFError) as e:
             self._json(400, {"error": str(e) or
                              f"{type(e).__name__}: not a readable WAV file"})
@@ -192,10 +319,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(service: TranscriptionService, host: str = "127.0.0.1",
-                port: int = 0, *, verbose: bool = False) -> ThreadingHTTPServer:
+                port: int = 0, *, streaming: StreamingService | None = None,
+                verbose: bool = False) -> ThreadingHTTPServer:
     """Bind (port=0 picks a free one; see server.server_address). The caller
     runs serve_forever(), then shutdown() + service.close()."""
-    handler = type("Handler", (_Handler,), {"service": service})
+    handler = type("Handler", (_Handler,),
+                   {"service": service, "streaming": streaming})
     server = ThreadingHTTPServer((host, port), handler)
     server.verbose = verbose
     return server
@@ -222,6 +351,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-segment", type=int, default=64,
                         help="long-form attention decode segment (encoder "
                              "frames); 0 = whole-utterance")
+    parser.add_argument("-max_streams", type=int, default=8,
+                        help="streaming session slots (POST /stream/open, "
+                             ".../push s16le PCM, GET .../read deltas, "
+                             ".../finish); 0 disables the endpoints")
+    parser.add_argument("-stream_sr", type=int, default=16000,
+                        help="PCM sample rate for streaming pushes")
     parser.add_argument("-int8_ckpt", type=str, default="",
                         help="int8 serving artifact (tools/quantize_ckpt.py)")
     parser.add_argument("-ckpt", type=str, default="",
@@ -248,6 +383,7 @@ def main(argv=None) -> None:
     confidence = args.pop("confidence")
     window, margin = args.pop("window"), args.pop("margin")
     segment = args.pop("segment")
+    max_streams, stream_sr = args.pop("max_streams"), args.pop("stream_sr")
     int8_ckpt, ckpt_file = args.pop("int8_ckpt"), args.pop("ckpt")
 
     _, rev_vocab = text.initialize_vocabulary(
@@ -302,10 +438,19 @@ def main(argv=None) -> None:
         lm_params=lm_params, with_confidence=confidence,
         per_request_bias=per_request, bias=bias,
         window=window, margin=margin, segment=segment)
-    server = make_server(service, host, port, verbose=True)
+    streaming = None
+    if max_streams > 0:
+        from e2e_asr_tpu.core import quant
+        streaming = StreamingService(
+            quant.maybe_dequantize(params), cfg.model, rev_vocab,
+            max_streams=max_streams, beam_cfg=cfg.beam,
+            compute_dtype=service.compute_dtype, window=window,
+            margin=margin, segment=segment, sample_rate=stream_sr)
+    server = make_server(service, host, port, streaming=streaming,
+                         verbose=True)
     print(f"Listening on http://{server.server_address[0]}:"
           f"{server.server_address[1]} (buckets {buckets}, "
-          f"max_batch {max_batch})")
+          f"max_batch {max_batch}, stream slots {max_streams})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -313,6 +458,8 @@ def main(argv=None) -> None:
     finally:
         server.shutdown()
         service.close()
+        if streaming is not None:
+            streaming.close()
 
 
 if __name__ == "__main__":

@@ -143,6 +143,73 @@ def test_health_stats_and_errors(server):
     assert e.value.code == 400
 
 
+def test_http_streaming_session_matches_dedicated(server):
+    """A full HTTP streaming session (open -> PCM pushes -> read deltas ->
+    finish) must produce the same transcript as a dedicated
+    StreamingTranscriber over the identical waveform."""
+    from e2e_asr_tpu.eval.streaming import StreamingTranscriber
+    from e2e_asr_tpu.tools.serve_http import StreamingService
+
+    base, _, (params, cfg, rev_vocab) = server
+    kw = dict(window=16, margin=4, segment=6,
+              beam_cfg=BeamConfig(beam_size=2, max_steps=16))
+    streaming = StreamingService(params, cfg, rev_vocab, max_streams=2,
+                                 tick_s=0.005, **kw)
+    svc = TranscriptionService(params, cfg, rev_vocab, bucket_frames=(32,),
+                               max_batch=1, beam_cfg=kw["beam_cfg"])
+    srv = make_server(svc, streaming=streaming)
+    import threading
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    sb = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(5)
+        pcm = (rng.normal(size=2 * SR) * 8000).astype("<i2")
+        wave_f32 = pcm.astype(np.float32) / 32768.0
+
+        st, opened = _post(sb + "/stream/open", b"")
+        assert st == 200 and opened["sample_rate"] == SR
+        sid = opened["sid"]
+        got = ""
+        block = SR // 4
+        for off in range(0, len(pcm), block):
+            st, r = _post(f"{sb}/stream/{sid}/push",
+                          pcm[off:off + block].tobytes())
+            assert st == 200
+            got += _get(f"{sb}/stream/{sid}/read")[1]["delta"]
+        import time
+        time.sleep(0.1)                      # let the pump drain ready work
+        got += _get(f"{sb}/stream/{sid}/read")[1]["delta"]
+        got += _post(f"{sb}/stream/{sid}/finish", b"")[1]["delta"]
+
+        ded = StreamingTranscriber(params, cfg, rev_vocab, window=16,
+                                   margin=4, seg_enc_frames=6,
+                                   beam_cfg=kw["beam_cfg"],
+                                   n_mels=cfg.feat_length)
+        want = ded.push(wave_f32) + ded.finish()
+        assert want            # non-vacuous: random-init model emits tokens
+        assert got == want
+
+        # Slot lifecycle: the finished sid is gone (404), slots recycle,
+        # exhausting them answers 503, odd-length PCM answers 400.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{sb}/stream/{sid}/read")
+        assert e.value.code == 404
+        s1 = _post(sb + "/stream/open", b"")[1]["sid"]
+        s2 = _post(sb + "/stream/open", b"")[1]["sid"]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(sb + "/stream/open", b"")
+        assert e.value.code == 503
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{sb}/stream/{s1}/push", b"\x00")
+        assert e.value.code == 400
+        for s in (s1, s2):
+            _post(f"{sb}/stream/{s}/finish", b"")
+    finally:
+        srv.shutdown()
+        streaming.close()
+        svc.close()
+
+
 def test_per_request_boost_query(tmp_path):
     """?boost=word|word engages per-request biasing: the boosted transcript
     comes back 200 and can differ from the unboosted one."""
