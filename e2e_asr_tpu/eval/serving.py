@@ -139,14 +139,18 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
 
 def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                                    *, compute_dtype=None, lm_params=None,
-                                   weight: float):
+                                   weight: float, nbest_scores: bool = False):
     """decode(params, batch) where batch carries `bias_tries` — per-row
     padded biasing tries stacked on the batch axis ([B,N,V]/[B,N] leaves,
     eval/biasing.py's batched shapes). The tries are PROGRAM INPUTS, so
-    every request's hotword list shares one compiled executable."""
+    every request's hotword list shares one compiled executable.
+
+    nbest_scores=True: scores is the sorted candidate set [B, k] (k >= 2)
+    for n-best posterior confidence, like _make_family_decoder's."""
     from e2e_asr_tpu.core import quant
 
-    k = max(beam_cfg.beam_size, 1)
+    k = max(beam_cfg.beam_size, 2) if nbest_scores else max(
+        beam_cfg.beam_size, 1)
     use_lm = beam_cfg.lm_weight != 0.0
     if cfg.model_family == "transducer":
         if use_lm and lm_params is None:
@@ -166,7 +170,8 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                 beam_size=k, compute_dtype=compute_dtype,
                 lm_params=lm_params, lm_weight=beam_cfg.lm_weight,
                 bias=(tries, weight))
-            return seqs[:, 0], lens_k[:, 0], scores[:, 0]
+            return (seqs[:, 0], lens_k[:, 0],
+                    scores if nbest_scores else scores[:, 0])
     elif cfg.model_family == "ctc":
         if use_lm and lm_params is None:
             raise ValueError("CTC LM fusion needs lm_params "
@@ -183,8 +188,13 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                 jax.nn.log_softmax(lg, axis=-1), enc_lens, beam_size=k,
                 blank_id=ctc.BLANK_ID, lm_params=lm_params,
                 lm_weight=beam_cfg.lm_weight, bias=(tries, weight))
-            return seqs[:, 0], lens_k[:, 0], scores[:, 0]
+            return (seqs[:, 0], lens_k[:, 0],
+                    scores if nbest_scores else scores[:, 0])
     else:
+        if nbest_scores and beam_cfg.beam_size < k:
+            import dataclasses
+            beam_cfg = dataclasses.replace(beam_cfg, beam_size=k)
+
         @jax.jit
         def run(params, feats, feat_lens, tries):
             params = quant.maybe_dequantize(params)
@@ -196,6 +206,16 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
             attn_states, _, enc_lens = seq2seq.encode(
                 params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
             depth = cfg.num_layers["char"]
+            if nbest_scores:
+                (_, _, _), (seqs, lens_k, scores) = beam_decode(
+                    params["decoder_char"], cfg.decoders["char"], beam_cfg,
+                    attn_states[depth], enc_lens[depth], lm_params=lm_p,
+                    bias=(tries, weight), return_nbest=True)
+                order = jnp.argsort(-scores, axis=1, stable=True)[:, :k]
+                return (jnp.take_along_axis(
+                            seqs, order[:, :, None], axis=1)[:, 0],
+                        jnp.take_along_axis(lens_k, order, axis=1)[:, 0],
+                        jnp.take_along_axis(scores, order, axis=1))
             return beam_decode(params["decoder_char"], cfg.decoders["char"],
                                beam_cfg, attn_states[depth],
                                enc_lens[depth], lm_params=lm_p,
@@ -264,8 +284,9 @@ class BatchingTranscriber:
         EACH request's own hotword list at this weight — tries are padded
         to max_trie_nodes and stacked on the batch axis as a program
         INPUT, so mixed phrase lists share one compiled executable
-        (requests without phrases ride an empty trie). Mutually exclusive
-        with the engine-level `bias` glossary and `with_confidence`."""
+        (requests without phrases ride an empty trie). Composes with
+        `with_confidence` and a DP mesh; mutually exclusive with the
+        engine-level `bias` glossary (one trie per row)."""
         self.mesh = mesh
         if mesh is not None and max_batch % mesh.shape["data"]:
             raise ValueError(
@@ -289,16 +310,12 @@ class BatchingTranscriber:
             if bias is not None:
                 raise ValueError("per_request_bias and the engine-level "
                                  "bias glossary are mutually exclusive")
-            if with_confidence:
-                raise ValueError("per_request_bias with with_confidence is "
-                                 "not supported yet")
-            if mesh is not None:
-                raise ValueError("per_request_bias under a DP mesh is not "
-                                 "supported yet (the tries would need "
-                                 "batch-axis sharding)")
+            # with_confidence and a DP mesh both compose: the tries ride the
+            # batch dict (shard_batch sharding dim 0 of every leaf), and the
+            # nbest_scores variant returns the sorted [B, k] candidate set.
             self._decode = _make_per_request_bias_decoder(
                 cfg, bc, compute_dtype=compute_dtype, lm_params=lm_params,
-                weight=self.per_request_bias)
+                weight=self.per_request_bias, nbest_scores=with_confidence)
             self._vocab = {tok: i for i, tok in enumerate(rev_vocab)}
             from e2e_asr_tpu.eval import biasing as biasing_lib
             self._empty_trie = jax.tree_util.tree_map(

@@ -426,7 +426,7 @@ def test_per_request_biasing(setup):
     with BatchingTranscriber(params, cfg, rev_vocab, **kw) as plain:
         assert got[2] == plain.transcribe(feats[2])
 
-    # Guards: phrases need the mode; mode excludes the glossary/confidence.
+    # Guards: phrases need the mode; mode excludes the engine glossary.
     with BatchingTranscriber(params, cfg, rev_vocab, **kw) as off:
         with pytest.raises(ValueError, match="per_request_bias"):
             off.submit(feats[0], ["abc"])
@@ -435,6 +435,37 @@ def test_per_request_biasing(setup):
     with pytest.raises(ValueError):
         BatchingTranscriber(params, cfg, rev_vocab, per_request_bias=1.0,
                             bias=(trie, 1.0), **kw)
-    with pytest.raises(ValueError):
-        BatchingTranscriber(params, cfg, rev_vocab, per_request_bias=1.0,
-                            with_confidence=True, **kw)
+
+
+def test_per_request_bias_composes_with_confidence_and_mesh(setup):
+    """per_request_bias + with_confidence: (text, conf) futures whose text
+    matches the confidence-off boosted engine. per_request_bias + DP mesh:
+    the [B, ...] trie leaves shard on the batch axis like every other batch
+    leaf — transcripts identical to the single-device boosted engine."""
+    from e2e_asr_tpu.core import mesh as mesh_lib
+
+    cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(21)
+    feats = [_feats(rng, 28 + i) for i in range(2)]
+    kw = dict(beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+              bucket_frames=(32,), max_wait_ms=60)
+    phrases = [["abc"], None]
+
+    def run(**extra):
+        with BatchingTranscriber(params, cfg, rev_vocab,
+                                 per_request_bias=8.0, **kw, **extra) as e:
+            futs = [e.submit(f, p) for f, p in zip(feats, phrases)]
+            return [f.result(timeout=120) for f in futs]
+
+    want = run(max_batch=2)
+    assert want[0].startswith("abc"), want[0]
+
+    got_conf = run(max_batch=2, with_confidence=True)
+    for (txt, conf), plain in zip(got_conf, want):
+        assert txt == plain
+        assert 0.0 < conf <= 1.0
+
+    mesh = mesh_lib.make_mesh(n_data=2, n_model=1,
+                              devices=jax.devices()[:2])
+    got_mesh = run(max_batch=2, mesh=mesh)
+    assert got_mesh == want
