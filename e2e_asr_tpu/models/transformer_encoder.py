@@ -318,10 +318,27 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
         # Per-block rematerialization (-remat): backward recomputes the
         # block forward instead of storing its [B,T,D] residuals.
         if cfg.moe_experts > 0:
-            raise NotImplementedError("-remat with MoE blocks: the aux-loss "
-                                      "side channel cannot cross the "
-                                      "checkpoint boundary")
-        run_block = jax.checkpoint(run_block)
+            # The MoE aux loss must cross the checkpoint boundary as a
+            # VALUE: the wrapped block returns (h, aux) so jax.checkpoint
+            # differentiates through both, and the router gradient
+            # survives rematerialization.
+            @jax.checkpoint
+            def run_block_aux(blk, h, k_a, k_c, k_f):
+                sink = []
+                out = block_fwd(blk, h, attn_bias, vmask, (k_a, k_c, k_f),
+                                keep, cfg, compute_dtype=compute_dtype,
+                                train=train, aux_sink=sink, ep_mesh=ep_mesh)
+                aux = (sum(sink) if sink
+                       else jnp.zeros((), jnp.float32))
+                return out, aux
+
+            def run_block(blk, h, k_a, k_c, k_f):
+                out, aux = run_block_aux(blk, h, k_a, k_c, k_f)
+                if aux_sink is not None:
+                    aux_sink.append(aux)
+                return out
+        else:
+            run_block = jax.checkpoint(run_block)
 
     attn_states: dict[int, Array] = {}
     time_major: dict[int, Array] = {}

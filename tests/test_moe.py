@@ -106,6 +106,39 @@ def test_moe_aux_loss_and_router_grads(rng):
     assert np.abs(g_w1).max() > 0
 
 
+def test_moe_composes_with_remat(rng):
+    """-remat with MoE blocks: the aux loss crosses the checkpoint boundary
+    as a returned value, so total loss, the surfaced aux, and every
+    gradient (router included) match the non-remat run exactly."""
+    import copy
+
+    cfg = _moe_cfg(E=2)
+    params = seq2seq.init(jax.random.PRNGKey(4), cfg)
+    feats, lens = _data(rng)
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(B, 6)).astype(np.int32)
+    ids[:, 0] = 1
+    batch = {"logmel": feats, "logmel_len": lens,
+             "char": jnp.asarray(ids),
+             "char_len": jnp.full((B,), 5, jnp.int32)}
+
+    def loss_fn(p, c):
+        return seq2seq.apply_train(p, c, batch, rng=jax.random.PRNGKey(0))
+
+    cfg_r = copy.deepcopy(cfg)
+    cfg_r.encoder.remat = True
+    (t0, per0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(params, cfg)
+    (t1, per1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(params, cfg_r)
+    np.testing.assert_allclose(float(t0), float(t1), rtol=1e-6)
+    np.testing.assert_allclose(float(per0["moe_aux"]),
+                               float(per1["moe_aux"]), rtol=1e-6)
+    assert float(per1["moe_aux"]) > 0
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("family,ctc_w", [("attention", 0.3), ("ctc", 0.0)])
 def test_moe_aux_reaches_hybrid_and_ctc_families(rng, family, ctc_w):
     """The load-balance aux term flows through the hybrid and pure-CTC
