@@ -75,10 +75,20 @@ def stack_blocks(params: dict, depth: int):
 def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
                     depth: int, *, mesh: Mesh, n_micro: int,
                     train: bool = False, rng: Array | None = None,
-                    compute_dtype=None) -> Array:
+                    compute_dtype=None, taps: tuple = (),
+                    collect_aux: bool = False):
     """Run `depth` transformer blocks over h [B,T,D] as an S-stage pipeline
-    of M microbatches. Returns the final-block output [B,T,D] (pre-ln_out,
-    exactly where the serial block loop ends)."""
+    of M microbatches. Returns (h_final, {d: h_d for d in taps}, aux):
+    h_final is the final-block output [B,T,D] (pre-ln_out, exactly where
+    the serial block loop ends), `taps` are non-final depths whose block
+    outputs are collected from their owning stages, and aux is the pooled
+    MoE load-balance loss (None unless collect_aux).
+
+    MoE notes: routing capacity binds per MICROBATCH (C = ceil(f*Bm*T/E) —
+    the -grad_accum semantics; ample capacity makes it identical to the
+    serial whole-batch run), while the aux loss pools raw routing counts
+    across all microbatches and stages, so it equals the serial value
+    EXACTLY regardless of the microbatch split."""
     S = mesh.shape["stage"]
     if depth % S:
         raise ValueError(f"depth {depth} not divisible by {S} stages")
@@ -90,6 +100,10 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
     T, D = h.shape[1], h.shape[2]
     keep = cfg.out_prob if train else 1.0
     drop_rng = rng if rng is not None else jax.random.PRNGKey(0)
+    want_aux = collect_aux and train and cfg.moe_experts > 0
+    taps = tuple(sorted(d for d in set(taps) if d != depth))
+    if taps and (min(taps) < 1 or max(taps) > depth):
+        raise ValueError(f"tap depths {taps} outside 1..{depth}")
 
     stacked = stack_blocks(params, depth)
     h_micro = h.reshape(M, Bm, T, D)
@@ -112,52 +126,106 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
                     jax.random.fold_in(
                         jax.random.fold_in(drop_rng, 3 * gi + o), m_idx)
                     for o in (0, 1, 2))
-                return te.block_fwd(blk, h, bias, vmask, keys, keep, cfg,
-                                    compute_dtype=compute_dtype,
-                                    train=train), None
+                sink = [] if want_aux else None
+                y = te.block_fwd(blk, h, bias, vmask, keys, keep, cfg,
+                                 compute_dtype=compute_dtype, train=train,
+                                 aux_sink=sink, aux_stats=True)
+                return y, (sink[0] if want_aux else None,
+                           y if taps else None)
 
-            h, _ = jax.lax.scan(body, h, (blocks, jnp.arange(Ls)))
-            return h
+            h, (stats, block_outs) = jax.lax.scan(
+                body, h, (blocks, jnp.arange(Ls)))
+            return h, stats, block_outs     # stats: ([Ls,E], [Ls,E])
 
         def tick(carry, t):
-            buf, out = carry
+            buf, out, acc, tap_bufs = carry
             m_in = t - sid                     # microbatch at this stage now
             m_c = jnp.clip(m_in, 0, M - 1)
             inject = jax.lax.dynamic_index_in_dim(h_micro, m_c, 0,
                                                   keepdims=False)
             h_in = jnp.where(sid == 0, inject, buf)
-            y = local_apply(h_in, m_c)
-            is_out = (sid == S - 1) & (m_in >= 0) & (m_in < M)
+            y, stats, block_outs = local_apply(h_in, m_c)
+            is_real = (m_in >= 0) & (m_in < M)
+            is_out = (sid == S - 1) & is_real
             out = jnp.where(is_out,
                             jax.lax.dynamic_update_index_in_dim(out, y, m_c,
                                                                 0),
                             out)
+            if want_aux:
+                # Bubble ticks compute clipped garbage; exclude their stats.
+                w = is_real.astype(jnp.float32)
+                acc = (acc[0] + w * stats[0], acc[1] + w * stats[1])
+            if taps:
+                upd = []
+                for d, tb in zip(taps, tap_bufs):
+                    # Block d lives at a STATIC local index on one stage.
+                    stage_d, j_d = (d - 1) // Ls, (d - 1) % Ls
+                    hit = (sid == stage_d) & is_real
+                    upd.append(jnp.where(
+                        hit,
+                        jax.lax.dynamic_update_index_in_dim(
+                            tb, block_outs[j_d], m_c, 0),
+                        tb))
+                tap_bufs = tuple(upd)
             nxt = jax.lax.ppermute(y, "stage",
                                    [(i, i + 1) for i in range(S - 1)])
-            return (nxt, out), None
+            return (nxt, out, acc, tap_bufs), None
 
         # The carry is device-varying (ppermute output); the zeros must be
         # typed as such under shard_map's varying-axis checking.
         buf0 = _pvary(jnp.zeros_like(h_micro[0]), "stage")
         out0 = _pvary(jnp.zeros_like(h_micro), "stage")
-        (_, out), _ = jax.lax.scan(tick, (buf0, out0),
-                                   jnp.arange(M + S - 1))
+        acc0 = ((_pvary(jnp.zeros((Ls, cfg.moe_experts)), "stage"),
+                 _pvary(jnp.zeros((Ls, cfg.moe_experts)), "stage"))
+                if want_aux else None)
+        taps0 = tuple(_pvary(jnp.zeros_like(h_micro), "stage")
+                      for _ in taps)
+        (_, out, acc, tap_bufs), _ = jax.lax.scan(
+            tick, (buf0, out0, acc0, taps0), jnp.arange(M + S - 1))
         # Only the last stage holds real outputs; sum-gather them.
         out = jnp.where(sid == S - 1, out, jnp.zeros_like(out))
-        return jax.lax.psum(out, "stage")
+        res = [jax.lax.psum(out, "stage")]
+        if taps:
+            gathered = []
+            for d, tb in zip(taps, tap_bufs):
+                stage_d = (d - 1) // Ls
+                tb = jnp.where(sid == stage_d, tb, jnp.zeros_like(tb))
+                gathered.append(jax.lax.psum(tb, "stage"))
+            res.append(tuple(gathered))
+        if want_aux:
+            # Each stage pooled its own blocks' stats over ALL microbatches
+            # = the whole batch; sum the per-block aux across stages.
+            aux = te.moe_aux_from_stats(acc[0], acc[1], float(M * Bm * T))
+            res.append(jax.lax.psum(aux, "stage"))
+        return tuple(res)
 
-    out = shard_map(staged, mesh=mesh,
+    out_specs = [P()]
+    if taps:
+        out_specs.append(tuple(P() for _ in taps))
+    if want_aux:
+        out_specs.append(P())
+    res = shard_map(staged, mesh=mesh,
                     in_specs=(P("stage"), P(), P()),
-                    out_specs=P())(stacked, h_micro, lens_micro)
-    return out.reshape(B, T, D)
+                    out_specs=tuple(out_specs))(stacked, h_micro, lens_micro)
+    res = list(res)
+    out = res.pop(0).reshape(B, T, D)
+    tap_outs = {}
+    if taps:
+        tap_outs = {d: tb.reshape(B, T, D)
+                    for d, tb in zip(taps, res.pop(0))}
+    aux = res.pop(0) if want_aux else None
+    return out, tap_outs, aux
 
 
 def encode_pipeline(params: dict, cfg: Seq2SeqConfig, feats: Array,
                     feat_lens: Array, *, mesh: Mesh, n_micro: int,
                     train: bool = False, rng: Array | None = None,
-                    compute_dtype=None):
+                    compute_dtype=None, aux_sink: list | None = None,
+                    ep_mesh=None):
     """seq2seq.encode with the transformer block stack pipelined: same
-    (attention_states, time_major_states, seq_lens) contract."""
+    (attention_states, time_major_states, seq_lens) contract, including
+    intermediate-depth decoder taps (collected from their owning stages)
+    and the MoE aux loss (appended to aux_sink, exact vs serial)."""
     from e2e_asr_tpu.models.encoder import pyramid_reduce
     from e2e_asr_tpu.models.seq2seq import stack_frames
 
@@ -167,14 +235,12 @@ def encode_pipeline(params: dict, cfg: Seq2SeqConfig, feats: Array,
                          "family (homogeneous block stack); the bidirectional "
                          "pyramid has cross-layer sequential dependencies "
                          "both time directions")
+    if ep_mesh is not None:
+        raise NotImplementedError("expert parallelism under pipeline "
+                                  "parallelism needs a 2-D (stage, expert) "
+                                  "mesh; use -ep_shards without -pp_stages")
     depth = max(cfg.num_layers.values())
-    if set(cfg.num_layers.values()) != {depth}:
-        raise NotImplementedError("all decoder taps must sit at the final "
-                                  "block under pipeline parallelism")
-    if enc_cfg.moe_experts > 0:
-        raise NotImplementedError("MoE blocks under pipeline parallelism: "
-                                  "use -ep_shards (expert parallelism) "
-                                  "instead")
+    taps = tuple(sorted({d for d in cfg.num_layers.values() if d != depth}))
     eparams = params["encoder"]
 
     x = stack_frames(feats, enc_cfg.stack_cons)
@@ -187,12 +253,20 @@ def encode_pipeline(params: dict, cfg: Seq2SeqConfig, feats: Array,
     h = dense(eparams["input_proj"], x, compute_dtype=compute_dtype)
     h = h + jnp.asarray(te._sinusoidal(T, D))
 
-    h = pipeline_blocks(eparams, enc_cfg, h, lens, depth, mesh=mesh,
-                        n_micro=n_micro, train=train, rng=rng,
-                        compute_dtype=compute_dtype)
+    h, tap_outs, aux = pipeline_blocks(
+        eparams, enc_cfg, h, lens, depth, mesh=mesh, n_micro=n_micro,
+        train=train, rng=rng, compute_dtype=compute_dtype, taps=taps,
+        collect_aux=aux_sink is not None)
+    if aux is not None:
+        aux_sink.append(aux)
 
     valid = jnp.arange(T)[None, :] < lens[:, None]
     vmask = valid.astype(h.dtype)[:, :, None]
-    out = te._layer_norm(eparams["ln_out"], h) * vmask
-    return ({depth: out}, {depth: jnp.transpose(out, (1, 0, 2))},
-            {depth: lens})
+    attn_states, time_major, seq_lens = {}, {}, {}
+    for d in (*taps, depth):
+        out = te._layer_norm(eparams["ln_out"],
+                             h if d == depth else tap_outs[d]) * vmask
+        attn_states[d] = out
+        time_major[d] = jnp.transpose(out, (1, 0, 2))
+        seq_lens[d] = lens
+    return attn_states, time_major, seq_lens

@@ -119,9 +119,13 @@ def _conv_sp(p: dict, h: Array, vmask: Array, kernel: int, S: int,
 def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                         feat_lens: Array, *, mesh: Mesh,
                         train: bool = False, rng: Array | None = None,
-                        compute_dtype=None):
+                        compute_dtype=None, aux_sink: list | None = None,
+                        ep_mesh=None):
     """seq2seq.encode with transformer activations sharded over time: same
-    (attention_states, time_major_states, seq_lens) contract."""
+    (attention_states, time_major_states, seq_lens) contract, including
+    intermediate-depth decoder taps and the MoE aux loss (appended to
+    aux_sink; routing stats are pooled over the seq axis so the aux equals
+    serial EXACTLY — only capacity binds per time shard)."""
     from e2e_asr_tpu.models.encoder import pyramid_reduce
     from e2e_asr_tpu.models.seq2seq import stack_frames
 
@@ -131,14 +135,13 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                          "family (time-local blocks + one attention "
                          "gather); the recurrent pyramid is sequential "
                          "in time by construction")
-    if enc_cfg.moe_experts > 0:
-        raise NotImplementedError("MoE blocks under sequence parallelism: "
-                                  "use -ep_shards (expert parallelism) "
-                                  "instead")
+    if ep_mesh is not None:
+        raise NotImplementedError("expert parallelism under sequence "
+                                  "parallelism needs a 2-D (seq, expert) "
+                                  "mesh; use -ep_shards without -sp_shards")
     depth = max(cfg.num_layers.values())
-    if set(cfg.num_layers.values()) != {depth}:
-        raise NotImplementedError("all decoder taps must sit at the final "
-                                  "block under sequence parallelism")
+    taps = tuple(sorted({d for d in cfg.num_layers.values() if d != depth}))
+    want_aux = (aux_sink is not None and train and enc_cfg.moe_experts > 0)
     S = mesh.shape["seq"]
     eparams = params["encoder"]
 
@@ -172,6 +175,7 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     def staged(blocks, h, bias_full, vmask_sh):
         sid = jax.lax.axis_index("seq")
         row0 = sid * Ts
+        tap_hs, stats = [], []
         for i, blk in enumerate(blocks, start=1):
             a = _mhsa_sp(blk, te._layer_norm(blk["ln1"], h), bias_full,
                          row0, enc_cfg.num_heads, T,
@@ -190,18 +194,45 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                         jax.random.fold_in(drop_rng, 3 * i + 1), sid),
                         c, keep)
                 h = h + c
-            f = te._ffn_fwd(blk, h, compute_dtype=compute_dtype)
+            if "moe" in blk:
+                sink = [] if want_aux else None
+                f = te._moe_ffn(blk["moe"], te._layer_norm(blk["ln2"], h),
+                                enc_cfg.moe_capacity, sink,
+                                compute_dtype=compute_dtype, aux_stats=True)
+                if want_aux:
+                    stats.append(sink[0])
+            else:
+                f = te._ffn_fwd(blk, h, compute_dtype=compute_dtype)
             if train and keep < 1.0:
                 f = dropout(jax.random.fold_in(
                     jax.random.fold_in(drop_rng, 3 * i + 2), sid), f, keep)
             h = h + f
-        return h
+            if i in taps:
+                tap_hs.append(h)
+        res = [h, tuple(tap_hs)]
+        if want_aux:
+            # Pool routing counts over the seq axis -> whole-batch stats,
+            # so the aux equals the serial whole-batch value exactly.
+            cnt = jax.lax.psum(jnp.stack([s[0] for s in stats]), "seq")
+            psm = jax.lax.psum(jnp.stack([s[1] for s in stats]), "seq")
+            res.append(te.moe_aux_from_stats(cnt, psm, float(B * T)))
+        return tuple(res)
 
-    h = shard_map(staged, mesh=mesh,
-                  in_specs=(P(), P(None, "seq", None), P(),
-                            P(None, "seq", None)),
-                  out_specs=P(None, "seq", None))(blocks, h, bias_full,
-                                                  vmask)
-    out = te._layer_norm(eparams["ln_out"], h) * vmask
-    return ({depth: out}, {depth: jnp.transpose(out, (1, 0, 2))},
-            {depth: lens})
+    sharded = P(None, "seq", None)
+    out_specs = [sharded, tuple(sharded for _ in taps)]
+    if want_aux:
+        out_specs.append(P())
+    res = shard_map(staged, mesh=mesh,
+                    in_specs=(P(), sharded, P(), sharded),
+                    out_specs=tuple(out_specs))(blocks, h, bias_full, vmask)
+    h, tap_hs = res[0], dict(zip(taps, res[1]))
+    if want_aux:
+        aux_sink.append(res[2])
+    attn_states, time_major, seq_lens = {}, {}, {}
+    for d in (*taps, depth):
+        out = te._layer_norm(eparams["ln_out"],
+                             h if d == depth else tap_hs[d]) * vmask
+        attn_states[d] = out
+        time_major[d] = jnp.transpose(out, (1, 0, 2))
+        seq_lens[d] = lens
+    return attn_states, time_major, seq_lens

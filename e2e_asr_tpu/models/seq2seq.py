@@ -67,11 +67,10 @@ def apply_train(params: dict, cfg: Seq2SeqConfig, batch: dict, *, rng: Array,
     ep_mesh: ("expert",) mesh for expert-parallel MoE FFNs.
     """
     rng_enc, rng_dec = jax.random.split(rng)
-    moe = cfg.encoder.moe_experts > 0 and encode_fn is None
+    moe = cfg.encoder.moe_experts > 0
     aux_sink: list | None = [] if moe else None
-    kw = dict(train=True, rng=rng_enc, compute_dtype=compute_dtype)
-    if encode_fn is None:
-        kw.update(aux_sink=aux_sink, ep_mesh=ep_mesh)
+    kw = dict(train=True, rng=rng_enc, compute_dtype=compute_dtype,
+              aux_sink=aux_sink, ep_mesh=ep_mesh)
     attn_states, _, enc_lens = (encode_fn or encode)(
         params, cfg, batch["logmel"], batch["logmel_len"], **kw)
     task_losses: dict[str, Array] = {}

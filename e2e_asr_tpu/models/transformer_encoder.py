@@ -136,7 +136,8 @@ def _conv_module(p: dict, h: Array, vmask: Array, compute_dtype=None) -> Array:
 
 
 def _moe_ffn(p: dict, x: Array, capacity_factor: float, aux_sink,
-             ep_mesh=None, compute_dtype=None) -> Array:
+             ep_mesh=None, compute_dtype=None,
+             aux_stats: bool = False) -> Array:
     """Switch-style top-1 MoE FFN (extension; replaces the dense FFN when
     EncoderConfig.moe_experts > 0).
 
@@ -170,8 +171,16 @@ def _moe_ffn(p: dict, x: Array, capacity_factor: float, aux_sink,
     dtensor = disp[:, :, None] * jax.nn.one_hot(
         pos.astype(jnp.int32), C, dtype=jnp.float32)          # [N,E,C]
     if aux_sink is not None:
-        frac = jnp.mean(onehot, axis=0)
-        aux_sink.append(E * jnp.sum(frac * jnp.mean(probs, axis=0)))
+        if aux_stats:
+            # Raw routing statistics (sum-of-onehot, sum-of-probs over the
+            # N local tokens) so a sharded caller (pipeline / sequence
+            # parallelism) can pool them across microbatches/shards and
+            # recover the EXACT whole-batch aux via moe_aux_from_stats.
+            aux_sink.append((jnp.sum(onehot, axis=0),
+                             jnp.sum(probs, axis=0)))
+        else:
+            frac = jnp.mean(onehot, axis=0)
+            aux_sink.append(E * jnp.sum(frac * jnp.mean(probs, axis=0)))
 
     cd = compute_dtype or jnp.float32
 
@@ -248,10 +257,20 @@ def _ffn_fwd(blk: dict, h: Array, compute_dtype=None) -> Array:
                  compute_dtype=compute_dtype)
 
 
+def moe_aux_from_stats(cnt: Array, psm: Array, n_tokens: float) -> Array:
+    """Load-balance aux loss from pooled routing statistics: `cnt`/`psm`
+    are [..., E] sums of the routing one-hot / router probs over `n_tokens`
+    tokens. Returns sum over every leading axis of the per-block
+    E * sum_e frac_e * meanprob_e — identical to what the serial sink
+    accumulates when the stats cover the same token set."""
+    E = cnt.shape[-1]
+    return jnp.sum(E * (cnt / n_tokens) * (psm / n_tokens))
+
+
 def block_fwd(blk: dict, h: Array, attn_bias: Array, vmask: Array, keys,
               keep: float, cfg: EncoderConfig, compute_dtype=None,
               train: bool = False, aux_sink: list | None = None,
-              ep_mesh=None) -> Array:
+              ep_mesh=None, aux_stats: bool = False) -> Array:
     """One pre-LN encoder block — THE single definition of the block math.
 
     The serial encoder (`apply`) and the pipeline-parallel path
@@ -272,7 +291,8 @@ def block_fwd(blk: dict, h: Array, attn_bias: Array, vmask: Array, keys,
     if "moe" in blk:
         f = _moe_ffn(blk["moe"], _layer_norm(blk["ln2"], h),
                      cfg.moe_capacity, aux_sink if train else None,
-                     ep_mesh=ep_mesh, compute_dtype=compute_dtype)
+                     ep_mesh=ep_mesh, compute_dtype=compute_dtype,
+                     aux_stats=aux_stats)
     else:
         f = _ffn_fwd(blk, h, compute_dtype=compute_dtype)
     if train and keep < 1.0:

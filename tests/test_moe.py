@@ -172,20 +172,58 @@ def test_moe_aux_reaches_hybrid_and_ctc_families(rng, family, ctc_w):
     assert moved > 0
 
 
-def test_moe_rejected_under_pp_and_sp(rng):
-    """MoE composes with ep, not with pp/sp (yet) — clear errors, not
-    KeyErrors."""
+@pytest.mark.parametrize("mode", ["pp", "sp"])
+def test_moe_composes_with_pp_and_sp(rng, mode):
+    """MoE blocks under pipeline / sequence parallelism: with ample
+    capacity (no drops — capacity binds per microbatch/time-shard, the
+    only semantic difference) the full training loss, the pooled aux, and
+    every gradient equal the serial run exactly; the aux arrives via the
+    psum'd routing statistics, not a side channel."""
+    from functools import partial
+
     from e2e_asr_tpu.core import pipeline, seq_parallel
 
     cfg = _moe_cfg(E=2)
-    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    cfg.encoder.moe_capacity = 2.0        # C = N: routing never drops
+    params = seq2seq.init(jax.random.PRNGKey(4), cfg)
     feats, lens = _data(rng)
-    with pytest.raises(NotImplementedError, match="ep_shards"):
-        pipeline.encode_pipeline(params, cfg, feats, lens,
-                                 mesh=pipeline.make_stage_mesh(2), n_micro=2)
-    with pytest.raises(NotImplementedError, match="ep_shards"):
-        seq_parallel.encode_seq_parallel(
-            params, cfg, feats, lens, mesh=seq_parallel.make_seq_mesh(2))
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(B, 6)).astype(np.int32)
+    ids[:, 0] = 1
+    batch = {"logmel": feats, "logmel_len": lens,
+             "char": jnp.asarray(ids),
+             "char_len": jnp.full((B,), 5, jnp.int32)}
+    if mode == "pp":
+        encode_fn = partial(pipeline.encode_pipeline,
+                            mesh=pipeline.make_stage_mesh(2), n_micro=2)
+    else:
+        encode_fn = partial(seq_parallel.encode_seq_parallel,
+                            mesh=seq_parallel.make_seq_mesh(2))
+
+    def loss_fn(p, fn):
+        return seq2seq.apply_train(p, cfg, batch, rng=jax.random.PRNGKey(0),
+                                   encode_fn=fn)
+
+    (t0, per0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(params, None)
+    (t1, per1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(params,
+                                                               encode_fn)
+    np.testing.assert_allclose(float(t1), float(t0), rtol=1e-5)
+    np.testing.assert_allclose(float(per1["moe_aux"]),
+                               float(per0["moe_aux"]), rtol=1e-5)
+    assert float(per1["moe_aux"]) > 0
+    for (ks, a), (kp, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        assert ks == kp
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(ks))
+
+    # Eval forward (no aux machinery engaged) also tracks serial.
+    attn_s, _, _ = seq2seq.encode(params, cfg, feats, lens)
+    attn_p, _, _ = encode_fn(params, cfg, feats, lens)
+    d = cfg.num_layers["char"]
+    np.testing.assert_allclose(np.asarray(attn_p[d]), np.asarray(attn_s[d]),
+                               rtol=1e-4, atol=5e-6)
 
 
 def test_moe_cli_train_and_eval(tmp_path):

@@ -186,9 +186,63 @@ def test_pipeline_validation(rng):
     with pytest.raises(ValueError, match="transformer"):
         pipeline.encode_pipeline(params, rnn_cfg, feats, lens, mesh=mesh2,
                                  n_micro=2)
-    multi = _cfg(depth=4)
-    multi.tasks = ["char", "phone"]
-    multi.num_layers = {"char": 4, "phone": 2}
-    with pytest.raises(NotImplementedError):
-        pipeline.encode_pipeline(params, multi, feats, lens, mesh=mesh2,
-                                 n_micro=2)
+    with pytest.raises(NotImplementedError, match="expert parallelism"):
+        pipeline.encode_pipeline(params, cfg, feats, lens, mesh=mesh2,
+                                 n_micro=2, ep_mesh=object())
+
+
+def test_pipeline_multitask_taps_match_serial(rng):
+    """Intermediate-depth decoder taps (the reference's multitask layout:
+    char at the top, phone mid-stack) are collected from their owning
+    stages — forward AND gradients equal the serial encoder at every tap."""
+    import copy
+
+    cfg = _cfg(depth=4)
+    cfg.tasks = ["char", "phone"]
+    cfg.num_layers = {"char": 4, "phone": 2}
+    cfg.decoders["phone"] = copy.deepcopy(cfg.decoders["char"])
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    feats, lens = _data(rng)
+    mesh = pipeline.make_stage_mesh(2)
+
+    attn_s, _, lens_s = seq2seq.encode(params, cfg, feats, lens)
+    attn_p, tm_p, lens_p = pipeline.encode_pipeline(
+        params, cfg, feats, lens, mesh=mesh, n_micro=2)
+    for d in (2, 4):
+        np.testing.assert_allclose(np.asarray(attn_p[d]),
+                                   np.asarray(attn_s[d]),
+                                   rtol=1e-4, atol=5e-6, err_msg=f"depth {d}")
+        np.testing.assert_array_equal(
+            np.asarray(tm_p[d]), np.asarray(attn_p[d]).transpose(1, 0, 2))
+        np.testing.assert_array_equal(np.asarray(lens_p[d]),
+                                      np.asarray(lens_s[d]))
+
+    # Real multitask training loss (char CE @4 + phone CE @2): loss and
+    # grads equal serial through the pipelined tap collection.
+    from functools import partial
+
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(B, 6)).astype(np.int32)
+    ids[:, 0] = 1
+    batch = {"logmel": feats, "logmel_len": lens,
+             "char": jnp.asarray(ids),
+             "char_len": jnp.full((B,), 5, jnp.int32),
+             "phone": jnp.asarray(ids),
+             "phone_len": jnp.full((B,), 5, jnp.int32)}
+    encode_fn = partial(pipeline.encode_pipeline, mesh=mesh, n_micro=2)
+
+    def loss_fn(p, fn):
+        total, _ = seq2seq.apply_train(p, cfg, batch,
+                                       rng=jax.random.PRNGKey(0),
+                                       encode_fn=fn)
+        return total
+
+    l_s, g_s = jax.value_and_grad(loss_fn)(params, None)
+    l_p, g_p = jax.value_and_grad(loss_fn)(params, encode_fn)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    for (ks, a), (kp, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_s),
+            jax.tree_util.tree_leaves_with_path(g_p)):
+        assert ks == kp
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(ks))

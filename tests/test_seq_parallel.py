@@ -79,6 +79,62 @@ def test_sp_train_grads_match_serial(rng, conv):
                                    rtol=2e-4, atol=1e-6, err_msg=str(ks))
 
 
+def test_sp_multitask_taps_match_serial(rng):
+    """Intermediate-depth decoder taps under time sharding: forward and
+    gradients equal the serial encoder at every tapped depth."""
+    import copy
+
+    from tests.test_pipeline import _cfg as _mk
+
+    cfg = _mk(depth=2)
+    cfg.tasks = ["char", "phone"]
+    cfg.num_layers = {"char": 2, "phone": 1}
+    cfg.decoders["phone"] = copy.deepcopy(cfg.decoders["char"])
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    feats, lens = _data(rng)
+    mesh = seq_parallel.make_seq_mesh(2)
+
+    attn_s, _, _ = seq2seq.encode(params, cfg, feats, lens)
+    attn_p, tm_p, lens_p = seq_parallel.encode_seq_parallel(
+        params, cfg, feats, lens, mesh=mesh)
+    for d in (1, 2):
+        np.testing.assert_allclose(np.asarray(attn_p[d]),
+                                   np.asarray(attn_s[d]),
+                                   rtol=1e-4, atol=5e-6, err_msg=f"depth {d}")
+        np.testing.assert_array_equal(
+            np.asarray(tm_p[d]), np.asarray(attn_p[d]).transpose(1, 0, 2))
+
+    # Real multitask training loss (char CE + phone CE at its tap): loss
+    # and grads equal serial through the time-sharded tap collection.
+    from functools import partial
+
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(B, 6)).astype(np.int32)
+    ids[:, 0] = 1
+    batch = {"logmel": feats, "logmel_len": lens,
+             "char": jnp.asarray(ids),
+             "char_len": jnp.full((B,), 5, jnp.int32),
+             "phone": jnp.asarray(ids),
+             "phone_len": jnp.full((B,), 5, jnp.int32)}
+    encode_fn = partial(seq_parallel.encode_seq_parallel, mesh=mesh)
+
+    def loss_fn(p, fn):
+        total, _ = seq2seq.apply_train(p, cfg, batch,
+                                       rng=jax.random.PRNGKey(0),
+                                       encode_fn=fn)
+        return total
+
+    l_s, g_s = jax.value_and_grad(loss_fn)(params, None)
+    l_p, g_p = jax.value_and_grad(loss_fn)(params, encode_fn)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    for (ks, a), (kp, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_s),
+            jax.tree_util.tree_leaves_with_path(g_p)):
+        assert ks == kp
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(ks))
+
+
 def test_sp_validation(rng):
     cfg = _cfg(depth=2)
     params = seq2seq.init(jax.random.PRNGKey(0), cfg)
@@ -98,3 +154,7 @@ def test_sp_validation(rng):
         seq_parallel.encode_seq_parallel(
             params, rnn_cfg, feats, lens,
             mesh=seq_parallel.make_seq_mesh(2))
+    with pytest.raises(NotImplementedError, match="expert parallelism"):
+        seq_parallel.encode_seq_parallel(
+            params, cfg, feats, lens,
+            mesh=seq_parallel.make_seq_mesh(2), ep_mesh=object())
