@@ -156,6 +156,8 @@ class TrainConfig:
     # TPU-specific
     data_axis: int = -1              # -1: use all devices for data parallelism
     model_axis: int = 1              # devices sharding vocab-sized projections
+    fsdp: bool = False               # ZeRO-3: shard params + Adam moments
+                                     # over the data axis (core/sharding.py)
     compute_dtype: str = "bfloat16"  # matmul compute dtype on TPU
     profile_dir: str = ""            # jax.profiler trace output (steps 10..15)
     eval_avg_ckpts: int = 1          # eval the mean of the last N ckpts (>1)
@@ -494,6 +496,11 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-model_axis", default=1, type=int,
                         help="Mesh model axis size: shards the vocab-sized "
                         "projections/embeddings (core/sharding.py)")
+    parser.add_argument("-fsdp", default=False, action="store_true",
+                        help="ZeRO-3 fully-sharded data parallelism: shard "
+                        "every large parameter leaf and its Adam moments "
+                        "over the data axis; XLA all-gathers on use and "
+                        "reduce-scatters gradients (core/sharding.py)")
     parser.add_argument("-skip_nonfinite", default=False,
                         action="store_true",
                         help="Skip updates whose loss/grads are non-finite "

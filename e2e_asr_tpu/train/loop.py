@@ -116,6 +116,10 @@ class Trainer:
                 ("expert",))
             use_mesh = False
         self.mesh = self._make_mesh() if use_mesh else None
+        if self.train_cfg.fsdp and self.mesh is None:
+            raise ValueError("-fsdp shards the TrainState over the (data, "
+                             "model) mesh; it is mutually exclusive with "
+                             "-pp_stages/-sp_shards/-ep_shards")
         freeze = tuple(f for f in self.train_cfg.freeze.split(",") if f)
         sp = None
         if self.train_cfg.speed_perturb:
@@ -250,7 +254,8 @@ class Trainer:
         params = step_lib.init_params(jax.random.PRNGKey(0), self.model_cfg)
         state = step_lib.create_state(params, self.model_cfg, self.lm_cfg)
         if self.mesh is not None:
-            state = sharding_lib.place_state(state, self.mesh)
+            state = sharding_lib.place_state(state, self.mesh,
+                                             fsdp=self.train_cfg.fsdp)
         buckets, _ = self.get_data_sets(logging=False)
 
         def batches():
@@ -320,7 +325,8 @@ class Trainer:
             # Replicates everywhere except the vocab-sized projections, which
             # shard over the model axis when model_axis > 1.
             from e2e_asr_tpu.core import sharding as sharding_lib
-            state = sharding_lib.place_state(state, self.mesh)
+            state = sharding_lib.place_state(state, self.mesh,
+                                             fsdp=self.train_cfg.fsdp)
 
         buckets, dev_set = self.get_data_sets()
         lm_data = self.get_lm_dataset() if tc.lm_prob > 0 else None
@@ -574,7 +580,8 @@ class Trainer:
         state = step_lib.set_lr(state, new_lr)
         if self.mesh is not None:
             from e2e_asr_tpu.core import sharding as sharding_lib
-            state = sharding_lib.place_state(state, self.mesh)
+            state = sharding_lib.place_state(state, self.mesh,
+                                             fsdp=self.train_cfg.fsdp)
         print(f"Recovered from step {int(state.global_step)} "
               f"(attempt {self._recoveries}/{tc.nan_recover}); "
               f"LR decayed to {new_lr:.6f}")
