@@ -335,7 +335,9 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-ep_shards", default=1, type=int,
                         help="Expert-parallel shards: MoE experts sharded "
                              "over an \"expert\" mesh axis (must divide "
-                             "-moe_experts); 1 disables")
+                             "-moe_experts); composes with -pp_stages / "
+                             "-sp_shards via a 2-D (stage|seq, expert) "
+                             "mesh; 1 disables")
     # Decoder (decoder.py:182-193, attn_decoder.py:174-186)
     parser.add_argument("-hsize_dec", "--hidden_size_dec", default=256, type=int)
     parser.add_argument("-emb_size", "--emb_size", default=256, type=int)

@@ -23,11 +23,15 @@ per (block, microbatch) — `fold_in(fold_in(rng, 3*gi+o), m)` — the same
 rng discipline as `-grad_accum`'s per-micro noise: statistically
 equivalent to serial, not bit-equal (the mask shape differs).
 
-Scope: all decoder taps must sit at the final block (`num_layers` values
-all == max depth); intermediate-depth taps would need per-stage output
-collection (raise for now). The replicated [M,Bm,T,D] microbatch buffer is
-the correctness-first layout; shard it over stages if activations ever
-dominate HBM.
+Intermediate-depth decoder taps (the reference's multitask layout) are
+collected from their owning stages, and MoE blocks compose: routing
+capacity binds per microbatch, the load-balance aux is pooled from raw
+routing statistics so it equals the serial value exactly, and expert
+parallelism rides a 2-D ("stage", "expert") mesh
+(`make_stage_mesh(n_expert=...)`) — each stage column holds its blocks'
+expert shards, with one psum over "expert" per MoE FFN. The replicated
+[M,Bm,T,D] microbatch buffer is the correctness-first layout; shard it
+over stages if activations ever dominate HBM.
 """
 from __future__ import annotations
 
@@ -55,10 +59,18 @@ def _pvary(x, axis):
     return jax.lax.pvary(x, axis)
 
 
-def make_stage_mesh(n_stages: int, devices=None) -> Mesh:
+def make_stage_mesh(n_stages: int, devices=None, n_expert: int = 1) -> Mesh:
+    """("stage",) mesh, or — when n_expert > 1 — a 2-D ("stage", "expert")
+    mesh that composes pipeline parallelism with expert parallelism: each
+    of the n_stages stage rows spans n_expert devices holding that stage's
+    blocks' expert shards."""
     devices = list(jax.devices() if devices is None else devices)
-    if len(devices) < n_stages:
-        raise ValueError(f"need {n_stages} devices, have {len(devices)}")
+    need = n_stages * max(1, n_expert)
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    if n_expert > 1:
+        return Mesh(np.array(devices[:need]).reshape(n_stages, n_expert),
+                    ("stage", "expert"))
     return Mesh(np.array(devices[:n_stages]), ("stage",))
 
 
@@ -70,6 +82,24 @@ def stack_blocks(params: dict, depth: int):
 
 # The block math is te.block_fwd — ONE definition shared with the serial
 # encoder, so pipeline numerics cannot drift from what the tests pin.
+
+
+_EP_LEAVES = ("w1", "b1", "w2", "b2")   # expert-dim MoE leaves (router and
+                                        # everything else stay replicated
+                                        # over the expert axis)
+
+
+def _stacked_block_specs(stacked, extra_axis: str | None):
+    """Per-leaf in_specs for the stacked block pytree: everything shards
+    its leading [L] axis over "stage"; when `extra_axis` is set, the MoE
+    expert-dim leaves additionally shard dim 1 (the expert axis) over it."""
+    def spec(path, leaf):
+        if extra_axis is not None:
+            keys = [str(getattr(k, "key", k)) for k in path]
+            if "moe" in keys and keys[-1] in _EP_LEAVES:
+                return P("stage", extra_axis)
+        return P("stage")
+    return jax.tree_util.tree_map_with_path(spec, stacked)
 
 
 def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
@@ -92,6 +122,10 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
     S = mesh.shape["stage"]
     if depth % S:
         raise ValueError(f"depth {depth} not divisible by {S} stages")
+    ep = "expert" in mesh.axis_names
+    if ep and cfg.moe_experts % mesh.shape["expert"]:
+        raise ValueError(f"{cfg.moe_experts} experts not divisible by the "
+                         f"{mesh.shape['expert']}-way expert axis")
     B = h.shape[0]
     if B % n_micro:
         raise ValueError(f"batch {B} not divisible by {n_micro} microbatches")
@@ -129,7 +163,8 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
                 sink = [] if want_aux else None
                 y = te.block_fwd(blk, h, bias, vmask, keys, keep, cfg,
                                  compute_dtype=compute_dtype, train=train,
-                                 aux_sink=sink, aux_stats=True)
+                                 aux_sink=sink, aux_stats=True,
+                                 ep_axis="expert" if ep else None)
                 return y, (sink[0] if want_aux else None,
                            y if taps else None)
 
@@ -205,7 +240,8 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
     if want_aux:
         out_specs.append(P())
     res = shard_map(staged, mesh=mesh,
-                    in_specs=(P("stage"), P(), P()),
+                    in_specs=(_stacked_block_specs(
+                        stacked, "expert" if ep else None), P(), P()),
                     out_specs=tuple(out_specs))(stacked, h_micro, lens_micro)
     res = list(res)
     out = res.pop(0).reshape(B, T, D)
@@ -236,9 +272,11 @@ def encode_pipeline(params: dict, cfg: Seq2SeqConfig, feats: Array,
                          "pyramid has cross-layer sequential dependencies "
                          "both time directions")
     if ep_mesh is not None:
-        raise NotImplementedError("expert parallelism under pipeline "
-                                  "parallelism needs a 2-D (stage, expert) "
-                                  "mesh; use -ep_shards without -pp_stages")
+        raise ValueError("expert parallelism under pipeline parallelism "
+                         "rides a combined 2-D (stage, expert) mesh "
+                         "(make_stage_mesh(n_expert=...)), not a separate "
+                         "ep_mesh — the Trainer wires -pp_stages with "
+                         "-ep_shards that way")
     depth = max(cfg.num_layers.values())
     taps = tuple(sorted({d for d in cfg.num_layers.values() if d != depth}))
     eparams = params["encoder"]

@@ -41,10 +41,17 @@ from e2e_asr_tpu.models import transformer_encoder as te
 Array = jax.Array
 
 
-def make_seq_mesh(n_shards: int, devices=None) -> Mesh:
+def make_seq_mesh(n_shards: int, devices=None, n_expert: int = 1) -> Mesh:
+    """("seq",) mesh, or — when n_expert > 1 — a 2-D ("seq", "expert") mesh
+    composing sequence parallelism with expert parallelism: each time-shard
+    row spans n_expert devices holding the MoE expert shards."""
     devices = list(jax.devices() if devices is None else devices)
-    if len(devices) < n_shards:
-        raise ValueError(f"need {n_shards} devices, have {len(devices)}")
+    need = n_shards * max(1, n_expert)
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    if n_expert > 1:
+        return Mesh(np.array(devices[:need]).reshape(n_shards, n_expert),
+                    ("seq", "expert"))
     return Mesh(np.array(devices[:n_shards]), ("seq",))
 
 
@@ -136,9 +143,15 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                          "gather); the recurrent pyramid is sequential "
                          "in time by construction")
     if ep_mesh is not None:
-        raise NotImplementedError("expert parallelism under sequence "
-                                  "parallelism needs a 2-D (seq, expert) "
-                                  "mesh; use -ep_shards without -sp_shards")
+        raise ValueError("expert parallelism under sequence parallelism "
+                         "rides a combined 2-D (seq, expert) mesh "
+                         "(make_seq_mesh(n_expert=...)), not a separate "
+                         "ep_mesh — the Trainer wires -sp_shards with "
+                         "-ep_shards that way")
+    ep = "expert" in mesh.axis_names
+    if ep and enc_cfg.moe_experts % mesh.shape["expert"]:
+        raise ValueError(f"{enc_cfg.moe_experts} experts not divisible by "
+                         f"the {mesh.shape['expert']}-way expert axis")
     depth = max(cfg.num_layers.values())
     taps = tuple(sorted({d for d in cfg.num_layers.values() if d != depth}))
     want_aux = (aux_sink is not None and train and enc_cfg.moe_experts > 0)
@@ -198,7 +211,8 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                 sink = [] if want_aux else None
                 f = te._moe_ffn(blk["moe"], te._layer_norm(blk["ln2"], h),
                                 enc_cfg.moe_capacity, sink,
-                                compute_dtype=compute_dtype, aux_stats=True)
+                                compute_dtype=compute_dtype, aux_stats=True,
+                                ep_axis="expert" if ep else None)
                 if want_aux:
                     stats.append(sink[0])
             else:
@@ -222,8 +236,22 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     out_specs = [sharded, tuple(sharded for _ in taps)]
     if want_aux:
         out_specs.append(P())
+
+    def block_specs(blocks):
+        """Expert-dim MoE leaves shard over "expert" (2-D mesh); everything
+        else replicates (core/pipeline._EP_LEAVES discipline)."""
+        from e2e_asr_tpu.core.pipeline import _EP_LEAVES
+
+        def spec(path, leaf):
+            keys = [str(getattr(k, "key", k)) for k in path]
+            if "moe" in keys and keys[-1] in _EP_LEAVES:
+                return P("expert")
+            return P()
+        return jax.tree_util.tree_map_with_path(spec, blocks)
+
     res = shard_map(staged, mesh=mesh,
-                    in_specs=(P(), sharded, P(), sharded),
+                    in_specs=(block_specs(blocks) if ep else P(),
+                              sharded, P(), sharded),
                     out_specs=tuple(out_specs))(blocks, h, bias_full, vmask)
     h, tap_hs = res[0], dict(zip(taps, res[1]))
     if want_aux:

@@ -137,7 +137,7 @@ def _conv_module(p: dict, h: Array, vmask: Array, compute_dtype=None) -> Array:
 
 def _moe_ffn(p: dict, x: Array, capacity_factor: float, aux_sink,
              ep_mesh=None, compute_dtype=None,
-             aux_stats: bool = False) -> Array:
+             aux_stats: bool = False, ep_axis: str | None = None) -> Array:
     """Switch-style top-1 MoE FFN (extension; replaces the dense FFN when
     EncoderConfig.moe_experts > 0).
 
@@ -152,12 +152,20 @@ def _moe_ffn(p: dict, x: Array, capacity_factor: float, aux_sink,
 
     ep_mesh: optional ("expert",) mesh — experts sharded via shard_map
     (each device computes its E/n experts; one psum combines [N,D]).
+    ep_axis: for callers ALREADY inside a shard_map whose mesh carries an
+    "expert" axis (pipeline / sequence parallelism on a 2-D mesh): the
+    expert weights w1/b1/w2/b2 arrive as LOCAL shards (E/K experts); the
+    router stays replicated so routing/gating/capacity see the GLOBAL
+    expert set, each device slices its experts' rows out of the dispatch
+    tensor, and one psum over ep_axis combines the [N,D] outputs —
+    numerically identical to the unsharded dispatch.
     """
     from e2e_asr_tpu.core.pipeline import shard_map
     from jax.sharding import PartitionSpec as P
 
     B, T, D = x.shape
-    E = p["b1"].shape[0]
+    E = p["router"]["kernel"].shape[-1]      # GLOBAL expert count (the
+                                             # router is never sharded)
     N = B * T
     xf = x.reshape(N, D)
     logits = dense(p["router"], xf).astype(jnp.float32)       # [N,E]
@@ -195,7 +203,18 @@ def _moe_ffn(p: dict, x: Array, capacity_factor: float, aux_sink,
         return jnp.einsum("nec,ecd->nd", dt.astype(cd), eo.astype(cd),
                           preferred_element_type=jnp.float32)  # [N,D]
 
-    if ep_mesh is None:
+    if ep_axis is not None:
+        # Inside an enclosing shard_map: local El-expert weights, full
+        # router. Slice this device's expert rows from the dispatch tensor
+        # and psum the partial outputs over the expert axis.
+        El = p["b1"].shape[0]
+        idx = jax.lax.axis_index(ep_axis)
+        dt_local = jax.lax.dynamic_slice_in_dim(dtensor, idx * El, El,
+                                                axis=1)
+        out = jax.lax.psum(
+            expert_compute(dt_local, p["w1"], p["b1"], p["w2"], p["b2"]),
+            ep_axis)
+    elif ep_mesh is None:
         out = expert_compute(dtensor, p["w1"], p["b1"], p["w2"], p["b2"])
     else:
         def sharded(dt, w1, b1, w2, b2):
@@ -270,7 +289,8 @@ def moe_aux_from_stats(cnt: Array, psm: Array, n_tokens: float) -> Array:
 def block_fwd(blk: dict, h: Array, attn_bias: Array, vmask: Array, keys,
               keep: float, cfg: EncoderConfig, compute_dtype=None,
               train: bool = False, aux_sink: list | None = None,
-              ep_mesh=None, aux_stats: bool = False) -> Array:
+              ep_mesh=None, aux_stats: bool = False,
+              ep_axis: str | None = None) -> Array:
     """One pre-LN encoder block — THE single definition of the block math.
 
     The serial encoder (`apply`) and the pipeline-parallel path
@@ -292,7 +312,7 @@ def block_fwd(blk: dict, h: Array, attn_bias: Array, vmask: Array, keys,
         f = _moe_ffn(blk["moe"], _layer_norm(blk["ln2"], h),
                      cfg.moe_capacity, aux_sink if train else None,
                      ep_mesh=ep_mesh, compute_dtype=compute_dtype,
-                     aux_stats=aux_stats)
+                     aux_stats=aux_stats, ep_axis=ep_axis)
     else:
         f = _ffn_fwd(blk, h, compute_dtype=compute_dtype)
     if train and keep < 1.0:

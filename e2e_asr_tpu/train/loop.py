@@ -79,10 +79,23 @@ class Trainer:
             jax.config.update("jax_default_prng_impl",
                               self.train_cfg.rng_impl)
         pp_mesh = sp_mesh = None
+        n_ep = self.train_cfg.ep_shards
+        if n_ep > 1:
+            if self.model_cfg.encoder.moe_experts < 1:
+                raise ValueError("-ep_shards needs -moe_experts (there are "
+                                 "no experts to shard)")
+            if self.model_cfg.encoder.moe_experts % n_ep:
+                raise ValueError("-ep_shards must divide -moe_experts")
+            if use_mesh and (self.train_cfg.data_axis > 1
+                             or self.train_cfg.model_axis > 1):
+                raise ValueError("-ep_shards is mutually exclusive with "
+                                 "-data_axis/-model_axis")
         if self.train_cfg.pp_stages > 1 or self.train_cfg.sp_shards > 1:
             # Pipeline/sequence parallelism claims the devices as stages /
             # time shards (core/pipeline.py, core/seq_parallel.py); the
             # ("data","model") mesh is not combined with them for now.
+            # -ep_shards composes: the stage/seq mesh grows an "expert"
+            # axis and the MoE FFNs shard over it in the same SPMD program.
             if self.train_cfg.pp_stages > 1 and self.train_cfg.sp_shards > 1:
                 raise ValueError("-pp_stages and -sp_shards are mutually "
                                  "exclusive")
@@ -93,27 +106,18 @@ class Trainer:
             if self.train_cfg.pp_stages > 1:
                 from e2e_asr_tpu.core import pipeline as pipeline_lib
                 pp_mesh = pipeline_lib.make_stage_mesh(
-                    self.train_cfg.pp_stages)
+                    self.train_cfg.pp_stages, n_expert=n_ep)
             else:
                 from e2e_asr_tpu.core import seq_parallel as sp_lib
-                sp_mesh = sp_lib.make_seq_mesh(self.train_cfg.sp_shards)
+                sp_mesh = sp_lib.make_seq_mesh(self.train_cfg.sp_shards,
+                                               n_expert=n_ep)
             use_mesh = False
+            n_ep = 1                      # consumed by the combined mesh
         ep_mesh = None
-        if self.train_cfg.ep_shards > 1:
+        if n_ep > 1:
             import numpy as np
             from jax.sharding import Mesh
-            if self.model_cfg.encoder.moe_experts < 1:
-                raise ValueError("-ep_shards needs -moe_experts (there are "
-                                 "no experts to shard)")
-            if self.model_cfg.encoder.moe_experts % self.train_cfg.ep_shards:
-                raise ValueError("-ep_shards must divide -moe_experts")
-            if use_mesh and (self.train_cfg.data_axis > 1
-                             or self.train_cfg.model_axis > 1):
-                raise ValueError("-ep_shards is mutually exclusive with "
-                                 "-data_axis/-model_axis")
-            ep_mesh = Mesh(
-                np.array(jax.devices()[: self.train_cfg.ep_shards]),
-                ("expert",))
+            ep_mesh = Mesh(np.array(jax.devices()[:n_ep]), ("expert",))
             use_mesh = False
         self.mesh = self._make_mesh() if use_mesh else None
         if self.train_cfg.fsdp and self.mesh is None:

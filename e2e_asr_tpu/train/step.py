@@ -157,7 +157,9 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     pp_mesh: a ("stage",) Mesh engages pipeline parallelism for the
     transformer encoder's block stack (core/pipeline.py — blocks sharded
     over stages, pp_micro microbatches flowing via ppermute). Attention
-    family only.
+    family only. A 2-D ("stage", "expert") mesh (make_stage_mesh with
+    n_expert > 1) additionally shards MoE experts over the expert axis;
+    sp_mesh composes the same way via make_seq_mesh(n_expert=...).
 
     freeze: "/"-joined pytree-path substrings whose leaves train with ZERO
     gradient (transfer-learning fine-tuning, e.g. freeze=("encoder",)

@@ -172,13 +172,16 @@ def test_moe_aux_reaches_hybrid_and_ctc_families(rng, family, ctc_w):
     assert moved > 0
 
 
-@pytest.mark.parametrize("mode", ["pp", "sp"])
+@pytest.mark.parametrize("mode", ["pp", "sp", "pp_ep", "sp_ep"])
 def test_moe_composes_with_pp_and_sp(rng, mode):
     """MoE blocks under pipeline / sequence parallelism: with ample
     capacity (no drops — capacity binds per microbatch/time-shard, the
     only semantic difference) the full training loss, the pooled aux, and
     every gradient equal the serial run exactly; the aux arrives via the
-    psum'd routing statistics, not a side channel."""
+    psum'd routing statistics, not a side channel. The *_ep modes compose
+    EXPERT parallelism on top via the 2-D (stage|seq, expert) mesh: the
+    MoE weights shard over the expert axis (local dispatch slice + one
+    psum per FFN) with the same serial-exact semantics."""
     from functools import partial
 
     from e2e_asr_tpu.core import pipeline, seq_parallel
@@ -193,12 +196,15 @@ def test_moe_composes_with_pp_and_sp(rng, mode):
     batch = {"logmel": feats, "logmel_len": lens,
              "char": jnp.asarray(ids),
              "char_len": jnp.full((B,), 5, jnp.int32)}
-    if mode == "pp":
+    n_ep = 2 if mode.endswith("_ep") else 1
+    if mode.startswith("pp"):
         encode_fn = partial(pipeline.encode_pipeline,
-                            mesh=pipeline.make_stage_mesh(2), n_micro=2)
+                            mesh=pipeline.make_stage_mesh(2, n_expert=n_ep),
+                            n_micro=2)
     else:
         encode_fn = partial(seq_parallel.encode_seq_parallel,
-                            mesh=seq_parallel.make_seq_mesh(2))
+                            mesh=seq_parallel.make_seq_mesh(2,
+                                                            n_expert=n_ep))
 
     def loss_fn(p, fn):
         return seq2seq.apply_train(p, cfg, batch, rng=jax.random.PRNGKey(0),
@@ -258,6 +264,45 @@ def test_moe_cli_train_and_eval(tmp_path):
     cfg = parse_options(args)
     assert cfg.model.encoder.moe_experts == 2
     assert cfg.train.ep_shards == 2
+    launch_train(cfg)
+    assert glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
+    launch_eval(parse_options(args + ["-dev"]))
+    assert os.path.isfile(os.path.join(cfg.train.best_model_dir,
+                                       "decoded_asr.txt"))
+
+
+def test_moe_cli_ep_composes_with_pp(tmp_path):
+    """-pp_stages 2 -ep_shards 2 -moe_experts 2 trains through the CLI on
+    the combined (stage, expert) mesh (4 of the virtual 8 devices) and the
+    checkpoint greedy-evals serially."""
+    import glob
+    import os
+
+    from e2e_asr_tpu.cli.main import launch_eval, launch_train, parse_options
+    from e2e_asr_tpu.data.synth import make_vocab_dir, write_speech_corpus
+
+    root = str(tmp_path)
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir)
+    make_vocab_dir(os.path.join(root, "vocab"))
+    write_speech_corpus(os.path.join(data_dir, "train_1k.0.0001"), 8,
+                        feat_length=8, char_vocab=20, min_tokens=3,
+                        max_tokens=5, frames_per_token=4)
+    write_speech_corpus(os.path.join(data_dir, "dev.0001"), 4,
+                        feat_length=8, char_vocab=20, min_tokens=3,
+                        max_tokens=5, frames_per_token=4, seed=2)
+    args = ["-data_dir", data_dir, "-vocab_dir", os.path.join(root, "vocab"),
+            "-tb_dir", os.path.join(root, "models"),
+            "-hsize", "8", "-hsize_dec", "8", "-emb_size", "8",
+            "-attn_vec_size", "4", "-lm_hsize", "8",
+            "-feat_len", "8", "-max_out_char", "8",
+            "-buck_batch_sizes", "4", "-steps_per_checkpoint", "3",
+            "-max_epochs", "1", "-compute_dtype", "float32",
+            "-encoder_type", "transformer", "-num_heads", "2",
+            "-ffn_mult", "2", "-enc_subsample", "4", "-nlc", "2",
+            "-moe_experts", "2", "-ep_shards", "2",
+            "-pp_stages", "2", "-pp_micro", "2", "-run_id", "42"]
+    cfg = parse_options(args)
     launch_train(cfg)
     assert glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz"))
     launch_eval(parse_options(args + ["-dev"]))

@@ -186,7 +186,7 @@ def test_pipeline_validation(rng):
     with pytest.raises(ValueError, match="transformer"):
         pipeline.encode_pipeline(params, rnn_cfg, feats, lens, mesh=mesh2,
                                  n_micro=2)
-    with pytest.raises(NotImplementedError, match="expert parallelism"):
+    with pytest.raises(ValueError, match="expert parallelism"):
         pipeline.encode_pipeline(params, cfg, feats, lens, mesh=mesh2,
                                  n_micro=2, ep_mesh=object())
 

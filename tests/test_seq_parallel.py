@@ -154,7 +154,7 @@ def test_sp_validation(rng):
         seq_parallel.encode_seq_parallel(
             params, rnn_cfg, feats, lens,
             mesh=seq_parallel.make_seq_mesh(2))
-    with pytest.raises(NotImplementedError, match="expert parallelism"):
+    with pytest.raises(ValueError, match="expert parallelism"):
         seq_parallel.encode_seq_parallel(
             params, cfg, feats, lens,
             mesh=seq_parallel.make_seq_mesh(2), ep_mesh=object())
