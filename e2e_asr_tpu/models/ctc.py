@@ -39,9 +39,12 @@ def init(key: Array, cfg: Seq2SeqConfig, vocab_size: int) -> dict:
 def logits(params: dict, cfg: Seq2SeqConfig, feats: Array, feat_lens: Array,
            *, train: bool = False, rng: Array | None = None,
            compute_dtype=None, aux_sink: list | None = None,
-           ep_mesh=None) -> tuple[Array, Array]:
-    """Per-frame logits [B, T_enc, V] and encoder lengths [B]."""
-    attn_states, _, enc_lens = seq2seq.encode(
+           ep_mesh=None, encode_fn=None) -> tuple[Array, Array]:
+    """Per-frame logits [B, T_enc, V] and encoder lengths [B].
+
+    encode_fn: optional drop-in for seq2seq.encode (pipeline / sequence
+    parallelism — same plumbing as seq2seq.apply_train)."""
+    attn_states, _, enc_lens = (encode_fn or seq2seq.encode)(
         params, cfg, feats, feat_lens, train=train, rng=rng,
         compute_dtype=compute_dtype, aux_sink=aux_sink, ep_mesh=ep_mesh)
     depth = cfg.num_layers["char"]
@@ -51,7 +54,8 @@ def logits(params: dict, cfg: Seq2SeqConfig, feats: Array, feat_lens: Array,
 
 
 def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
-         rng: Array | None = None, compute_dtype=None, ep_mesh=None) -> Array:
+         rng: Array | None = None, compute_dtype=None, ep_mesh=None,
+         encode_fn=None) -> Array:
     """Mean CTC loss. batch: logmel/logmel_len plus `labels` [B, L] (token
     ids, 0-padded, NO <go>/<eos>) and `label_lens` [B]. MoE encoders fold
     their moe_aux_weight-scaled load-balance aux loss into the total during
@@ -62,7 +66,7 @@ def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
     lg, enc_lens = logits(params, cfg, batch["logmel"], batch["logmel_len"],
                           train=train, rng=rng,
                           compute_dtype=compute_dtype, aux_sink=aux_sink,
-                          ep_mesh=ep_mesh)
+                          ep_mesh=ep_mesh, encode_fn=encode_fn)
     T = lg.shape[1]
     logit_pad = (jnp.arange(T)[None, :]
                  >= enc_lens.astype(jnp.int32)[:, None]).astype(jnp.float32)

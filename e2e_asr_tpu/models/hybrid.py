@@ -32,7 +32,8 @@ def init(key: Array, cfg: Seq2SeqConfig) -> dict:
 
 
 def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *, ctc_weight: float,
-         rng: Array, compute_dtype=None, ep_mesh=None) -> tuple[Array, dict]:
+         rng: Array, compute_dtype=None, ep_mesh=None,
+         encode_fn=None) -> tuple[Array, dict]:
     """batch: the seq2seq batch plus `labels` [B, L] / `label_lens` [B]
     (token ids without <go>/<eos>, 0-padded) for the CTC term.
 
@@ -41,7 +42,7 @@ def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *, ctc_weight: float,
     seq2seq.apply_train ("moe_aux" metric, moe_aux_weight-scaled term)."""
     rng_enc, rng_dec = jax.random.split(rng)
     aux_sink: list | None = [] if cfg.encoder.moe_experts > 0 else None
-    attn_states, _, enc_lens = seq2seq.encode(
+    attn_states, _, enc_lens = (encode_fn or seq2seq.encode)(
         params, cfg, batch["logmel"], batch["logmel_len"], train=True,
         rng=rng_enc, compute_dtype=compute_dtype, aux_sink=aux_sink,
         ep_mesh=ep_mesh)

@@ -168,7 +168,7 @@ def lattice_logprobs(params: dict, labels: Array, enc: Array,
 
 def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
          rng: Array | None = None, compute_dtype=None, ep_mesh=None,
-         t_chunk: int | None = None) -> Array:
+         t_chunk: int | None = None, encode_fn=None) -> Array:
     """Mean transducer NLL. batch: logmel/logmel_len plus `labels` [B, U]
     (token ids, 0-padded, NO <go>/<eos>) and `label_lens` [B] — the CTC
     family's label convention (train/step.py:_ctc_labels)."""
@@ -177,7 +177,7 @@ def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
                              else None)
     if train:
         rng, rng_pred = jax.random.split(rng)
-    attn_states, _, enc_lens = seq2seq.encode(
+    attn_states, _, enc_lens = (encode_fn or seq2seq.encode)(
         params, cfg, batch["logmel"], batch["logmel_len"], train=train,
         rng=rng, compute_dtype=compute_dtype, aux_sink=aux_sink,
         ep_mesh=ep_mesh)

@@ -156,10 +156,12 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
 
     pp_mesh: a ("stage",) Mesh engages pipeline parallelism for the
     transformer encoder's block stack (core/pipeline.py — blocks sharded
-    over stages, pp_micro microbatches flowing via ppermute). Attention
-    family only. A 2-D ("stage", "expert") mesh (make_stage_mesh with
-    n_expert > 1) additionally shards MoE experts over the expert axis;
-    sp_mesh composes the same way via make_seq_mesh(n_expert=...).
+    over stages, pp_micro microbatches flowing via ppermute). All model
+    families compose (attention, hybrid, pure CTC, transducer — each
+    family's loss threads encode_fn through the shared encoder). A 2-D
+    ("stage", "expert") mesh (make_stage_mesh with n_expert > 1)
+    additionally shards MoE experts over the expert axis; sp_mesh
+    composes the same way via make_seq_mesh(n_expert=...).
 
     freeze: "/"-joined pytree-path substrings whose leaves train with ZERO
     gradient (transfer-learning fine-tuning, e.g. freeze=("encoder",)
@@ -196,10 +198,6 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     if pp_mesh is not None or sp_mesh is not None:
         from functools import partial
 
-        if model_cfg.model_family != "attention" or model_cfg.ctc_weight > 0:
-            raise NotImplementedError(
-                "pipeline/sequence parallelism currently covers the "
-                "attention family")
         if pp_mesh is not None:
             from e2e_asr_tpu.core import pipeline as pipeline_lib
             encode_fn = partial(pipeline_lib.encode_pipeline, mesh=pp_mesh,
@@ -257,7 +255,8 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             cb = dict(batch)
             cb["labels"], cb["label_lens"] = _ctc_labels(batch)
             total = ctc.loss(params, model_cfg, cb, rng=rng,
-                             compute_dtype=compute_dtype, ep_mesh=ep_mesh)
+                             compute_dtype=compute_dtype, ep_mesh=ep_mesh,
+                             encode_fn=encode_fn)
             return total, {"ctc": total}
         if model_cfg.model_family == "transducer":
             from e2e_asr_tpu.models import transducer
@@ -265,7 +264,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             tb["labels"], tb["label_lens"] = _ctc_labels(batch)
             total = transducer.loss(params, model_cfg, tb, rng=rng,
                                     compute_dtype=compute_dtype,
-                                    ep_mesh=ep_mesh)
+                                    ep_mesh=ep_mesh, encode_fn=encode_fn)
             return total, {"transducer": total}
         if model_cfg.ctc_weight > 0:
             from e2e_asr_tpu.models import hybrid
@@ -273,7 +272,8 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             hb["labels"], hb["label_lens"] = _ctc_labels(batch)
             return hybrid.loss(params, model_cfg, hb,
                                ctc_weight=model_cfg.ctc_weight, rng=rng,
-                               compute_dtype=compute_dtype, ep_mesh=ep_mesh)
+                               compute_dtype=compute_dtype, ep_mesh=ep_mesh,
+                               encode_fn=encode_fn)
         if distill is not None:
             from e2e_asr_tpu.train import distill as distill_lib
             t_cfg, t_params, w, temp = distill

@@ -246,3 +246,88 @@ def test_pipeline_multitask_taps_match_serial(rng):
         assert ks == kp
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=1e-6, err_msg=str(ks))
+
+
+@pytest.mark.parametrize("family,mode", [
+    ("ctc", "pp"), ("hybrid", "pp"), ("transducer", "pp"),
+    ("ctc", "sp"), ("hybrid", "sp"), ("transducer", "sp"),
+])
+def test_all_families_compose_with_pp_and_sp(rng, family, mode):
+    """Pipeline / sequence parallelism is not an attention-family
+    privilege: the pure-CTC, hybrid, and transducer objectives thread
+    encode_fn through the shared transformer encoder. Pinned: the family
+    loss and EVERY parameter gradient equal serial exactly, and a full
+    jitted train step through make_train_step reproduces the serial loss
+    (post-Adam params only drift-bounded — near-zero gradients flip by
+    +-lr under epsilon-level float reordering, the documented Adam
+    behavior from test_pipeline_train_step_matches_serial)."""
+    from functools import partial
+
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.core import seq_parallel
+    from e2e_asr_tpu.train import step as step_lib
+
+    cfg = _cfg(depth=2)
+    if family == "ctc":
+        cfg.model_family = "ctc"
+    elif family == "transducer":
+        cfg.model_family = "transducer"
+        cfg.decoders["char"].joint_dim = 8
+    else:
+        cfg.ctc_weight = 0.3
+    lm_cfg = LMConfig(lm_hidden_size=8, proj_size=8, emb_size=8,
+                      vocab_size=13, out_prob=1.0)
+    params = step_lib.init_params(jax.random.PRNGKey(0), cfg)
+    feats, lens = _data(rng)
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(B, 6)).astype(np.int32)
+    ids[:, 0] = 1
+    batch = {"logmel": feats, "logmel_len": lens,
+             "char": jnp.asarray(ids),
+             "char_len": jnp.full((B,), 5, jnp.int32)}
+    key = jax.random.PRNGKey(3)
+    if mode == "pp":
+        mesh = pipeline.make_stage_mesh(2)
+        encode_fn = partial(pipeline.encode_pipeline, mesh=mesh, n_micro=2)
+        par_kw = dict(pp_mesh=mesh, pp_micro=2)
+    else:
+        mesh = seq_parallel.make_seq_mesh(2)
+        encode_fn = partial(seq_parallel.encode_seq_parallel, mesh=mesh)
+        par_kw = dict(sp_mesh=mesh)
+
+    # Gradient-level exactness through the family losses.
+    def loss_fn(p, fn):
+        labels, lab_lens = step_lib._ctc_labels(batch)
+        fb = dict(batch, labels=labels, label_lens=lab_lens)
+        if family == "ctc":
+            from e2e_asr_tpu.models import ctc
+            return ctc.loss(p, cfg, fb, rng=key, encode_fn=fn)
+        if family == "transducer":
+            from e2e_asr_tpu.models import transducer
+            return transducer.loss(p, cfg, fb, rng=key, encode_fn=fn)
+        from e2e_asr_tpu.models import hybrid
+        return hybrid.loss(p, cfg, fb, ctc_weight=cfg.ctc_weight,
+                           rng=key, encode_fn=fn)[0]
+
+    l_s, g_s = jax.value_and_grad(loss_fn)(params, None)
+    l_p, g_p = jax.value_and_grad(loss_fn)(params, encode_fn)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    for (kp, a), (ks, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_p),
+            jax.tree_util.tree_leaves_with_path(g_s)):
+        assert kp == ks
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(kp))
+
+    # Full jitted train-step wiring through make_train_step.
+    serial_step, _ = step_lib.make_train_step(cfg, lm_cfg)
+    par_step, _ = step_lib.make_train_step(cfg, lm_cfg, **par_kw)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    out_s, m_s = jax.jit(serial_step)(state, batch, key)
+    out_p, m_p = jax.jit(par_step)(state, batch, key)
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_s["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out_p.params),
+                    jax.tree_util.tree_leaves(out_s.params)):
+        assert np.max(np.abs(np.asarray(a, np.float64)
+                             - np.asarray(b, np.float64))) < 3e-3
