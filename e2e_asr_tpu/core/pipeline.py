@@ -52,26 +52,47 @@ from e2e_asr_tpu.models import transformer_encoder as te
 Array = jax.Array
 
 
-def _pvary(x, axis):
-    """Type x as varying over `axis` (pcast on new jax, pvary on older)."""
+def _pvary(x, axes):
+    """Type x as varying over `axes` (pcast on new jax, pvary on older),
+    skipping axes the value already varies over (e.g. zeros_like of a
+    "data"-sharded input under a dp-composed mesh — pcast rejects
+    re-casting an already-varying axis)."""
+    if isinstance(axes, str):
+        axes = (axes,)
+    try:
+        vma = jax.typeof(x).vma
+    except Exception:
+        vma = frozenset()
+    need = tuple(a for a in axes if a not in vma)
+    if not need:
+        return x
     if hasattr(jax.lax, "pcast"):
-        return jax.lax.pcast(x, axis, to="varying")
-    return jax.lax.pvary(x, axis)
+        return jax.lax.pcast(x, need, to="varying")
+    return jax.lax.pvary(x, need)
 
 
-def make_stage_mesh(n_stages: int, devices=None, n_expert: int = 1) -> Mesh:
-    """("stage",) mesh, or — when n_expert > 1 — a 2-D ("stage", "expert")
-    mesh that composes pipeline parallelism with expert parallelism: each
-    of the n_stages stage rows spans n_expert devices holding that stage's
-    blocks' expert shards."""
+def make_stage_mesh(n_stages: int, devices=None, n_expert: int = 1,
+                    n_data: int = 1) -> Mesh:
+    """("stage",) mesh, optionally composed with expert parallelism
+    (n_expert > 1 — each stage row spans the devices holding its blocks'
+    expert shards) and/or data parallelism (n_data > 1 — microbatches
+    split their batch rows over a leading "data" axis, so every
+    (data, stage[, expert]) coordinate runs the same wavefront on its
+    slice of the batch). Up to 3-D: ("data", "stage", "expert")."""
     devices = list(jax.devices() if devices is None else devices)
-    need = n_stages * max(1, n_expert)
+    names, dims = [], []
+    if n_data > 1:
+        names.append("data")
+        dims.append(n_data)
+    names.append("stage")
+    dims.append(n_stages)
+    if n_expert > 1:
+        names.append("expert")
+        dims.append(n_expert)
+    need = int(np.prod(dims))
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    if n_expert > 1:
-        return Mesh(np.array(devices[:need]).reshape(n_stages, n_expert),
-                    ("stage", "expert"))
-    return Mesh(np.array(devices[:n_stages]), ("stage",))
+    return Mesh(np.array(devices[:need]).reshape(dims), tuple(names))
 
 
 def stack_blocks(params: dict, depth: int):
@@ -126,10 +147,15 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
     if ep and cfg.moe_experts % mesh.shape["expert"]:
         raise ValueError(f"{cfg.moe_experts} experts not divisible by the "
                          f"{mesh.shape['expert']}-way expert axis")
+    dp = "data" in mesh.axis_names
     B = h.shape[0]
     if B % n_micro:
         raise ValueError(f"batch {B} not divisible by {n_micro} microbatches")
     Ls, Bm = depth // S, B // n_micro
+    if dp and Bm % mesh.shape["data"]:
+        raise ValueError(f"microbatch rows {Bm} not divisible by the "
+                         f"{mesh.shape['data']}-way data axis")
+    vary = ("stage", "data") if dp else "stage"
     M = n_micro
     T, D = h.shape[1], h.shape[2]
     keep = cfg.out_prob if train else 1.0
@@ -145,6 +171,10 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
 
     def staged(blocks, h_micro, lens_micro):
         sid = jax.lax.axis_index("stage")
+        # Per-data-shard dropout streams (matching what a smaller physical
+        # batch would draw; without this, shards would reuse one mask).
+        local_rng = (jax.random.fold_in(drop_rng, jax.lax.axis_index("data"))
+                     if dp else drop_rng)
 
         def local_apply(h, m_idx):
             ln = jax.lax.dynamic_index_in_dim(lens_micro, m_idx, 0,
@@ -158,7 +188,7 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
                 gi = sid * Ls + j + 1          # global 1-based block index
                 keys = tuple(
                     jax.random.fold_in(
-                        jax.random.fold_in(drop_rng, 3 * gi + o), m_idx)
+                        jax.random.fold_in(local_rng, 3 * gi + o), m_idx)
                     for o in (0, 1, 2))
                 sink = [] if want_aux else None
                 y = te.block_fwd(blk, h, bias, vmask, keys, keep, cfg,
@@ -207,13 +237,14 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
             return (nxt, out, acc, tap_bufs), None
 
         # The carry is device-varying (ppermute output); the zeros must be
-        # typed as such under shard_map's varying-axis checking.
-        buf0 = _pvary(jnp.zeros_like(h_micro[0]), "stage")
-        out0 = _pvary(jnp.zeros_like(h_micro), "stage")
-        acc0 = ((_pvary(jnp.zeros((Ls, cfg.moe_experts)), "stage"),
-                 _pvary(jnp.zeros((Ls, cfg.moe_experts)), "stage"))
+        # typed as such under shard_map's varying-axis checking (over
+        # "data" too when the batch rows are sharded).
+        buf0 = _pvary(jnp.zeros_like(h_micro[0]), vary)
+        out0 = _pvary(jnp.zeros_like(h_micro), vary)
+        acc0 = ((_pvary(jnp.zeros((Ls, cfg.moe_experts)), vary),
+                 _pvary(jnp.zeros((Ls, cfg.moe_experts)), vary))
                 if want_aux else None)
-        taps0 = tuple(_pvary(jnp.zeros_like(h_micro), "stage")
+        taps0 = tuple(_pvary(jnp.zeros_like(h_micro), vary)
                       for _ in taps)
         (_, out, acc, tap_bufs), _ = jax.lax.scan(
             tick, (buf0, out0, acc0, taps0), jnp.arange(M + S - 1))
@@ -228,20 +259,27 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
                 gathered.append(jax.lax.psum(tb, "stage"))
             res.append(tuple(gathered))
         if want_aux:
-            # Each stage pooled its own blocks' stats over ALL microbatches
-            # = the whole batch; sum the per-block aux across stages.
+            # Each stage pooled its own blocks' stats over ALL microbatches;
+            # pool over the data shards too (stats are sums over tokens, so
+            # this recovers whole-batch routing counts), THEN form the aux
+            # (it is nonlinear in the stats) and sum across stages.
+            if dp:
+                acc = (jax.lax.psum(acc[0], "data"),
+                       jax.lax.psum(acc[1], "data"))
             aux = te.moe_aux_from_stats(acc[0], acc[1], float(M * Bm * T))
             res.append(jax.lax.psum(aux, "stage"))
         return tuple(res)
 
-    out_specs = [P()]
+    io_spec = P(None, "data") if dp else P()
+    out_specs = [io_spec]
     if taps:
-        out_specs.append(tuple(P() for _ in taps))
+        out_specs.append(tuple(io_spec for _ in taps))
     if want_aux:
         out_specs.append(P())
     res = shard_map(staged, mesh=mesh,
                     in_specs=(_stacked_block_specs(
-                        stacked, "expert" if ep else None), P(), P()),
+                        stacked, "expert" if ep else None),
+                        io_spec, io_spec),
                     out_specs=tuple(out_specs))(stacked, h_micro, lens_micro)
     res = list(res)
     out = res.pop(0).reshape(B, T, D)

@@ -41,18 +41,26 @@ from e2e_asr_tpu.models import transformer_encoder as te
 Array = jax.Array
 
 
-def make_seq_mesh(n_shards: int, devices=None, n_expert: int = 1) -> Mesh:
-    """("seq",) mesh, or — when n_expert > 1 — a 2-D ("seq", "expert") mesh
-    composing sequence parallelism with expert parallelism: each time-shard
-    row spans n_expert devices holding the MoE expert shards."""
+def make_seq_mesh(n_shards: int, devices=None, n_expert: int = 1,
+                  n_data: int = 1) -> Mesh:
+    """("seq",) mesh, optionally composed with expert parallelism
+    (n_expert > 1 — MoE expert shards along each time-shard row) and/or
+    data parallelism (n_data > 1 — batch rows split over a leading "data"
+    axis). Up to 3-D: ("data", "seq", "expert")."""
     devices = list(jax.devices() if devices is None else devices)
-    need = n_shards * max(1, n_expert)
+    names, dims = [], []
+    if n_data > 1:
+        names.append("data")
+        dims.append(n_data)
+    names.append("seq")
+    dims.append(n_shards)
+    if n_expert > 1:
+        names.append("expert")
+        dims.append(n_expert)
+    need = int(np.prod(dims))
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    if n_expert > 1:
-        return Mesh(np.array(devices[:need]).reshape(n_shards, n_expert),
-                    ("seq", "expert"))
-    return Mesh(np.array(devices[:n_shards]), ("seq",))
+    return Mesh(np.array(devices[:need]).reshape(dims), tuple(names))
 
 
 def _mhsa_sp(blk: dict, h: Array, bias_full: Array, row0: Array,
@@ -152,6 +160,7 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     if ep and enc_cfg.moe_experts % mesh.shape["expert"]:
         raise ValueError(f"{enc_cfg.moe_experts} experts not divisible by "
                          f"the {mesh.shape['expert']}-way expert axis")
+    dp = "data" in mesh.axis_names
     depth = max(cfg.num_layers.values())
     taps = tuple(sorted({d for d in cfg.num_layers.values() if d != depth}))
     want_aux = (aux_sink is not None and train and enc_cfg.moe_experts > 0)
@@ -167,6 +176,9 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     if T % S:
         raise ValueError(f"post-subsample length {T} not divisible by "
                          f"{S} sequence shards")
+    if dp and B % mesh.shape["data"]:
+        raise ValueError(f"batch {B} not divisible by the "
+                         f"{mesh.shape['data']}-way data axis")
     D = te.d_model(enc_cfg)
     h = dense(eparams["input_proj"], x, compute_dtype=compute_dtype)
     h = h + jnp.asarray(te._sinusoidal(T, D))
@@ -188,6 +200,10 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     def staged(blocks, h, bias_full, vmask_sh):
         sid = jax.lax.axis_index("seq")
         row0 = sid * Ts
+        # Distinct dropout streams per (data, seq) shard coordinate.
+        shard_rng = (jax.random.fold_in(drop_rng,
+                                        jax.lax.axis_index("data"))
+                     if dp else drop_rng)
         tap_hs, stats = [], []
         for i, blk in enumerate(blocks, start=1):
             a = _mhsa_sp(blk, te._layer_norm(blk["ln1"], h), bias_full,
@@ -197,14 +213,14 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                 # Per-(block, shard) masks — same discipline as the
                 # pipeline's per-microbatch dropout.
                 a = dropout(jax.random.fold_in(
-                    jax.random.fold_in(drop_rng, 3 * i), sid), a, keep)
+                    jax.random.fold_in(shard_rng, 3 * i), sid), a, keep)
             h = h + a
             if "conv" in blk:
                 c = _conv_sp(blk["conv"], h, vmask_sh, enc_cfg.conv_kernel,
                              S, compute_dtype=compute_dtype)
                 if train and keep < 1.0:
                     c = dropout(jax.random.fold_in(
-                        jax.random.fold_in(drop_rng, 3 * i + 1), sid),
+                        jax.random.fold_in(shard_rng, 3 * i + 1), sid),
                         c, keep)
                 h = h + c
             if "moe" in blk:
@@ -219,7 +235,7 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
                 f = te._ffn_fwd(blk, h, compute_dtype=compute_dtype)
             if train and keep < 1.0:
                 f = dropout(jax.random.fold_in(
-                    jax.random.fold_in(drop_rng, 3 * i + 2), sid), f, keep)
+                    jax.random.fold_in(shard_rng, 3 * i + 2), sid), f, keep)
             h = h + f
             if i in taps:
                 tap_hs.append(h)
@@ -227,12 +243,14 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
         if want_aux:
             # Pool routing counts over the seq axis -> whole-batch stats,
             # so the aux equals the serial whole-batch value exactly.
-            cnt = jax.lax.psum(jnp.stack([s[0] for s in stats]), "seq")
-            psm = jax.lax.psum(jnp.stack([s[1] for s in stats]), "seq")
+            pool = ("seq", "data") if dp else "seq"
+            cnt = jax.lax.psum(jnp.stack([s[0] for s in stats]), pool)
+            psm = jax.lax.psum(jnp.stack([s[1] for s in stats]), pool)
             res.append(te.moe_aux_from_stats(cnt, psm, float(B * T)))
         return tuple(res)
 
-    sharded = P(None, "seq", None)
+    sharded = P("data", "seq", None) if dp else P(None, "seq", None)
+    bias_spec = P("data") if dp else P()
     out_specs = [sharded, tuple(sharded for _ in taps)]
     if want_aux:
         out_specs.append(P())
@@ -251,7 +269,7 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
 
     res = shard_map(staged, mesh=mesh,
                     in_specs=(block_specs(blocks) if ep else P(),
-                              sharded, P(), sharded),
+                              sharded, bias_spec, sharded),
                     out_specs=tuple(out_specs))(blocks, h, bias_full, vmask)
     h, tap_hs = res[0], dict(zip(taps, res[1]))
     if want_aux:

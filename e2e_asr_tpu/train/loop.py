@@ -80,16 +80,22 @@ class Trainer:
                               self.train_cfg.rng_impl)
         pp_mesh = sp_mesh = None
         n_ep = self.train_cfg.ep_shards
+        has_pp_sp = (self.train_cfg.pp_stages > 1
+                     or self.train_cfg.sp_shards > 1)
         if n_ep > 1:
             if self.model_cfg.encoder.moe_experts < 1:
                 raise ValueError("-ep_shards needs -moe_experts (there are "
                                  "no experts to shard)")
             if self.model_cfg.encoder.moe_experts % n_ep:
                 raise ValueError("-ep_shards must divide -moe_experts")
-            if use_mesh and (self.train_cfg.data_axis > 1
-                             or self.train_cfg.model_axis > 1):
+            # Standalone EP claims the devices as an ("expert",) mesh; under
+            # -pp_stages/-sp_shards it (and -data_axis) rides the combined
+            # pp/sp mesh instead.
+            if not has_pp_sp and (self.train_cfg.data_axis > 1
+                                  or self.train_cfg.model_axis > 1):
                 raise ValueError("-ep_shards is mutually exclusive with "
-                                 "-data_axis/-model_axis")
+                                 "-data_axis/-model_axis (compose them "
+                                 "through -pp_stages/-sp_shards)")
         if self.train_cfg.pp_stages > 1 or self.train_cfg.sp_shards > 1:
             # Pipeline/sequence parallelism claims the devices as stages /
             # time shards (core/pipeline.py, core/seq_parallel.py); the
@@ -99,18 +105,20 @@ class Trainer:
             if self.train_cfg.pp_stages > 1 and self.train_cfg.sp_shards > 1:
                 raise ValueError("-pp_stages and -sp_shards are mutually "
                                  "exclusive")
-            if use_mesh and (self.train_cfg.data_axis > 1
-                             or self.train_cfg.model_axis > 1):
+            if use_mesh and self.train_cfg.model_axis > 1:
                 raise ValueError("-pp_stages/-sp_shards are mutually "
-                                 "exclusive with -data_axis/-model_axis")
+                                 "exclusive with -model_axis")
+            # -data_axis > 1 composes: the mesh grows a leading "data"
+            # axis and microbatch/batch rows shard over it.
+            n_dp = max(1, self.train_cfg.data_axis)
             if self.train_cfg.pp_stages > 1:
                 from e2e_asr_tpu.core import pipeline as pipeline_lib
                 pp_mesh = pipeline_lib.make_stage_mesh(
-                    self.train_cfg.pp_stages, n_expert=n_ep)
+                    self.train_cfg.pp_stages, n_expert=n_ep, n_data=n_dp)
             else:
                 from e2e_asr_tpu.core import seq_parallel as sp_lib
                 sp_mesh = sp_lib.make_seq_mesh(self.train_cfg.sp_shards,
-                                               n_expert=n_ep)
+                                               n_expert=n_ep, n_data=n_dp)
             use_mesh = False
             n_ep = 1                      # consumed by the combined mesh
         ep_mesh = None

@@ -172,7 +172,8 @@ def test_moe_aux_reaches_hybrid_and_ctc_families(rng, family, ctc_w):
     assert moved > 0
 
 
-@pytest.mark.parametrize("mode", ["pp", "sp", "pp_ep", "sp_ep"])
+@pytest.mark.parametrize("mode", ["pp", "sp", "pp_ep", "sp_ep",
+                                  "pp_3d", "sp_3d"])
 def test_moe_composes_with_pp_and_sp(rng, mode):
     """MoE blocks under pipeline / sequence parallelism: with ample
     capacity (no drops — capacity binds per microbatch/time-shard, the
@@ -181,7 +182,10 @@ def test_moe_composes_with_pp_and_sp(rng, mode):
     psum'd routing statistics, not a side channel. The *_ep modes compose
     EXPERT parallelism on top via the 2-D (stage|seq, expert) mesh: the
     MoE weights shard over the expert axis (local dispatch slice + one
-    psum per FFN) with the same serial-exact semantics."""
+    psum per FFN) with the same serial-exact semantics. The *_3d modes
+    add DATA parallelism too — the full 3-D (data, stage|seq, expert)
+    mesh on all 8 virtual devices, batch rows sharded over "data" and
+    routing stats pooled across every axis."""
     from functools import partial
 
     from e2e_asr_tpu.core import pipeline, seq_parallel
@@ -196,15 +200,17 @@ def test_moe_composes_with_pp_and_sp(rng, mode):
     batch = {"logmel": feats, "logmel_len": lens,
              "char": jnp.asarray(ids),
              "char_len": jnp.full((B,), 5, jnp.int32)}
-    n_ep = 2 if mode.endswith("_ep") else 1
+    n_ep = 2 if mode.endswith(("_ep", "_3d")) else 1
+    n_dp = 2 if mode.endswith("_3d") else 1
     if mode.startswith("pp"):
         encode_fn = partial(pipeline.encode_pipeline,
-                            mesh=pipeline.make_stage_mesh(2, n_expert=n_ep),
+                            mesh=pipeline.make_stage_mesh(
+                                2, n_expert=n_ep, n_data=n_dp),
                             n_micro=2)
     else:
         encode_fn = partial(seq_parallel.encode_seq_parallel,
-                            mesh=seq_parallel.make_seq_mesh(2,
-                                                            n_expert=n_ep))
+                            mesh=seq_parallel.make_seq_mesh(
+                                2, n_expert=n_ep, n_data=n_dp))
 
     def loss_fn(p, fn):
         return seq2seq.apply_train(p, cfg, batch, rng=jax.random.PRNGKey(0),
@@ -272,9 +278,9 @@ def test_moe_cli_train_and_eval(tmp_path):
 
 
 def test_moe_cli_ep_composes_with_pp(tmp_path):
-    """-pp_stages 2 -ep_shards 2 -moe_experts 2 trains through the CLI on
-    the combined (stage, expert) mesh (4 of the virtual 8 devices) and the
-    checkpoint greedy-evals serially."""
+    """-data_axis 2 -pp_stages 2 -ep_shards 2 -moe_experts 2 trains
+    through the CLI on the full 3-D (data, stage, expert) mesh (all 8
+    virtual devices) and the checkpoint greedy-evals serially."""
     import glob
     import os
 
@@ -300,7 +306,7 @@ def test_moe_cli_ep_composes_with_pp(tmp_path):
             "-max_epochs", "1", "-compute_dtype", "float32",
             "-encoder_type", "transformer", "-num_heads", "2",
             "-ffn_mult", "2", "-enc_subsample", "4", "-nlc", "2",
-            "-moe_experts", "2", "-ep_shards", "2",
+            "-moe_experts", "2", "-ep_shards", "2", "-data_axis", "2",
             "-pp_stages", "2", "-pp_micro", "2", "-run_id", "42"]
     cfg = parse_options(args)
     launch_train(cfg)

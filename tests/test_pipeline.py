@@ -331,3 +331,74 @@ def test_all_families_compose_with_pp_and_sp(rng, family, mode):
                     jax.tree_util.tree_leaves(out_s.params)):
         assert np.max(np.abs(np.asarray(a, np.float64)
                              - np.asarray(b, np.float64))) < 3e-3
+
+
+@pytest.mark.parametrize("mode", ["pp", "sp"])
+def test_data_parallel_composes_with_pp_and_sp(rng, mode):
+    """-data_axis composes with -pp_stages/-sp_shards: the mesh grows a
+    leading "data" axis, batch rows shard over it, and the full training
+    loss and every parameter gradient equal the serial encoder exactly
+    (out_prob=1)."""
+    from functools import partial
+
+    from e2e_asr_tpu.core import losses, seq_parallel
+    from e2e_asr_tpu.models import attn_decoder
+
+    cfg = _cfg(depth=2)
+    params = seq2seq.init(jax.random.PRNGKey(1), cfg)
+    feats, lens = _data(rng)
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(6, B)).astype(np.int32)
+    ids[0] = 1
+    dec_in = jnp.asarray(ids)
+    tgt_lens = jnp.full((B,), 5, jnp.int32)
+    if mode == "pp":
+        mesh = pipeline.make_stage_mesh(2, n_data=2)
+        assert dict(mesh.shape) == {"data": 2, "stage": 2}
+        encode_fn = partial(pipeline.encode_pipeline, mesh=mesh, n_micro=2)
+    else:
+        mesh = seq_parallel.make_seq_mesh(2, n_data=2)
+        assert dict(mesh.shape) == {"data": 2, "seq": 2}
+        encode_fn = partial(seq_parallel.encode_seq_parallel, mesh=mesh)
+
+    def loss_fn(params, fn):
+        attn, _, enc_lens = (fn or seq2seq.encode)(params, cfg, feats, lens)
+        d = cfg.num_layers["char"]
+        logits = attn_decoder.apply_train(
+            params["decoder_char"], cfg.decoders["char"], dec_in,
+            attn[d], enc_lens[d], rng=jax.random.PRNGKey(8))
+        targets, _ = losses.shifted_targets(dec_in, tgt_lens)
+        return losses.cross_entropy_loss(logits, targets, tgt_lens)
+
+    l_s, g_s = jax.value_and_grad(loss_fn)(params, None)
+    l_p, g_p = jax.value_and_grad(loss_fn)(params, encode_fn)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    for (ks, a), (kp, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_s),
+            jax.tree_util.tree_leaves_with_path(g_p)):
+        assert ks == kp
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(ks))
+
+
+def test_dp_pp_dropout_distinct_per_shard(rng):
+    """Under dp x pp, dropout streams fold in the data-shard index: the
+    result is deterministic in the rng but NOT equal to the 1-data-axis
+    run (which would reuse one mask across shards)."""
+    cfg = _cfg(depth=2)
+    cfg.encoder.out_prob = 0.8
+    params = seq2seq.init(jax.random.PRNGKey(2), cfg)
+    feats, lens = _data(rng)
+    kw = dict(n_micro=2, train=True, rng=jax.random.PRNGKey(5))
+    d = cfg.num_layers["char"]
+    a1, _, _ = pipeline.encode_pipeline(
+        params, cfg, feats, lens, mesh=pipeline.make_stage_mesh(2, n_data=2),
+        **kw)
+    a2, _, _ = pipeline.encode_pipeline(
+        params, cfg, feats, lens, mesh=pipeline.make_stage_mesh(2, n_data=2),
+        **kw)
+    a3, _, _ = pipeline.encode_pipeline(
+        params, cfg, feats, lens, mesh=pipeline.make_stage_mesh(2), **kw)
+    np.testing.assert_array_equal(np.asarray(a1[d]), np.asarray(a2[d]))
+    assert not np.allclose(np.asarray(a1[d]), np.asarray(a3[d]))
+    assert np.isfinite(np.asarray(a1[d])).all()
