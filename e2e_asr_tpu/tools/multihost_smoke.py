@@ -41,15 +41,18 @@ STEPS = 4
 B_LOCAL = 4              # per-process batch rows (global = N * B_LOCAL)
 
 
-def _smoke_cfg():
+def _smoke_cfg(fsdp: bool = False):
     from e2e_asr_tpu.config import (DecoderConfig, EncoderConfig, LMConfig,
                                     Seq2SeqConfig)
+    # The fsdp variant uses wider layers so the big leaves clear
+    # core/sharding.FSDP_MIN_SIZE and genuinely shard across processes.
+    H = 32 if fsdp else 8
     cfg = Seq2SeqConfig(
         tasks=["char"], num_layers={"char": 2}, max_output={"char": 8},
-        encoder=EncoderConfig(hidden_size=8, out_prob=1.0),
+        encoder=EncoderConfig(hidden_size=H, out_prob=1.0),
         decoders={"char": DecoderConfig(
-            hidden_size_dec=8, emb_size=6, vocab_size=40,
-            attention_vec_size=5, lm_hidden_size=8, out_prob_dec=1.0,
+            hidden_size_dec=H, emb_size=16 if fsdp else 6, vocab_size=40,
+            attention_vec_size=5, lm_hidden_size=H, out_prob_dec=1.0,
             max_output=8)},
         feat_length=8)
     return cfg, LMConfig(vocab_size=40)
@@ -67,7 +70,7 @@ def _datasets(data_dir: str, process_index: int, process_count: int):
                          process_count=process_count)
 
 
-def _run_steps(mesh, batches):
+def _run_steps(mesh, batches, fsdp: bool = False):
     """The shared step loop: place state + batches on `mesh`, run STEPS
     ASR steps, return the loss trajectory. `batches` yields host batch
     dicts — local rows under multi-process (shard_batch assembles the
@@ -78,10 +81,19 @@ def _run_steps(mesh, batches):
     from e2e_asr_tpu.core import sharding as sharding_lib
     from e2e_asr_tpu.train import step as step_lib
 
-    cfg, lm_cfg = _smoke_cfg()
+    cfg, lm_cfg = _smoke_cfg(fsdp=fsdp)
     params = step_lib.init_params(jax.random.PRNGKey(0), cfg)
     state = step_lib.create_state(params, cfg, lm_cfg)
-    state = sharding_lib.place_state(state, mesh)
+    state = sharding_lib.place_state(state, mesh, fsdp=fsdp)
+    if fsdp:
+        # The point of the fsdp smoke: at least one parameter leaf is
+        # genuinely sharded over the data axis (spanning processes when
+        # run under jax.distributed).
+        sharded = [x for x in jax.tree_util.tree_leaves(state.params)
+                   if "data" in tuple(x.sharding.spec)]
+        assert sharded, "fsdp placed nothing — leaves below FSDP_MIN_SIZE?"
+        if jax.process_count() > 1:
+            assert not sharded[0].sharding.is_fully_addressable
     asr_step, _ = step_lib.make_train_step(cfg, lm_cfg)
     asr_step = jax.jit(asr_step, donate_argnums=0)
     key = jax.random.PRNGKey(7)
@@ -120,7 +132,7 @@ def worker_main(args) -> None:
     from e2e_asr_tpu.core import mesh as mesh_lib
     mesh = mesh_lib.make_mesh(n_data=jax.device_count(), n_model=1)
     ds = _datasets(args.data_dir, args.process_id, args.num_processes)
-    losses = _run_steps(mesh, _take_batches(ds, STEPS))
+    losses = _run_steps(mesh, _take_batches(ds, STEPS), fsdp=args.fsdp)
     with open(os.path.join(args.out, f"losses_{args.process_id}.json"),
               "w") as f:
         json.dump(losses, f)
@@ -133,7 +145,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def launcher_main(num_processes: int = 2) -> dict:
+def launcher_main(num_processes: int = 2, fsdp: bool = False) -> dict:
     # The launcher itself needs num_processes * LOCAL_DEVICES local virtual
     # devices for the single-controller reference run.
     n_dev = num_processes * LOCAL_DEVICES
@@ -169,7 +181,7 @@ def launcher_main(num_processes: int = 2) -> dict:
         [sys.executable, "-m", "e2e_asr_tpu.tools.multihost_smoke",
          "--process_id", str(p), "--num_processes", str(num_processes),
          "--coordinator", f"127.0.0.1:{port}", "--data_dir", data,
-         "--out", root],
+         "--out", root] + (["--fsdp"] if fsdp else []),
         env=env, stdout=logs[p], stderr=subprocess.STDOUT)
         for p in range(num_processes)]
     codes = [p.wait(timeout=600) for p in procs]
@@ -201,11 +213,11 @@ def launcher_main(num_processes: int = 2) -> dict:
         for i in range(STEPS)]
     mesh = mesh_lib.make_mesh(n_data=n_dev, n_model=1,
                               devices=jax.devices()[:n_dev])
-    ref = _run_steps(mesh, global_batches)
+    ref = _run_steps(mesh, global_batches, fsdp=fsdp)
     np.testing.assert_allclose(trajs[0], ref, rtol=1e-6, atol=1e-6)
     print(f"multihost_smoke OK: {num_processes} processes x "
-          f"{LOCAL_DEVICES} devices, losses {trajs[0]} == single-controller "
-          f"reference")
+          f"{LOCAL_DEVICES} devices{' (fsdp)' if fsdp else ''}, losses "
+          f"{trajs[0]} == single-controller reference")
     return {"losses": trajs[0], "reference": ref}
 
 
@@ -364,13 +376,17 @@ def main(argv=None) -> None:
                         help="run the FULL CLI (cli.main) in N real "
                         "jax.distributed processes instead of the "
                         "step-level smoke")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params + Adam moments over the data "
+                        "axis (ZeRO-3, core/sharding.py) — leaves then "
+                        "genuinely span the worker processes")
     args = parser.parse_args(argv)
     if args.process_id >= 0:
         worker_main(args)
     elif args.driver:
         driver_main(args.num_processes)
     else:
-        launcher_main(args.num_processes)
+        launcher_main(args.num_processes, fsdp=args.fsdp)
 
 
 if __name__ == "__main__":
