@@ -126,6 +126,16 @@ def launch_eval(cfg: ExperimentConfig) -> None:
     from e2e_asr_tpu.eval.lm_loader import load_fusion_lm
     lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab)
 
+    # -data_axis > 1 at eval: decode batches shard over a ("data",) mesh
+    # (utterances are independent, so DP decoding is exact; batches whose
+    # rows don't divide fall back to unsharded).
+    mesh = None
+    if tc.data_axis > 1:
+        from e2e_asr_tpu.core import mesh as mesh_lib
+        n = min(tc.data_axis, len(jax.devices()))
+        mesh = mesh_lib.make_mesh(n_data=n, n_model=1)
+        print(f"Eval data parallelism: {n}-way")
+
     start = time.time()
     if cfg.model.model_family == "ctc":
         from e2e_asr_tpu.eval.greedy import CTCEvaluator
@@ -134,7 +144,7 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                  beam_size=cfg.beam.beam_size,
                                  lm_params=lm_params,
                                  lm_weight=cfg.beam.lm_weight, bias=bias,
-                                 nbest=cfg.beam.nbest)
+                                 nbest=cfg.beam.nbest, mesh=mesh)
         evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
     elif cfg.model.model_family == "transducer":
@@ -145,14 +155,15 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                         beam_size=cfg.beam.beam_size,
                                         lm_params=lm_params,
                                         lm_weight=cfg.beam.lm_weight,
-                                        bias=bias, nbest=cfg.beam.nbest)
+                                        bias=bias, nbest=cfg.beam.nbest,
+                                        mesh=mesh)
         evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
     elif (cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0
           and cfg.beam.ctc_rescore == 0.0 and cfg.beam.joint_ctc == 0.0
           and bias is None and cfg.beam.nbest <= 1):
         evaluator = GreedyEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype, mesh=mesh)
         evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
     else:
@@ -160,7 +171,7 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                   tc.best_model_dir,
                                   compute_dtype=compute_dtype,
                                   lm_params=lm_params, bias=bias,
-                                  nbest=cfg.beam.nbest)
+                                  nbest=cfg.beam.nbest, mesh=mesh)
         evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
     print(f"Total decoding time: {time.time() - start:.1f}s")

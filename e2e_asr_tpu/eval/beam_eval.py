@@ -85,11 +85,13 @@ class BeamEvaluator:
 
     def __init__(self, cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                  rev_vocab: list[str], out_dir: str, *, compute_dtype=None,
-                 lm_params=None, bias=None, nbest: int = 1):
+                 lm_params=None, bias=None, nbest: int = 1, mesh=None):
         self.beam_cfg = beam_cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
         self.nbest = nbest
+        self.mesh = mesh         # optional ("data",) mesh: batches shard
+                                 # over it (utterances independent — exact)
         if nbest > 1 and beam_cfg.ctc_rescore > 0:
             raise ValueError("-nbest is not available with -ctc_rescore "
                              "(the rescorer consumes the n-best itself)")
@@ -133,8 +135,20 @@ class BeamEvaluator:
         nb_path = os.path.join(self.out_dir,
                                f"nbest_{self.beam_cfg.beam_size}.txt")
         nb_f = open(nb_path, "w") if write_files and self.nbest > 1 else None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            params = jax.device_put(params, NamedSharding(self.mesh, P()))
         try:
             for batch in batches:
+                if (self.mesh is not None and batch["logmel"].shape[0]
+                        % self.mesh.shape["data"] == 0):
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+                    sh = NamedSharding(self.mesh, P("data"))
+                    batch = dict(batch)
+                    batch["logmel"] = jax.device_put(batch["logmel"], sh)
+                    batch["logmel_len"] = jax.device_put(
+                        batch["logmel_len"], sh)
                 tokens, lens, scores = self._decode(params, batch)
                 tokens = np.asarray(tokens)
                 lens = np.asarray(lens)

