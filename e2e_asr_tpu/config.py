@@ -476,8 +476,10 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="Pipeline-parallel stages for the transformer "
                              "encoder's block stack (blocks sharded over a "
                              "stage mesh axis, microbatches flow via "
-                             "ppermute); 1 disables. Mutually exclusive "
-                             "with -data_axis/-model_axis")
+                             "ppermute); 1 disables. Composes with "
+                             "-data_axis and -ep_shards (up to a 3-D "
+                             "(data, stage, expert) mesh); mutually "
+                             "exclusive with -sp_shards and -model_axis")
     parser.add_argument("-pp_micro", default=2, type=int,
                         help="Microbatches per pipeline-parallel step "
                              "(must divide every bucket batch size)")
@@ -485,8 +487,9 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="Sequence-parallel time shards for the "
                              "transformer blocks (activations sharded over "
                              "T, one K/V all-gather per block); 1 disables. "
-                             "Mutually exclusive with -pp_stages and "
-                             "-data_axis/-model_axis")
+                             "Composes with -data_axis and -ep_shards (up "
+                             "to a 3-D (data, seq, expert) mesh); mutually "
+                             "exclusive with -pp_stages and -model_axis")
     parser.add_argument("-quantize", default="", choices=["", "int8"],
                         help="Weight-only quantization for eval/serving: "
                              "int8 per-output-channel symmetric "

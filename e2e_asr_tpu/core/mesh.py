@@ -113,6 +113,20 @@ def _place(x, sh: NamedSharding):
     return jax.device_put(x, sh)
 
 
+def shard_decode_batch(batch: dict, mesh) -> dict:
+    """Shard a decode batch's features over the mesh's "data" axis
+    (evaluators' DP decoding). Replicated-safe fallback: batches whose
+    rows don't divide the axis (padded tails) return unchanged and decode
+    unsharded. No-op when mesh is None."""
+    if mesh is None or batch["logmel"].shape[0] % mesh.shape["data"]:
+        return batch
+    sh = NamedSharding(mesh, P("data"))
+    out = dict(batch)
+    out["logmel"] = jax.device_put(batch["logmel"], sh)
+    out["logmel_len"] = jax.device_put(batch["logmel_len"], sh)
+    return out
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sh = replicated(mesh)

@@ -71,21 +71,20 @@ def _pvary(x, axes):
     return jax.lax.pvary(x, need)
 
 
-def make_stage_mesh(n_stages: int, devices=None, n_expert: int = 1,
-                    n_data: int = 1) -> Mesh:
-    """("stage",) mesh, optionally composed with expert parallelism
-    (n_expert > 1 — each stage row spans the devices holding its blocks'
-    expert shards) and/or data parallelism (n_data > 1 — microbatches
-    split their batch rows over a leading "data" axis, so every
-    (data, stage[, expert]) coordinate runs the same wavefront on its
-    slice of the batch). Up to 3-D: ("data", "stage", "expert")."""
+def composed_mesh(axis_name: str, n: int, devices=None, n_expert: int = 1,
+                  n_data: int = 1) -> Mesh:
+    """(axis_name,) mesh, optionally composed with expert parallelism
+    (n_expert > 1 — each row spans the devices holding its MoE expert
+    shards) and/or data parallelism (n_data > 1 — batch rows split over a
+    leading "data" axis). Up to 3-D: ("data", axis_name, "expert"). The
+    single factory behind make_stage_mesh and make_seq_mesh."""
     devices = list(jax.devices() if devices is None else devices)
     names, dims = [], []
     if n_data > 1:
         names.append("data")
         dims.append(n_data)
-    names.append("stage")
-    dims.append(n_stages)
+    names.append(axis_name)
+    dims.append(n)
     if n_expert > 1:
         names.append("expert")
         dims.append(n_expert)
@@ -93,6 +92,15 @@ def make_stage_mesh(n_stages: int, devices=None, n_expert: int = 1,
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
     return Mesh(np.array(devices[:need]).reshape(dims), tuple(names))
+
+
+def make_stage_mesh(n_stages: int, devices=None, n_expert: int = 1,
+                    n_data: int = 1) -> Mesh:
+    """("stage",) mesh, or its dp/ep-composed variants — every
+    (data, stage[, expert]) coordinate runs the same microbatch wavefront
+    on its slice of the batch."""
+    return composed_mesh("stage", n_stages, devices=devices,
+                         n_expert=n_expert, n_data=n_data)
 
 
 def stack_blocks(params: dict, depth: int):
@@ -110,17 +118,19 @@ _EP_LEAVES = ("w1", "b1", "w2", "b2")   # expert-dim MoE leaves (router and
                                         # over the expert axis)
 
 
-def _stacked_block_specs(stacked, extra_axis: str | None):
-    """Per-leaf in_specs for the stacked block pytree: everything shards
-    its leading [L] axis over "stage"; when `extra_axis` is set, the MoE
-    expert-dim leaves additionally shard dim 1 (the expert axis) over it."""
+def moe_leaf_specs(tree, lead: tuple, expert_axis: str | None):
+    """Per-leaf in_specs for a block pytree: every leaf gets P(*lead)
+    (e.g. the stacked [L] axis over "stage"; empty for unstacked blocks);
+    when `expert_axis` is set, the MoE expert-dim leaves (_EP_LEAVES)
+    additionally shard their expert dimension over it. Shared by the
+    pipeline and sequence-parallel shard_map callers."""
     def spec(path, leaf):
-        if extra_axis is not None:
+        if expert_axis is not None:
             keys = [str(getattr(k, "key", k)) for k in path]
             if "moe" in keys and keys[-1] in _EP_LEAVES:
-                return P("stage", extra_axis)
-        return P("stage")
-    return jax.tree_util.tree_map_with_path(spec, stacked)
+                return P(*lead, expert_axis)
+        return P(*lead)
+    return jax.tree_util.tree_map_with_path(spec, tree)
 
 
 def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
@@ -277,8 +287,8 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
     if want_aux:
         out_specs.append(P())
     res = shard_map(staged, mesh=mesh,
-                    in_specs=(_stacked_block_specs(
-                        stacked, "expert" if ep else None),
+                    in_specs=(moe_leaf_specs(
+                        stacked, ("stage",), "expert" if ep else None),
                         io_spec, io_spec),
                     out_specs=tuple(out_specs))(stacked, h_micro, lens_micro)
     res = list(res)

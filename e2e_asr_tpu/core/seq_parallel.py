@@ -43,24 +43,11 @@ Array = jax.Array
 
 def make_seq_mesh(n_shards: int, devices=None, n_expert: int = 1,
                   n_data: int = 1) -> Mesh:
-    """("seq",) mesh, optionally composed with expert parallelism
-    (n_expert > 1 — MoE expert shards along each time-shard row) and/or
-    data parallelism (n_data > 1 — batch rows split over a leading "data"
-    axis). Up to 3-D: ("data", "seq", "expert")."""
-    devices = list(jax.devices() if devices is None else devices)
-    names, dims = [], []
-    if n_data > 1:
-        names.append("data")
-        dims.append(n_data)
-    names.append("seq")
-    dims.append(n_shards)
-    if n_expert > 1:
-        names.append("expert")
-        dims.append(n_expert)
-    need = int(np.prod(dims))
-    if len(devices) < need:
-        raise ValueError(f"need {need} devices, have {len(devices)}")
-    return Mesh(np.array(devices[:need]).reshape(dims), tuple(names))
+    """("seq",) mesh, or its dp/ep-composed variants (up to the 3-D
+    ("data", "seq", "expert") mesh) — core/pipeline.composed_mesh."""
+    from e2e_asr_tpu.core.pipeline import composed_mesh
+    return composed_mesh("seq", n_shards, devices=devices,
+                         n_expert=n_expert, n_data=n_data)
 
 
 def _mhsa_sp(blk: dict, h: Array, bias_full: Array, row0: Array,
@@ -255,20 +242,10 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     if want_aux:
         out_specs.append(P())
 
-    def block_specs(blocks):
-        """Expert-dim MoE leaves shard over "expert" (2-D mesh); everything
-        else replicates (core/pipeline._EP_LEAVES discipline)."""
-        from e2e_asr_tpu.core.pipeline import _EP_LEAVES
-
-        def spec(path, leaf):
-            keys = [str(getattr(k, "key", k)) for k in path]
-            if "moe" in keys and keys[-1] in _EP_LEAVES:
-                return P("expert")
-            return P()
-        return jax.tree_util.tree_map_with_path(spec, blocks)
-
+    from e2e_asr_tpu.core.pipeline import moe_leaf_specs
     res = shard_map(staged, mesh=mesh,
-                    in_specs=(block_specs(blocks) if ep else P(),
+                    in_specs=(moe_leaf_specs(blocks, (), "expert")
+                              if ep else P(),
                               sharded, bias_spec, sharded),
                     out_specs=tuple(out_specs))(blocks, h, bias_full, vmask)
     h, tap_hs = res[0], dict(zip(taps, res[1]))

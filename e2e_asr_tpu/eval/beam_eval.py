@@ -14,6 +14,7 @@ import jax
 import numpy as np
 
 from e2e_asr_tpu.config import BeamConfig, Seq2SeqConfig
+from e2e_asr_tpu.core import mesh as mesh_lib
 from e2e_asr_tpu.core import quant
 from e2e_asr_tpu.data import text
 from e2e_asr_tpu.eval.beam import beam_decode
@@ -140,15 +141,7 @@ class BeamEvaluator:
             params = jax.device_put(params, NamedSharding(self.mesh, P()))
         try:
             for batch in batches:
-                if (self.mesh is not None and batch["logmel"].shape[0]
-                        % self.mesh.shape["data"] == 0):
-                    from jax.sharding import NamedSharding
-                    from jax.sharding import PartitionSpec as P
-                    sh = NamedSharding(self.mesh, P("data"))
-                    batch = dict(batch)
-                    batch["logmel"] = jax.device_put(batch["logmel"], sh)
-                    batch["logmel_len"] = jax.device_put(
-                        batch["logmel_len"], sh)
+                batch = mesh_lib.shard_decode_batch(batch, self.mesh)
                 tokens, lens, scores = self._decode(params, batch)
                 tokens = np.asarray(tokens)
                 lens = np.asarray(lens)

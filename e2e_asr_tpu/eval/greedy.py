@@ -13,6 +13,7 @@ import jax
 import numpy as np
 
 from e2e_asr_tpu.config import Seq2SeqConfig
+from e2e_asr_tpu.core import mesh as mesh_lib
 from e2e_asr_tpu.core import quant
 from e2e_asr_tpu.data import text
 from e2e_asr_tpu.eval import score as score_lib
@@ -46,16 +47,6 @@ class GreedyEvaluator:
                                         compute_dtype=compute_dtype)
         self._decode = jax.jit(decode)
 
-    def _ship(self, feats, feat_lens):
-        """Shard a decode batch over the mesh's data axis (replicated-safe
-        fallback when the batch rows don't divide — e.g. a padded tail)."""
-        if self.mesh is None or feats.shape[0] % self.mesh.shape["data"]:
-            return feats, feat_lens
-        import jax as _jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P("data"))
-        return _jax.device_put(feats, sh), _jax.device_put(feat_lens, sh)
-
     def __call__(self, params, batches, *, write_files: bool = True) -> float:
         """Returns the filler-filtered WER over `batches` (an iterable of
         dataset batches with `valid` masks). Evaluators that set
@@ -76,15 +67,13 @@ class GreedyEvaluator:
                 if write_files and nb_decode is not None else None)
         if self.mesh is not None:
             # Replicate params across the mesh once; per-batch features
-            # shard over "data" in _ship.
+            # shard over "data" in core/mesh.shard_decode_batch.
             import jax as _jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             params = _jax.device_put(params, NamedSharding(self.mesh, P()))
         try:
             for batch in batches:
-                batch = dict(batch)
-                batch["logmel"], batch["logmel_len"] = self._ship(
-                    batch["logmel"], batch["logmel_len"])
+                batch = mesh_lib.shard_decode_batch(batch, self.mesh)
                 if nb_decode is not None:
                     seqs, _, scores = nb_decode(
                         params=params, feats=batch["logmel"],

@@ -79,9 +79,14 @@ class Trainer:
             jax.config.update("jax_default_prng_impl",
                               self.train_cfg.rng_impl)
         pp_mesh = sp_mesh = None
-        n_ep = self.train_cfg.ep_shards
-        has_pp_sp = (self.train_cfg.pp_stages > 1
-                     or self.train_cfg.sp_shards > 1)
+        # use_mesh=False (launch_eval) means "no training parallelism": skip
+        # the pp/sp/ep mesh construction AND its flag validation entirely —
+        # decoding is serial or eval-DP (launch_eval builds its own ("data",)
+        # mesh), and the eval host may have fewer devices than training did.
+        training = use_mesh
+        n_ep = self.train_cfg.ep_shards if training else 1
+        has_pp_sp = training and (self.train_cfg.pp_stages > 1
+                                  or self.train_cfg.sp_shards > 1)
         if n_ep > 1:
             if self.model_cfg.encoder.moe_experts < 1:
                 raise ValueError("-ep_shards needs -moe_experts (there are "
@@ -96,7 +101,7 @@ class Trainer:
                 raise ValueError("-ep_shards is mutually exclusive with "
                                  "-data_axis/-model_axis (compose them "
                                  "through -pp_stages/-sp_shards)")
-        if self.train_cfg.pp_stages > 1 or self.train_cfg.sp_shards > 1:
+        if has_pp_sp:
             # Pipeline/sequence parallelism claims the devices as stages /
             # time shards (core/pipeline.py, core/seq_parallel.py); the
             # ("data","model") mesh is not combined with them for now.

@@ -198,6 +198,14 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     if pp_mesh is not None or sp_mesh is not None:
         from functools import partial
 
+        if distill is not None:
+            # distill_loss runs TWO encoders (student + teacher with its own
+            # architecture); encode_fn is built for the student's depth/mesh
+            # and would silently not reach either. Reject rather than run
+            # serial while claiming pipeline parallelism.
+            raise NotImplementedError(
+                "-distill_dir under -pp_stages/-sp_shards is not supported; "
+                "run distillation without pipeline/sequence parallelism")
         if pp_mesh is not None:
             from e2e_asr_tpu.core import pipeline as pipeline_lib
             encode_fn = partial(pipeline_lib.encode_pipeline, mesh=pp_mesh,

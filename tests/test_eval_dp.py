@@ -86,3 +86,47 @@ def test_eval_dp_indivisible_batch_falls_back(rng, tmp_path):
     w_p = GreedyEvaluator(cfg, rev_vocab, str(tmp_path / "p"), mesh=mesh)(
         params, iter(batches))
     assert w_s == w_p
+
+
+def test_eval_trainer_skips_training_parallelism_flags(tmp_path):
+    """Eval (Trainer use_mesh=False) must not validate or build training
+    parallelism meshes: an EP-trained model evals with -data_axis (the
+    review-found crash), and a pp x dp x ep config evals on a host with
+    fewer devices than training used."""
+    import argparse
+
+    from e2e_asr_tpu import config as config_lib
+    from e2e_asr_tpu.data.synth import make_vocab_dir, write_speech_corpus
+    from e2e_asr_tpu.train.loop import Trainer
+
+    root = str(tmp_path)
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    make_vocab_dir(os.path.join(root, "vocab"))
+    write_speech_corpus(os.path.join(data, "train_1k.0.0001"), 8,
+                        feat_length=8, char_vocab=20, min_tokens=3,
+                        max_tokens=5, frames_per_token=4)
+    parser = argparse.ArgumentParser()
+    config_lib.add_parse_options(parser)
+    base = ["-data_dir", data, "-vocab_dir", os.path.join(root, "vocab"),
+            "-tb_dir", os.path.join(root, "models"), "-hsize", "8",
+            "-hsize_dec", "8", "-emb_size", "8", "-attn_vec_size", "4",
+            "-lm_hsize", "8", "-feat_len", "8", "-max_out_char", "8",
+            "-buck_batch_sizes", "4", "-compute_dtype", "float32",
+            "-encoder_type", "transformer", "-num_heads", "2",
+            "-ffn_mult", "2", "-enc_subsample", "4", "-nlc", "2",
+            "-run_id", "55"]
+    # EP model + eval data parallelism: previously raised "-ep_shards is
+    # mutually exclusive with -data_axis".
+    cfg = config_lib.process_args(vars(parser.parse_args(
+        base + ["-moe_experts", "2", "-ep_shards", "2",
+                "-data_axis", "4"])), {"char": 23})
+    t = Trainer(cfg, use_mesh=False)
+    assert t.mesh is None
+    # 3-D training config on a "smaller host": needs 16 devices to train,
+    # but eval must not build that mesh at all.
+    cfg = config_lib.process_args(vars(parser.parse_args(
+        base + ["-moe_experts", "2", "-ep_shards", "2", "-data_axis", "4",
+                "-pp_stages", "2", "-pp_micro", "2"])), {"char": 23})
+    t = Trainer(cfg, use_mesh=False)
+    assert t.mesh is None
