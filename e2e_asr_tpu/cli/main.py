@@ -138,6 +138,10 @@ def launch_eval(cfg: ExperimentConfig) -> None:
 
     start = time.time()
     if cfg.model.model_family == "ctc":
+        if cfg.beam.ilm_weight != 0.0:
+            raise ValueError("-ilm_weight needs a decoder with an internal "
+                             "LM (attention or transducer family); pure CTC "
+                             "has none — its fusion is already density-free")
         from e2e_asr_tpu.eval.greedy import CTCEvaluator
         evaluator = CTCEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
                                  compute_dtype=compute_dtype,
@@ -155,12 +159,14 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                         beam_size=cfg.beam.beam_size,
                                         lm_params=lm_params,
                                         lm_weight=cfg.beam.lm_weight,
+                                        ilm_weight=cfg.beam.ilm_weight,
                                         bias=bias, nbest=cfg.beam.nbest,
                                         mesh=mesh)
         evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
     elif (cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0
           and cfg.beam.ctc_rescore == 0.0 and cfg.beam.joint_ctc == 0.0
+          and cfg.beam.ilm_weight == 0.0
           and bias is None and cfg.beam.nbest <= 1):
         evaluator = GreedyEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
                                     compute_dtype=compute_dtype, mesh=mesh)

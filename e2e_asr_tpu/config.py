@@ -126,6 +126,8 @@ class BeamConfig:
     boost_weight: float = 0.0        # per-matched-token biasing bonus
     nbest: int = 1                   # extension: write the top-N hypotheses
                                      # per utterance (nbest_*.txt)
+    ilm_weight: float = 0.0          # extension: internal-LM subtraction
+                                     # during shallow fusion (ILME / HAT)
 
 
 @dataclass
@@ -397,6 +399,14 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         type=float,
                         help="contextual-biasing bonus per matched token "
                              "(divergence gives partial bonuses back)")
+    parser.add_argument("-ilm_weight", "--ilm_weight", default=0.0,
+                        type=float,
+                        help="extension: subtract w * the model's INTERNAL "
+                             "LM estimate from beam scores during shallow "
+                             "fusion (ILME: zero-context decoder recurrence "
+                             "for the attention family; HAT-style zero-"
+                             "encoder joint for the transducer family) — "
+                             "pair with -lm_path/-lm_weight")
     parser.add_argument("-nbest", "--nbest", default=1, type=int,
                         help="extension: also write the top-N hypotheses "
                              "per utterance with scores (nbest_*.txt); "
@@ -577,9 +587,10 @@ def process_args(options: dict[str, Any],
             raise ValueError("-distill_dir and -mwer are different "
                              "objectives; run them as separate phases")
     if options.get("mwer"):
-        if family != "attention" or options.get("ctc_weight", 0.0) > 0:
-            raise ValueError("-mwer currently covers the attention family "
-                             "(pure CE objective)")
+        if (family not in ("attention", "transducer")
+                or options.get("ctc_weight", 0.0) > 0):
+            raise ValueError("-mwer covers the attention and transducer "
+                             "families (pure CE/NLL objectives)")
         if options.get("grad_accum", 1) > 1:
             raise ValueError("-mwer and -grad_accum are not combined "
                              "(the MWER step scores an n-best per batch)")

@@ -11,7 +11,11 @@ Semantics preserved from the reference:
   finished hypotheses move to a k-slot finished buffer and can never be
   displaced; subsequent steps select only (k - #finished) continuations.
 - shallow fusion: score = log p_dec + lm_weight * log p_lm
-  (beam_search.py:208), both accumulated.
+  (beam_search.py:208), both accumulated. Extension: beam_cfg.ilm_weight
+  additionally subtracts the decoder's INTERNAL LM estimate (ILME, Meng et
+  al. 2021) — a parallel zero-context decoder recurrence whose log-softmax
+  is scaled by -ilm_weight, so the external LM replaces rather than stacks
+  on the model's implicit LM.
 - word_ins_penalty applied per-step on the cumulative score
   (beam_search.py:320-322). We apply it uniformly from step 0, which differs
   from the reference by a constant `penalty * 1` on EVERY hypothesis — since
@@ -67,6 +71,8 @@ class BeamState(NamedTuple):
     fin_cov: Array           # [B, k] coverage term frozen at finalization
     ctc_ps: Any = ()         # CTC prefix-scorer state (joint decoding) or ()
     bias_node: Any = ()      # [B, k] int32 biasing-trie node or ()
+    ilm_cell_states: Any = ()   # zero-context decoder recurrence (ILME) or ()
+    ilm_dec_lm_state: Any = ()  # its internal LM-LSTM state or ()
 
 
 def _cell_step(use_lstm: bool, params, x, state):
@@ -177,6 +183,35 @@ def _dec_step(params: dict, cfg: DecoderConfig, ctx: AttnContext,
             jax.nn.log_softmax(logits, -1))
 
 
+def _ilm_step(params: dict, cfg: DecoderConfig, h_enc: int,
+              inputs: Array, dec_lm_state, cell_states
+              ) -> tuple[Any, Any, Array]:
+    """One step of the decoder's INTERNAL language model estimate (ILME,
+    Meng et al. 2021): the exact `_dec_step` computation with the attention
+    context vector forced to zeros throughout — a separate recurrence whose
+    states never see the encoder. Returns (new_cell_states, new_dec_lm_state,
+    log p_ilm [B,k,V])."""
+    lm_out, new_dec_lm = _cell_step(cfg.use_lstm, params["lm_cell"],
+                                    inputs, dec_lm_state)
+    if "simple_proj" in params:
+        lm_out = dense(params["simple_proj"], lm_out)
+    zero_ctx = jnp.zeros(lm_out.shape[:-1] + (h_enc,), lm_out.dtype)
+    x = dense(params["input_proj"],
+              jnp.concatenate([lm_out, zero_ctx], axis=-1))
+    new_cell_states = []
+    h = x
+    for layer, cp in enumerate(params["dec_cells"]):
+        h, new_s = _cell_step(cfg.use_lstm, cp, h, cell_states[layer])
+        new_cell_states.append(new_s)
+    new_cell_states = tuple(new_cell_states)
+    top = new_cell_states[-1]
+    query = top.c if cfg.use_lstm else top
+    proj = dense(params["attn_proj"], jnp.concatenate([query, zero_ctx], -1))
+    out_proj = params["output_proj_ind" if cfg.ind_softmax else "output_proj"]
+    logits = dense(out_proj, proj)
+    return new_cell_states, new_dec_lm, jax.nn.log_softmax(logits, -1)
+
+
 def _lm_step(lm_params: dict, state, x) -> tuple[Any, Array]:
     """External fusion LM step: returns (new_state, log_probs [B,k,V])."""
     from e2e_asr_tpu.models.rnn_lm import fusion_step
@@ -232,6 +267,7 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     V = dec_cfg.vocab_size
     max_steps = beam_cfg.max_steps
     use_lm = lm_params is not None and beam_cfg.lm_weight != 0.0
+    use_ilm = beam_cfg.ilm_weight != 0.0
     use_joint = ctc_scorer is not None and beam_cfg.joint_ctc > 0.0
     use_bias = bias is not None and bias[1] != 0.0
     jw = beam_cfg.joint_ctc
@@ -245,7 +281,7 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     # per utterance (ops/beam_megakernel.py) — no per-step launch cost.
     from e2e_asr_tpu.ops import beam_megakernel as bmk
     if (use_sel_kernel and not use_lm and not use_cov and not return_nbest
-            and not use_joint and not use_bias
+            and not use_joint and not use_bias and not use_ilm
             and bmk.supported(dec_cfg, beam_cfg, dec_params, T_enc,
                               enc_states.shape[-1], B)):
         return bmk.beam_decode_mega(dec_params, dec_cfg, beam_cfg,
@@ -277,6 +313,12 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         fin_cov=jnp.zeros((B, k)),
         ctc_ps=(ctc_scorer.init_state(k) if use_joint else ()),
         bias_node=(jnp.zeros((B, k), jnp.int32) if use_bias else ()),
+        ilm_cell_states=(tuple(
+            _zero_cell_state(dec_cfg.use_lstm, (B, k), dec_cfg.hidden_size_dec)
+            for _ in range(dec_cfg.num_layers_dec)) if use_ilm else ()),
+        ilm_dec_lm_state=(_zero_cell_state(
+            dec_cfg.use_lstm, (B, k), dec_cfg.lm_hidden_size)
+            if use_ilm else ()),
     )
 
     def cov_term(cum_alpha):
@@ -309,6 +351,14 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             combined = combined + beam_cfg.lm_weight * lm_logp
         else:
             new_lm_state = state.lm_state
+        if use_ilm:
+            # ILME: subtract the decoder's own (zero-context) LM estimate so
+            # the external LM replaces, rather than stacks on, the internal
+            # one (density-ratio/ILME fusion).
+            new_ilm_cells, new_ilm_dec_lm, ilm_logp = _ilm_step(
+                dec_params, dec_cfg, enc_states.shape[-1], state.inputs,
+                state.ilm_dec_lm_state, state.ilm_cell_states)
+            combined = combined - beam_cfg.ilm_weight * ilm_logp
         if use_bias:
             from e2e_asr_tpu.eval import biasing
             b_delta, b_targets = biasing.bias_step(bias[0], state.bias_node,
@@ -377,6 +427,11 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             sel_parent)
         (g_cell_states, g_dec_lm, g_context, g_lm_state,
          g_cum_alpha) = new_state_tree
+        if use_ilm:
+            g_ilm_cells, g_ilm_dec_lm = _gather_beam(
+                (new_ilm_cells, new_ilm_dec_lm), sel_parent)
+        else:
+            g_ilm_cells, g_ilm_dec_lm = (), ()
 
         safe_token = jnp.where(slot_valid, sel_token, 0)
         new_inputs = emb[safe_token]
@@ -415,6 +470,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             fin_cov=fin_cov,
             ctc_ps=new_ctc_ps,
             bias_node=new_bias_node,
+            ilm_cell_states=g_ilm_cells,
+            ilm_dec_lm_state=g_ilm_dec_lm,
         )
 
     final = jax.lax.while_loop(cond, body, init)

@@ -186,7 +186,7 @@ class TransducerEvaluator(GreedyEvaluator):
     def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
                  out_dir: str, *, compute_dtype=None, beam_size: int = 1,
                  file_prefix: str = "asr", lm_params: dict | None = None,
-                 lm_weight: float = 0.0,
+                 lm_weight: float = 0.0, ilm_weight: float = 0.0,
                  bias: tuple[dict, float] | None = None, nbest: int = 1,
                  mesh=None):
         self.cfg = cfg
@@ -195,6 +195,7 @@ class TransducerEvaluator(GreedyEvaluator):
         self.file_prefix = file_prefix
         self.mesh = mesh
         use_lm = lm_weight != 0.0
+        use_ilm = ilm_weight != 0.0
         if use_lm and lm_params is None:
             # Unlike the attention family the transducer has no internal
             # weight-tied LM to fall back to (rnn_lm.shared_lm_params reads
@@ -214,11 +215,12 @@ class TransducerEvaluator(GreedyEvaluator):
                 seqs, lens, scores = transducer_beam_decode(
                     params, cfg, attn_states[depth], enc_lens[depth],
                     beam_size=k, compute_dtype=compute_dtype,
-                    lm_params=lm_params, lm_weight=lm_weight, bias=bias)
+                    lm_params=lm_params, lm_weight=lm_weight,
+                    ilm_weight=ilm_weight, bias=bias)
                 return (seqs[:, :nbest], lens[:, :nbest], scores[:, :nbest])
             self._nbest_decode = jax.jit(nb)
             self._decode = None
-        elif beam_size > 1 or use_lm or bias is not None:
+        elif beam_size > 1 or use_lm or use_ilm or bias is not None:
             from e2e_asr_tpu.eval.transducer_beam import transducer_beam_search
 
             def decode(params, feats, feat_lens):
@@ -226,7 +228,7 @@ class TransducerEvaluator(GreedyEvaluator):
                 tokens, _ = transducer_beam_search(
                     params, cfg, feats, feat_lens, beam_size=max(beam_size, 1),
                     compute_dtype=compute_dtype, lm_params=lm_params,
-                    lm_weight=lm_weight, bias=bias)
+                    lm_weight=lm_weight, ilm_weight=ilm_weight, bias=bias)
                 return tokens
             self._decode = jax.jit(decode)
         else:

@@ -62,6 +62,7 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
     from e2e_asr_tpu.core import quant
 
     use_lm = beam_cfg.lm_weight != 0.0
+    use_ilm = beam_cfg.ilm_weight != 0.0
     use_bias = bias is not None and bias[1] != 0.0
     k = max(beam_cfg.beam_size, 2) if nbest_scores else beam_cfg.beam_size
     if cfg.model_family == "transducer":
@@ -72,7 +73,7 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
         @jax.jit
         def run(params, feats, feat_lens):
             params = quant.maybe_dequantize(params)
-            if k > 1 or use_lm or use_bias:
+            if k > 1 or use_lm or use_ilm or use_bias:
                 from e2e_asr_tpu.eval import transducer_beam as tb
                 from e2e_asr_tpu.models import seq2seq as s2s
                 attn_states, _, enc_lens = s2s.encode(
@@ -83,7 +84,7 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
                     params, cfg, attn_states[depth], enc_lens[depth],
                     beam_size=max(k, 1), compute_dtype=compute_dtype,
                     lm_params=lm_params, lm_weight=beam_cfg.lm_weight,
-                    bias=bias)
+                    ilm_weight=beam_cfg.ilm_weight, bias=bias)
                 if nbest_scores:
                     return seqs[:, 0], lens_k[:, 0], scores
                 return seqs[:, 0], lens_k[:, 0], scores[:, 0]
@@ -96,6 +97,10 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
         if use_lm and lm_params is None:
             raise ValueError("CTC LM fusion needs lm_params "
                              "(no internal shared LM in this family)")
+        if use_ilm:
+            raise ValueError("ilm_weight needs a decoder-bearing family "
+                             "(attention/transducer); pure CTC has no "
+                             "internal LM to subtract")
 
         @jax.jit
         def run(params, feats, feat_lens):
@@ -169,13 +174,17 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                 params, cfg, attn_states[depth], enc_lens[depth],
                 beam_size=k, compute_dtype=compute_dtype,
                 lm_params=lm_params, lm_weight=beam_cfg.lm_weight,
-                bias=(tries, weight))
+                ilm_weight=beam_cfg.ilm_weight, bias=(tries, weight))
             return (seqs[:, 0], lens_k[:, 0],
                     scores if nbest_scores else scores[:, 0])
     elif cfg.model_family == "ctc":
         if use_lm and lm_params is None:
             raise ValueError("CTC LM fusion needs lm_params "
                              "(no internal shared LM in this family)")
+        if beam_cfg.ilm_weight != 0.0:
+            raise ValueError("ilm_weight needs a decoder-bearing family "
+                             "(attention/transducer); pure CTC has no "
+                             "internal LM to subtract")
 
         @jax.jit
         def run(params, feats, feat_lens, tries):

@@ -27,6 +27,12 @@ Properties:
   The LM state advances only on emissions, exactly like eval/beam.py's
   fusion LM. Pinned by an exhaustive-enumeration oracle in
   tests/test_transducer_beam.py.
+- Optional internal-LM subtraction (`ilm_weight`, HAT-style — Variani et
+  al. 2020 / Meng et al. 2021): the transducer's implicit LM is estimated
+  by the joint with the encoder contribution ZEROED, log-softmaxed over
+  labels only (blank is a lattice transition, not a word event); label
+  emissions subtract ilm_weight * log p_ilm so an external LM replaces the
+  internal one instead of stacking on it. Same enumeration oracle.
 """
 from __future__ import annotations
 
@@ -48,6 +54,7 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
                            compute_dtype=None, max_output: int | None = None,
                            lm_params: dict | None = None,
                            lm_weight: float = 0.0,
+                           ilm_weight: float = 0.0,
                            bias: tuple[dict, float] | None = None
                            ) -> tuple[Array, Array, Array]:
     """Beam search over encoder states.
@@ -57,6 +64,9 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         lm_params: optional external fusion LM
             ({"embedding","lstm","output_proj"[,"simple_proj"]}, the
             rnn_lm.shared_lm_params layout) — engaged when lm_weight != 0.
+        ilm_weight: HAT-style internal-LM subtraction on label emissions
+            (log-softmax over labels of the zero-encoder joint); pair with
+            lm_weight so the external LM replaces the internal estimate.
         bias: (trie, boost_weight) contextual biasing (eval/biasing.py) on
             label emissions; unfinished partial matches give their bonus
             back at the final comparison.
@@ -98,6 +108,7 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         "pred_p": pred_p0,
     }
     use_lm = lm_params is not None and lm_weight != 0.0
+    use_ilm = ilm_weight != 0.0
     use_bias = bias is not None and bias[1] != 0.0
     if use_bias:
         from e2e_asr_tpu.eval import biasing
@@ -134,6 +145,16 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
                 lm_lp, lm_new = fusion_step(lm_params, c["lm_in"],
                                             c["lm_state"])
                 ext = ext + lm_weight * lm_lp
+            if use_ilm:
+                # HAT-style internal LM: the joint with zero encoder
+                # contribution, normalized over labels only (blank masked).
+                # Depends only on the carried pred_p — one extra V-proj.
+                ilm_logits = dense(joint["out"], jnp.tanh(c["pred_p"]),
+                                   compute_dtype=compute_dtype
+                                   ).astype(jnp.float32)
+                ilm_lp = jax.nn.log_softmax(
+                    ilm_logits.at[:, :, BLANK_ID].set(NEG_INF), axis=-1)
+                ext = ext - ilm_weight * ilm_lp.at[:, :, BLANK_ID].set(0.0)
             if use_bias:
                 b_delta, b_targets = biasing.bias_step(bias[0],
                                                        c["bias_node"],
@@ -228,7 +249,7 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
 def transducer_beam_search(params: dict, cfg, feats: Array, feat_lens: Array,
                            *, beam_size: int = 8, max_expansions: int = 3,
                            compute_dtype=None, lm_params: dict | None = None,
-                           lm_weight: float = 0.0,
+                           lm_weight: float = 0.0, ilm_weight: float = 0.0,
                            bias: tuple[dict, float] | None = None
                            ) -> tuple[Array, Array]:
     """End-to-end: encoder + transducer beam. Returns the best hypothesis's
@@ -240,5 +261,5 @@ def transducer_beam_search(params: dict, cfg, feats: Array, feat_lens: Array,
         params, cfg, attn_states[depth], enc_lens[depth],
         beam_size=beam_size, max_expansions=max_expansions,
         compute_dtype=compute_dtype, lm_params=lm_params,
-        lm_weight=lm_weight, bias=bias)
+        lm_weight=lm_weight, ilm_weight=ilm_weight, bias=bias)
     return seqs[:, 0], lens[:, 0]

@@ -1,4 +1,5 @@
-"""Minimum-WER (MWER) sequence training for the attention family.
+"""Minimum-WER (MWER) sequence training for the attention and transducer
+families.
 
 Fine-tuning objective (Prabhavalkar et al. 2018, "Minimum Word Error Rate
 Training for Attention-based Sequence-to-Sequence Models"): instead of
@@ -30,6 +31,16 @@ teacher-forced log P is a complete sequence probability, so p̂ is properly
 comparable across lengths. Utterances with no finished candidate fall back
 to the CE term alone that step (mask: zero MWER contribution).
 
+Transducer form (Weng et al. 2020 / Guo et al., MBR for RNN-T): the n-best
+comes from the time-synchronous beam (eval/transducer_beam.py) and each
+candidate's log P(y|x) is the FULL lattice marginal (core/transducer_loss)
+— exact and differentiable, no single-alignment approximation. Every beam
+hypothesis is complete by construction (it consumed all T frames), so the
+validity mask is just the live-slot mask; duplicate label sequences (the
+per-alignment beam can surface one sequence through two alignments) are
+deduplicated on the host so p̂ doesn't double-count a sequence's mass. The
+anchor term is the family's own CE (the transducer NLL on the reference).
+
 No reference counterpart (/root/reference trains pure CE); the reference's
 Adam/clip/dynamic-LR optimizer is reused unchanged so MWER fine-tuning
 resumes a CE checkpoint's optimizer state.
@@ -59,9 +70,13 @@ def make_mwer_fns(model_cfg: Seq2SeqConfig, *, nbest: int = 4,
     error counts flow between them through the host (count_word_errors).
     `freeze` path substrings train with zero gradient, exactly as in the
     CE step (train/step.py apply_freeze)."""
+    if model_cfg.model_family == "transducer":
+        return _make_transducer_mwer_fns(
+            model_cfg, nbest=nbest, ce_weight=ce_weight,
+            compute_dtype=compute_dtype, freeze=freeze)
     if model_cfg.model_family != "attention" or model_cfg.ctc_weight > 0:
-        raise ValueError("-mwer currently covers the attention family "
-                         "(pure CE objective)")
+        raise ValueError("-mwer covers the attention and transducer "
+                         "families (pure CE/NLL objectives)")
     from e2e_asr_tpu.eval.beam import beam_decode
 
     dec_cfg = model_cfg.decoders["char"]
@@ -134,28 +149,127 @@ def make_mwer_fns(model_cfg: Seq2SeqConfig, *, nbest: int = 4,
 
         (total, (mwer, ce, per_task)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        if freeze:
-            flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
-            grads = jax.tree_util.tree_unflatten(treedef, [
-                jnp.zeros_like(g) if any(
-                    f in "/".join(getattr(k, "key", getattr(k, "name",
-                                                            str(k)))
-                                  for k in path_) for f in freeze) else g
-                for path_, g in flat])
-        asr_opt = step_lib.make_optimizer(model_cfg.learning_rate,
-                                          model_cfg.max_gradient_norm,
-                                          model_cfg.lr_warmup_steps)
-        import optax
-        updates, new_opt = asr_opt.update(grads, state.opt_state,
-                                          state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state._replace(params=new_params, opt_state=new_opt,
-                                   global_step=state.global_step + 1)
+        new_state = _apply_update(state, grads, model_cfg, freeze)
         metrics = {"loss": total, "mwer": mwer, "loss_char": ce,
                    **{f"ce_{t}": v for t, v in per_task.items()}}
         return new_state, metrics
 
     return decode_nbest, grad_step
+
+
+def _apply_update(state: step_lib.TrainState, grads, model_cfg, freeze):
+    """Shared MWER optimizer tail: freeze masking + the CE phase's Adam
+    (same slots, so MWER resumes a CE run's optimizer state)."""
+    if freeze:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
+        grads = jax.tree_util.tree_unflatten(treedef, [
+            jnp.zeros_like(g) if any(
+                f in "/".join(getattr(k, "key", getattr(k, "name",
+                                                        str(k)))
+                              for k in path_) for f in freeze) else g
+            for path_, g in flat])
+    asr_opt = step_lib.make_optimizer(model_cfg.learning_rate,
+                                      model_cfg.max_gradient_norm,
+                                      model_cfg.lr_warmup_steps)
+    import optax
+    updates, new_opt = asr_opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return state._replace(params=new_params, opt_state=new_opt,
+                          global_step=state.global_step + 1)
+
+
+def _make_transducer_mwer_fns(model_cfg: Seq2SeqConfig, *, nbest: int,
+                              ce_weight: float, compute_dtype,
+                              freeze: tuple[str, ...]):
+    """Transducer MWER closures: n-best from the time-synchronous beam,
+    candidate log P(y|x) = the exact lattice marginal (differentiable
+    through core/transducer_loss's custom-VJP kernels)."""
+    from e2e_asr_tpu.core.transducer_loss import transducer_loss
+    from e2e_asr_tpu.eval.transducer_beam import transducer_beam_decode
+    from e2e_asr_tpu.models import transducer
+    from e2e_asr_tpu.train.step import _ctc_labels
+
+    depth = model_cfg.num_layers["char"]
+
+    @jax.jit
+    def decode_nbest(params, feats, feat_lens):
+        """-> (seqs [B, k, cap], lens [B, k], valid [B, k]). Every live
+        beam slot is a complete hypothesis (all T frames consumed), so
+        validity is just the live mask; zero-length hypotheses are valid
+        complete transcriptions for this family."""
+        attn_states, _, enc_lens = seq2seq.encode(
+            params, model_cfg, feats, feat_lens, compute_dtype=compute_dtype)
+        seqs, lens, scores = transducer_beam_decode(
+            params, model_cfg, attn_states[depth], enc_lens[depth],
+            beam_size=nbest, compute_dtype=compute_dtype)
+        return seqs, lens, scores > NEG_INF / 2
+
+    @jax.jit
+    def grad_step(state: step_lib.TrainState, batch: dict, seqs: Array,
+                  lens: Array, valid: Array, errors: Array, rng: Array):
+        B, k, L = seqs.shape
+
+        def loss_fn(params):
+            attn_states, _, enc_lens = seq2seq.encode(
+                params, model_cfg, batch["logmel"], batch["logmel_len"],
+                compute_dtype=compute_dtype)
+            enc, el = attn_states[depth], enc_lens[depth]
+            # One encoder pass, tiled k-fold for candidate scoring.
+            H = enc.shape[-1]
+            enc_t = jnp.broadcast_to(enc[:, None], (B, k) + enc.shape[1:]
+                                     ).reshape(B * k, enc.shape[1], H)
+            el_t = jnp.broadcast_to(el[:, None], (B, k)).reshape(B * k)
+            labels = seqs.reshape(B * k, L)
+            lab_lens = lens.reshape(B * k)
+            pred = transducer.pred_states(params["pred"], model_cfg, labels,
+                                          lab_lens,
+                                          compute_dtype=compute_dtype)
+            blank_lp, label_lp = transducer.lattice_logprobs(
+                params, labels, enc_t, pred, compute_dtype=compute_dtype)
+            # Exact sequence log-marginal; NOT a single-alignment score.
+            seq_lp = -transducer_loss(blank_lp, label_lp, el_t,
+                                      lab_lens).reshape(B, k)
+
+            masked = jnp.where(valid, seq_lp, NEG_INF)
+            p_hat = jax.nn.softmax(masked, axis=1)
+            any_valid = jnp.any(valid, axis=1)
+            expected = jnp.sum(p_hat * jax.lax.stop_gradient(errors), axis=1)
+            mwer = jnp.sum(jnp.where(any_valid, expected, 0.0)) / jnp.maximum(
+                jnp.sum(any_valid), 1)
+
+            tb = dict(batch)
+            tb["labels"], tb["label_lens"] = _ctc_labels(batch)
+            ce = transducer.loss(params, model_cfg, tb, rng=rng,
+                                 compute_dtype=compute_dtype)
+            return mwer + ce_weight * ce, (mwer, ce)
+
+        (total, (mwer, ce)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_update(state, grads, model_cfg, freeze)
+        metrics = {"loss": total, "mwer": mwer, "loss_char": ce,
+                   "ce_char": ce}
+        return new_state, metrics
+
+    return decode_nbest, grad_step
+
+
+def dedup_candidates(seqs: np.ndarray, lens: np.ndarray,
+                     valid: np.ndarray) -> np.ndarray:
+    """Invalidate repeat label sequences within each row's n-best (keep the
+    first, i.e. best-scored, occurrence). Needed for the transducer family,
+    whose per-alignment beam can surface one sequence through two
+    alignments — the MWER posterior would double-count its marginal."""
+    valid = valid.copy()
+    for b in range(valid.shape[0]):
+        seen = set()
+        for j in range(valid.shape[1]):
+            if not valid[b, j]:
+                continue
+            key = tuple(seqs[b, j, : lens[b, j]])
+            if key in seen:
+                valid[b, j] = False
+            seen.add(key)
+    return valid
 
 
 def count_word_errors(seqs: np.ndarray, lens: np.ndarray, valid: np.ndarray,
@@ -189,6 +303,10 @@ class MWERStepper:
                  nbest: int = 4, ce_weight: float = 0.01,
                  compute_dtype=None, freeze: tuple[str, ...] = ()):
         self.rev_vocab = rev_vocab
+        # The transducer beam scores per-ALIGNMENT: one label sequence can
+        # occupy two slots via different alignments; p̂ must not count its
+        # (identical, full-marginal) mass twice.
+        self._dedup = model_cfg.model_family == "transducer"
         self._decode, self._grad = make_mwer_fns(
             model_cfg, nbest=nbest, ce_weight=ce_weight,
             compute_dtype=compute_dtype, freeze=freeze)
@@ -201,6 +319,8 @@ class MWERStepper:
         # Padding rows of the fixed-shape batch train on nothing: their
         # candidates count zero errors and CE masks them via char_len.
         valid_h = valid_h & np.asarray(batch["valid"])[:, None]
+        if self._dedup:
+            valid_h = dedup_candidates(seqs_h, lens_h, valid_h)
         errors = count_word_errors(seqs_h, lens_h, valid_h,
                                    np.asarray(batch["char"]), self.rev_vocab)
         return self._grad(state, batch, seqs, lens,

@@ -169,3 +169,107 @@ def test_mwer_respects_freeze(rng):
         state.params["decoder_char"], state2.params["decoder_char"])
     assert max(jax.tree_util.tree_leaves(enc_moved)) == 0.0
     assert max(jax.tree_util.tree_leaves(dec_moved)) > 0.0
+
+
+# ------------------------------------------------------- transducer family
+
+def _trans_cfg(vocab=11):
+    from e2e_asr_tpu.config import (DecoderConfig, EncoderConfig,
+                                    Seq2SeqConfig)
+    cfg = Seq2SeqConfig(tasks=["char"], num_layers={"char": 2},
+                        max_output={"char": 6},
+                        encoder=EncoderConfig(hidden_size=6, out_prob=1.0),
+                        feat_length=4, model_family="transducer")
+    cfg.decoders["char"] = DecoderConfig(hidden_size_dec=8, emb_size=6,
+                                         vocab_size=vocab, joint_dim=8,
+                                         out_prob_dec=1.0, max_output=6)
+    return cfg
+
+
+def _trans_seq_logprob(params, cfg, batch, seqs, lens):
+    """Exact lattice-marginal log P(candidate | x), the quantity the
+    transducer MWER posterior renormalizes."""
+    from e2e_asr_tpu.core.transducer_loss import transducer_loss
+    from e2e_asr_tpu.models import transducer
+    depth = cfg.num_layers["char"]
+    attn_states, _, enc_lens = seq2seq.encode(
+        params, cfg, batch["logmel"], batch["logmel_len"])
+    enc, el = attn_states[depth], enc_lens[depth]
+    B, k, L = seqs.shape
+    H = enc.shape[-1]
+    enc_t = jnp.broadcast_to(enc[:, None], (B, k) + enc.shape[1:]).reshape(
+        B * k, enc.shape[1], H)
+    el_t = jnp.broadcast_to(el[:, None], (B, k)).reshape(B * k)
+    labels, lab_lens = seqs.reshape(B * k, L), lens.reshape(B * k)
+    pred = transducer.pred_states(params["pred"], cfg, labels, lab_lens)
+    blank_lp, label_lp = transducer.lattice_logprobs(params, labels, enc_t,
+                                                     pred)
+    return -transducer_loss(blank_lp, label_lp, el_t, lab_lens).reshape(B, k)
+
+
+def test_transducer_mwer_gradient_prefers_lower_error_candidate(rng):
+    """Transducer MWER (exact lattice-marginal scoring): steps must grow
+    the log-marginal margin of the 0-error candidate over the 3-error one
+    and shrink the expected error."""
+    from e2e_asr_tpu.models import transducer
+    cfg = _trans_cfg()
+    params = transducer.init(jax.random.PRNGKey(0), cfg, vocab_size=11)
+    batch = make_batch(rng, cfg, B=2, T=12, T_dec=5)
+    state = step_lib.create_state(params, cfg, LMConfig())
+
+    _, grad_step = mwer_lib.make_mwer_fns(cfg, nbest=2, ce_weight=0.0)
+    seqs = jnp.asarray(np.array(
+        [[[4, 5, 3, 0], [6, 7, 9, 0]],
+         [[8, 3, 4, 0], [5, 5, 10, 0]]], np.int32))
+    lens = jnp.full((2, 2), 3, jnp.int32)
+    valid = jnp.ones((2, 2), bool)
+    errors = jnp.asarray(np.array([[0.0, 3.0], [0.0, 3.0]], np.float32))
+
+    lp0 = np.asarray(_trans_seq_logprob(state.params, cfg, batch, seqs, lens))
+    margin0 = lp0[:, 0] - lp0[:, 1]
+    first_expected = None
+    for i in range(8):
+        state, metrics = grad_step(state, batch, seqs, lens, valid, errors,
+                                   jax.random.PRNGKey(i))
+        if first_expected is None:
+            first_expected = float(metrics["mwer"])
+    lp1 = np.asarray(_trans_seq_logprob(state.params, cfg, batch, seqs, lens))
+    margin1 = lp1[:, 0] - lp1[:, 1]
+    assert np.all(margin1 > margin0), (margin0, margin1)
+    assert float(metrics["mwer"]) < first_expected
+    assert int(state.global_step) == 8
+
+
+def test_transducer_full_stepper_runs(rng):
+    """Three-phase transducer MWER stepper end to end (decode n-best ->
+    host errors+dedup -> lattice-marginal grad step)."""
+    from e2e_asr_tpu.models import transducer
+    cfg = _trans_cfg()
+    params = transducer.init(jax.random.PRNGKey(3), cfg, vocab_size=11)
+    batch = make_batch(rng, cfg, B=2, T=12, T_dec=5)
+    batch["valid"] = np.array([True, True])
+    state = step_lib.create_state(params, cfg, LMConfig())
+    rev = ["<pad>", "<go>", "<eos>"] + list("▁abcdefgh")
+    stepper = mwer_lib.MWERStepper(cfg, rev, nbest=2, ce_weight=0.01)
+    state2, metrics = stepper(state, batch, jax.random.PRNGKey(0))
+    assert int(state2.global_step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert "mwer" in metrics
+
+
+def test_dedup_candidates():
+    """Duplicate label sequences keep only their first (best) slot; equal
+    PREFIXES with different lengths are distinct."""
+    seqs = np.zeros((1, 4, 5), np.int32)
+    lens = np.array([[3, 3, 2, 3]], np.int32)
+    valid = np.array([[True, True, True, True]])
+    seqs[0, 0, :3] = [4, 5, 6]
+    seqs[0, 1, :3] = [4, 5, 6]       # duplicate of slot 0
+    seqs[0, 2, :2] = [4, 5]          # same prefix, shorter -> distinct
+    seqs[0, 3, :3] = [4, 5, 7]
+    out = mwer_lib.dedup_candidates(seqs, lens, valid)
+    np.testing.assert_array_equal(out[0], [True, False, True, True])
+    # Invalid slots never resurrect.
+    valid2 = np.array([[False, True, True, True]])
+    out2 = mwer_lib.dedup_candidates(seqs, lens, valid2)
+    np.testing.assert_array_equal(out2[0], [False, True, True, True])
