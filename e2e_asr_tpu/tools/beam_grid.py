@@ -13,6 +13,10 @@ Resumable via an append-only perf.txt (grid_search_for_beam.py:59-75); the
 lm_weight dimension is pruned when a configuration is >= 0.05 worse than the
 best so far (grid_search_for_beam.py:99-104). cov_penalty remains a no-op in
 the reference scorer and here, but stays in the sweep for parity of artifacts.
+
+Extension: `ilm_weights` adds the internal-LM-subtraction knob (-ilm_weight,
+eval/beam.py ILME) as a fourth sweep dimension — default (0,) keeps the
+reference's sweep space. Old 4-field perf.txt files resume as ilm=0 rows.
 """
 from __future__ import annotations
 
@@ -31,9 +35,16 @@ def load_perf(perf_file: str) -> dict:
         try:
             with open(perf_file) as f:
                 for line in f:
-                    beam_size, cov, lmw, err = line.strip().split()
+                    fields = line.strip().split()
+                    if len(fields) == 4:          # pre-ilm files: ilm = 0
+                        (beam_size, cov, lmw), err = fields[:3], fields[3]
+                        ilm = "0"
+                    else:
+                        (beam_size, cov, lmw, ilm), err = (fields[:4],
+                                                           fields[4])
                     perf[(int(beam_size), round(float(cov), 4),
-                          round(float(lmw), 4))] = float(err)
+                          round(float(lmw), 4),
+                          round(float(ilm), 4))] = float(err)
             print(f"Loaded {len(perf)} entries from grid search")
         except ValueError:
             perf = {}
@@ -46,6 +57,7 @@ def grid_search(params, model_cfg: Seq2SeqConfig, rev_vocab, dev_batches_fn,
                 beam_sizes=(4, 8, 16),
                 cov_penalties=None,
                 lm_weights=None,
+                ilm_weights=(0,),
                 test_batches_fn=None) -> tuple[BeamConfig, float]:
     """dev_batches_fn: () -> iterable of dataset batches (fresh per config).
 
@@ -67,34 +79,42 @@ def grid_search(params, model_cfg: Seq2SeqConfig, rev_vocab, dev_batches_fn,
         for beam_size in beam_sizes:
             print(f"\nBeam size: {beam_size}")
             for cov in cov_penalties:
-                for lmw in lm_weights:
-                    key = (beam_size, round(float(cov), 4), round(float(lmw), 4))
-                    if key in perf:
-                        print("From previous exec: ", end="")
-                        err = perf[key]
-                    else:
-                        beam_cfg = BeamConfig(beam_size=beam_size,
-                                              cov_penalty=float(cov),
-                                              lm_weight=float(lmw))
-                        evaluator = BeamEvaluator(
-                            model_cfg, beam_cfg, rev_vocab, out_dir,
-                            compute_dtype=compute_dtype, lm_params=lm_params)
-                        err = evaluator(params, dev_batches_fn(),
-                                        write_files=False)
-                        perf_f.write(f"{beam_size} {cov:.4f} {lmw:.4f} {err:f}\n")
-                        perf_f.flush()
-                        perf[key] = err
-                    print(f"ASR Error: {err:.4f}, Beam size: {beam_size}, "
-                          f"cov penalty: {cov:.2f} lm weight: {lmw:.2f}")
-                    if err > best_err + 0.05:
-                        print("Not exploring further increasing lm_weight")
-                        break
-                    if best_err > err:
-                        print("Best config updated!!")
-                        best_err = err
-                        best_cfg = BeamConfig(beam_size=beam_size,
-                                              cov_penalty=float(cov),
-                                              lm_weight=float(lmw))
+                for ilm in ilm_weights:
+                    for lmw in lm_weights:
+                        key = (beam_size, round(float(cov), 4),
+                               round(float(lmw), 4), round(float(ilm), 4))
+                        if key in perf:
+                            print("From previous exec: ", end="")
+                            err = perf[key]
+                        else:
+                            beam_cfg = BeamConfig(beam_size=beam_size,
+                                                  cov_penalty=float(cov),
+                                                  lm_weight=float(lmw),
+                                                  ilm_weight=float(ilm))
+                            evaluator = BeamEvaluator(
+                                model_cfg, beam_cfg, rev_vocab, out_dir,
+                                compute_dtype=compute_dtype,
+                                lm_params=lm_params)
+                            err = evaluator(params, dev_batches_fn(),
+                                            write_files=False)
+                            perf_f.write(f"{beam_size} {cov:.4f} {lmw:.4f} "
+                                         f"{ilm:.4f} {err:f}\n")
+                            perf_f.flush()
+                            perf[key] = err
+                        print(f"ASR Error: {err:.4f}, Beam size: {beam_size}, "
+                              f"cov penalty: {cov:.2f} lm weight: {lmw:.2f}"
+                              + (f" ilm weight: {ilm:.2f}"
+                                 if len(ilm_weights) > 1 else ""))
+                        if err > best_err + 0.05:
+                            print("Not exploring further increasing lm_weight")
+                            break
+                        if best_err > err:
+                            print("Best config updated!!")
+                            best_err = err
+                            best_cfg = BeamConfig(beam_size=beam_size,
+                                                  cov_penalty=float(cov),
+                                                  lm_weight=float(lmw),
+                                                  ilm_weight=float(ilm))
 
     if test_batches_fn is not None:
         final_dir = path.join(out_dir, "final_eval")
@@ -109,5 +129,6 @@ def grid_search(params, model_cfg: Seq2SeqConfig, rev_vocab, dev_batches_fn,
             f.write(f"beam_size {best_cfg.beam_size} "
                     f"cov_penalty {best_cfg.cov_penalty:.4f} "
                     f"lm_weight {best_cfg.lm_weight:.4f} "
+                    f"ilm_weight {best_cfg.ilm_weight:.4f} "
                     f"dev_err {best_err:f} test_err {test_err:f}\n")
     return best_cfg, best_err

@@ -60,11 +60,11 @@ def test_grid_search_resumable(tmp_path, rng):
         beam_sizes=(2,), cov_penalties=[0.05], lm_weights=[0])
     assert os.path.isfile(os.path.join(out_dir, "perf.txt"))
     perf = load_perf(os.path.join(out_dir, "perf.txt"))
-    assert (2, 0.05, 0.0) in perf
+    assert (2, 0.05, 0.0, 0.0) in perf
     # Untrained params give WER >= 1.0, which does not strictly beat the
     # initial best of 1.0 (same as the reference's update rule), so best_cfg
     # may remain the default; the sweep itself must have recorded the entry.
-    assert 0.0 <= perf[(2, 0.05, 0.0)]
+    assert 0.0 <= perf[(2, 0.05, 0.0, 0.0)]
 
     # Resume: same sweep loads from perf.txt (file unchanged afterwards).
     mtime = os.path.getmtime(os.path.join(out_dir, "perf.txt"))
@@ -72,6 +72,33 @@ def test_grid_search_resumable(tmp_path, rng):
     grid_search(params, cfg, rev_vocab, lambda: [batch], out_dir,
                 beam_sizes=(2,), cov_penalties=[0.05], lm_weights=[0])
     assert os.path.getsize(os.path.join(out_dir, "perf.txt")) == size
+
+
+def test_grid_search_ilm_dimension_and_legacy_resume(tmp_path, rng):
+    """ilm_weights adds a 4th sweep dimension; pre-ilm 4-field perf.txt
+    files resume as ilm=0 rows (no recompute of the legacy entries)."""
+    from e2e_asr_tpu.tools.beam_grid import grid_search, load_perf
+    from tests.test_seq2seq import make_batch, tiny_cfg
+    from e2e_asr_tpu.models import seq2seq
+
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    rev_vocab = ["<pad>", "<go>", "<eos>"] + list("abcdefgh")
+    batch = make_batch(rng, cfg)
+    batch["valid"] = np.array([True, True])
+    batch["utt_ids"] = ["u0", "u1"]
+
+    # Legacy 4-field file: the (2, 0.05, 0) cell is pre-computed at a
+    # sentinel error value the sweep could never produce.
+    out_dir = str(tmp_path)
+    with open(os.path.join(out_dir, "perf.txt"), "w") as f:
+        f.write("2 0.0500 0.0000 0.123456\n")
+    grid_search(params, cfg, rev_vocab, lambda: [batch], out_dir,
+                beam_sizes=(2,), cov_penalties=[0.05], lm_weights=[0],
+                ilm_weights=[0, 0.2])
+    perf = load_perf(os.path.join(out_dir, "perf.txt"))
+    assert perf[(2, 0.05, 0.0, 0.0)] == 0.123456   # resumed, not recomputed
+    assert (2, 0.05, 0.0, 0.2) in perf             # new ilm row swept
 
 
 def test_grid_search_final_test_eval(tmp_path, rng):
