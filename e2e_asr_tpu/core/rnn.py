@@ -118,6 +118,69 @@ def gru_scan(params: dict, x_seq: Array, lens: Array,
     return outputs * length_mask(lens, T)[:, :, None]
 
 
+def lstm_scan_stateful(params: dict, x_seq: Array, lens: Array, init_state,
+                       *, compute_dtype=None):
+    """Unidirectional LSTM with an explicit initial state and a
+    length-frozen final state — the exact-streaming building block
+    (models/encoder.apply_streaming): feeding a sequence in chunks with the
+    carried state reproduces one whole-sequence scan exactly.
+
+    Returns (outputs [T,B,H] zeroed past lens, final LSTMState where each
+    example's state stops updating at its own length). Always the XLA scan:
+    streaming chunks are small and the Pallas kernels pin zero init."""
+    T, B, in_dim = x_seq.shape
+    hidden = params["bias"].shape[0] // 4
+    x_proj = cells.lstm_precompute_inputs(params, x_seq, in_dim,
+                                          compute_dtype=compute_dtype)
+    w_h = params["kernel"][in_dim:]
+    if compute_dtype is not None:
+        w_h = w_h.astype(compute_dtype)
+    lens_i = lens.astype(jnp.int32)
+
+    def step(carry, xp):
+        t, state = carry
+        hh = (state.h.astype(w_h.dtype) if compute_dtype is not None
+              else state.h)
+        gates = xp + jnp.dot(hh, w_h, preferred_element_type=jnp.float32)
+        out, new_state = cells._lstm_apply_gates(gates, state.c, hidden)
+        alive = (t < lens_i)[:, None]
+        new_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(alive, n, o), new_state, state)
+        return (t + 1, new_state), out
+
+    (_, final), outputs = jax.lax.scan(
+        step, (jnp.zeros((), jnp.int32), init_state), x_proj)
+    return outputs * length_mask(lens, T)[:, :, None], final
+
+
+def gru_scan_stateful(params: dict, x_seq: Array, lens: Array, init_state,
+                      *, compute_dtype=None):
+    """Unidirectional GRU with explicit initial state + length-frozen final
+    state (see lstm_scan_stateful)."""
+    T, B, _ = x_seq.shape
+    lens_i = lens.astype(jnp.int32)
+
+    def step(carry, x):
+        t, h = carry
+        out, new_h = cells.gru_step(params, x, h, compute_dtype=compute_dtype)
+        alive = (t < lens_i)[:, None]
+        new_h = jnp.where(alive, new_h, h)
+        return (t + 1, new_h), out
+
+    (_, final), outputs = jax.lax.scan(
+        step, (jnp.zeros((), jnp.int32), init_state), x_seq)
+    return outputs * length_mask(lens, T)[:, :, None], final
+
+
+def rnn_layer_stateful(params: dict, x_seq: Array, lens: Array, state, *,
+                       cell: str = "lstm", compute_dtype=None):
+    """One FORWARD-only RNN layer with carried state — the streaming form
+    of rnn_layer(bidirectional=False). Returns (out [T,B,H], new_state)."""
+    scan = lstm_scan_stateful if cell == "lstm" else gru_scan_stateful
+    return scan(params["fw"], x_seq, lens, state,
+                compute_dtype=compute_dtype)
+
+
 def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
               bidirectional: bool = True, compute_dtype=None,
               impl: str = "auto") -> Array:

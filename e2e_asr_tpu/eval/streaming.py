@@ -91,14 +91,29 @@ class StreamingTranscriber:
                  compute_dtype=None, sample_rate: int = 16000,
                  frame_length: int = 400, hop_length: int = 160,
                  n_mels: int | None = None):
+        from e2e_asr_tpu.models import encoder as encoder_lib
         r = longform.reduction_factor(cfg)
-        if window % r or margin % r:
+        # Forward-only recurrent encoders stream EXACTLY: per-layer cell
+        # states carry across chunks, margins/lookahead drop to zero, and
+        # each chunk costs one pass over its own frames instead of
+        # W + 2*margin (models/encoder.apply_streaming).
+        self.exact = (cfg.encoder.encoder_type != "transformer"
+                      and encoder_lib.supports_exact_streaming(cfg.encoder))
+        r_align = r
+        if self.exact:
+            # Chunks must align with EVERY pyramid boundary (not just the
+            # char depth's) so the carried states line up; no margins.
+            r_align = encoder_lib.total_reduction_factor(
+                cfg.encoder, max(cfg.num_layers.values()))
+            margin = 0
+        if window % r_align or margin % r_align:
             raise ValueError(f"window/margin must be multiples of the "
-                             f"encoder reduction factor {r}")
+                             f"encoder reduction factor {r_align}")
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.window, self.margin, self.r = window, margin, r
+        self._enc_state = None          # exact mode: carried cell states
         self.seg = seg_enc_frames
         self.beam_cfg = beam_cfg or BeamConfig()
         self.compute_dtype = compute_dtype
@@ -131,6 +146,8 @@ class StreamingTranscriber:
 
     # -- encoder -----------------------------------------------------------
     def _encode_ready_chunks(self, *, flush: bool = False):
+        if self.exact:
+            return self._encode_ready_chunks_exact(flush=flush)
         W, M = self.window, self.margin
         while True:
             ready = assemble_chunk(self._frames, self._n_chunks, W, M,
@@ -147,6 +164,44 @@ class StreamingTranscriber:
             n_out = math.ceil(main / self.r)
             self._states.append(
                 np.asarray(attn[depth][0, m_out:m_out + n_out]))
+            self._n_chunks += 1
+
+    def _encode_ready_chunks_exact(self, *, flush: bool = False):
+        """Exact streaming encode (forward-only encoders): carry the
+        per-layer cell states across W-frame chunks — zero lookahead, zero
+        margin recompute, outputs byte-equal to one whole-utterance pass
+        (models/encoder.apply_streaming; pinned by
+        tests/test_streaming_exact.py). Frame stacking's (stack_cons - 1)
+        future frames are the only readiness lookahead."""
+        from e2e_asr_tpu.models import encoder as encoder_lib
+        from e2e_asr_tpu.models.seq2seq import stack_frames
+
+        W = self.window
+        s = self.cfg.encoder.stack_cons
+        depth = self.cfg.num_layers["char"]
+        while True:
+            have = self._frames.shape[0]
+            i = self._n_chunks
+            if flush:
+                main = min(W, have - i * W)
+                if main <= 0:
+                    break
+            else:
+                if have < (i + 1) * W + (s - 1):
+                    break
+                main = W
+            raw = self._frames[i * W: i * W + main + (s - 1)]
+            if self._enc_state is None:
+                self._enc_state = encoder_lib.streaming_state(
+                    self.cfg.encoder, max(self.cfg.num_layers.values()), 1)
+            stacked = stack_frames(jnp.asarray(raw)[None], s)[:, :main]
+            attn, lens, self._enc_state = encoder_lib.apply_streaming(
+                self.params["encoder"], self.cfg.encoder, stacked,
+                jnp.asarray([main]), self.cfg.num_layers, self._enc_state,
+                compute_dtype=self.compute_dtype,
+                final=flush and main < W)
+            self._states.append(
+                np.asarray(attn[depth][0, : int(lens[depth][0])]))
             self._n_chunks += 1
 
     # -- decode ------------------------------------------------------------
@@ -304,15 +359,26 @@ class BatchedStreamingServer:
                  compute_dtype=None, sample_rate: int = 16000,
                  frame_length: int = 400, hop_length: int = 160,
                  n_mels: int | None = None):
+        from e2e_asr_tpu.models import encoder as encoder_lib
         r = longform.reduction_factor(cfg)
-        if window % r or margin % r:
+        # Forward-only recurrent encoders stream EXACTLY (see
+        # StreamingTranscriber): carried [S, ...] cell-state rows, margin 0.
+        self.exact = (cfg.encoder.encoder_type != "transformer"
+                      and encoder_lib.supports_exact_streaming(cfg.encoder))
+        r_align = r
+        if self.exact:
+            r_align = encoder_lib.total_reduction_factor(
+                cfg.encoder, max(cfg.num_layers.values()))
+            margin = 0
+        if window % r_align or margin % r_align:
             raise ValueError(f"window/margin must be multiples of the "
-                             f"encoder reduction factor {r}")
+                             f"encoder reduction factor {r_align}")
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.cfg = cfg
         self.rev_vocab = rev_vocab
         self.S = int(max_streams)
         self.window, self.margin, self.r = window, margin, r
+        self._enc_state = None           # exact mode: [S, ...] cell states
         self.seg = seg_enc_frames
         self.beam_cfg = beam_cfg or BeamConfig()
         self.compute_dtype = compute_dtype
@@ -329,6 +395,10 @@ class BatchedStreamingServer:
         for sid in range(self.S):
             if self._sessions[sid] is None:
                 self._sessions[sid] = _Session(self.n_mels)
+                if self.exact and self._enc_state is not None:
+                    # Recycled slot: fresh zero encoder state rows.
+                    self._enc_state = jax.tree_util.tree_map(
+                        lambda a: a.at[sid].set(0.0), self._enc_state)
                 if self.is_transducer:
                     from e2e_asr_tpu.models import transducer
                     fresh = transducer.init_decode_state(
@@ -370,6 +440,60 @@ class BatchedStreamingServer:
                 s.outbox = ""
         return out
 
+    def _encode_rounds_exact(self, active, flush_sids, depth) -> None:
+        """Exact streaming encode rounds (forward-only encoders): one
+        static-shape [S, W(+stacking lookahead), F] apply_streaming call per
+        round, per-layer cell states carried as [S, ...] slot rows. Slots
+        with no ready chunk pass length 0 — the scans freeze their states
+        (rnn.*_scan_stateful), so idle rows ride through unchanged. A flush
+        slot's partial tail rides the same static chunk with its true
+        length; the per-row masking reproduces the whole-utterance tail
+        padding because chunk starts are aligned to every pyramid
+        boundary."""
+        from e2e_asr_tpu.models import encoder as encoder_lib
+        from e2e_asr_tpu.models.seq2seq import stack_frames
+
+        W = self.window
+        s_cons = self.cfg.encoder.stack_cons
+        while True:
+            ready = []
+            for i, s in active:
+                have = s.frames.shape[0]
+                idx = s.n_chunks
+                if i in flush_sids:
+                    main = min(W, have - idx * W)
+                    if main <= 0:
+                        continue
+                else:
+                    if have < (idx + 1) * W + (s_cons - 1):
+                        continue
+                    main = W
+                ready.append((i, s, main))
+            if not ready:
+                break
+            chunks = np.zeros((self.S, W + s_cons - 1, self.n_mels),
+                              np.float32)
+            lens = np.zeros((self.S,), np.int32)
+            for i, s, main in ready:
+                raw = s.frames[s.n_chunks * W:
+                               s.n_chunks * W + main + (s_cons - 1)]
+                chunks[i, :raw.shape[0]] = raw
+                lens[i] = main
+            if self._enc_state is None:
+                self._enc_state = encoder_lib.streaming_state(
+                    self.cfg.encoder, max(self.cfg.num_layers.values()),
+                    self.S)
+            stacked = stack_frames(jnp.asarray(chunks), s_cons)[:, :W]
+            attn, out_lens, self._enc_state = encoder_lib.apply_streaming(
+                self.params["encoder"], self.cfg.encoder, stacked,
+                jnp.asarray(lens), self.cfg.num_layers, self._enc_state,
+                compute_dtype=self.compute_dtype)
+            enc = np.asarray(attn[depth])
+            ol = np.asarray(out_lens[depth])
+            for i, s, main in ready:
+                s.add_states(enc[i, : int(ol[i])])
+                s.n_chunks += 1
+
     def _tick(self, flush_sids: frozenset[int] | set[int]) -> None:
         """Featurize/encode/decode every session's ready work (batched) and
         append the finalized text to each session's outbox."""
@@ -388,7 +512,9 @@ class BatchedStreamingServer:
         W, M = self.window, self.margin
         depth = self.cfg.num_layers["char"]
         m_out = M // self.r
-        while True:
+        if self.exact:
+            self._encode_rounds_exact(active, flush_sids, depth)
+        while self.exact is False:
             ready = []
             for i, s in active:
                 got = assemble_chunk(s.frames, s.n_chunks, W, M, self.n_mels,

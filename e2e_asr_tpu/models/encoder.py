@@ -92,6 +92,89 @@ def pyramid_reduce(x: Array, lens: Array, skip_step: int) -> tuple[Array, Array]
     return x, lens
 
 
+def total_reduction_factor(cfg: EncoderConfig, max_depth: int) -> int:
+    """initial_res_fac x every pyramid reduction in the stack — the chunk
+    alignment apply_streaming requires."""
+    r = cfg.initial_res_fac
+    for red in layer_plan(cfg, max_depth):
+        if red:
+            r *= cfg.skip_step
+    return r
+
+
+def supports_exact_streaming(cfg: EncoderConfig) -> bool:
+    """Whether apply_streaming can reproduce apply() exactly from chunks:
+    a forward-only recurrent stack has no right context at all, so carrying
+    the per-layer cell states across chunk boundaries is exact with ZERO
+    lookahead. Bidirectional and transformer encoders need future frames
+    (margins) instead."""
+    return cfg.encoder_type != "transformer" and not cfg.bi_dir
+
+
+def streaming_state(cfg: EncoderConfig, max_depth: int, batch: int):
+    """Zero carried state for apply_streaming: one cell state per layer."""
+    from e2e_asr_tpu.core import cells
+    mk = (cells.lstm_zero_state if cfg.use_lstm else cells.gru_zero_state)
+    return tuple(mk((batch,), cfg.hidden_size) for _ in range(max_depth))
+
+
+def apply_streaming(params: dict, cfg: EncoderConfig, x: Array,
+                    seq_len: Array, num_layers: dict[str, int], state, *,
+                    compute_dtype=None, final: bool = False):
+    """One chunk of the exact streaming encoder (forward-only stacks).
+
+    x: [B, T_chunk, F] stacked features — T_chunk must be a multiple of the
+    total reduction factor (initial_res_fac x pyramid skips) so pyramid
+    groups align with the whole-utterance run, EXCEPT the last chunk
+    (final=True), whose within-chunk pyramid padding is exactly the
+    whole-utterance tail padding. seq_len: [B] valid frames in this chunk
+    (== T_chunk except the final flush). state: streaming_state() or the
+    previous chunk's carry.
+
+    Returns (attention_states {depth: [B, T_d, H]}, seq_lens {depth: [B]},
+    new_state). Feeding a sequence chunk-by-chunk reproduces apply()'s
+    outputs on the concatenation exactly (pinned by
+    tests/test_streaming_exact.py).
+    """
+    if not supports_exact_streaming(cfg):
+        raise ValueError("exact streaming needs a forward-only recurrent "
+                         "encoder (-bi_dir false, rnn encoder_type); "
+                         "bidirectional/transformer stacks need margins "
+                         "(eval/longform.py)")
+    max_depth = max(num_layers.values())
+    plan = layer_plan(cfg, max_depth)
+    cell = "lstm" if cfg.use_lstm else "gru"
+    if cfg.initial_res_fac > 1:
+        if x.shape[1] % cfg.initial_res_fac and not final:
+            raise ValueError("chunk length must be a multiple of "
+                             f"initial_res_fac ({cfg.initial_res_fac})")
+        x = x[:, ::cfg.initial_res_fac, :]
+        seq_len = -(-seq_len.astype(jnp.int32) // cfg.initial_res_fac)
+
+    attention_states: dict[int, Array] = {}
+    seq_lens: dict[int, Array] = {}
+    new_state = []
+    layer_in = x
+    for i in range(max_depth):
+        depth = i + 1
+        if plan[i] and layer_in.shape[1] % cfg.skip_step and not final:
+            raise ValueError("chunk length must be a multiple of the total "
+                             "reduction factor (pyramid misalignment at "
+                             f"layer {depth})")
+        out_tm, carry = rnn.rnn_layer_stateful(
+            params[f"layer_{depth}"], jnp.transpose(layer_in, (1, 0, 2)),
+            seq_len, state[i], cell=cell, compute_dtype=compute_dtype)
+        new_state.append(carry)
+        out_bm = jnp.transpose(out_tm, (1, 0, 2))
+        attention_states[depth] = out_bm
+        seq_lens[depth] = seq_len
+        if plan[i]:
+            layer_in, seq_len = pyramid_reduce(out_bm, seq_len, cfg.skip_step)
+        else:
+            layer_in = out_bm
+    return attention_states, seq_lens, tuple(new_state)
+
+
 def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
           num_layers: dict[str, int], *, train: bool = False,
           rng: Array | None = None, compute_dtype=None,
