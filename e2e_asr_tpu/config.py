@@ -66,6 +66,13 @@ class DecoderConfig:
     ind_softmax: bool = False        # independent (non-LM-shared) softmax
     joint_dim: int = 256             # transducer family only: width of the
                                      # additive joint (models/transducer.py)
+    decoder_type: str = "rnn"        # "rnn" (reference) | "transformer"
+                                     # (extension: pre-LN transformer decoder,
+                                     # models/transformer_decoder.py —
+                                     # d_model = hidden_size_dec, blocks =
+                                     # num_layers_dec)
+    dec_heads: int = 4               # transformer decoder attention heads
+    dec_ffn_mult: int = 4            # transformer decoder FFN width multiple
 
 
 @dataclass
@@ -255,6 +262,9 @@ def get_run_dir_name(opts: dict[str, Any]) -> str:
     xfmr_string = ""
     if opts.get("encoder_type", "rnn") == "transformer":
         xfmr_string = "xfmr_" + str(opts.get("num_heads", 4)) + "h_"
+    if opts.get("decoder_type", "rnn") == "transformer":
+        xfmr_string += ("xdec_" + str(opts.get("num_layers_dec", 1)) + "x"
+                        + str(opts.get("dec_heads", 4)) + "h_")
     if opts.get("ctc_weight", 0.0) > 0:
         xfmr_string += "ctc_w" + str(opts["ctc_weight"]) + "_"
     if opts.get("model_family", "attention") == "ctc":
@@ -350,6 +360,18 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-lm_hsize", "--lm_hidden_size", default=256, type=int)
     parser.add_argument("-ind_softmax", "--ind_softmax", default=False,
                         action="store_true")
+    parser.add_argument("-decoder_type", "--decoder_type", default="rnn",
+                        type=str, choices=["rnn", "transformer"],
+                        help="extension: 'transformer' swaps the recurrent "
+                             "attention decoder for a pre-LN transformer "
+                             "decoder (models/transformer_decoder.py) — "
+                             "teacher forcing is one parallel pass, decode "
+                             "carries KV caches in the beam state; "
+                             "d_model=-hsize_dec, blocks=-num_layers_dec")
+    parser.add_argument("-dec_heads", "--dec_heads", default=4, type=int,
+                        help="transformer decoder attention heads")
+    parser.add_argument("-dec_ffn_mult", "--dec_ffn_mult", default=4,
+                        type=int, help="transformer decoder FFN multiple")
     # Seq2seq (seq2seq_model.py:199-216)
     parser.add_argument("-tasks", "--tasks", default="", type=str)
     parser.add_argument("-nlc", "--num_layers_char", default=4, type=int)
@@ -579,6 +601,17 @@ def process_args(options: dict[str, Any],
                 "-ctc_weight is the HYBRID family's knob; the transducer "
                 "family has its own alignment-free objective")
 
+    if options.get("decoder_type", "rnn") == "transformer":
+        if family != "attention":
+            raise ValueError("-decoder_type transformer is the ATTENTION "
+                             "family's decoder; the ctc/transducer families "
+                             "have their own decoders")
+        if options.get("lm_prob", 0.0) > 0 or options.get("pretrain_lm_path"):
+            raise ValueError(
+                "the weight-tied LM task shares the RNN decoder's internal "
+                "LM-LSTM + softmax (lm_encoder.py:101-109); the transformer "
+                "decoder has no such cell — use -lm_prob 0 and fuse an "
+                "external LM at decode time (-lm_path/-lm_weight) instead")
     if options.get("distill_dir"):
         if family != "attention" or options.get("ctc_weight", 0.0) > 0:
             raise ValueError("-distill_dir currently covers the attention "

@@ -149,11 +149,22 @@ def _dec_step_fused(params: dict, cfg: DecoderConfig, ctx: AttnContext,
     return new_cell_states, new_dec_lm, context, alpha, logp
 
 
-def _dec_step(params: dict, cfg: DecoderConfig, ctx: AttnContext,
+def _dec_step(params: dict, cfg: DecoderConfig, ctx,
               state: BeamState) -> tuple[Any, Any, Array, Array]:
     """One decoder step over the whole [B,k] beam. Returns
     (new_cell_states, new_dec_lm_state, new_context, alpha,
-    log_probs [B,k,V])."""
+    log_probs [B,k,V]).
+
+    For transformer decoders (cfg.decoder_type == "transformer") `ctx` is a
+    transformer_decoder.CrossCtx, the "cell states" are the per-block
+    self-attention KV caches (gathered along the beam axis by the standard
+    selection machinery), and the internal-LM state is unused ()."""
+    if cfg.decoder_type == "transformer":
+        from e2e_asr_tpu.models import transformer_decoder as td
+        new_caches, context, alpha, logp = td.step_beam(
+            params, cfg, ctx, state.dec_cell_states, state.inputs, state.t)
+        return new_caches, state.dec_lm_state, context, alpha, logp
+
     from e2e_asr_tpu.core.rnn import use_pallas_lstm
     from e2e_asr_tpu.ops import dec_step_pallas as dsp
 
@@ -268,6 +279,9 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     max_steps = beam_cfg.max_steps
     use_lm = lm_params is not None and beam_cfg.lm_weight != 0.0
     use_ilm = beam_cfg.ilm_weight != 0.0
+    is_xf = dec_cfg.decoder_type == "transformer"
+    if is_xf:
+        from e2e_asr_tpu.models import transformer_decoder as td
     use_joint = ctc_scorer is not None and beam_cfg.joint_ctc > 0.0
     use_bias = bias is not None and bias[1] != 0.0
     jw = beam_cfg.joint_ctc
@@ -280,14 +294,25 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     # Small-batch serving case: run the ENTIRE search in one Pallas launch
     # per utterance (ops/beam_megakernel.py) — no per-step launch cost.
     from e2e_asr_tpu.ops import beam_megakernel as bmk
-    if (use_sel_kernel and not use_lm and not use_cov and not return_nbest
+    if (use_sel_kernel and not is_xf and not use_lm and not use_cov
+            and not return_nbest
             and not use_joint and not use_bias and not use_ilm
             and bmk.supported(dec_cfg, beam_cfg, dec_params, T_enc,
                               enc_states.shape[-1], B)):
         return bmk.beam_decode_mega(dec_params, dec_cfg, beam_cfg,
                                     enc_states, enc_lens)
 
-    ctx = make_attn_context(dec_params, enc_states, enc_lens)
+    if is_xf:
+        ctx = td.make_cross_ctx(dec_params, dec_cfg, enc_states, enc_lens)
+        init_dec_states = td.zero_caches(dec_cfg, (B, k), max_steps)
+        init_dec_lm = ()
+    else:
+        ctx = make_attn_context(dec_params, enc_states, enc_lens)
+        init_dec_states = tuple(
+            _zero_cell_state(dec_cfg.use_lstm, (B, k), dec_cfg.hidden_size_dec)
+            for _ in range(dec_cfg.num_layers_dec))
+        init_dec_lm = _zero_cell_state(dec_cfg.use_lstm, (B, k),
+                                       dec_cfg.lm_hidden_size)
     emb = dec_params["embedding"]
     go = jnp.full((B, k), GO_ID, dtype=jnp.int32)
 
@@ -296,11 +321,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         alive=jnp.zeros((B, k), bool).at[:, 0].set(True),
         scores=jnp.full((B, k), NEG_INF).at[:, 0].set(0.0),
         seqs=jnp.zeros((B, k, max_steps), jnp.int32),
-        dec_cell_states=tuple(
-            _zero_cell_state(dec_cfg.use_lstm, (B, k), dec_cfg.hidden_size_dec)
-            for _ in range(dec_cfg.num_layers_dec)),
-        dec_lm_state=_zero_cell_state(dec_cfg.use_lstm, (B, k),
-                                      dec_cfg.lm_hidden_size),
+        dec_cell_states=init_dec_states,
+        dec_lm_state=init_dec_lm,
         context=jnp.zeros((B, k, enc_states.shape[-1])),
         inputs=emb[go],
         lm_state=(_fusion_init(lm_params, (B, k))[0] if use_lm else ()),
@@ -313,12 +335,15 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         fin_cov=jnp.zeros((B, k)),
         ctc_ps=(ctc_scorer.init_state(k) if use_joint else ()),
         bias_node=(jnp.zeros((B, k), jnp.int32) if use_bias else ()),
-        ilm_cell_states=(tuple(
-            _zero_cell_state(dec_cfg.use_lstm, (B, k), dec_cfg.hidden_size_dec)
-            for _ in range(dec_cfg.num_layers_dec)) if use_ilm else ()),
+        ilm_cell_states=(() if not use_ilm else
+                         td.zero_caches(dec_cfg, (B, k), max_steps) if is_xf
+                         else tuple(
+                             _zero_cell_state(dec_cfg.use_lstm, (B, k),
+                                              dec_cfg.hidden_size_dec)
+                             for _ in range(dec_cfg.num_layers_dec))),
         ilm_dec_lm_state=(_zero_cell_state(
             dec_cfg.use_lstm, (B, k), dec_cfg.lm_hidden_size)
-            if use_ilm else ()),
+            if use_ilm and not is_xf else ()),
     )
 
     def cov_term(cum_alpha):
@@ -355,9 +380,15 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             # ILME: subtract the decoder's own (zero-context) LM estimate so
             # the external LM replaces, rather than stacks on, the internal
             # one (density-ratio/ILME fusion).
-            new_ilm_cells, new_ilm_dec_lm, ilm_logp = _ilm_step(
-                dec_params, dec_cfg, enc_states.shape[-1], state.inputs,
-                state.ilm_dec_lm_state, state.ilm_cell_states)
+            if is_xf:
+                new_ilm_cells, _, _, ilm_logp = td.step_beam(
+                    dec_params, dec_cfg, ctx, state.ilm_cell_states,
+                    state.inputs, state.t, zero_cross=True)
+                new_ilm_dec_lm = ()
+            else:
+                new_ilm_cells, new_ilm_dec_lm, ilm_logp = _ilm_step(
+                    dec_params, dec_cfg, enc_states.shape[-1], state.inputs,
+                    state.ilm_dec_lm_state, state.ilm_cell_states)
             combined = combined - beam_cfg.ilm_weight * ilm_logp
         if use_bias:
             from e2e_asr_tpu.eval import biasing

@@ -232,6 +232,19 @@ def token_attention_frames(params: dict, cfg, enc: Array, enc_lens: Array,
     from e2e_asr_tpu.models import attn_decoder
 
     B, L = tokens.shape
+    go = jnp.ones((B, 1), tokens.dtype)                # <go> = 1
+    if getattr(cfg, "decoder_type", "rnn") == "transformer":
+        # One parallel teacher-forced pass; alpha is the last block's
+        # head-averaged cross-attention (the module's anchor contract).
+        from e2e_asr_tpu.models import transformer_decoder as td
+        inputs = jnp.concatenate([go, tokens[:, :-1]], axis=1)
+        pos = jnp.asarray(td._sinusoidal(L, cfg.hidden_size_dec))
+        x = params["embedding"][inputs] + pos[None]
+        mask = (jnp.arange(enc.shape[1])[None, :]
+                < enc_lens.astype(jnp.int32)[:, None]).astype(jnp.float32)
+        _, alpha = td._full_forward(params, cfg, x, enc, mask,
+                                    compute_dtype=compute_dtype)
+        return jnp.argmax(alpha, axis=-1).astype(jnp.int32)   # [B, L]
     ctx = attn_decoder.make_attn_context(params, enc, enc_lens,
                                          compute_dtype=compute_dtype)
     state0 = attn_decoder.zero_state(cfg, B, ctx)

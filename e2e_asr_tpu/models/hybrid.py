@@ -16,7 +16,7 @@ import optax
 from e2e_asr_tpu.config import Seq2SeqConfig
 from e2e_asr_tpu.core import losses
 from e2e_asr_tpu.core.layers import dense, dense_params
-from e2e_asr_tpu.models import attn_decoder, ctc, seq2seq
+from e2e_asr_tpu.models import ctc, seq2seq
 
 Array = jax.Array
 
@@ -52,7 +52,7 @@ def loss(params: dict, cfg: Seq2SeqConfig, batch: dict, *, ctc_weight: float,
     for i, task in enumerate(cfg.tasks):
         depth = cfg.num_layers[task]
         dec_inputs = jnp.transpose(batch[task], (1, 0))
-        lg = attn_decoder.apply_train(
+        lg = seq2seq.decoder_module(cfg.decoders[task]).apply_train(
             params[f"decoder_{task}"], cfg.decoders[task], dec_inputs,
             attn_states[depth], enc_lens[depth],
             rng=jax.random.fold_in(rng_dec, i), compute_dtype=compute_dtype)

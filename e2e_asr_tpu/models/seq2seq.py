@@ -18,6 +18,18 @@ from e2e_asr_tpu.models import attn_decoder, encoder
 Array = jax.Array
 
 
+def decoder_module(dec_cfg):
+    """The attention family's decoder implementation for a task: the
+    reference's recurrent decoder (models/attn_decoder.py) or the
+    transformer decoder extension (models/transformer_decoder.py) — both
+    expose the same init/apply_train/apply_infer/apply_infer_early
+    contracts."""
+    if getattr(dec_cfg, "decoder_type", "rnn") == "transformer":
+        from e2e_asr_tpu.models import transformer_decoder
+        return transformer_decoder
+    return attn_decoder
+
+
 def init(key: Array, cfg: Seq2SeqConfig) -> dict:
     max_depth = max(cfg.num_layers.values())
     k_enc, *k_decs = jax.random.split(key, 1 + len(cfg.tasks))
@@ -25,7 +37,7 @@ def init(key: Array, cfg: Seq2SeqConfig) -> dict:
     params = {"encoder": encoder.init(k_enc, cfg.encoder, max_depth,
                                       cfg.feat_length)}
     for task, k in zip(cfg.tasks, k_decs):
-        params[f"decoder_{task}"] = attn_decoder.init(
+        params[f"decoder_{task}"] = decoder_module(cfg.decoders[task]).init(
             k, cfg.decoders[task], attn_size)
     return params
 
@@ -77,7 +89,7 @@ def apply_train(params: dict, cfg: Seq2SeqConfig, batch: dict, *, rng: Array,
     for i, task in enumerate(cfg.tasks):
         depth = cfg.num_layers[task]
         dec_inputs = jnp.transpose(batch[task], (1, 0))      # [T, B]
-        logits = attn_decoder.apply_train(
+        logits = decoder_module(cfg.decoders[task]).apply_train(
             params[f"decoder_{task}"], cfg.decoders[task], dec_inputs,
             attn_states[depth], enc_lens[depth],
             rng=jax.random.fold_in(rng_dec, i), compute_dtype=compute_dtype)
@@ -112,13 +124,14 @@ def apply_greedy(params: dict, cfg: Seq2SeqConfig, feats: Array,
     depth = cfg.num_layers[task]
     B = feats.shape[0]
     go_ids = jnp.full((B,), go_id, dtype=jnp.int32)
+    dec = decoder_module(cfg.decoders[task])
     if early_exit:
-        ids = attn_decoder.apply_infer_early(
+        ids = dec.apply_infer_early(
             params[f"decoder_{task}"], cfg.decoders[task], go_ids,
             attn_states[depth], enc_lens[depth],
             max_output=cfg.max_output[task], compute_dtype=compute_dtype)
     else:
-        _, ids = attn_decoder.apply_infer(
+        _, ids = dec.apply_infer(
             params[f"decoder_{task}"], cfg.decoders[task], go_ids,
             attn_states[depth], enc_lens[depth],
             max_output=cfg.max_output[task], compute_dtype=compute_dtype)

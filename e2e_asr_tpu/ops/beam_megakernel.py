@@ -63,6 +63,8 @@ def supported(dec_cfg, beam_cfg, params, T_enc: int, H_enc: int,
     """Mega-kernel eligibility: config scope + VMEM fit + small batch."""
     if os.environ.get("E2E_ASR_NO_MEGA"):
         return False
+    if getattr(dec_cfg, "decoder_type", "rnn") != "rnn":
+        return False
     if beam_cfg.lm_weight != 0.0 or (beam_cfg.apply_cov_penalty
                                      and beam_cfg.cov_penalty != 0.0):
         return False

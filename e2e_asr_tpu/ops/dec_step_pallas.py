@@ -52,6 +52,8 @@ def supported(cfg, params) -> bool:
     """Fused-step eligibility: resident weights must fit VMEM comfortably
     (LSTM/GRU, any depth, with/without SimpleProjection all lower to the
     generic kernel)."""
+    if getattr(cfg, "decoder_type", "rnn") != "rnn":
+        return False
     weight_keys = ("lm_cell", "simple_proj", "input_proj", "dec_cells",
                    "attn_query")
     w_bytes = _param_bytes([params[k] for k in weight_keys if k in params])

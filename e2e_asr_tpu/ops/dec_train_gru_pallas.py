@@ -57,7 +57,8 @@ def supported(cfg, params: dict) -> bool:
     """GRU cells — the whole reference decoder config space: stacked deep
     decoders, SimpleProjection and ind_softmax included (mirrors
     dec_train_pallas.supported for use_lstm=True)."""
-    return not cfg.use_lstm
+    return (not cfg.use_lstm
+            and getattr(cfg, "decoder_type", "rnn") == "rnn")
 
 
 def _dims(params: dict):

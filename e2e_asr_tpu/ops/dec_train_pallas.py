@@ -57,7 +57,7 @@ def supported(cfg, params: dict) -> bool:
     """LSTM cells — the whole reference decoder config space: stacked deep
     decoders, SimpleProjection (lm_hidden != hidden) and ind_softmax
     (OutputProjection2) included since round 3."""
-    return bool(cfg.use_lstm)
+    return bool(cfg.use_lstm) and getattr(cfg, "decoder_type", "rnn") == "rnn"
 
 
 def _dims(params: dict):

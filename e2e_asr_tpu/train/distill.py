@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from e2e_asr_tpu.config import Seq2SeqConfig
 from e2e_asr_tpu.core import losses
-from e2e_asr_tpu.models import attn_decoder, seq2seq
+from e2e_asr_tpu.models import seq2seq
 
 Array = jax.Array
 
@@ -52,7 +52,7 @@ def _char_logits(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
         rng=rng, compute_dtype=compute_dtype)
     depth = cfg.num_layers["char"]
     dec_inputs = jnp.transpose(batch["char"], (1, 0))
-    return attn_decoder.apply_train(
+    return seq2seq.decoder_module(cfg.decoders["char"]).apply_train(
         params["decoder_char"], cfg.decoders["char"], dec_inputs,
         attn_states[depth], enc_lens[depth], rng=rng,
         compute_dtype=compute_dtype)
@@ -71,7 +71,7 @@ def distill_loss(student_params: dict, cfg: Seq2SeqConfig,
         train=True, rng=rng_enc, compute_dtype=compute_dtype)
     depth = cfg.num_layers["char"]
     dec_inputs_char = jnp.transpose(batch["char"], (1, 0))
-    s_logits = attn_decoder.apply_train(
+    s_logits = seq2seq.decoder_module(cfg.decoders["char"]).apply_train(
         student_params["decoder_char"], cfg.decoders["char"],
         dec_inputs_char, attn_states[depth], enc_lens[depth],
         rng=jax.random.fold_in(rng_dec, 0), compute_dtype=compute_dtype)
@@ -98,7 +98,7 @@ def distill_loss(student_params: dict, cfg: Seq2SeqConfig,
     for i, task in enumerate(t for t in cfg.tasks if t != "char"):
         d = cfg.num_layers[task]
         dec_inputs = jnp.transpose(batch[task], (1, 0))
-        lg = attn_decoder.apply_train(
+        lg = seq2seq.decoder_module(cfg.decoders[task]).apply_train(
             student_params[f"decoder_{task}"], cfg.decoders[task],
             dec_inputs, attn_states[d], enc_lens[d],
             rng=jax.random.fold_in(rng_dec, 1 + i),

@@ -56,7 +56,7 @@ import numpy as np
 from e2e_asr_tpu.config import BeamConfig, Seq2SeqConfig
 from e2e_asr_tpu.data import text
 from e2e_asr_tpu.eval.score import edit_distance
-from e2e_asr_tpu.models import attn_decoder, seq2seq
+from e2e_asr_tpu.models import seq2seq
 from e2e_asr_tpu.train import step as step_lib
 
 Array = jax.Array
@@ -122,7 +122,7 @@ def make_mwer_fns(model_cfg: Seq2SeqConfig, *, nbest: int = 4,
             dec_in = jnp.concatenate(
                 [jnp.full((B * k, 1), text.GO_ID, jnp.int32),
                  seqs.reshape(B * k, L)], axis=1).T          # [L+1, B*k]
-            logits = attn_decoder.apply_train(
+            logits = seq2seq.decoder_module(score_cfg).apply_train(
                 params["decoder_char"], score_cfg, dec_in, enc_t, el_t,
                 rng=rng, compute_dtype=compute_dtype)        # [L, B*k, V]
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
