@@ -193,6 +193,76 @@ def _measure_transformer(jax, jnp, rng):
             "params": n_params, "blocks": 4, "d_model": 512}
 
 
+def _measure_transformer_decoder(jax, jnp, rng):
+    """The ALL-transformer seq2seq (transformer encoder + transformer
+    decoder, -decoder_type transformer): train-step throughput and the B=8
+    worst-case beam decode. The decoder's teacher-forced pass is parallel
+    over output positions; decode carries per-block KV caches in the beam
+    state (VALIDATION round-3: decode is gather-bound, ~2.3x the fused RNN
+    decoder per 120-step search, still ~10x the 200x RTFx target)."""
+    import dataclasses
+
+    from __graft_entry__ import _batch, _model_cfg
+    from e2e_asr_tpu.config import BeamConfig, LMConfig
+    from e2e_asr_tpu.eval.beam import beam_decode
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.train import step as step_lib
+
+    cfg = _model_cfg(vocab_size=VOCAB, feat=FEAT)
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(cfg.encoder, encoder_type="transformer",
+                                    num_heads=4, ffn_mult=4, subsample=8),
+        decoders={k: dataclasses.replace(d, decoder_type="transformer",
+                                         num_layers_dec=2, dec_heads=4,
+                                         dec_ffn_mult=4)
+                  for k, d in cfg.decoders.items()})
+    lm_cfg = LMConfig(vocab_size=VOCAB)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    state = step_lib.create_state(params, cfg, lm_cfg)
+    asr_step, _ = step_lib.make_train_step(cfg, lm_cfg,
+                                           compute_dtype=jnp.bfloat16)
+    asr_step = jax.jit(asr_step, donate_argnums=0)
+    batch = _batch(rng, B=TRAIN_B, T=TRAIN_T, feat=FEAT, L=TRAIN_L,
+                   vocab=VOCAB)
+    key = jax.random.PRNGKey(1)
+    state, m = asr_step(state, batch, key)
+    float(m["loss"])
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, m = asr_step(state, batch, key)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / 10)
+
+    # B=8 worst-case (no-<eos>) beam decode on random states.
+    dec_cfg = cfg.decoders["char"]
+    Bd, k = 8, BEAM
+    H_enc = cfg.encoder.hidden_size * 2
+    enc = jnp.asarray(rng.normal(size=(Bd, DECODE_T, H_enc))
+                      .astype(np.float32))
+    enc_lens = jnp.full((Bd,), DECODE_T, jnp.int32)
+    bc = BeamConfig(beam_size=k, max_steps=120)
+    # params was donated into the train step; read the live copy from state.
+    dec_params = state.params["decoder_char"]
+    fn = jax.jit(lambda p, e, el: beam_decode(p, dec_cfg, bc, e, el))
+    _, _, scores = fn(dec_params, enc, enc_lens)
+    float(scores[0])
+    dbest = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _, _, scores = fn(dec_params, enc, enc_lens)
+        float(scores[0])
+        dbest = min(dbest, (time.perf_counter() - t0) / 5)
+    return {"step_ms": best * 1e3,
+            "frames_per_sec": TRAIN_B * TRAIN_T / best,
+            "dec_blocks": 2,
+            "decode_B8_ms": dbest * 1e3,
+            "decode_B8_rtfx": Bd * DECODE_T * FRAME_HOP_S / dbest}
+
+
 def _measure_gru(jax, jnp, rng):
     """Train-step throughput for the GRU family (reference use_lstm=False):
     fused encoder fwd+bwd and fused training-decoder kernels
@@ -467,6 +537,7 @@ def main() -> None:
     frames_per_sec, train_dt = _measure_train(jax, jnp, cfg, lm_cfg, rng)
     full_recipe = _measure_full_recipe(jax, jnp, rng)
     transformer = _measure_transformer(jax, jnp, rng)
+    all_transformer = _measure_transformer_decoder(jax, jnp, rng)
     gru = _measure_gru(jax, jnp, rng)
     rnnt = _measure_transducer(jax, jnp, rng)
     driver_fps, driver_resident_fps = _measure_driver(jax, jnp)
@@ -480,6 +551,7 @@ def main() -> None:
                         "L": TRAIN_L, "vocab": VOCAB},
         "full_recipe": full_recipe,
         "transformer_encoder": transformer,
+        "all_transformer": all_transformer,
         "gru_family": gru,
         "transducer_family": rnnt,
         "driver_frames_per_sec": driver_fps,
