@@ -364,6 +364,95 @@ def test_heads_divisibility_guard():
                 attn_size=8)
 
 
+def _xf_decoders(cfg, **kw):
+    base = dict(decoder_type="transformer", num_layers_dec=2, dec_heads=2,
+                dec_ffn_mult=2)
+    base.update(kw)
+    return dataclasses.replace(cfg, decoders={
+        k: dataclasses.replace(d, **base) for k, d in cfg.decoders.items()})
+
+
+def test_serving_engine_batched_equals_one_by_one(tmp_path):
+    """The dynamic-batching serving engine serves transformer-decoder
+    checkpoints: mixed-length batched == one-by-one transcripts."""
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.data.synth import make_vocab_dir
+    from e2e_asr_tpu.eval.serving import BatchingTranscriber
+    from tests.test_e2e import small_model_cfg
+
+    sizes = make_vocab_dir(str(tmp_path / "vocab"))
+    cfg = _xf_decoders(small_model_cfg(sizes["char"]))
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    _, rev_vocab = text.initialize_vocabulary(
+        str(tmp_path / "vocab" / "char.vocab"))
+    rng = np.random.default_rng(0)
+    feats = [rng.normal(size=(T, 8)).astype(np.float32)
+             for T in (16, 40, 33, 60)]
+    kw = dict(beam_cfg=BeamConfig(beam_size=2, max_steps=16),
+              bucket_frames=(32, 64))
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=4,
+                             max_wait_ms=50, **kw) as batched:
+        got = [f.result(timeout=300) for f in
+               [batched.submit(x) for x in feats]]
+    with BatchingTranscriber(params, cfg, rev_vocab, max_batch=1,
+                             max_wait_ms=1, **kw) as single:
+        want = [single.transcribe(x) for x in feats]
+    assert got == want
+
+
+def test_streaming_push_granularity_invariance(tmp_path):
+    """Attention-family streaming over a transformer-decoder model: the
+    transcript is invariant to how the waveform is split into pushes."""
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.data.synth import make_vocab_dir
+    from e2e_asr_tpu.eval.streaming import StreamingTranscriber
+    from tests.test_longform import tiny_cfg
+
+    make_vocab_dir(str(tmp_path / "v"))
+    _, rev = text.initialize_vocabulary(str(tmp_path / "v" / "char.vocab"))
+    cfg = tiny_cfg()
+    cfg = _xf_decoders(dataclasses.replace(cfg, decoders={
+        "char": dataclasses.replace(cfg.decoders["char"], vocab_size=37)}))
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000.0
+    wave = (np.sin(2 * np.pi * 330 * t)
+            + 0.3 * rng.normal(size=t.shape)).astype(np.float32)
+    kw = dict(window=16, margin=4, seg_enc_frames=6,
+              beam_cfg=BeamConfig(beam_size=2), n_mels=cfg.feat_length)
+
+    st1 = StreamingTranscriber(params, cfg, rev, **kw)
+    out1 = st1.push(wave) + st1.finish()
+    st2 = StreamingTranscriber(params, cfg, rev, **kw)
+    for block in np.array_split(wave, 7):
+        st2.push(block)
+    st2.finish()
+    assert out1 == st2.transcript
+    assert st1.transcript == st2.transcript
+
+
+def test_int8_quantization_mechanism():
+    """core/quant covers the transformer decoder's nested block tree: every
+    2-D kernel quantizes, dequantization stays within per-channel int8
+    error, and the beam decodes the dequantized tree."""
+    from e2e_asr_tpu.core import quant
+
+    cfg = _cfg()
+    params, enc, enc_lens = _setup(cfg)
+    qs = quant.quantize(params)
+    deq = quant.dequantize(qs)
+    kernels = [p for p in jax.tree_util.tree_leaves(params) if p.ndim == 2]
+    assert len(kernels) > 10
+    for w, d in zip(
+            [p for p in jax.tree_util.tree_leaves(params) if p.ndim == 2],
+            [p for p in jax.tree_util.tree_leaves(deq) if p.ndim == 2]):
+        scale = np.abs(np.asarray(w)).max(axis=0) / 127.0
+        assert np.all(np.abs(np.asarray(w - d)) <= scale + 1e-7)
+    tokens, lens, scores = beam_lib.beam_decode(
+        deq, cfg, BeamConfig(beam_size=2, max_steps=6), enc, enc_lens)
+    assert np.all(np.isfinite(np.asarray(scores)))
+
+
 def test_cli_train_and_eval(tmp_path):
     """Full CLI cycle with -decoder_type transformer: train -> greedy dev
     eval -> beam dev eval, checkpoints and artifacts in the xdec_ run dir."""
