@@ -236,31 +236,34 @@ def _measure_transformer_decoder(jax, jnp, rng):
         float(m["loss"])
         best = min(best, (time.perf_counter() - t0) / 10)
 
-    # B=8 worst-case (no-<eos>) beam decode on random states.
+    # Worst-case (no-<eos>) beam decode on random states: B=8 (gathered
+    # caches) and B=64 (ancestry-indirect caches engage at B*k >= 128 —
+    # eval/beam.py mode selection; VALIDATION round-3 measured 1.78x there).
     dec_cfg = cfg.decoders["char"]
-    Bd, k = 8, BEAM
     H_enc = cfg.encoder.hidden_size * 2
-    enc = jnp.asarray(rng.normal(size=(Bd, DECODE_T, H_enc))
-                      .astype(np.float32))
-    enc_lens = jnp.full((Bd,), DECODE_T, jnp.int32)
-    bc = BeamConfig(beam_size=k, max_steps=120)
+    bc = BeamConfig(beam_size=BEAM, max_steps=120)
     # params was donated into the train step; read the live copy from state.
     dec_params = state.params["decoder_char"]
-    fn = jax.jit(lambda p, e, el: beam_decode(p, dec_cfg, bc, e, el))
-    _, _, scores = fn(dec_params, enc, enc_lens)
-    float(scores[0])
-    dbest = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(5):
-            _, _, scores = fn(dec_params, enc, enc_lens)
+    out = {"step_ms": best * 1e3,
+           "frames_per_sec": TRAIN_B * TRAIN_T / best,
+           "dec_blocks": 2}
+    for Bd in (8, 64):
+        enc = jnp.asarray(rng.normal(size=(Bd, DECODE_T, H_enc))
+                          .astype(np.float32))
+        enc_lens = jnp.full((Bd,), DECODE_T, jnp.int32)
+        fn = jax.jit(lambda p, e, el: beam_decode(p, dec_cfg, bc, e, el))
+        _, _, scores = fn(dec_params, enc, enc_lens)
         float(scores[0])
-        dbest = min(dbest, (time.perf_counter() - t0) / 5)
-    return {"step_ms": best * 1e3,
-            "frames_per_sec": TRAIN_B * TRAIN_T / best,
-            "dec_blocks": 2,
-            "decode_B8_ms": dbest * 1e3,
-            "decode_B8_rtfx": Bd * DECODE_T * FRAME_HOP_S / dbest}
+        dbest = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                _, _, scores = fn(dec_params, enc, enc_lens)
+            float(scores[0])
+            dbest = min(dbest, (time.perf_counter() - t0) / 5)
+        out[f"decode_B{Bd}_ms"] = dbest * 1e3
+        out[f"decode_B{Bd}_rtfx"] = Bd * DECODE_T * FRAME_HOP_S / dbest
+    return out
 
 
 def _measure_gru(jax, jnp, rng):

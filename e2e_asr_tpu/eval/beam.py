@@ -150,19 +150,27 @@ def _dec_step_fused(params: dict, cfg: DecoderConfig, ctx: AttnContext,
 
 
 def _dec_step(params: dict, cfg: DecoderConfig, ctx,
-              state: BeamState) -> tuple[Any, Any, Array, Array]:
+              state: BeamState, xf_indirect: bool = False
+              ) -> tuple[Any, Any, Array, Array]:
     """One decoder step over the whole [B,k] beam. Returns
     (new_cell_states, new_dec_lm_state, new_context, alpha,
     log_probs [B,k,V]).
 
     For transformer decoders (cfg.decoder_type == "transformer") `ctx` is a
     transformer_decoder.CrossCtx, the "cell states" are the per-block
-    self-attention KV caches (gathered along the beam axis by the standard
-    selection machinery), and the internal-LM state is unused ()."""
+    self-attention KV caches, and the dec_lm_state slot carries the
+    ancestry map (indirect mode, the default: caches are never reordered —
+    step_beam_indirect) or () (gathered mode, E2E_ASR_XF_GATHER=1)."""
     if cfg.decoder_type == "transformer":
         from e2e_asr_tpu.models import transformer_decoder as td
-        new_caches, context, alpha, logp = td.step_beam(
-            params, cfg, ctx, state.dec_cell_states, state.inputs, state.t)
+        if xf_indirect:
+            new_caches, context, alpha, logp = td.step_beam_indirect(
+                params, cfg, ctx, state.dec_cell_states, state.dec_lm_state,
+                state.inputs, state.t)
+        else:
+            new_caches, context, alpha, logp = td.step_beam(
+                params, cfg, ctx, state.dec_cell_states, state.inputs,
+                state.t)
         return new_caches, state.dec_lm_state, context, alpha, logp
 
     from e2e_asr_tpu.core.rnn import use_pallas_lstm
@@ -280,8 +288,23 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     use_lm = lm_params is not None and beam_cfg.lm_weight != 0.0
     use_ilm = beam_cfg.ilm_weight != 0.0
     is_xf = dec_cfg.decoder_type == "transformer"
+    xf_indirect = False
     if is_xf:
+        import os
         from e2e_asr_tpu.models import transformer_decoder as td
+        # Ancestry-indirect KV caches pay off once the cache-reorder
+        # gathers dominate the extra all-rows score work: measured
+        # crossover between B*k=64 (gathered 35.2 vs 39.6 ms) and B*k=128
+        # (gathered 91.0 vs 71.9 ms) at the bench decode shape; B=64 is
+        # 1.78x (VALIDATION round-3). Both modes are semantically
+        # identical (CPU-f32 exact; on-TPU token choices can differ at
+        # matmul-precision scale, like any einsum reassociation).
+        if os.environ.get("E2E_ASR_XF_GATHER"):
+            xf_indirect = False
+        elif os.environ.get("E2E_ASR_XF_INDIRECT"):
+            xf_indirect = True
+        else:
+            xf_indirect = B * k >= 128
     use_joint = ctc_scorer is not None and beam_cfg.joint_ctc > 0.0
     use_bias = bias is not None and bias[1] != 0.0
     jw = beam_cfg.joint_ctc
@@ -305,7 +328,9 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     if is_xf:
         ctx = td.make_cross_ctx(dec_params, dec_cfg, enc_states, enc_lens)
         init_dec_states = td.zero_caches(dec_cfg, (B, k), max_steps)
-        init_dec_lm = ()
+        # Indirect mode: the dec_lm slot carries the ancestry map.
+        init_dec_lm = (jnp.zeros((B, k, max_steps), jnp.int32)
+                       if xf_indirect else ())
     else:
         ctx = make_attn_context(dec_params, enc_states, enc_lens)
         init_dec_states = tuple(
@@ -360,7 +385,7 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
 
     def body(state: BeamState) -> BeamState:
         new_cell_states, new_dec_lm, new_context, alpha, logp = _dec_step(
-            dec_params, dec_cfg, ctx, state)
+            dec_params, dec_cfg, ctx, state, xf_indirect)
         cum_all = state.cum_alpha + alpha        # per parent hyp [B,k,T]
         if use_joint:
             # One-pass joint CTC/attention: every candidate extension also
@@ -381,9 +406,15 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             # the external LM replaces, rather than stacks on, the internal
             # one (density-ratio/ILME fusion).
             if is_xf:
-                new_ilm_cells, _, _, ilm_logp = td.step_beam(
-                    dec_params, dec_cfg, ctx, state.ilm_cell_states,
-                    state.inputs, state.t, zero_cross=True)
+                if xf_indirect:
+                    new_ilm_cells, _, _, ilm_logp = td.step_beam_indirect(
+                        dec_params, dec_cfg, ctx, state.ilm_cell_states,
+                        state.dec_lm_state, state.inputs, state.t,
+                        zero_cross=True)
+                else:
+                    new_ilm_cells, _, _, ilm_logp = td.step_beam(
+                        dec_params, dec_cfg, ctx, state.ilm_cell_states,
+                        state.inputs, state.t, zero_cross=True)
                 new_ilm_dec_lm = ()
             else:
                 new_ilm_cells, new_ilm_dec_lm, ilm_logp = _ilm_step(
@@ -453,14 +484,30 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         sel_token = jnp.take_along_axis(token, order, axis=1)
         sel_scores = jnp.take_along_axis(stored, order, axis=1)
 
-        new_state_tree = _gather_beam(
-            (new_cell_states, new_dec_lm, new_context, new_lm_state, cum_all),
-            sel_parent)
-        (g_cell_states, g_dec_lm, g_context, g_lm_state,
-         g_cum_alpha) = new_state_tree
+        if xf_indirect:
+            # The caches stay in place; only the ancestry map reorders
+            # (a [B,k,S] int32 gather instead of the multi-MB cache copy),
+            # then position t records which rank computed this step.
+            g_context, g_lm_state, g_cum_alpha = _gather_beam(
+                (new_context, new_lm_state, cum_all), sel_parent)
+            g_cell_states = new_cell_states
+            anc = jnp.take_along_axis(state.dec_lm_state,
+                                      sel_parent[:, :, None], axis=1)
+            g_dec_lm = jax.lax.dynamic_update_slice_in_dim(
+                anc, sel_parent.astype(anc.dtype)[:, :, None], state.t,
+                axis=2)
+        else:
+            new_state_tree = _gather_beam(
+                (new_cell_states, new_dec_lm, new_context, new_lm_state,
+                 cum_all), sel_parent)
+            (g_cell_states, g_dec_lm, g_context, g_lm_state,
+             g_cum_alpha) = new_state_tree
         if use_ilm:
-            g_ilm_cells, g_ilm_dec_lm = _gather_beam(
-                (new_ilm_cells, new_ilm_dec_lm), sel_parent)
+            if xf_indirect:
+                g_ilm_cells, g_ilm_dec_lm = new_ilm_cells, ()
+            else:
+                g_ilm_cells, g_ilm_dec_lm = _gather_beam(
+                    (new_ilm_cells, new_ilm_dec_lm), sel_parent)
         else:
             g_ilm_cells, g_ilm_dec_lm = (), ()
 

@@ -353,6 +353,99 @@ def step_beam(params: dict, cfg: DecoderConfig, xctx: CrossCtx, caches: tuple,
     return tuple(new_caches), context, alpha, jax.nn.log_softmax(logits, -1)
 
 
+def step_beam_indirect(params: dict, cfg: DecoderConfig, xctx: CrossCtx,
+                       caches: tuple, ancestry: Array, inp_emb: Array,
+                       t: Array, *, compute_dtype=None,
+                       zero_cross: bool = False
+                       ) -> tuple[tuple, Array, Array, Array]:
+    """step_beam without per-step cache reorders (the beam fast path).
+
+    The KV caches are NEVER gathered along the beam axis: cache row j,
+    position s holds the K/V computed by whatever hypothesis occupied rank
+    j at step s. `ancestry` [B, k, S] int32 maps each CURRENT hypothesis's
+    position s to the rank that computed it (maintained by eval/beam.py:
+    gather the parent's ancestry on selection — a [B,k,S] int32 gather,
+    ~1000x smaller than reordering the caches — then set position t to the
+    parent's rank). Self-attention scores every source row and selects by
+    ancestry (k× the score FLOPs, which are negligible; the cache is read
+    ONCE and never rewritten).
+
+    Numerically identical to step_beam on gathered caches (pinned by
+    tests/test_transformer_decoder.py).
+    """
+    nh, hd = _heads(cfg)
+    B, k, D = inp_emb.shape
+    S = caches[0]["k"].shape[2]
+    cd = compute_dtype
+    pos = jnp.asarray(_sinusoidal(S, D))
+    h = inp_emb + jax.lax.dynamic_index_in_dim(pos, t, keepdims=True)[None]
+    step_mask = (jnp.arange(S) <= t)                              # [S]
+    # probs selected by ancestry: position s of hypothesis j lives in
+    # source row ancestry[b,j,s]; onehot [B,k,k_src,S] routes both the
+    # score selection and the value aggregation.
+    cur = jnp.arange(k, dtype=ancestry.dtype)
+    anc = jnp.where(step_mask[None, None, :] & (jnp.arange(S) != t)[None,
+                                                                    None, :],
+                    ancestry, cur[None, :, None])  # position t = own row
+    onehot = (anc[:, :, None, :] == cur[None, None, :, None]).astype(
+        jnp.float32)                                              # [B,k,c,S]
+    probs = None
+    new_caches = []
+    for i, blk in enumerate(params["blocks"]):
+        y = _layer_norm(blk["ln1"], h)
+        q = _split_heads(dense(blk["self_q"], y, compute_dtype=cd), nh, hd)
+        kk = _split_heads(dense(blk["self_k"], y, compute_dtype=cd), nh, hd)
+        vv = _split_heads(dense(blk["self_v"], y, compute_dtype=cd), nh, hd)
+        ck = jax.lax.dynamic_update_slice_in_dim(
+            caches[i]["k"], kk[:, :, None].astype(caches[i]["k"].dtype),
+            t, axis=2)
+        cv = jax.lax.dynamic_update_slice_in_dim(
+            caches[i]["v"], vv[:, :, None].astype(caches[i]["v"].dtype),
+            t, axis=2)
+        new_caches.append({"k": ck, "v": cv})
+        # Scores against EVERY source row, then ancestry-select.
+        s_all = jnp.einsum("bkhd,bcshd->bkchs", q, ck,
+                           preferred_element_type=jnp.float32) / math.sqrt(hd)
+        s = jnp.einsum("bkchs,bkcs->bkhs", s_all, onehot)
+        s = jnp.where(step_mask[None, None, None, :], s, NEG_INF)
+        a = jax.nn.softmax(s, axis=-1)                            # [B,k,h,S]
+        a_all = jnp.einsum("bkhs,bkcs->bkchs", a, onehot)
+        if cd is not None:
+            a_all = a_all.astype(cd)
+        o = jnp.einsum("bkchs,bcshd->bkhd", a_all, cv,
+                       preferred_element_type=jnp.float32)
+        h = h + dense(blk["self_o"], _merge_heads(o), compute_dtype=cd)
+
+        y = _layer_norm(blk["ln2"], h)
+        if zero_cross:
+            o = jnp.zeros_like(y)
+        else:
+            q = _split_heads(dense(blk["cross_q"], y, compute_dtype=cd),
+                             nh, hd)
+            s = jnp.einsum("bkhd,bthd->bkht", q, xctx.xk[i],
+                           preferred_element_type=jnp.float32) / math.sqrt(hd)
+            s = jnp.where(xctx.mask[:, None, None, :] > 0, s, NEG_INF)
+            a = jax.nn.softmax(s, axis=-1)                        # [B,k,nh,T]
+            probs = a
+            if cd is not None:
+                a = a.astype(cd)
+            o = _merge_heads(jnp.einsum("bkht,bthd->bkhd", a, xctx.xv[i],
+                                        preferred_element_type=jnp.float32))
+        h = h + dense(blk["cross_o"], o, compute_dtype=cd)
+
+        y = _layer_norm(blk["ln3"], h)
+        h = h + dense(blk["ffn2"],
+                      jax.nn.gelu(dense(blk["ffn1"], y, compute_dtype=cd)),
+                      compute_dtype=cd)
+    logits = dense(params["output_proj"], _layer_norm(params["ln_out"], h),
+                   compute_dtype=cd)
+    if zero_cross:
+        return tuple(new_caches), (), (), jax.nn.log_softmax(logits, -1)
+    alpha = jnp.mean(probs.astype(jnp.float32), axis=2)           # [B,k,T]
+    context = jnp.einsum("bkt,bth->bkh", alpha, xctx.enc_states)
+    return tuple(new_caches), context, alpha, jax.nn.log_softmax(logits, -1)
+
+
 # ---------------------------------------------------------------------------
 # Greedy decode (same contracts as attn_decoder.apply_infer / _early)
 # ---------------------------------------------------------------------------

@@ -358,6 +358,24 @@ def test_ilme_matches_zero_cross_replay_oracle():
     assert not np.allclose(np.asarray(s0), np.asarray(scores))
 
 
+@pytest.mark.parametrize("ilm", [0.0, 0.3])
+def test_indirect_cache_mode_equals_gathered(monkeypatch, ilm):
+    """The ancestry-indirect KV-cache beam (caches never reordered; a
+    [B,k,S] int32 ancestry map routes self-attention) must decode exactly
+    like the gathered-cache mode — tokens, lens, and scores (CPU f32)."""
+    cfg = _cfg()
+    params, enc, enc_lens = _setup(cfg, B=3, T_enc=8)
+    bc = BeamConfig(beam_size=3, max_steps=9, ilm_weight=ilm)
+    monkeypatch.setenv("E2E_ASR_XF_INDIRECT", "1")
+    t1, l1, s1 = beam_lib.beam_decode(params, cfg, bc, enc, enc_lens)
+    monkeypatch.delenv("E2E_ASR_XF_INDIRECT")
+    monkeypatch.setenv("E2E_ASR_XF_GATHER", "1")
+    t2, l2, s2 = beam_lib.beam_decode(params, cfg, bc, enc, enc_lens)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
 def test_heads_divisibility_guard():
     with pytest.raises(ValueError, match="divisible"):
         td.init(jax.random.PRNGKey(0), _cfg(hidden_size_dec=10, dec_heads=4),
