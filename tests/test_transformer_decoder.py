@@ -269,6 +269,45 @@ def test_hybrid_ctc_attention_with_transformer_decoder():
     assert {"attention", "ctc", "char"} <= set(metrics)
 
 
+def test_cross_decoder_distillation(rng=None):
+    """Distillation across decoder types: an RNN-decoder teacher's char
+    logits train a transformer-decoder student (and vice versa) — the
+    decoder_type field round-trips parameters.txt, and distill_loss
+    dispatches per model."""
+    from e2e_asr_tpu import config as config_lib
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.train import distill as distill_lib
+    from e2e_asr_tpu.train import step as step_lib
+    from tests.test_seq2seq import make_batch, tiny_cfg
+
+    t_cfg = tiny_cfg()                           # RNN decoder teacher
+    s_cfg = _xf_decoders(tiny_cfg(), num_layers_dec=1)
+    # decoder_type survives the parameters.txt roundtrip (how the CLI
+    # reloads a teacher's architecture).
+    back = config_lib.config_from_text(config_lib.config_to_text(
+        config_lib.ExperimentConfig(model=s_cfg)))
+    assert back.model.decoders["char"].decoder_type == "transformer"
+
+    teacher = seq2seq.init(jax.random.PRNGKey(7), t_cfg)
+    student = seq2seq.init(jax.random.PRNGKey(0), s_cfg)
+    batch = make_batch(np.random.default_rng(0), s_cfg)
+    state = step_lib.create_state(student, s_cfg, LMConfig())
+    asr_step, _ = step_lib.make_train_step(
+        s_cfg, LMConfig(), distill=(t_cfg, teacher, 1.0, 1.0))
+    first = last = None
+    for i in range(12):
+        state, metrics = asr_step(state, batch, jax.random.PRNGKey(i))
+        kl = float(metrics["loss_distill"])
+        first = kl if first is None else first
+        last = kl
+    assert np.isfinite(last) and last < first, (first, last)
+    # and the reverse direction type-checks through distill_loss directly
+    total, per_task = distill_lib.distill_loss(
+        teacher, t_cfg, student, s_cfg, batch, rng=jax.random.PRNGKey(1),
+        weight=0.5, temperature=2.0)
+    assert np.isfinite(float(total)) and "distill" in per_task
+
+
 def test_longform_attention_anchors():
     """token_attention_frames dispatches to the parallel transformer replay
     and returns in-range frame anchors."""
