@@ -308,6 +308,56 @@ def test_cross_decoder_distillation(rng=None):
     assert np.isfinite(float(total)) and "distill" in per_task
 
 
+@pytest.mark.parametrize("mode", ["pp", "sp"])
+def test_pipeline_and_seq_parallel_compose(mode):
+    """Pipeline / sequence parallelism of the transformer ENCODER composes
+    with the transformer DECODER: the full attention CE loss and every
+    parameter gradient equal the serial path exactly."""
+    from functools import partial
+
+    from e2e_asr_tpu.core import pipeline, seq_parallel
+
+    enc = EncoderConfig(hidden_size=8, encoder_type="transformer",
+                        num_heads=2, subsample=4, out_prob=1.0)
+    cfg = Seq2SeqConfig(
+        tasks=["char"], num_layers={"char": 2}, max_output={"char": 12},
+        encoder=enc,
+        decoders={"char": _cfg(hidden_size_dec=16, num_layers_dec=2,
+                               vocab_size=13, max_output=12)},
+        feat_length=8)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, T = 8, 32
+    feats = jnp.asarray(rng.normal(size=(B, T, 8)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(T // 2, T + 1, size=(B,))
+                       .astype(np.int32))
+    ids = rng.integers(3, 13, size=(B, 6)).astype(np.int32)
+    ids[:, 0] = GO_ID
+    batch = {"logmel": feats, "logmel_len": lens,
+             "char": jnp.asarray(ids),
+             "char_len": jnp.full((B,), 5, jnp.int32)}
+    if mode == "pp":
+        mesh = pipeline.make_stage_mesh(2)
+        encode_fn = partial(pipeline.encode_pipeline, mesh=mesh, n_micro=2)
+    else:
+        mesh = seq_parallel.make_seq_mesh(2)
+        encode_fn = partial(seq_parallel.encode_seq_parallel, mesh=mesh)
+    key = jax.random.PRNGKey(3)
+
+    def loss_fn(p, fn):
+        return seq2seq.apply_train(p, cfg, batch, rng=key, encode_fn=fn)[0]
+
+    l_s, g_s = jax.value_and_grad(loss_fn)(params, None)
+    l_p, g_p = jax.value_and_grad(loss_fn)(params, encode_fn)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    for (kp, a), (ks, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_p),
+            jax.tree_util.tree_leaves_with_path(g_s)):
+        assert kp == ks
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(kp))
+
+
 def test_longform_attention_anchors():
     """token_attention_frames dispatches to the parallel transformer replay
     and returns in-range frame anchors."""
