@@ -40,6 +40,14 @@ class EncoderConfig:
                                      # bias (zero-init; off = sinusoidal only)
     conv_kernel: int = 0             # Conformer-style depthwise-conv module
                                      # per block (kernel size; 0 = off)
+    attn_chunk: int = 0              # chunk-causal attention: query frame q
+                                     # sees key k iff 0 <= chunk(q)-chunk(k)
+                                     # <= attn_left (post-subsample frames
+                                     # per chunk; 0 = full attention). Makes
+                                     # the conv module causal and enables
+                                     # EXACT transformer streaming
+                                     # (transformer_encoder.apply_streaming)
+    attn_left: int = 8               # chunk-causal left context, in chunks
     moe_experts: int = 0             # Switch-style MoE FFN: experts per
                                      # block (0 = dense FFN); top-1 routing
                                      # with capacity + load-balance aux loss
@@ -262,6 +270,9 @@ def get_run_dir_name(opts: dict[str, Any]) -> str:
     xfmr_string = ""
     if opts.get("encoder_type", "rnn") == "transformer":
         xfmr_string = "xfmr_" + str(opts.get("num_heads", 4)) + "h_"
+        if opts.get("attn_chunk", 0) > 0:
+            xfmr_string += ("chunk_" + str(opts["attn_chunk"]) + "x"
+                            + str(opts.get("attn_left", 8)) + "_")
     if opts.get("decoder_type", "rnn") == "transformer":
         xfmr_string += ("xdec_" + str(opts.get("num_layers_dec", 1)) + "x"
                         + str(opts.get("dec_heads", 4)) + "h_")
@@ -336,6 +347,15 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-rel_pos_bias", "--rel_pos_bias", default=False,
                         action="store_true")
     parser.add_argument("-conv_kernel", "--conv_kernel", default=0, type=int)
+    parser.add_argument("-attn_chunk", "--attn_chunk", default=0, type=int,
+                        help="Chunk-causal attention for the transformer "
+                        "encoder: post-subsample frames per chunk (0 = full "
+                        "attention). Trains a streamable encoder — the conv "
+                        "module turns causal and inference can stream "
+                        "EXACTLY with carried K/V caches")
+    parser.add_argument("-attn_left", "--attn_left", default=8, type=int,
+                        help="Chunk-causal left context, in chunks (with "
+                        "-attn_chunk; bounds the streaming K/V cache)")
     parser.add_argument("-moe_experts", "--moe_experts", default=0, type=int,
                         help="Switch-style MoE FFN experts per transformer "
                              "block (0 = dense FFN); top-1 routing with "
@@ -612,6 +632,15 @@ def process_args(options: dict[str, Any],
                 "LM-LSTM + softmax (lm_encoder.py:101-109); the transformer "
                 "decoder has no such cell — use -lm_prob 0 and fuse an "
                 "external LM at decode time (-lm_path/-lm_weight) instead")
+    if options.get("attn_chunk", 0) > 0:
+        if options.get("encoder_type", "rnn") != "transformer":
+            raise ValueError("-attn_chunk is the transformer encoder's "
+                             "chunk-causal attention knob; the recurrent "
+                             "pyramid streams exactly already when "
+                             "forward-only (-bi_dir false)")
+        if options.get("attn_left", 8) < 1:
+            raise ValueError("-attn_left must be >= 1 (chunks of left "
+                             "context bound the streaming K/V cache)")
     if options.get("distill_dir"):
         if family != "attention" or options.get("ctc_weight", 0.0) > 0:
             raise ValueError("-distill_dir currently covers the attention "

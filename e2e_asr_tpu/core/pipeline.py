@@ -191,6 +191,11 @@ def pipeline_blocks(params: dict, cfg: EncoderConfig, h: Array, lens: Array,
                                               keepdims=False)
             valid = jnp.arange(T)[None, :] < ln[:, None]
             bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+            if cfg.attn_chunk > 0:
+                # Chunk-causal attention (static mask — same add as the
+                # serial transformer_encoder.apply).
+                bias = bias + jnp.asarray(
+                    te.chunk_bias(T, cfg.attn_chunk, cfg.attn_left))
             vmask = valid.astype(h.dtype)[:, :, None]
 
             def body(h, xs):

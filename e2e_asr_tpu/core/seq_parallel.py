@@ -51,11 +51,13 @@ def make_seq_mesh(n_shards: int, devices=None, n_expert: int = 1,
 
 
 def _mhsa_sp(blk: dict, h: Array, bias_full: Array, row0: Array,
-             num_heads: int, T_full: int, compute_dtype=None) -> Array:
+             num_heads: int, T_full: int, compute_dtype=None,
+             chunk_full: Array | None = None) -> Array:
     """MHSA with local queries [B,Ts,D] against all-gathered K/V [B,T,*].
 
     bias_full: [B,1,1,T] padding bias (replicated — built from lens).
-    row0: this shard's absolute first row (for the rel-bias row slice).
+    row0: this shard's absolute first row (for the rel-bias / chunk-mask
+    row slices). chunk_full: [1,1,T,T] chunk-causal mask (attn_chunk > 0).
     """
     import math
 
@@ -75,6 +77,9 @@ def _mhsa_sp(blk: dict, h: Array, bias_full: Array, row0: Array,
     if "rel_bias" in blk:
         full = te._rel_bias(blk["rel_bias"], T_full)           # [1,nh,T,T]
         s = s + jax.lax.dynamic_slice_in_dim(full, row0, Ts, axis=2)
+    if chunk_full is not None:
+        # This shard's query rows of the global chunk-causal mask.
+        s = s + jax.lax.dynamic_slice_in_dim(chunk_full, row0, Ts, axis=2)
     a = jax.nn.softmax(s + bias_full, axis=-1)
     if compute_dtype is not None:
         a = a.astype(compute_dtype)
@@ -85,7 +90,7 @@ def _mhsa_sp(blk: dict, h: Array, bias_full: Array, row0: Array,
 
 
 def _conv_sp(p: dict, h: Array, vmask: Array, kernel: int, S: int,
-             compute_dtype=None) -> Array:
+             compute_dtype=None, causal: bool = False) -> Array:
     """te._conv_module with the depthwise conv's receptive field crossing
     shard boundaries via halo exchange.
 
@@ -93,14 +98,17 @@ def _conv_sp(p: dict, h: Array, vmask: Array, kernel: int, S: int,
     shard borrows that many post-GLU frames from its left/right neighbor
     (exchanged AFTER the padding mask — identical values to the serial
     conv's inputs) and convolves VALID over the extended sequence. Edge
-    shards get ppermute's zero fill = serial's zero padding.
+    shards get ppermute's zero fill = serial's zero padding. causal
+    (attn_chunk mode): the serial conv left-pads k-1 / right-pads 0, so the
+    halo is k-1 frames from the left neighbor only.
     """
     D = h.shape[-1]
     x = te._layer_norm(p["ln"], h)
     x = dense(p["pw1"], x, compute_dtype=compute_dtype)        # [B,Ts,2D]
     a, b = jnp.split(x, 2, axis=-1)
     x = (a * jax.nn.sigmoid(b)) * vmask                        # GLU, masked
-    lo, hi = (kernel - 1) // 2, kernel - 1 - (kernel - 1) // 2
+    lo, hi = ((kernel - 1, 0) if causal
+              else ((kernel - 1) // 2, kernel - 1 - (kernel - 1) // 2))
     parts = []
     if lo:
         parts.append(jax.lax.ppermute(
@@ -172,10 +180,15 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
 
     valid = jnp.arange(T)[None, :] < lens[:, None]              # [B,T]
     bias_full = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+    causal = enc_cfg.attn_chunk > 0
+    chunk_full = (jnp.asarray(te.chunk_bias(T, enc_cfg.attn_chunk,
+                                            enc_cfg.attn_left))
+                  if causal else None)
     keep = enc_cfg.out_prob if train else 1.0
     drop_rng = rng if rng is not None else jax.random.PRNGKey(0)
     Ts = T // S
-    halo = enc_cfg.conv_kernel - 1 - (enc_cfg.conv_kernel - 1) // 2
+    halo = ((enc_cfg.conv_kernel - 1) if causal
+            else enc_cfg.conv_kernel - 1 - (enc_cfg.conv_kernel - 1) // 2)
     if halo > Ts:
         raise ValueError(f"conv halo {halo} exceeds the {Ts}-frame time "
                          f"shard (fewer -sp_shards, or a smaller "
@@ -184,7 +197,7 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     blocks = [eparams[f"block_{i}"] for i in range(1, depth + 1)]
     vmask = valid.astype(h.dtype)[:, :, None]                   # [B,T,1]
 
-    def staged(blocks, h, bias_full, vmask_sh):
+    def staged(blocks, h, bias_full, vmask_sh, chunk_full):
         sid = jax.lax.axis_index("seq")
         row0 = sid * Ts
         # Distinct dropout streams per (data, seq) shard coordinate.
@@ -195,7 +208,8 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
         for i, blk in enumerate(blocks, start=1):
             a = _mhsa_sp(blk, te._layer_norm(blk["ln1"], h), bias_full,
                          row0, enc_cfg.num_heads, T,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         chunk_full=chunk_full if causal else None)
             if train and keep < 1.0:
                 # Per-(block, shard) masks — same discipline as the
                 # pipeline's per-microbatch dropout.
@@ -204,7 +218,7 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
             h = h + a
             if "conv" in blk:
                 c = _conv_sp(blk["conv"], h, vmask_sh, enc_cfg.conv_kernel,
-                             S, compute_dtype=compute_dtype)
+                             S, compute_dtype=compute_dtype, causal=causal)
                 if train and keep < 1.0:
                     c = dropout(jax.random.fold_in(
                         jax.random.fold_in(shard_rng, 3 * i + 1), sid),
@@ -246,8 +260,10 @@ def encode_seq_parallel(params: dict, cfg: Seq2SeqConfig, feats: Array,
     res = shard_map(staged, mesh=mesh,
                     in_specs=(moe_leaf_specs(blocks, (), "expert")
                               if ep else P(),
-                              sharded, bias_spec, sharded),
-                    out_specs=tuple(out_specs))(blocks, h, bias_full, vmask)
+                              sharded, bias_spec, sharded, P()),
+                    out_specs=tuple(out_specs))(
+        blocks, h, bias_full, vmask,
+        chunk_full if causal else jnp.zeros((1, 1, 1, 1)))
     h, tap_hs = res[0], dict(zip(taps, res[1]))
     if want_aux:
         aux_sink.append(res[2])

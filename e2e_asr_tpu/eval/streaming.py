@@ -96,13 +96,15 @@ class StreamingTranscriber:
         # Forward-only recurrent encoders stream EXACTLY: per-layer cell
         # states carry across chunks, margins/lookahead drop to zero, and
         # each chunk costs one pass over its own frames instead of
-        # W + 2*margin (models/encoder.apply_streaming).
-        self.exact = (cfg.encoder.encoder_type != "transformer"
-                      and encoder_lib.supports_exact_streaming(cfg.encoder))
+        # W + 2*margin (models/encoder.apply_streaming). Chunk-causal
+        # transformers (-attn_chunk) stream exactly too, via carried
+        # per-block K/V + conv caches (transformer_encoder.apply_streaming).
+        self.exact = encoder_lib.supports_exact_streaming(cfg.encoder)
         r_align = r
         if self.exact:
             # Chunks must align with EVERY pyramid boundary (not just the
-            # char depth's) so the carried states line up; no margins.
+            # char depth's) so the carried states line up — or, for the
+            # transformer, with subsample x attn_chunk; no margins.
             r_align = encoder_lib.total_reduction_factor(
                 cfg.encoder, max(cfg.num_layers.values()))
             margin = 0
@@ -361,10 +363,10 @@ class BatchedStreamingServer:
                  n_mels: int | None = None):
         from e2e_asr_tpu.models import encoder as encoder_lib
         r = longform.reduction_factor(cfg)
-        # Forward-only recurrent encoders stream EXACTLY (see
-        # StreamingTranscriber): carried [S, ...] cell-state rows, margin 0.
-        self.exact = (cfg.encoder.encoder_type != "transformer"
-                      and encoder_lib.supports_exact_streaming(cfg.encoder))
+        # Forward-only recurrent encoders and chunk-causal transformers
+        # stream EXACTLY (see StreamingTranscriber): carried [S, ...]
+        # state rows, margin 0.
+        self.exact = encoder_lib.supports_exact_streaming(cfg.encoder)
         r_align = r
         if self.exact:
             r_align = encoder_lib.total_reduction_factor(
@@ -396,9 +398,11 @@ class BatchedStreamingServer:
             if self._sessions[sid] is None:
                 self._sessions[sid] = _Session(self.n_mels)
                 if self.exact and self._enc_state is not None:
-                    # Recycled slot: fresh zero encoder state rows.
+                    # Recycled slot: fresh zero encoder state rows (dtype
+                    # kept — the transformer state carries an int32 `pos`).
                     self._enc_state = jax.tree_util.tree_map(
-                        lambda a: a.at[sid].set(0.0), self._enc_state)
+                        lambda a: a.at[sid].set(jnp.zeros((), a.dtype)),
+                        self._enc_state)
                 if self.is_transducer:
                     from e2e_asr_tpu.models import transducer
                     fresh = transducer.init_decode_state(

@@ -93,8 +93,12 @@ def pyramid_reduce(x: Array, lens: Array, skip_step: int) -> tuple[Array, Array]
 
 
 def total_reduction_factor(cfg: EncoderConfig, max_depth: int) -> int:
-    """initial_res_fac x every pyramid reduction in the stack — the chunk
-    alignment apply_streaming requires."""
+    """The chunk alignment apply_streaming requires: initial_res_fac x every
+    pyramid reduction in the stack (recurrent), or subsample x attn_chunk
+    (chunk-causal transformer — chunks must land on attention-chunk
+    boundaries post-subsample)."""
+    if cfg.encoder_type == "transformer":
+        return cfg.subsample * max(cfg.attn_chunk, 1)
     r = cfg.initial_res_fac
     for red in layer_plan(cfg, max_depth):
         if red:
@@ -106,13 +110,22 @@ def supports_exact_streaming(cfg: EncoderConfig) -> bool:
     """Whether apply_streaming can reproduce apply() exactly from chunks:
     a forward-only recurrent stack has no right context at all, so carrying
     the per-layer cell states across chunk boundaries is exact with ZERO
-    lookahead. Bidirectional and transformer encoders need future frames
-    (margins) instead."""
-    return cfg.encoder_type != "transformer" and not cfg.bi_dir
+    lookahead; a chunk-causal transformer (attn_chunk > 0) has a bounded
+    left-only receptive field, so carried K/V + conv caches are exact the
+    same way. Bidirectional recurrent and full-attention transformer
+    encoders need future frames (margins) instead."""
+    if cfg.encoder_type == "transformer":
+        from e2e_asr_tpu.models import transformer_encoder
+        return transformer_encoder.supports_exact_streaming(cfg)
+    return not cfg.bi_dir
 
 
 def streaming_state(cfg: EncoderConfig, max_depth: int, batch: int):
-    """Zero carried state for apply_streaming: one cell state per layer."""
+    """Zero carried state for apply_streaming: one cell state per layer
+    (recurrent) or per-block K/V + conv caches (chunk-causal transformer)."""
+    if cfg.encoder_type == "transformer":
+        from e2e_asr_tpu.models import transformer_encoder
+        return transformer_encoder.streaming_state(cfg, max_depth, batch)
     from e2e_asr_tpu.core import cells
     mk = (cells.lstm_zero_state if cfg.use_lstm else cells.gru_zero_state)
     return tuple(mk((batch,), cfg.hidden_size) for _ in range(max_depth))
@@ -136,11 +149,16 @@ def apply_streaming(params: dict, cfg: EncoderConfig, x: Array,
     outputs on the concatenation exactly (pinned by
     tests/test_streaming_exact.py).
     """
+    if cfg.encoder_type == "transformer":
+        from e2e_asr_tpu.models import transformer_encoder
+        return transformer_encoder.apply_streaming(
+            params, cfg, x, seq_len, num_layers, state,
+            compute_dtype=compute_dtype, final=final)
     if not supports_exact_streaming(cfg):
         raise ValueError("exact streaming needs a forward-only recurrent "
-                         "encoder (-bi_dir false, rnn encoder_type); "
-                         "bidirectional/transformer stacks need margins "
-                         "(eval/longform.py)")
+                         "encoder (-bi_dir false) or a chunk-causal "
+                         "transformer (-attn_chunk > 0); other stacks need "
+                         "margins (eval/longform.py)")
     max_depth = max(num_layers.values())
     plan = layer_plan(cfg, max_depth)
     cell = "lstm" if cfg.use_lstm else "gru"

@@ -99,14 +99,34 @@ def _layer_norm(p: dict, x: Array, eps: float = 1e-6) -> Array:
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
-def _sinusoidal(T: int, D: int) -> np.ndarray:
-    pos = np.arange(T)[:, None]
-    dim = np.arange(D // 2)[None, :]
-    angle = pos / np.power(10000.0, 2 * dim / D)
-    pe = np.zeros((T, D), np.float32)
-    pe[:, 0::2] = np.sin(angle)
-    pe[:, 1::2] = np.cos(angle)
+def _sinusoidal_at(positions: Array, D: int) -> Array:
+    """Sinusoidal position encoding at explicit (possibly traced) positions:
+    [...]-shaped ints -> [..., D] f32. ONE implementation shared by the
+    offline encoder and the streaming K/V-cache path (apply_streaming) so
+    their position terms match exactly."""
+    pos = positions.astype(jnp.float32)[..., None]            # [..., 1]
+    dim = jnp.arange(D // 2, dtype=jnp.float32)[None, :]
+    angle = pos / jnp.power(jnp.float32(10000.0), 2.0 * dim / D)
+    pe = jnp.zeros(angle.shape[:-1] + (D,), jnp.float32)
+    pe = pe.at[..., 0::2].set(jnp.sin(angle))
+    pe = pe.at[..., 1::2].set(jnp.cos(angle))
     return pe
+
+
+def _sinusoidal(T: int, D: int) -> Array:
+    return _sinusoidal_at(jnp.arange(T), D)
+
+
+def chunk_bias(T: int, chunk: int, left: int) -> np.ndarray:
+    """[1,1,T,T] additive block-causal attention mask (attn_chunk > 0):
+    query frame q sees key k iff 0 <= chunk(q) - chunk(k) <= left — full
+    attention within a chunk, `left` whole chunks of history, no future.
+    This is what makes the trained encoder EXACTLY streamable with a
+    left*chunk-frame K/V cache (apply_streaming)."""
+    c = np.arange(T) // chunk
+    d = c[:, None] - c[None, :]
+    keep = (d >= 0) & (d <= left)
+    return np.where(keep, 0.0, -1e30).astype(np.float32)[None, None]
 
 
 def _rel_bias(table: Array, T: int) -> Array:
@@ -117,18 +137,23 @@ def _rel_bias(table: Array, T: int) -> Array:
     return table[:, jnp.asarray(idx)][None]                   # [1,nh,T,T]
 
 
-def _conv_module(p: dict, h: Array, vmask: Array, compute_dtype=None) -> Array:
+def _conv_module(p: dict, h: Array, vmask: Array, compute_dtype=None,
+                 causal: bool = False) -> Array:
     """Conformer-style convolution module (lite: LayerNorm instead of
     BatchNorm): LN -> pointwise(2D) -> GLU -> masked depthwise conv ->
     LN -> swish -> pointwise(D). Padding frames are zeroed before the conv
-    so valid outputs depend only on in-length context."""
+    so valid outputs depend only on in-length context. causal (attn_chunk
+    mode): left-only padding so outputs never see future frames — the
+    streaming path carries the kernel-1 previous frames instead."""
     D = h.shape[-1]
+    kk = p["dw"].shape[0]
     x = _layer_norm(p["ln"], h)
     x = dense(p["pw1"], x, compute_dtype=compute_dtype)       # [B,T,2D]
     a, b = jnp.split(x, 2, axis=-1)
     x = (a * jax.nn.sigmoid(b)) * vmask                       # GLU, masked
     x = jax.lax.conv_general_dilated(
-        x, p["dw"][:, None, :], window_strides=(1,), padding="SAME",
+        x, p["dw"][:, None, :], window_strides=(1,),
+        padding=[(kk - 1, 0)] if causal else "SAME",
         dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=D)
     x = _layer_norm(p["ln2"], x)
     x = x * jax.nn.sigmoid(x)                                 # swish
@@ -240,6 +265,7 @@ def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
     shp = lambda x: x.reshape(B, T, num_heads, hd).transpose(0, 2, 1, 3)
     q, k, v = shp(q), shp(k), shp(v)                          # [B,nh,T,hd]
     if (not train and mhsa_pallas.enabled() and use_pallas_lstm()
+            and bias.shape[2] == 1    # chunk-causal [B,1,T,T] bias: XLA path
             and mhsa_pallas.supported(num_heads, T, hd, "rel_bias" in p)):
         # Fused scores/softmax/AV kernel — OPT-IN (E2E_ASR_MHSA_KERNEL=1)
         # and inference-only: XLA's fused batched GEMMs measured faster at
@@ -304,7 +330,8 @@ def block_fwd(blk: dict, h: Array, attn_bias: Array, vmask: Array, keys,
         a = dropout(keys[0], a, keep)
     h = h + a
     if "conv" in blk:
-        c = _conv_module(blk["conv"], h, vmask, compute_dtype=compute_dtype)
+        c = _conv_module(blk["conv"], h, vmask, compute_dtype=compute_dtype,
+                         causal=cfg.attn_chunk > 0)
         if train and keep < 1.0:
             c = dropout(keys[1], c, keep)
         h = h + c
@@ -318,6 +345,191 @@ def block_fwd(blk: dict, h: Array, attn_bias: Array, vmask: Array, keys,
     if train and keep < 1.0:
         f = dropout(keys[2], f, keep)
     return h + f
+
+
+# ----------------------------------------------------------------- streaming
+#
+# A chunk-causal encoder (attn_chunk > 0) has a BOUNDED left-only receptive
+# field per block: block-causal attention (chunk_bias) plus a causal conv
+# module. Carrying, per block, the last attn_left*attn_chunk frames of K/V
+# and the last conv_kernel-1 post-GLU conv-input frames therefore reproduces
+# the offline encoder EXACTLY, chunk by chunk — the transformer analogue of
+# the forward-only recurrent stack's carried cell states
+# (models/encoder.apply_streaming). Same chunking contract: non-final chunks
+# must be multiples of subsample * attn_chunk input frames so attention-chunk
+# boundaries land where the offline pass puts them.
+
+
+def supports_exact_streaming(cfg: EncoderConfig) -> bool:
+    """Chunk-causal transformer encoders stream exactly. MoE blocks are
+    excluded: routing capacity binds over the whole [B*T] token set (and the
+    over-capacity cumsum orders tokens globally), which a chunked pass cannot
+    reproduce."""
+    return cfg.attn_chunk > 0 and cfg.moe_experts == 0
+
+
+def streaming_state(cfg: EncoderConfig, max_depth: int, batch: int) -> dict:
+    """Zero carried state for apply_streaming: per block, [B,nh,L,hd] K/V
+    caches (L = attn_left*attn_chunk post-subsample frames; zeros are
+    correctly masked out via the `pos` counter) and, with a conv module, the
+    [B,conv_kernel-1,D] previous conv-input frames (zeros == the offline
+    causal pass's left zero-padding). `pos` counts each row's consumed
+    post-subsample frames (position offset + cache-validity horizon)."""
+    D = d_model(cfg)
+    hd = D // cfg.num_heads
+    L = cfg.attn_left * cfg.attn_chunk
+    blocks = []
+    for _ in range(max_depth):
+        blk = {"k": jnp.zeros((batch, cfg.num_heads, L, hd), jnp.float32),
+               "v": jnp.zeros((batch, cfg.num_heads, L, hd), jnp.float32)}
+        if cfg.conv_kernel > 1:
+            blk["conv"] = jnp.zeros((batch, cfg.conv_kernel - 1, D),
+                                    jnp.float32)
+        blocks.append(blk)
+    return {"pos": jnp.zeros((batch,), jnp.int32), "blocks": tuple(blocks)}
+
+
+def _stream_chunk_bias(W: int, ch: int, left: int, L: int) -> np.ndarray:
+    """[1,1,W,L+W] additive chunk-causal mask for one streaming chunk: query
+    local frame qi (global pos0+qi) vs key slot m (global pos0-L+m; the
+    first L slots are the carried cache). Because pos0 and L are multiples
+    of `ch`, chunk(q)-chunk(k) = qi//ch - (m-L)//ch is offset-independent —
+    the mask is STATIC."""
+    qc = np.arange(W) // ch
+    kc = (np.arange(L + W) - L) // ch            # negative for cache slots
+    d = qc[:, None] - kc[None, :]
+    keep = (d >= 0) & (d <= left)
+    return np.where(keep, 0.0, -1e30).astype(np.float32)[None, None]
+
+
+def _rel_bias_stream(table: Array, W: int, L: int) -> Array:
+    """_rel_bias for a streaming chunk: distances q-k = qi+L-m are also
+    offset-independent, so the [1,nh,W,L+W] bias is static."""
+    dist = np.arange(W)[:, None] + L - np.arange(L + W)[None, :]
+    idx = np.clip(dist, -(REL_RADIUS - 1), REL_RADIUS - 1) + REL_RADIUS - 1
+    return table[:, jnp.asarray(idx)][None]
+
+
+def apply_streaming(params: dict, cfg: EncoderConfig, x: Array,
+                    seq_len: Array, num_layers: dict[str, int], state, *,
+                    compute_dtype=None, final: bool = False):
+    """One chunk of the exact streaming chunk-causal transformer encoder.
+
+    x: [B, T_chunk, F] stacked features — T_chunk must be a multiple of
+    subsample * attn_chunk (so post-subsample attention-chunk boundaries
+    align with the offline pass), EXCEPT the last chunk (final=True), whose
+    pyramid padding is exactly the whole-utterance tail padding. seq_len:
+    [B] valid frames in this chunk (rows with 0 freeze their cache and
+    position — idle batched-server slots). state: streaming_state() or the
+    previous chunk's carry.
+
+    Returns (attention_states {depth: [B, W, D]}, seq_lens {depth: [B]},
+    new_state). Feeding a sequence chunk-by-chunk reproduces apply()'s
+    outputs exactly (tests/test_streaming_exact.py)."""
+    from e2e_asr_tpu.models.encoder import pyramid_reduce
+
+    if not supports_exact_streaming(cfg):
+        raise ValueError("exact transformer streaming needs chunk-causal "
+                         "attention (-attn_chunk > 0) and dense FFNs "
+                         "(moe_experts 0 — routing capacity is batch-global)")
+    ch, left = cfg.attn_chunk, cfg.attn_left
+    L = left * ch
+    if cfg.subsample > 1:
+        if x.shape[1] % cfg.subsample and not final:
+            raise ValueError("chunk length must be a multiple of "
+                             f"subsample*attn_chunk "
+                             f"({cfg.subsample * ch})")
+        x, lens = pyramid_reduce(x, seq_len, cfg.subsample)
+    else:
+        lens = seq_len.astype(jnp.int32)
+    B, W, _ = x.shape
+    if W % ch and not final:
+        raise ValueError("chunk length must be a multiple of "
+                         f"subsample*attn_chunk ({cfg.subsample * ch})")
+    D = d_model(cfg)
+    nh = cfg.num_heads
+    hd = D // nh
+    pos0 = state["pos"]                                       # [B] int32
+
+    h = dense(params["input_proj"], x, compute_dtype=compute_dtype)
+    h = h + _sinusoidal_at(pos0[:, None] + jnp.arange(W)[None, :], D)
+
+    valid = jnp.arange(W)[None, :] < lens[:, None]            # [B,W]
+    vmask = valid.astype(h.dtype)[:, :, None]
+    # Key validity over [cache | chunk]: cache slot m holds global frame
+    # pos0-L+m (valid iff >= 0); in-chunk key m-L valid iff < lens.
+    m = jnp.arange(L + W)[None, :]
+    kvalid = jnp.where(m < L, m >= (L - pos0)[:, None],
+                       (m - L) < lens[:, None])
+    bias = (jnp.where(kvalid, 0.0, -1e30)[:, None, None, :]
+            + jnp.asarray(_stream_chunk_bias(W, ch, left, L)))
+
+    upd = lens > 0                # rows with no valid frames freeze fully
+    max_depth = max(num_layers.values())
+    attn_states: dict[int, Array] = {}
+    seq_lens: dict[int, Array] = {}
+    new_blocks = []
+    for i in range(1, max_depth + 1):
+        blk = params[f"block_{i}"]
+        st = state["blocks"][i - 1]
+        ns: dict[str, Array] = {}
+        qkv = dense(blk["qkv"], _layer_norm(blk["ln1"], h),
+                    compute_dtype=compute_dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shp = lambda t: t.reshape(B, W, nh, hd).transpose(0, 2, 1, 3)
+        q, k, v = shp(q), shp(k), shp(v)                      # [B,nh,W,hd]
+        # The cache stores PRE-cast (f32) K/V — the offline path casts at
+        # use, and bf16->f32->bf16 round-trips exactly.
+        kf = jnp.concatenate([st["k"], k.astype(jnp.float32)], axis=2)
+        vf = jnp.concatenate([st["v"], v.astype(jnp.float32)], axis=2)
+        ns["k"] = jnp.where(upd[:, None, None, None], kf[:, :, -L:], st["k"])
+        ns["v"] = jnp.where(upd[:, None, None, None], vf[:, :, -L:], st["v"])
+        if compute_dtype is not None:
+            q, kf, vf = (t.astype(compute_dtype) for t in (q, kf, vf))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kf,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if "rel_bias" in blk:
+            s = s + _rel_bias_stream(blk["rel_bias"], W, L)
+        a = jax.nn.softmax(s + bias, axis=-1)
+        if compute_dtype is not None:
+            a = a.astype(compute_dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, vf,
+                       preferred_element_type=jnp.float32)
+        o = o.transpose(0, 2, 1, 3).reshape(B, W, D)
+        h = h + dense(blk["attn_out"], o, compute_dtype=compute_dtype)
+
+        if "conv" in blk:
+            p = blk["conv"]
+            kk = p["dw"].shape[0]
+            xg = dense(p["pw1"], _layer_norm(p["ln"], h),
+                       compute_dtype=compute_dtype)
+            ga, gb = jnp.split(xg, 2, axis=-1)
+            xg = (ga * jax.nn.sigmoid(gb)) * vmask             # GLU, masked
+            if kk > 1:
+                # Prepend the carried kk-1 previous frames; VALID padding
+                # then equals the offline causal (left-padded) conv.
+                xin = jnp.concatenate([st["conv"].astype(xg.dtype), xg],
+                                      axis=1)
+                ns["conv"] = jnp.where(upd[:, None, None],
+                                       xin[:, -(kk - 1):].astype(jnp.float32),
+                                       st["conv"])
+            else:
+                xin = xg
+            c = jax.lax.conv_general_dilated(
+                xin, p["dw"][:, None, :].astype(xin.dtype),
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=D)
+            c = _layer_norm(p["ln2"], c)
+            c = c * jax.nn.sigmoid(c)
+            h = h + dense(p["pw2"], c, compute_dtype=compute_dtype)
+
+        h = h + _ffn_fwd(blk, h, compute_dtype=compute_dtype)
+        new_blocks.append(ns)
+        attn_states[i] = _layer_norm(params["ln_out"], h) * vmask
+        seq_lens[i] = lens
+    new_state = {"pos": pos0 + lens, "blocks": tuple(new_blocks)}
+    return attn_states, seq_lens, new_state
 
 
 def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
@@ -344,6 +556,11 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
 
     valid = (jnp.arange(T)[None, :] < lens[:, None])          # [B,T]
     attn_bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+    if cfg.attn_chunk > 0:
+        # Block-causal chunk mask -> [B,1,T,T] bias; trains an encoder the
+        # streaming path (apply_streaming) reproduces exactly from chunks.
+        attn_bias = attn_bias + jnp.asarray(
+            chunk_bias(T, cfg.attn_chunk, cfg.attn_left))
     vmask = valid.astype(h.dtype)[:, :, None]
 
     keep = cfg.out_prob if train else 1.0

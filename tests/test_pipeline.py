@@ -12,14 +12,15 @@ from e2e_asr_tpu.models import seq2seq
 jax.config.update("jax_enable_x64", False)
 
 
-def _cfg(depth=4, conv=0, rel=False):
+def _cfg(depth=4, conv=0, rel=False, chunk=0):
     return Seq2SeqConfig(
         tasks=["char"],
         num_layers={"char": depth},
         max_output={"char": 12},
         encoder=EncoderConfig(hidden_size=8, encoder_type="transformer",
                               num_heads=2, subsample=4, out_prob=1.0,
-                              conv_kernel=conv, rel_pos_bias=rel),
+                              conv_kernel=conv, rel_pos_bias=rel,
+                              attn_chunk=chunk, attn_left=2),
         decoders={"char": DecoderConfig(
             hidden_size_dec=8, emb_size=8, vocab_size=13,
             attention_vec_size=8, lm_hidden_size=8, out_prob_dec=1.0,
@@ -56,6 +57,22 @@ def test_pipeline_forward_matches_serial(rng, stages, micro, conv, rel):
         np.asarray(tm_p[d]), np.asarray(attn_p[d]).transpose(1, 0, 2))
     np.testing.assert_array_equal(np.asarray(lens_p[d]),
                                   np.asarray(lens_s[d]))
+
+
+def test_pipeline_chunk_causal_matches_serial(rng):
+    """Chunk-causal attention (-attn_chunk) through the pipeline: the static
+    chunk mask is added per microbatch exactly like the serial encoder, and
+    block_fwd's conv module turns causal."""
+    cfg = _cfg(depth=4, conv=3, chunk=2)
+    params = seq2seq.init(jax.random.PRNGKey(3), cfg)
+    feats, lens = _data(rng)
+    mesh = pipeline.make_stage_mesh(2)
+    attn_s, _, _ = seq2seq.encode(params, cfg, feats, lens)
+    attn_p, _, _ = pipeline.encode_pipeline(params, cfg, feats, lens,
+                                            mesh=mesh, n_micro=2)
+    d = cfg.num_layers["char"]
+    np.testing.assert_allclose(np.asarray(attn_p[d]), np.asarray(attn_s[d]),
+                               rtol=1e-4, atol=5e-6)
 
 
 def test_pipeline_train_grads_match_serial(rng):

@@ -34,6 +34,35 @@ def test_sp_forward_matches_serial(rng, shards, rel, conv):
                                   np.asarray(lens_s[d]))
 
 
+@pytest.mark.parametrize("shards,conv", [(2, 0), (2, 3), (4, 3)])
+def test_sp_chunk_causal_matches_serial(rng, shards, conv):
+    """Chunk-causal attention under time sharding: each shard adds its row
+    slice of the global chunk mask, and the conv halo turns left-only
+    (k-1 frames from the left neighbor = the serial causal left padding)."""
+    cfg = _cfg(depth=2, conv=conv, chunk=2)
+    params = seq2seq.init(jax.random.PRNGKey(5), cfg)
+    feats, lens = _data(rng)
+    mesh = seq_parallel.make_seq_mesh(shards)
+    attn_s, _, _ = seq2seq.encode(params, cfg, feats, lens)
+    attn_p, _, _ = seq_parallel.encode_seq_parallel(
+        params, cfg, feats, lens, mesh=mesh)
+    d = cfg.num_layers["char"]
+    np.testing.assert_allclose(np.asarray(attn_p[d]), np.asarray(attn_s[d]),
+                               rtol=1e-4, atol=5e-6)
+
+
+def test_sp_causal_halo_guard(rng):
+    """The causal conv halo is k-1 (not the symmetric k-1-(k-1)//2): a
+    kernel-4 causal conv needs 3 borrowed frames, too many for a 2-frame
+    time shard."""
+    cfg = _cfg(depth=2, conv=4, chunk=2)
+    params = seq2seq.init(jax.random.PRNGKey(6), cfg)
+    feats, lens = _data(rng)
+    with pytest.raises(ValueError, match="halo"):
+        seq_parallel.encode_seq_parallel(
+            params, cfg, feats, lens, mesh=seq_parallel.make_seq_mesh(4))
+
+
 @pytest.mark.parametrize("conv", [0, 3])
 def test_sp_train_grads_match_serial(rng, conv):
     """Pipelined-in-time encoder -> decoder -> CE: loss and grads equal the
