@@ -270,6 +270,45 @@ def test_transcriber_exact_transformer_matches_offline(tmp_path):
     assert out1 == "".join(parts)
 
 
+def test_transducer_stream_equals_offline_decode(tmp_path):
+    """FULL-pipeline exact streaming: chunk-causal transformer encoder
+    (exact stitched states) + stateful transducer greedy (exact carried
+    pred-net state) => the streamed transcript equals one offline
+    whole-utterance greedy decode token-for-token."""
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.eval.streaming import StreamingTranscriber
+    from e2e_asr_tpu.frontend.logmel import featurize_utterance
+    from e2e_asr_tpu.models import transducer as rnnt_lib
+
+    rev = _vocab(tmp_path)
+    base = _cfg(subsample=4, attn_chunk=2, attn_left=2, conv_kernel=3)
+    cfg = dataclasses.replace(
+        base, model_family="transducer",
+        decoders={"char": dataclasses.replace(base.decoders["char"],
+                                              vocab_size=37)})
+    params = rnnt_lib.init(jax.random.PRNGKey(12), cfg, vocab_size=37)
+    wave = _wave(seconds=1.1, seed=21)
+
+    st = StreamingTranscriber(params, cfg, rev, window=16, margin=64,
+                              n_mels=cfg.feat_length)
+    assert st.exact
+    streamed = st.push(wave) + st.finish()
+
+    frames = featurize_utterance(wave, sample_rate=16000, frame_length=400,
+                                 hop_length=160, n_mels=cfg.feat_length)
+    attn, _, enc_lens = seq2seq.encode(params, cfg, jnp.asarray(frames)[None],
+                                       jnp.asarray([frames.shape[0]]))
+    d = cfg.num_layers["char"]
+    # Same per-frame emission budget as the streaming spans (the tiny
+    # random-init model emits freely; cfg.max_output would truncate).
+    tokens = rnnt_lib.greedy_decode_states(
+        params, cfg, attn[d], enc_lens[d],
+        max_output=4 * attn[d].shape[1])
+    offline = text.ids_to_sentence(
+        [int(t) for t in np.asarray(tokens[0]) if t != 0], rev)
+    assert streamed == st.transcript == offline
+
+
 def test_batched_server_exact_transformer_matches_single(tmp_path):
     """Chunk-causal transformer through the BatchedStreamingServer: exact
     path engaged, every stream token-for-token equal to a dedicated
