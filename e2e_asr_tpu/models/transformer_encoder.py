@@ -137,6 +137,27 @@ def _rel_bias(table: Array, T: int) -> Array:
     return table[:, jnp.asarray(idx)][None]                   # [1,nh,T,T]
 
 
+# Banded attention for chunk-causal configs: chunk-causality bounds every
+# query's visible keys to the (attn_left+1)*attn_chunk-frame window of its
+# own + left chunks, so at long post-subsample lengths the [T,T] score
+# matrix is waste — computing per-chunk [ch, W] scores against gathered key
+# windows is O(T*W) FLOPs and memory instead of O(T^2). Engaged
+# automatically (trace-time static on T) when T is at least
+# BANDED_MIN_FACTOR windows; below that the dense masked form is smaller.
+# Numerics: identical key set per query (out-of-window keys hold exactly
+# softmax weight 0 in the dense form), so outputs match the dense path to
+# reduction-order tolerance (pinned by tests/test_transformer_streaming.py).
+BANDED_MIN_FACTOR = 2
+_FORCE_BANDED: bool | None = None       # tests pin both paths explicitly
+
+
+def use_banded(T: int, cfg: EncoderConfig) -> bool:
+    if _FORCE_BANDED is not None:
+        return _FORCE_BANDED
+    return (cfg.attn_chunk > 0
+            and T >= BANDED_MIN_FACTOR * (cfg.attn_left + 1) * cfg.attn_chunk)
+
+
 def _conv_module(p: dict, h: Array, vmask: Array, compute_dtype=None,
                  causal: bool = False) -> Array:
     """Conformer-style convolution module (lite: LayerNorm instead of
@@ -254,7 +275,8 @@ def _moe_ffn(p: dict, x: Array, capacity_factor: float, aux_sink,
 
 
 def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
-          compute_dtype=None, train: bool = False) -> Array:
+          compute_dtype=None, train: bool = False,
+          chunk: tuple[int, int] | None = None) -> Array:
     from e2e_asr_tpu.core.rnn import use_pallas_lstm
     from e2e_asr_tpu.ops import mhsa_pallas
 
@@ -264,6 +286,46 @@ def _mhsa(p: dict, h: Array, bias: Array, num_heads: int,
     q, k, v = jnp.split(qkv, 3, axis=-1)
     shp = lambda x: x.reshape(B, T, num_heads, hd).transpose(0, 2, 1, 3)
     q, k, v = shp(q), shp(k), shp(v)                          # [B,nh,T,hd]
+    if chunk is not None:
+        # Banded chunk-causal attention: per-chunk queries against gathered
+        # key windows — O(T*W) instead of O(T^2). `bias` arrives as the
+        # PADDING-only [B,1,1,T] form (the caller skips the dense chunk
+        # mask); the window itself realizes the chunk constraint, because
+        # every whole chunk in [i-left, i] is visible to chunk i's queries.
+        ch, left = chunk
+        Wn = (left + 1) * ch
+        assert T % ch == 0, "caller pads T to a chunk multiple"
+        nc = T // ch
+        kidx = (np.arange(nc)[:, None] * ch
+                + np.arange(Wn)[None, :] - left * ch)         # [nc,Wn]
+        in_range = kidx >= 0                # pre-stream slots don't exist
+        kidx_c = np.clip(kidx, 0, T - 1)
+        # Per-row key validity: gather the padding bias at window slots.
+        win_bias = bias[:, 0, 0, :][:, jnp.asarray(kidx_c)]   # [B,nc,Wn]
+        win_bias = jnp.where(jnp.asarray(in_range), win_bias, -1e30)
+        if compute_dtype is not None:
+            q, k, v = (x.astype(compute_dtype) for x in (q, k, v))
+        q5 = q.reshape(B, num_heads, nc, ch, hd)
+        gather = lambda x: jnp.take(x, jnp.asarray(kidx_c.reshape(-1)),
+                                    axis=2).reshape(B, num_heads, nc, Wn, hd)
+        kw, vw = gather(k), gather(v)
+        s = jnp.einsum("bhncd,bhnwd->bhncw", q5, kw,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if "rel_bias" in p:
+            # dist(q,k) = u + left*ch - m: the same for every chunk.
+            dist = (np.arange(ch)[:, None] + left * ch
+                    - np.arange(Wn)[None, :])
+            ridx = np.clip(dist, -(REL_RADIUS - 1),
+                           REL_RADIUS - 1) + REL_RADIUS - 1
+            s = s + p["rel_bias"][:, jnp.asarray(ridx)][None, :, None]
+        a = jax.nn.softmax(s + win_bias[:, None, :, None, :], axis=-1)
+        if compute_dtype is not None:
+            a = a.astype(compute_dtype)
+        o = jnp.einsum("bhncw,bhnwd->bhncd", a, vw,
+                       preferred_element_type=jnp.float32)
+        o = o.reshape(B, num_heads, T, hd).transpose(0, 2, 1, 3)
+        o = o.reshape(B, T, D)
+        return dense(p["attn_out"], o, compute_dtype=compute_dtype)
     if (not train and mhsa_pallas.enabled() and use_pallas_lstm()
             and bias.shape[2] == 1    # chunk-causal [B,1,T,T] bias: XLA path
             and mhsa_pallas.supported(num_heads, T, hd, "rel_bias" in p)):
@@ -316,16 +378,19 @@ def block_fwd(blk: dict, h: Array, attn_bias: Array, vmask: Array, keys,
               keep: float, cfg: EncoderConfig, compute_dtype=None,
               train: bool = False, aux_sink: list | None = None,
               ep_mesh=None, aux_stats: bool = False,
-              ep_axis: str | None = None) -> Array:
+              ep_axis: str | None = None,
+              banded_chunk: tuple[int, int] | None = None) -> Array:
     """One pre-LN encoder block — THE single definition of the block math.
 
     The serial encoder (`apply`) and the pipeline-parallel path
     (core/pipeline.py) both call this; the sequence-parallel path reuses
     `_ffn_fwd` but swaps `_mhsa` for its gathered-K/V variant. keys is the
-    (attn, conv, ffn) dropout-key triple.
+    (attn, conv, ffn) dropout-key triple. banded_chunk: (attn_chunk,
+    attn_left) when the caller selected the banded O(T*W) attention form
+    (attn_bias is then the padding-only [B,1,1,T]).
     """
     a = _mhsa(blk, _layer_norm(blk["ln1"], h), attn_bias, cfg.num_heads,
-              compute_dtype=compute_dtype, train=train)
+              compute_dtype=compute_dtype, train=train, chunk=banded_chunk)
     if train and keep < 1.0:
         a = dropout(keys[0], a, keep)
     h = h + a
@@ -550,26 +615,38 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
     else:
         lens = seq_len.astype(jnp.int32)
     B, T, _ = x.shape
+    T_out = T
+    banded = use_banded(T, cfg)
+    if banded and T % cfg.attn_chunk:
+        # Banded gathers index whole chunks: pad T up (the pad frames are
+        # past every length, masked everywhere, and sliced off below).
+        x = jnp.pad(x, ((0, 0), (0, cfg.attn_chunk - T % cfg.attn_chunk),
+                        (0, 0)))
+        T = x.shape[1]
     D = d_model(cfg)
     h = dense(params["input_proj"], x, compute_dtype=compute_dtype)
     h = h + jnp.asarray(_sinusoidal(T, D))
 
     valid = (jnp.arange(T)[None, :] < lens[:, None])          # [B,T]
     attn_bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
-    if cfg.attn_chunk > 0:
+    if cfg.attn_chunk > 0 and not banded:
         # Block-causal chunk mask -> [B,1,T,T] bias; trains an encoder the
         # streaming path (apply_streaming) reproduces exactly from chunks.
+        # (When `banded`, _mhsa realizes the same constraint as gathered
+        # key windows — O(T*W) — and wants the padding-only bias.)
         attn_bias = attn_bias + jnp.asarray(
             chunk_bias(T, cfg.attn_chunk, cfg.attn_left))
     vmask = valid.astype(h.dtype)[:, :, None]
 
     keep = cfg.out_prob if train else 1.0
     drop_rng = rng if rng is not None else jax.random.PRNGKey(0)
+    bc = (cfg.attn_chunk, cfg.attn_left) if banded else None
 
     def run_block(blk, h, k_a, k_c, k_f):
         return block_fwd(blk, h, attn_bias, vmask, (k_a, k_c, k_f), keep,
                          cfg, compute_dtype=compute_dtype, train=train,
-                         aux_sink=aux_sink, ep_mesh=ep_mesh)
+                         aux_sink=aux_sink, ep_mesh=ep_mesh,
+                         banded_chunk=bc)
 
     if train and cfg.remat:
         # Per-block rematerialization (-remat): backward recomputes the
@@ -584,7 +661,8 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
                 sink = []
                 out = block_fwd(blk, h, attn_bias, vmask, (k_a, k_c, k_f),
                                 keep, cfg, compute_dtype=compute_dtype,
-                                train=train, aux_sink=sink, ep_mesh=ep_mesh)
+                                train=train, aux_sink=sink, ep_mesh=ep_mesh,
+                                banded_chunk=bc)
                 aux = (sum(sink) if sink
                        else jnp.zeros((), jnp.float32))
                 return out, aux
@@ -606,7 +684,7 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
                       jax.random.fold_in(drop_rng, 3 * i + 1),
                       jax.random.fold_in(drop_rng, 3 * i + 2))
         if i in want_attn or i in want_tm:
-            out = _layer_norm(params["ln_out"], h) * vmask
+            out = (_layer_norm(params["ln_out"], h) * vmask)[:, :T_out]
             if i in want_attn:
                 attn_states[i] = out
             if i in want_tm:

@@ -210,6 +210,91 @@ def test_config_rejects_attn_chunk_on_rnn_encoder():
                       "num_layers": {"char": 2}}, vocab_sizes={"char": 11})
 
 
+# ------------------------------------------------------- banded attention
+
+@pytest.mark.parametrize("conv,rel,T", [(0, False, 32), (3, True, 32),
+                                        (3, False, 29)])   # 29: pad path
+def test_banded_matches_dense_forward(monkeypatch, conv, rel, T):
+    """Banded O(T*W) chunk-causal attention == the dense masked form (the
+    out-of-window keys hold exactly zero softmax weight in the dense form),
+    including rel-pos bias, varied row lengths, and a non-chunk-multiple T
+    (internal padding)."""
+    cfg = _cfg(conv_kernel=conv, rel_pos_bias=rel, subsample=1,
+               attn_chunk=2, attn_left=1)
+    ecfg = cfg.encoder
+    params = encoder_lib.init(jax.random.PRNGKey(20), ecfg, 2,
+                              cfg.feat_length)
+    if rel:
+        for i in (1, 2):
+            params[f"block_{i}"]["rel_bias"] = 0.1 * jax.random.normal(
+                jax.random.PRNGKey(30 + i),
+                params[f"block_{i}"]["rel_bias"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(21), (3, T, cfg.feat_length))
+    lens = jnp.asarray([T, T - 7, 5])
+
+    monkeypatch.setattr(xfmr, "_FORCE_BANDED", False)
+    dense_attn, _, _ = encoder_lib.apply(params, ecfg, x, lens, {"char": 2})
+    monkeypatch.setattr(xfmr, "_FORCE_BANDED", True)
+    band_attn, _, _ = encoder_lib.apply(params, ecfg, x, lens, {"char": 2})
+    assert band_attn[2].shape == dense_attn[2].shape
+    np.testing.assert_allclose(np.asarray(band_attn[2]),
+                               np.asarray(dense_attn[2]), atol=2e-5)
+
+
+def test_banded_matches_dense_grads(monkeypatch):
+    cfg = _cfg(conv_kernel=3, subsample=1, attn_chunk=2, attn_left=1)
+    ecfg = cfg.encoder
+    params = encoder_lib.init(jax.random.PRNGKey(22), ecfg, 2,
+                              cfg.feat_length)
+    x = jax.random.normal(jax.random.PRNGKey(23), (2, 24, cfg.feat_length))
+    lens = jnp.asarray([24, 17])
+
+    def loss(p):
+        attn, _, _ = encoder_lib.apply(p, ecfg, x, lens, {"char": 2},
+                                       train=True, rng=jax.random.PRNGKey(1))
+        return jnp.sum(attn[2] ** 2)
+
+    monkeypatch.setattr(xfmr, "_FORCE_BANDED", False)
+    l_d, g_d = jax.value_and_grad(loss)(params)
+    monkeypatch.setattr(xfmr, "_FORCE_BANDED", True)
+    l_b, g_b = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l_b), float(l_d), rtol=1e-5)
+    for (kd, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(g_d),
+                                jax.tree_util.tree_leaves_with_path(g_b)):
+        assert kd == kb
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(kd))
+
+
+def test_banded_auto_engages_at_long_t():
+    cfg = _cfg(attn_chunk=4, attn_left=3).encoder   # window 16
+    assert not xfmr.use_banded(24, cfg)             # < 2 windows
+    assert xfmr.use_banded(32, cfg)
+    assert not xfmr.use_banded(1000, _cfg(attn_chunk=0).encoder)
+
+
+def test_streaming_matches_banded_offline():
+    """At lengths where the offline encoder auto-selects the banded form,
+    chunked apply_streaming still reproduces it."""
+    cfg = _cfg(conv_kernel=3, subsample=1, attn_chunk=2, attn_left=1)
+    ecfg = cfg.encoder
+    assert xfmr.use_banded(40, ecfg)
+    params = encoder_lib.init(jax.random.PRNGKey(24), ecfg, 2,
+                              cfg.feat_length)
+    x = jax.random.normal(jax.random.PRNGKey(25), (1, 40, cfg.feat_length))
+    lens = jnp.asarray([40])
+    attn, _, _ = encoder_lib.apply(params, ecfg, x, lens, {"char": 2})
+    state = encoder_lib.streaming_state(ecfg, 2, 1)
+    outs = []
+    for lo, hi in [(0, 8), (8, 24), (24, 40)]:
+        s_attn, _, state = encoder_lib.apply_streaming(
+            params, ecfg, x[:, lo:hi], jnp.asarray([hi - lo]), {"char": 2},
+            state)
+        outs.append(np.asarray(s_attn[2]))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1),
+                               np.asarray(attn[2]), atol=2e-5)
+
+
 # --------------------------------------------------------- transcriber level
 
 def _vocab(tmp_path):
