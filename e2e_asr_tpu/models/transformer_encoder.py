@@ -141,13 +141,24 @@ def _rel_bias(table: Array, T: int) -> Array:
 # query's visible keys to the (attn_left+1)*attn_chunk-frame window of its
 # own + left chunks, so at long post-subsample lengths the [T,T] score
 # matrix is waste — computing per-chunk [ch, W] scores against gathered key
-# windows is O(T*W) FLOPs and memory instead of O(T^2). Engaged
-# automatically (trace-time static on T) when T is at least
-# BANDED_MIN_FACTOR windows; below that the dense masked form is smaller.
+# windows is O(T*W) FLOPs and memory instead of O(T^2).
+#
+# On-chip (v5e) measurement, fwd+bwd through the 4-block encoder, window 72
+# (chunk 8, left 8), bf16: banded LOSES on speed at every length probed —
+# 0.57x at T'=128, 0.34x at T'=512, 0.59x at T'=2048 (dense 2.58/4.23/
+# 10.75 ms vs banded 4.56/12.37/18.12). The dense masked form is batched
+# square GEMMs the MXU eats; the banded form's per-chunk key-window gathers
+# and [nq, ch, W] einsum tiles don't pay for the 28x FLOP reduction at
+# these sizes. So the banded form is kept as a MEMORY guard, not a speed
+# path: auto-engaged (trace-time static on T) only when the dense [T,T]
+# scores would be >= BANDED_MIN_FACTOR windows wide (T' >= 64*72 = 4608 at
+# the default window, where per-(B,head,layer) dense scores pass ~40 MB
+# f32 and HBM pressure, not FLOPs, is the binding constraint). Tests pin
+# both paths via _FORCE_BANDED.
 # Numerics: identical key set per query (out-of-window keys hold exactly
 # softmax weight 0 in the dense form), so outputs match the dense path to
 # reduction-order tolerance (pinned by tests/test_transformer_streaming.py).
-BANDED_MIN_FACTOR = 2
+BANDED_MIN_FACTOR = 64
 _FORCE_BANDED: bool | None = None       # tests pin both paths explicitly
 
 

@@ -267,18 +267,21 @@ def test_banded_matches_dense_grads(monkeypatch):
 
 
 def test_banded_auto_engages_at_long_t():
+    # Memory-guard threshold: BANDED_MIN_FACTOR windows (on-chip probes
+    # showed dense wins on speed below that — see transformer_encoder.py).
     cfg = _cfg(attn_chunk=4, attn_left=3).encoder   # window 16
-    assert not xfmr.use_banded(24, cfg)             # < 2 windows
-    assert xfmr.use_banded(32, cfg)
-    assert not xfmr.use_banded(1000, _cfg(attn_chunk=0).encoder)
+    thresh = xfmr.BANDED_MIN_FACTOR * 16
+    assert not xfmr.use_banded(thresh - 8, cfg)
+    assert xfmr.use_banded(thresh, cfg)
+    assert not xfmr.use_banded(10 * thresh, _cfg(attn_chunk=0).encoder)
 
 
-def test_streaming_matches_banded_offline():
-    """At lengths where the offline encoder auto-selects the banded form,
-    chunked apply_streaming still reproduces it."""
+def test_streaming_matches_banded_offline(monkeypatch):
+    """When the offline encoder selects the banded form, chunked
+    apply_streaming still reproduces it."""
     cfg = _cfg(conv_kernel=3, subsample=1, attn_chunk=2, attn_left=1)
     ecfg = cfg.encoder
-    assert xfmr.use_banded(40, ecfg)
+    monkeypatch.setattr(xfmr, "_FORCE_BANDED", True)
     params = encoder_lib.init(jax.random.PRNGKey(24), ecfg, 2,
                               cfg.feat_length)
     x = jax.random.normal(jax.random.PRNGKey(25), (1, 40, cfg.feat_length))
