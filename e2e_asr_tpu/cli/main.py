@@ -137,6 +137,12 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         print(f"Eval data parallelism: {n}-way")
 
     start = time.time()
+    if (cfg.beam.lm_rescore != 0.0
+            and cfg.model.model_family in ("ctc", "transducer")):
+        raise ValueError("-lm_rescore (second-pass n-best LM rescoring) "
+                         "currently covers the attention family; the "
+                         f"{cfg.model.model_family} family fuses the LM "
+                         "per-step instead (-lm_path/-lm_weight)")
     if cfg.model.model_family == "ctc":
         if cfg.beam.ilm_weight != 0.0:
             raise ValueError("-ilm_weight needs a decoder with an internal "
@@ -166,7 +172,7 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         evaluator(eval_params, dev_set.epoch())
     elif (cfg.beam.beam_size == 1 and cfg.beam.lm_weight == 0.0
           and cfg.beam.ctc_rescore == 0.0 and cfg.beam.joint_ctc == 0.0
-          and cfg.beam.ilm_weight == 0.0
+          and cfg.beam.ilm_weight == 0.0 and cfg.beam.lm_rescore == 0.0
           and bias is None and cfg.beam.nbest <= 1):
         evaluator = GreedyEvaluator(cfg.model, rev_vocab, tc.best_model_dir,
                                     compute_dtype=compute_dtype, mesh=mesh)

@@ -134,6 +134,8 @@ class BeamConfig:
     apply_cov_penalty: bool = False  # extension: GNMT-style coverage penalty
     max_steps: int = 120             # hard cap (beam_search.py:269)
     ctc_rescore: float = 0.0         # extension: hybrid n-best CTC rescoring
+    lm_rescore: float = 0.0          # extension: second-pass LM rescoring of
+                                     # the beam n-best (score + w*log p_lm)
     joint_ctc: float = 0.0           # extension: one-pass joint CTC/attention
     ctc_pre_beam: int = 0            # joint decoding: CTC-score only the
                                      # attention top-P tokens (0 = full vocab)
@@ -422,6 +424,15 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
                         help="extension: rescore the attention beam n-best "
                              "with the hybrid checkpoint's CTC head, weight "
                              "w in (1-w)*attention + w*ctc")
+    parser.add_argument("-lm_rescore", "--lm_rescore", default=0.0,
+                        type=float,
+                        help="extension: second-pass LM rescoring — re-rank "
+                             "the beam's full final candidate set by "
+                             "score + w*log p_LM(seq) (the LM from "
+                             "-lm_path, or the decoder's own weight-tied "
+                             "LM when -lm_path is empty); the first pass "
+                             "stays LM-free, unlike per-step -lm_weight "
+                             "fusion (pick one of the two)")
     parser.add_argument("-joint_ctc", "--joint_ctc", default=0.0, type=float,
                         help="extension: one-pass joint CTC/attention "
                              "decoding — every beam step ranks "

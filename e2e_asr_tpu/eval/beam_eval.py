@@ -31,6 +31,10 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
     (seqs [B,N,L], lens [B,N], scores [B,N])."""
     dec_cfg = cfg.decoders["char"]
     use_joint = beam_cfg.joint_ctc > 0.0
+    use_lm_rescore = beam_cfg.lm_rescore != 0.0
+    if use_lm_rescore and beam_cfg.lm_weight != 0.0:
+        raise ValueError("-lm_rescore (second pass) and -lm_weight (per-"
+                         "step fusion) are two LM applications; pick one")
     if nbest > 1 and beam_cfg.beam_size < nbest:
         import dataclasses
         beam_cfg = dataclasses.replace(beam_cfg, beam_size=nbest)
@@ -38,10 +42,10 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
     @jax.jit
     def run(params, feats, feat_lens, lm_p):
         params = quant.maybe_dequantize(params)
-        # Shared-LM fusion reads the decoder's own leaves — derived inside
-        # the jit so it sees the dequantized tree (beam_search.py:111-134
-        # weight-tying semantics).
-        if lm_p is None and beam_cfg.lm_weight != 0.0:
+        # Shared-LM fusion/rescoring reads the decoder's own leaves —
+        # derived inside the jit so it sees the dequantized tree
+        # (beam_search.py:111-134 weight-tying semantics).
+        if lm_p is None and (beam_cfg.lm_weight != 0.0 or use_lm_rescore):
             lm_p = rnn_lm.shared_lm_params(params)
         attn_states, _, enc_lens = seq2seq.encode(
             params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
@@ -57,17 +61,25 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
             scorer = CTCPrefixScorer(
                 ctc_logits, enc_lens[depth],
                 pre_beam=beam_cfg.ctc_pre_beam or None)
-        if nbest > 1:
+        if nbest > 1 or use_lm_rescore:
             import jax.numpy as jnp
             (_, _, _), (seqs, lens, scores) = beam_decode(
                 params["decoder_char"], dec_cfg, beam_cfg,
                 attn_states[depth], enc_lens[depth],
                 lm_params=lm_p, ctc_scorer=scorer, bias=bias,
                 return_nbest=True)
+            if use_lm_rescore:
+                from e2e_asr_tpu.eval.rescore import lm_nbest_scores
+                lm_s = lm_nbest_scores(lm_p, seqs, lens)
+                scores = jnp.where(scores <= -1e29, scores,
+                                   scores + beam_cfg.lm_rescore * lm_s)
             order = jnp.argsort(-scores, axis=1, stable=True)[:, :nbest]
-            return (jnp.take_along_axis(seqs, order[:, :, None], axis=1),
-                    jnp.take_along_axis(lens, order, axis=1),
-                    jnp.take_along_axis(scores, order, axis=1))
+            out = (jnp.take_along_axis(seqs, order[:, :, None], axis=1),
+                   jnp.take_along_axis(lens, order, axis=1),
+                   jnp.take_along_axis(scores, order, axis=1))
+            if nbest > 1:
+                return out
+            return out[0][:, 0], out[1][:, 0], out[2][:, 0]
         return beam_decode(params["decoder_char"], dec_cfg, beam_cfg,
                            attn_states[depth], enc_lens[depth],
                            lm_params=lm_p, ctc_scorer=scorer, bias=bias)
@@ -99,6 +111,11 @@ class BeamEvaluator:
         if beam_cfg.ctc_rescore > 0 and beam_cfg.joint_ctc > 0:
             raise ValueError("-ctc_rescore and -joint_ctc are two joint-"
                              "decoding modes; pick one")
+        if beam_cfg.ctc_rescore > 0 and beam_cfg.lm_rescore != 0.0:
+            raise ValueError("-ctc_rescore and -lm_rescore both consume "
+                             "the n-best; pick one second-pass rescorer "
+                             "(per-step -lm_weight fusion combines with "
+                             "-ctc_rescore fine)")
         if beam_cfg.ctc_rescore > 0 and bias is not None:
             raise ValueError("contextual biasing steers the one-pass beams "
                              "(-joint_ctc is fine); it cannot reach "

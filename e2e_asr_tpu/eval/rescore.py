@@ -1,19 +1,28 @@
-"""CTC-rescored attention beam search (hybrid-family joint decoding).
+"""N-best rescoring over the attention beam's final candidate set.
 
-The standard hybrid decoding recipe (ESPnet-style, approximated as n-best
-rescoring): run the attention beam search, keep its FULL final candidate set
-(finished ∪ live, exposed by eval/beam.beam_decode(return_nbest=True)), score
-each candidate's label sequence under the CTC head with the exact CTC
-forward algorithm (optax.ctc_loss == -log p_ctc), and pick
+Two second-pass scorers share the recipe "run the beam, keep its FULL final
+candidate set (finished ∪ live, eval/beam.beam_decode(return_nbest=True)),
+re-rank":
 
-    argmax_j (1 - w) * attention_score_j + w * log p_ctc(seq_j)
+- **CTC rescoring** (`-ctc_rescore w`, ESPnet-style hybrid decoding): score
+  each candidate's label sequence under the hybrid checkpoint's CTC head
+  with the exact CTC forward algorithm (optax.ctc_loss == -log p_ctc) and
+  pick  argmax_j (1 - w) * attention_score_j + w * log p_ctc(seq_j).
+  The CTC term prefers monotonically aligned hypotheses and vetoes
+  attention hallucinations; requires a hybrid checkpoint (`ctc_head`).
 
-Both terms are length-cumulative log-probabilities, so they interpolate on
-the same scale. The CTC term prefers monotonically aligned hypotheses and
-vetoes attention hallucinations; w=0 reduces exactly to the plain beam
-selection (tested).
+- **LM rescoring** (`-lm_rescore w`, lm_nbest_scores below): teacher-force
+  each candidate through a fusion LM (the decoder's own weight-tied LM, an
+  external RNN LM from -lm_path, or a trigram table) in ONE parallel pass
+  and pick  argmax_j attention_score_j + w * log p_lm(seq_j).  This is the
+  classic second-pass alternative to per-step shallow fusion
+  (`-lm_weight`): the first pass stays LM-free (cheaper per step, one LM
+  application per candidate instead of per step x vocab), at the cost of
+  only seeing hypotheses the acoustic beam kept.
 
-Requires a hybrid checkpoint (params carry `ctc_head`; models/hybrid.py).
+All terms are length-cumulative log-probabilities, so they interpolate on
+the same scale; weight 0 reduces exactly to the plain beam selection
+(tested).
 """
 from __future__ import annotations
 
@@ -62,6 +71,59 @@ def ctc_nbest_scores(ctc_logits: Array, enc_lens: Array, seqs: Array,
     # frames (CTC-impossible) are out.
     ok = (lab_lens > 0) & (lab_lens <= enc_lens[:, None])
     return jnp.where(ok, logp, -1e30)
+
+
+def lm_nbest_scores(lm_params: dict, seqs: Array, lens: Array, *,
+                    eos_in_seq: bool = True) -> Array:
+    """log p_LM(sequence) for each n-best candidate, any fusion-LM kind.
+
+    Teacher-forced in one pass: a `lax.scan` over the (static) candidate
+    length drives rnn_lm.fusion_step on the flattened [B*N] batch — the
+    SAME step every family's beam fuses with per-step, so fusion and
+    rescoring semantics cannot drift (RNN LMs and trigram tables both work
+    unchanged).
+
+    seqs: [B, N, S] token ids; lens: [B, N]. With eos_in_seq=True
+    (attention-family n-best) the final <eos> sits at position len-1 and
+    is scored as part of the sequence. With eos_in_seq=False
+    (CTC/transducer label sequences carry no <eos>) tokens 0..len-1 are
+    scored and a terminal p(<eos> | sequence) factor is added, so lengths
+    compete on complete-sentence LM probability (the same convention as
+    the CTC beam's fused terminal term, eval/ctc_beam.py).
+
+    Returns [B, N] f32 cumulative log-probs; empty slots (len 0) get 0 —
+    the caller masks them with its own sentinel.
+    """
+    from e2e_asr_tpu.data.text import EOS_ID, GO_ID
+    from e2e_asr_tpu.models import rnn_lm
+
+    B, N, S = seqs.shape
+    flat = seqs.reshape(B * N, S)
+    flat_lens = lens.reshape(B * N).astype(jnp.int32)
+    state0, x0 = rnn_lm.fusion_init(lm_params, (B * N,), GO_ID)
+
+    def step(carry, inp):
+        state, x, acc = carry
+        t, tok = inp
+        logp, state2 = rnn_lm.fusion_step(lm_params, x, state)
+        lp_tok = jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
+        acc = acc + jnp.where(t < flat_lens, lp_tok, 0.0)
+        if not eos_in_seq:
+            # At t == len the state has consumed exactly the real tokens
+            # (padding only feeds steps we mask), so this is p(eos | seq).
+            acc = acc + jnp.where((t == flat_lens) & (flat_lens > 0),
+                                  logp[:, EOS_ID], 0.0)
+        return (state2, rnn_lm.fusion_next_input(lm_params, tok), acc), None
+
+    (state, x, acc), _ = jax.lax.scan(
+        step, (state0, x0, jnp.zeros((B * N,), jnp.float32)),
+        (jnp.arange(S, dtype=jnp.int32), jnp.swapaxes(flat, 0, 1)))
+    if not eos_in_seq:
+        # Full-length candidates (len == S) place their terminal <eos>
+        # after the scan's last step.
+        logp, _ = rnn_lm.fusion_step(lm_params, x, state)
+        acc = acc + jnp.where(flat_lens == S, logp[:, EOS_ID], 0.0)
+    return acc.reshape(B, N)
 
 
 def ctc_rescore_decode(params: dict, cfg: Seq2SeqConfig, beam_cfg: BeamConfig,

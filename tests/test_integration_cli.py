@@ -286,6 +286,37 @@ def test_cli_nbest_output(workspace):
                                        "nbest_asr.txt"))
 
 
+def test_cli_lm_rescore(workspace):
+    """-lm_rescore w: second-pass LM rescoring of the beam n-best (tied LM
+    when -lm_path is empty), composes with -nbest; guarded against
+    combining with per-step fusion and against non-attention families."""
+    root = workspace
+    cfg = parse_options(_args(root))
+    if not glob.glob(os.path.join(cfg.train.train_dir, "asr.ckpt-*.npz")):
+        launch_train(cfg)
+    cfg_rs = parse_options(_args(root, ["-dev", "-beam_size", "2",
+                                        "-lm_rescore", "0.3",
+                                        "-nbest", "2"]))
+    launch_eval(cfg_rs)
+    nb_path = os.path.join(cfg_rs.train.best_model_dir, "nbest_2.txt")
+    assert os.path.isfile(nb_path)
+    by_uid = {}
+    for ln in open(nb_path).read().splitlines():
+        uid, rank, score, _ = ln.split("\t")
+        by_uid.setdefault(uid, []).append(float(score))
+    for scores in by_uid.values():
+        assert scores == sorted(scores, reverse=True)
+
+    with pytest.raises(ValueError, match="pick one"):
+        launch_eval(parse_options(_args(root, [
+            "-dev", "-beam_size", "2", "-lm_rescore", "0.3",
+            "-lm_weight", "0.1"])))
+    with pytest.raises(ValueError, match="attention family"):
+        launch_eval(parse_options(_args(root, [
+            "-model_family", "ctc", "-nlc", "2", "-run_id", "12",
+            "-dev", "-lm_rescore", "0.3"])))
+
+
 def test_cli_ngram_fusion(workspace, tmp_path):
     """-lm_path pointing at a tools/train_ngram artifact fuses the trigram
     through the attention beam (and the CTC prefix beam) via the shared

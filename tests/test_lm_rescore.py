@@ -1,0 +1,155 @@
+"""Second-pass n-best LM rescoring (-lm_rescore; eval/rescore.lm_nbest_scores).
+
+The scorer is pinned against a python loop over the SAME fusion hooks the
+beams use per-step (rnn_lm.fusion_init/fusion_step/fusion_next_input), for
+both fusion-LM kinds (RNN, trigram table), both eos conventions, empty and
+full-length candidates; the decoder integration is pinned against a manual
+rerank of beam_decode's raw n-best.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_tpu.config import BeamConfig
+from e2e_asr_tpu.core import cells
+from e2e_asr_tpu.data.text import EOS_ID, GO_ID
+from e2e_asr_tpu.eval import rescore
+from e2e_asr_tpu.models import rnn_lm, seq2seq
+from tests.test_seq2seq import make_batch, tiny_cfg
+
+
+def _tiny_rnn_lm(V=11, E=6, H=8, seed=5):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return {
+        "embedding": jax.random.uniform(k1, (V, E), minval=-1, maxval=1),
+        "lstm": cells.lstm_init(k2, E, H),
+        "output_proj": {"kernel": jax.random.normal(k3, (H, V)) * 0.3,
+                        "bias": jnp.zeros((V,))},
+    }
+
+
+def _tiny_ngram(rng, V=11):
+    t = rng.normal(size=(V, V, V)).astype(np.float32)
+    return {"ngram": jax.nn.log_softmax(jnp.asarray(t), axis=-1)}
+
+
+def _py_lm_logp(lm, seq, *, eos_in_seq):
+    """Oracle: one candidate through the fusion hooks, step by step."""
+    state, x = rnn_lm.fusion_init(lm, (1,), GO_ID)
+    total = 0.0
+    for tok in seq:
+        logp, state = rnn_lm.fusion_step(lm, x, state)
+        total += float(logp[0, int(tok)])
+        x = rnn_lm.fusion_next_input(lm, jnp.array([int(tok)]))
+    if not eos_in_seq:
+        logp, _ = rnn_lm.fusion_step(lm, x, state)
+        total += float(logp[0, EOS_ID])
+    return total
+
+
+# Candidates: batch 0 has a normal + an empty slot; batch 1 a short one and
+# one filling every position (len == S exercises the post-scan eos step).
+SEQS = np.array([[[4, 5, 6, 2, 0], [0, 0, 0, 0, 0]],
+                 [[7, 2, 0, 0, 0], [8, 9, 3, 4, 2]]], np.int32)
+LENS = np.array([[4, 0], [2, 5]], np.int32)
+
+
+@pytest.mark.parametrize("kind", ["rnn", "ngram"])
+@pytest.mark.parametrize("eos_in_seq", [True, False])
+def test_lm_nbest_scores_match_fusion_hook_oracle(rng, kind, eos_in_seq):
+    lm = _tiny_rnn_lm() if kind == "rnn" else _tiny_ngram(rng)
+    out = np.asarray(rescore.lm_nbest_scores(
+        lm, jnp.asarray(SEQS), jnp.asarray(LENS), eos_in_seq=eos_in_seq))
+    for b in range(SEQS.shape[0]):
+        for n in range(SEQS.shape[1]):
+            L = int(LENS[b, n])
+            if L == 0:
+                assert out[b, n] == 0.0
+                continue
+            want = _py_lm_logp(lm, SEQS[b, n, :L], eos_in_seq=eos_in_seq)
+            np.testing.assert_allclose(out[b, n], want, rtol=1e-5, atol=1e-5)
+
+
+def _setup_decode(rng, lm_rescore, *, lm_params=None, nbest=1):
+    from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
+
+    cfg = tiny_cfg()
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(rng, cfg, B=2, T=16, T_dec=5)
+    bc = BeamConfig(beam_size=3, max_steps=7, lm_rescore=lm_rescore)
+    decode = make_beam_decoder(cfg, bc, lm_params=lm_params, nbest=nbest)
+    return cfg, params, batch, bc, decode
+
+
+def _manual_rerank(cfg, params, batch, bc, lm):
+    """beam_decode's raw n-best + lm_nbest_scores, combined by hand."""
+    from e2e_asr_tpu.eval.beam import beam_decode
+
+    attn_states, _, enc_lens = seq2seq.encode(
+        params, cfg, batch["logmel"], batch["logmel_len"])
+    d = cfg.num_layers["char"]
+    (_, _, _), (seqs, lens, scores) = beam_decode(
+        params["decoder_char"], cfg.decoders["char"], bc,
+        attn_states[d], enc_lens[d], return_nbest=True)
+    lm_s = rescore.lm_nbest_scores(lm, seqs, lens)
+    combined = jnp.where(scores <= -1e29, scores,
+                         scores + bc.lm_rescore * lm_s)
+    return seqs, lens, combined
+
+
+def test_lm_rescore_decode_equals_manual_rerank(rng):
+    lm = _tiny_rnn_lm()
+    cfg, params, batch, bc, decode = _setup_decode(rng, 0.7, lm_params=lm)
+    tokens, lens, scores = decode(params, batch)
+    seqs_all, lens_all, combined = _manual_rerank(cfg, params, batch, bc, lm)
+    best = np.asarray(jnp.argmax(combined, axis=1))
+    for i in range(tokens.shape[0]):
+        np.testing.assert_array_equal(np.asarray(tokens[i]),
+                                      np.asarray(seqs_all[i, best[i]]))
+        assert int(lens[i]) == int(lens_all[i, best[i]])
+        np.testing.assert_allclose(float(scores[i]),
+                                   float(combined[i, best[i]]), rtol=1e-5)
+
+
+def test_lm_rescore_uses_tied_lm_when_no_external(rng):
+    """lm_params=None must fall back to the decoder's own weight-tied LM
+    (beam_search.py:111-134 semantics, same as -lm_weight fusion)."""
+    cfg, params, batch, bc, decode = _setup_decode(rng, 0.5)
+    tokens, lens, scores = decode(params, batch)
+    tied = rnn_lm.shared_lm_params(params)
+    seqs_all, lens_all, combined = _manual_rerank(cfg, params, batch, bc,
+                                                  tied)
+    best = np.asarray(jnp.argmax(combined, axis=1))
+    for i in range(tokens.shape[0]):
+        np.testing.assert_array_equal(np.asarray(tokens[i]),
+                                      np.asarray(seqs_all[i, best[i]]))
+
+
+def test_lm_rescore_composes_with_nbest(rng):
+    """-nbest N on top of -lm_rescore returns the rescored order."""
+    lm = _tiny_rnn_lm()
+    cfg, params, batch, bc, decode = _setup_decode(rng, 0.7, lm_params=lm,
+                                                   nbest=2)
+    seqs_n, lens_n, scores_n = decode(params, batch)
+    assert seqs_n.shape[1] == 2
+    _, lens_all, combined = _manual_rerank(cfg, params, batch, bc, lm)
+    order = np.asarray(jnp.argsort(-combined, axis=1))[:, :2]
+    srt = np.sort(np.asarray(combined), axis=1)[:, ::-1][:, :2]
+    np.testing.assert_allclose(np.asarray(scores_n), srt, rtol=1e-5)
+    lens_all = np.asarray(lens_all)
+    for i in range(seqs_n.shape[0]):
+        for r in range(2):
+            assert int(lens_n[i, r]) == int(lens_all[i, order[i, r]])
+
+
+def test_guards(rng):
+    from e2e_asr_tpu.eval.beam_eval import BeamEvaluator, make_beam_decoder
+
+    cfg = tiny_cfg()
+    with pytest.raises(ValueError, match="pick one"):
+        make_beam_decoder(cfg, BeamConfig(beam_size=2, lm_rescore=0.5,
+                                          lm_weight=0.3))
+    with pytest.raises(ValueError, match="second-pass rescorer"):
+        BeamEvaluator(cfg, BeamConfig(beam_size=2, lm_rescore=0.5,
+                                      ctc_rescore=0.3), ["x"] * 11, "/tmp/x")
