@@ -137,12 +137,6 @@ def launch_eval(cfg: ExperimentConfig) -> None:
         print(f"Eval data parallelism: {n}-way")
 
     start = time.time()
-    if (cfg.beam.lm_rescore != 0.0
-            and cfg.model.model_family in ("ctc", "transducer")):
-        raise ValueError("-lm_rescore (second-pass n-best LM rescoring) "
-                         "currently covers the attention family; the "
-                         f"{cfg.model.model_family} family fuses the LM "
-                         "per-step instead (-lm_path/-lm_weight)")
     if cfg.model.model_family == "ctc":
         if cfg.beam.ilm_weight != 0.0:
             raise ValueError("-ilm_weight needs a decoder with an internal "
@@ -153,7 +147,8 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                  compute_dtype=compute_dtype,
                                  beam_size=cfg.beam.beam_size,
                                  lm_params=lm_params,
-                                 lm_weight=cfg.beam.lm_weight, bias=bias,
+                                 lm_weight=cfg.beam.lm_weight,
+                                 lm_rescore=cfg.beam.lm_rescore, bias=bias,
                                  nbest=cfg.beam.nbest, mesh=mesh)
         evaluator.score_unit = tc.score_unit
         evaluator(eval_params, dev_set.epoch())
@@ -166,6 +161,7 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                                         lm_params=lm_params,
                                         lm_weight=cfg.beam.lm_weight,
                                         ilm_weight=cfg.beam.ilm_weight,
+                                        lm_rescore=cfg.beam.lm_rescore,
                                         bias=bias, nbest=cfg.beam.nbest,
                                         mesh=mesh)
         evaluator.score_unit = tc.score_unit

@@ -63,8 +63,11 @@ class GreedyEvaluator:
         raw_f = open(raw_path, "w") if write_files else None
         dec_f = open(dec_path, "w") if write_files else None
         nb_path = os.path.join(self.out_dir, f"nbest_{self.file_prefix}.txt")
+        # -lm_rescore routes through the n-best machinery even at nbest=1;
+        # only write nbest_*.txt when the user asked for lists.
         nb_f = (open(nb_path, "w")
-                if write_files and nb_decode is not None else None)
+                if write_files and nb_decode is not None
+                and getattr(self, "_write_nbest", True) else None)
         if self.mesh is not None:
             # Replicate params across the mesh once; per-batch features
             # shard over "data" in core/mesh.shard_decode_batch.
@@ -116,6 +119,25 @@ class GreedyEvaluator:
         return acc.score
 
 
+def _maybe_lm_rescore(seqs, lens, scores, lm_params, weight):
+    """Second-pass LM rescoring of a family beam's sorted n-best
+    (-lm_rescore; eval/rescore.lm_nbest_scores): CTC/transducer label
+    sequences carry no <eos>, so the terminal-eos convention applies and
+    lengths compete on complete-sentence LM probability. Re-sorts by the
+    combined score; weight 0 is a no-op."""
+    if weight == 0.0:
+        return seqs, lens, scores
+    import jax.numpy as jnp
+
+    from e2e_asr_tpu.eval.rescore import lm_nbest_scores
+    lm_s = lm_nbest_scores(lm_params, seqs, lens, eos_in_seq=False)
+    scores = jnp.where(scores <= -1e29, scores, scores + weight * lm_s)
+    order = jnp.argsort(-scores, axis=1, stable=True)
+    return (jnp.take_along_axis(seqs, order[:, :, None], axis=1),
+            jnp.take_along_axis(lens, order, axis=1),
+            jnp.take_along_axis(scores, order, axis=1))
+
+
 class CTCEvaluator(GreedyEvaluator):
     """Same scoring/artifact loop over the pure-CTC family (models/ctc.py):
     best-path decode at beam_size 1, on-device prefix beam search otherwise.
@@ -125,7 +147,7 @@ class CTCEvaluator(GreedyEvaluator):
     def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
                  out_dir: str, *, compute_dtype=None, beam_size: int = 1,
                  file_prefix: str = "asr", lm_params: dict | None = None,
-                 lm_weight: float = 0.0,
+                 lm_weight: float = 0.0, lm_rescore: float = 0.0,
                  bias: tuple[dict, float] | None = None, nbest: int = 1,
                  mesh=None):
         self.cfg = cfg
@@ -134,15 +156,20 @@ class CTCEvaluator(GreedyEvaluator):
         self.file_prefix = file_prefix
         self.mesh = mesh
         use_lm = lm_weight != 0.0
-        if use_lm and lm_params is None:
+        if (use_lm or lm_rescore != 0.0) and lm_params is None:
             # Like the transducer family, pure CTC has no internal weight-tied
-            # LM to fall back to — fusion needs an external -lm_path.
-            raise ValueError("CTC LM fusion needs -lm_path "
+            # LM to fall back to — fusion/rescoring needs an external -lm_path.
+            raise ValueError("CTC LM fusion/rescoring needs -lm_path "
                              "(no internal shared LM in this family)")
-        if nbest > 1:
+        if use_lm and lm_rescore != 0.0:
+            raise ValueError("-lm_rescore (second pass) and -lm_weight (per-"
+                             "step fusion) are two LM applications; pick one")
+        self._write_nbest = nbest > 1
+        if nbest > 1 or lm_rescore != 0.0:
             from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
             from e2e_asr_tpu.models import ctc
             k = max(beam_size, nbest)
+            n_out = max(nbest, 1)
 
             def nb(params, feats, feat_lens):
                 params = quant.maybe_dequantize(params)
@@ -152,7 +179,9 @@ class CTCEvaluator(GreedyEvaluator):
                     jax.nn.log_softmax(lg, axis=-1), el, beam_size=k,
                     blank_id=ctc.BLANK_ID, lm_params=lm_params,
                     lm_weight=lm_weight, bias=bias)
-                return (seqs[:, :nbest], lens[:, :nbest], scores[:, :nbest])
+                seqs, lens, scores = _maybe_lm_rescore(
+                    seqs, lens, scores, lm_params, lm_rescore)
+                return (seqs[:, :n_out], lens[:, :n_out], scores[:, :n_out])
             self._nbest_decode = jax.jit(nb)
             self._decode = None
         elif beam_size > 1 or use_lm or bias is not None:
@@ -187,6 +216,7 @@ class TransducerEvaluator(GreedyEvaluator):
                  out_dir: str, *, compute_dtype=None, beam_size: int = 1,
                  file_prefix: str = "asr", lm_params: dict | None = None,
                  lm_weight: float = 0.0, ilm_weight: float = 0.0,
+                 lm_rescore: float = 0.0,
                  bias: tuple[dict, float] | None = None, nbest: int = 1,
                  mesh=None):
         self.cfg = cfg
@@ -196,15 +226,20 @@ class TransducerEvaluator(GreedyEvaluator):
         self.mesh = mesh
         use_lm = lm_weight != 0.0
         use_ilm = ilm_weight != 0.0
-        if use_lm and lm_params is None:
+        if (use_lm or lm_rescore != 0.0) and lm_params is None:
             # Unlike the attention family the transducer has no internal
             # weight-tied LM to fall back to (rnn_lm.shared_lm_params reads
             # decoder_char leaves that don't exist here).
-            raise ValueError("transducer LM fusion needs -lm_path "
+            raise ValueError("transducer LM fusion/rescoring needs -lm_path "
                              "(no internal shared LM in this family)")
-        if nbest > 1:
+        if use_lm and lm_rescore != 0.0:
+            raise ValueError("-lm_rescore (second pass) and -lm_weight (per-"
+                             "step fusion) are two LM applications; pick one")
+        self._write_nbest = nbest > 1
+        if nbest > 1 or lm_rescore != 0.0:
             from e2e_asr_tpu.eval.transducer_beam import transducer_beam_decode
             k = max(beam_size, nbest)
+            n_out = max(nbest, 1)
 
             def nb(params, feats, feat_lens):
                 params = quant.maybe_dequantize(params)
@@ -217,7 +252,9 @@ class TransducerEvaluator(GreedyEvaluator):
                     beam_size=k, compute_dtype=compute_dtype,
                     lm_params=lm_params, lm_weight=lm_weight,
                     ilm_weight=ilm_weight, bias=bias)
-                return (seqs[:, :nbest], lens[:, :nbest], scores[:, :nbest])
+                seqs, lens, scores = _maybe_lm_rescore(
+                    seqs, lens, scores, lm_params, lm_rescore)
+                return (seqs[:, :n_out], lens[:, :n_out], scores[:, :n_out])
             self._nbest_decode = jax.jit(nb)
             self._decode = None
         elif beam_size > 1 or use_lm or use_ilm or bias is not None:

@@ -91,12 +91,17 @@ def lm_nbest_scores(lm_params: dict, seqs: Array, lens: Array, *,
     compete on complete-sentence LM probability (the same convention as
     the CTC beam's fused terminal term, eval/ctc_beam.py).
 
-    Returns [B, N] f32 cumulative log-probs; empty slots (len 0) get 0 —
-    the caller masks them with its own sentinel.
+    Returns [B, N] f32 cumulative log-probs. Length-0 entries score 0 with
+    eos_in_seq=True (attention sentinel slots — the caller masks them) and
+    log p(eos | <go>) with eos_in_seq=False (an empty CTC/transducer
+    hypothesis is a real candidate).
     """
     from e2e_asr_tpu.data.text import EOS_ID, GO_ID
     from e2e_asr_tpu.models import rnn_lm
 
+    # Callers may close over host-side LM artifacts (the trigram table is a
+    # plain npz numpy array); numpy arrays can't be indexed by tracers.
+    lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params)
     B, N, S = seqs.shape
     flat = seqs.reshape(B * N, S)
     flat_lens = lens.reshape(B * N).astype(jnp.int32)
@@ -111,8 +116,9 @@ def lm_nbest_scores(lm_params: dict, seqs: Array, lens: Array, *,
         if not eos_in_seq:
             # At t == len the state has consumed exactly the real tokens
             # (padding only feeds steps we mask), so this is p(eos | seq).
-            acc = acc + jnp.where((t == flat_lens) & (flat_lens > 0),
-                                  logp[:, EOS_ID], 0.0)
+            # len == 0 included: an empty hypothesis (legitimate for CTC /
+            # transducer) scores p(eos | <go>), not probability 1.
+            acc = acc + jnp.where(t == flat_lens, logp[:, EOS_ID], 0.0)
         return (state2, rnn_lm.fusion_next_input(lm_params, tok), acc), None
 
     (state, x, acc), _ = jax.lax.scan(

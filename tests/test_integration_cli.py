@@ -311,7 +311,8 @@ def test_cli_lm_rescore(workspace):
         launch_eval(parse_options(_args(root, [
             "-dev", "-beam_size", "2", "-lm_rescore", "0.3",
             "-lm_weight", "0.1"])))
-    with pytest.raises(ValueError, match="attention family"):
+    # The CTC/transducer families have no tied LM: rescoring needs -lm_path.
+    with pytest.raises(ValueError, match="needs -lm_path"):
         launch_eval(parse_options(_args(root, [
             "-model_family", "ctc", "-nlc", "2", "-run_id", "12",
             "-dev", "-lm_rescore", "0.3"])))

@@ -64,9 +64,13 @@ def test_lm_nbest_scores_match_fusion_hook_oracle(rng, kind, eos_in_seq):
     for b in range(SEQS.shape[0]):
         for n in range(SEQS.shape[1]):
             L = int(LENS[b, n])
-            if L == 0:
+            if L == 0 and eos_in_seq:
+                # Attention sentinel slot: contributes nothing (masked by
+                # the caller's score sentinel).
                 assert out[b, n] == 0.0
                 continue
+            # L == 0 with eos_in_seq=False: a real empty hypothesis,
+            # scored log p(eos | <go>) by the same oracle loop.
             want = _py_lm_logp(lm, SEQS[b, n, :L], eos_in_seq=eos_in_seq)
             np.testing.assert_allclose(out[b, n], want, rtol=1e-5, atol=1e-5)
 
@@ -141,6 +145,109 @@ def test_lm_rescore_composes_with_nbest(rng):
     for i in range(seqs_n.shape[0]):
         for r in range(2):
             assert int(lens_n[i, r]) == int(lens_all[i, order[i, r]])
+
+
+def test_ctc_evaluator_lm_rescore_reranks(rng, tmp_path):
+    """CTCEvaluator(lm_rescore=w) must return its own beam's n-best
+    re-ranked by score + w*log p_LM (terminal-eos convention)."""
+    from e2e_asr_tpu.config import EncoderConfig, Seq2SeqConfig
+    from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
+    from e2e_asr_tpu.eval.greedy import CTCEvaluator
+    from e2e_asr_tpu.models import ctc
+
+    cfg = Seq2SeqConfig(tasks=["char"], num_layers={"char": 2},
+                        max_output={"char": 8},
+                        encoder=EncoderConfig(hidden_size=8, out_prob=1.0),
+                        feat_length=4)
+    params = ctc.init(jax.random.PRNGKey(0), cfg, vocab_size=11)
+    lm = _tiny_rnn_lm()
+    feats = jnp.asarray(rng.normal(size=(2, 12, 4)).astype(np.float32))
+    flens = jnp.array([12, 9])
+    ev = CTCEvaluator(cfg, ["x"] * 11, str(tmp_path), beam_size=3,
+                      lm_params=lm, lm_rescore=0.6)
+    s1, l1, sc1 = ev._nbest_decode(params=params, feats=feats,
+                                   feat_lens=flens)
+    assert s1.shape[1] == 1 and not ev._write_nbest
+    lg, el = ctc.logits(params, cfg, feats, flens)
+    seqs, lens, scores = ctc_beam_decode(jax.nn.log_softmax(lg, axis=-1),
+                                         el, beam_size=3,
+                                         blank_id=ctc.BLANK_ID)
+    lm_s = rescore.lm_nbest_scores(lm, seqs, lens, eos_in_seq=False)
+    comb = jnp.where(scores <= -1e29, scores, scores + 0.6 * lm_s)
+    best = np.asarray(jnp.argmax(comb, axis=1))
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(s1[i, 0]),
+                                      np.asarray(seqs[i, best[i]]))
+        np.testing.assert_allclose(float(sc1[i, 0]),
+                                   float(comb[i, best[i]]), rtol=1e-5)
+
+
+def test_transducer_evaluator_lm_rescore_reranks(rng, tmp_path):
+    from e2e_asr_tpu.config import (DecoderConfig, EncoderConfig,
+                                    Seq2SeqConfig)
+    from e2e_asr_tpu.eval.greedy import TransducerEvaluator
+    from e2e_asr_tpu.eval.transducer_beam import transducer_beam_decode
+    from e2e_asr_tpu.models import transducer
+
+    cfg = Seq2SeqConfig(tasks=["char"], num_layers={"char": 2},
+                        max_output={"char": 10},
+                        encoder=EncoderConfig(hidden_size=8, out_prob=1.0),
+                        feat_length=4, model_family="transducer")
+    cfg.decoders["char"] = DecoderConfig(hidden_size_dec=16, emb_size=8,
+                                         vocab_size=11, joint_dim=16,
+                                         out_prob_dec=1.0, max_output=10)
+    params = transducer.init(jax.random.PRNGKey(0), cfg, vocab_size=11)
+    lm = _tiny_rnn_lm()
+    feats = jnp.asarray(rng.normal(size=(2, 12, 4)).astype(np.float32))
+    flens = jnp.array([12, 9])
+    ev = TransducerEvaluator(cfg, ["x"] * 11, str(tmp_path), beam_size=3,
+                             lm_params=lm, lm_rescore=0.6, nbest=2)
+    s1, l1, sc1 = ev._nbest_decode(params=params, feats=feats,
+                                   feat_lens=flens)
+    assert s1.shape[1] == 2 and ev._write_nbest
+    attn_states, _, enc_lens = seq2seq.encode(params, cfg, feats, flens)
+    d = cfg.num_layers["char"]
+    seqs, lens, scores = transducer_beam_decode(
+        params, cfg, attn_states[d], enc_lens[d], beam_size=3)
+    lm_s = rescore.lm_nbest_scores(lm, seqs, lens, eos_in_seq=False)
+    comb = jnp.where(scores <= -1e29, scores, scores + 0.6 * lm_s)
+    order = np.asarray(jnp.argsort(-comb, axis=1, stable=True))[:, :2]
+    for i in range(2):
+        for r in range(2):
+            np.testing.assert_array_equal(np.asarray(s1[i, r]),
+                                          np.asarray(seqs[i, order[i, r]]))
+
+
+def test_numpy_trigram_artifact_inside_jit(rng):
+    """lm_loader hands back plain-numpy npz tables; lm_nbest_scores must
+    work when a jitted caller CLOSES OVER them (numpy arrays can't be
+    indexed by tracers — caught by a real CLI drive)."""
+    lm = {"ngram": np.asarray(_tiny_ngram(rng)["ngram"])}
+
+    @jax.jit
+    def run(seqs, lens):
+        return rescore.lm_nbest_scores(lm, seqs, lens, eos_in_seq=False)
+
+    out = np.asarray(run(jnp.asarray(SEQS), jnp.asarray(LENS)))
+    want = np.asarray(rescore.lm_nbest_scores(
+        {"ngram": jnp.asarray(lm["ngram"])}, jnp.asarray(SEQS),
+        jnp.asarray(LENS), eos_in_seq=False))
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_family_guards(rng, tmp_path):
+    from e2e_asr_tpu.config import EncoderConfig, Seq2SeqConfig
+    from e2e_asr_tpu.eval.greedy import CTCEvaluator
+
+    cfg = Seq2SeqConfig(tasks=["char"], num_layers={"char": 2},
+                        max_output={"char": 8},
+                        encoder=EncoderConfig(hidden_size=8, out_prob=1.0),
+                        feat_length=4)
+    with pytest.raises(ValueError, match="needs -lm_path"):
+        CTCEvaluator(cfg, ["x"] * 11, str(tmp_path), lm_rescore=0.5)
+    with pytest.raises(ValueError, match="pick one"):
+        CTCEvaluator(cfg, ["x"] * 11, str(tmp_path), lm_rescore=0.5,
+                     lm_weight=0.1, lm_params=_tiny_rnn_lm())
 
 
 def test_guards(rng):
