@@ -69,14 +69,16 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                 lm_params=lm_p, ctc_scorer=scorer, bias=bias,
                 return_nbest=True)
             if use_lm_rescore:
-                from e2e_asr_tpu.eval.rescore import lm_nbest_scores
-                lm_s = lm_nbest_scores(lm_p, seqs, lens)
-                scores = jnp.where(scores <= -1e29, scores,
-                                   scores + beam_cfg.lm_rescore * lm_s)
-            order = jnp.argsort(-scores, axis=1, stable=True)[:, :nbest]
-            out = (jnp.take_along_axis(seqs, order[:, :, None], axis=1),
-                   jnp.take_along_axis(lens, order, axis=1),
-                   jnp.take_along_axis(scores, order, axis=1))
+                from e2e_asr_tpu.eval.rescore import apply_lm_rescore
+                seqs, lens, scores = apply_lm_rescore(
+                    seqs, lens, scores, lm_p, beam_cfg.lm_rescore,
+                    eos_in_seq=True)
+            else:
+                order = jnp.argsort(-scores, axis=1, stable=True)
+                seqs = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
+                lens = jnp.take_along_axis(lens, order, axis=1)
+                scores = jnp.take_along_axis(scores, order, axis=1)
+            out = (seqs[:, :nbest], lens[:, :nbest], scores[:, :nbest])
             if nbest > 1:
                 return out
             return out[0][:, 0], out[1][:, 0], out[2][:, 0]

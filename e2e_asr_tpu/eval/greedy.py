@@ -120,22 +120,13 @@ class GreedyEvaluator:
 
 
 def _maybe_lm_rescore(seqs, lens, scores, lm_params, weight):
-    """Second-pass LM rescoring of a family beam's sorted n-best
-    (-lm_rescore; eval/rescore.lm_nbest_scores): CTC/transducer label
-    sequences carry no <eos>, so the terminal-eos convention applies and
-    lengths compete on complete-sentence LM probability. Re-sorts by the
-    combined score; weight 0 is a no-op."""
-    if weight == 0.0:
-        return seqs, lens, scores
-    import jax.numpy as jnp
-
-    from e2e_asr_tpu.eval.rescore import lm_nbest_scores
-    lm_s = lm_nbest_scores(lm_params, seqs, lens, eos_in_seq=False)
-    scores = jnp.where(scores <= -1e29, scores, scores + weight * lm_s)
-    order = jnp.argsort(-scores, axis=1, stable=True)
-    return (jnp.take_along_axis(seqs, order[:, :, None], axis=1),
-            jnp.take_along_axis(lens, order, axis=1),
-            jnp.take_along_axis(scores, order, axis=1))
+    """-lm_rescore over a family beam's n-best (eval/rescore.py's shared
+    recipe): CTC/transducer label sequences carry no <eos>, so the
+    terminal-eos convention applies and lengths compete on
+    complete-sentence LM probability."""
+    from e2e_asr_tpu.eval.rescore import apply_lm_rescore
+    return apply_lm_rescore(seqs, lens, scores, lm_params, weight,
+                            eos_in_seq=False)
 
 
 class CTCEvaluator(GreedyEvaluator):

@@ -132,6 +132,27 @@ def lm_nbest_scores(lm_params: dict, seqs: Array, lens: Array, *,
     return acc.reshape(B, N)
 
 
+def apply_lm_rescore(seqs: Array, lens: Array, scores: Array,
+                     lm_params: dict, weight: float, *,
+                     eos_in_seq: bool) -> tuple[Array, Array, Array]:
+    """Second-pass LM re-ranking of an n-best set (-lm_rescore): add
+    weight * lm_nbest_scores to every non-sentinel score and stably re-sort
+    descending. The ONE definition every consumer uses (eval CLI evaluators
+    and the serving engine), so the sentinel threshold and sort semantics
+    cannot drift. eos_in_seq follows lm_nbest_scores' convention
+    (attention n-best carry <eos>; CTC/transducer label sequences get the
+    terminal-eos factor). weight 0 is a no-op.
+    """
+    if weight == 0.0:
+        return seqs, lens, scores
+    lm_s = lm_nbest_scores(lm_params, seqs, lens, eos_in_seq=eos_in_seq)
+    scores = jnp.where(scores <= -1e29, scores, scores + weight * lm_s)
+    order = jnp.argsort(-scores, axis=1, stable=True)
+    return (jnp.take_along_axis(seqs, order[:, :, None], axis=1),
+            jnp.take_along_axis(lens, order, axis=1),
+            jnp.take_along_axis(scores, order, axis=1))
+
+
 def ctc_rescore_decode(params: dict, cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                        feats: Array, feat_lens: Array, *, ctc_weight: float,
                        compute_dtype=None, lm_params: dict | None = None

@@ -50,7 +50,9 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
     best-path/prefix beam, or transducer greedy/time-synchronous beam.
     Every variant dequantizes int8 trees inside the jit. lm_params +
     beam_cfg.lm_weight engage RNN-LM shallow fusion on every family's
-    beam; bias = (trie, boost_weight) engages contextual biasing
+    beam; beam_cfg.lm_rescore engages second-pass n-best LM re-ranking
+    (eval/rescore.apply_lm_rescore, same semantics as the eval CLI);
+    bias = (trie, boost_weight) engages contextual biasing
     (eval/biasing.py) — the engine-level glossary applies to every
     request.
 
@@ -63,18 +65,24 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
 
     use_lm = beam_cfg.lm_weight != 0.0
     use_ilm = beam_cfg.ilm_weight != 0.0
+    use_rescore = beam_cfg.lm_rescore != 0.0
     use_bias = bias is not None and bias[1] != 0.0
+    if use_lm and use_rescore:
+        raise ValueError("-lm_rescore (second pass) and -lm_weight (per-"
+                         "step fusion) are two LM applications; pick one")
     k = max(beam_cfg.beam_size, 2) if nbest_scores else beam_cfg.beam_size
     if cfg.model_family == "transducer":
-        if use_lm and lm_params is None:
-            raise ValueError("transducer LM fusion needs lm_params "
-                             "(no internal shared LM in this family)")
+        if (use_lm or use_rescore) and lm_params is None:
+            raise ValueError("transducer LM fusion/rescoring needs "
+                             "lm_params (no internal shared LM in this "
+                             "family)")
 
         @jax.jit
         def run(params, feats, feat_lens):
             params = quant.maybe_dequantize(params)
-            if k > 1 or use_lm or use_ilm or use_bias:
+            if k > 1 or use_lm or use_ilm or use_bias or use_rescore:
                 from e2e_asr_tpu.eval import transducer_beam as tb
+                from e2e_asr_tpu.eval.rescore import apply_lm_rescore
                 from e2e_asr_tpu.models import seq2seq as s2s
                 attn_states, _, enc_lens = s2s.encode(
                     params, cfg, feats, feat_lens,
@@ -85,6 +93,10 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
                     beam_size=max(k, 1), compute_dtype=compute_dtype,
                     lm_params=lm_params, lm_weight=beam_cfg.lm_weight,
                     ilm_weight=beam_cfg.ilm_weight, bias=bias)
+                if use_rescore:
+                    seqs, lens_k, scores = apply_lm_rescore(
+                        seqs, lens_k, scores, lm_params,
+                        beam_cfg.lm_rescore, eos_in_seq=False)
                 if nbest_scores:
                     return seqs[:, 0], lens_k[:, 0], scores
                 return seqs[:, 0], lens_k[:, 0], scores[:, 0]
@@ -94,8 +106,8 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
             lens = (tokens != 0).sum(axis=-1)
             return tokens, lens, jnp.zeros(tokens.shape[0], jnp.float32)
     elif cfg.model_family == "ctc":
-        if use_lm and lm_params is None:
-            raise ValueError("CTC LM fusion needs lm_params "
+        if (use_lm or use_rescore) and lm_params is None:
+            raise ValueError("CTC LM fusion/rescoring needs lm_params "
                              "(no internal shared LM in this family)")
         if use_ilm:
             raise ValueError("ilm_weight needs a decoder-bearing family "
@@ -105,8 +117,9 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
         @jax.jit
         def run(params, feats, feat_lens):
             params = quant.maybe_dequantize(params)
-            if k > 1 or use_lm or use_bias:
+            if k > 1 or use_lm or use_bias or use_rescore:
                 from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
+                from e2e_asr_tpu.eval.rescore import apply_lm_rescore
                 from e2e_asr_tpu.models import ctc
                 lg, enc_lens = ctc.logits(params, cfg, feats, feat_lens,
                                           compute_dtype=compute_dtype)
@@ -115,6 +128,10 @@ def _make_family_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig, *,
                     beam_size=max(k, 1), blank_id=ctc.BLANK_ID,
                     lm_params=lm_params, lm_weight=beam_cfg.lm_weight,
                     bias=bias)
+                if use_rescore:
+                    seqs, lens_k, scores = apply_lm_rescore(
+                        seqs, lens_k, scores, lm_params,
+                        beam_cfg.lm_rescore, eos_in_seq=False)
                 if nbest_scores:
                     return seqs[:, 0], lens_k[:, 0], scores
                 return seqs[:, 0], lens_k[:, 0], scores[:, 0]
@@ -157,15 +174,21 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
     k = max(beam_cfg.beam_size, 2) if nbest_scores else max(
         beam_cfg.beam_size, 1)
     use_lm = beam_cfg.lm_weight != 0.0
+    use_rescore = beam_cfg.lm_rescore != 0.0
+    if use_lm and use_rescore:
+        raise ValueError("-lm_rescore (second pass) and -lm_weight (per-"
+                         "step fusion) are two LM applications; pick one")
     if cfg.model_family == "transducer":
-        if use_lm and lm_params is None:
-            raise ValueError("transducer LM fusion needs lm_params "
-                             "(no internal shared LM in this family)")
+        if (use_lm or use_rescore) and lm_params is None:
+            raise ValueError("transducer LM fusion/rescoring needs "
+                             "lm_params (no internal shared LM in this "
+                             "family)")
 
         @jax.jit
         def run(params, feats, feat_lens, tries):
             params = quant.maybe_dequantize(params)
             from e2e_asr_tpu.eval import transducer_beam as tb
+            from e2e_asr_tpu.eval.rescore import apply_lm_rescore
             from e2e_asr_tpu.models import seq2seq as s2s
             attn_states, _, enc_lens = s2s.encode(
                 params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
@@ -175,11 +198,15 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                 beam_size=k, compute_dtype=compute_dtype,
                 lm_params=lm_params, lm_weight=beam_cfg.lm_weight,
                 ilm_weight=beam_cfg.ilm_weight, bias=(tries, weight))
+            if use_rescore:
+                seqs, lens_k, scores = apply_lm_rescore(
+                    seqs, lens_k, scores, lm_params, beam_cfg.lm_rescore,
+                    eos_in_seq=False)
             return (seqs[:, 0], lens_k[:, 0],
                     scores if nbest_scores else scores[:, 0])
     elif cfg.model_family == "ctc":
-        if use_lm and lm_params is None:
-            raise ValueError("CTC LM fusion needs lm_params "
+        if (use_lm or use_rescore) and lm_params is None:
+            raise ValueError("CTC LM fusion/rescoring needs lm_params "
                              "(no internal shared LM in this family)")
         if beam_cfg.ilm_weight != 0.0:
             raise ValueError("ilm_weight needs a decoder-bearing family "
@@ -190,6 +217,7 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
         def run(params, feats, feat_lens, tries):
             params = quant.maybe_dequantize(params)
             from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
+            from e2e_asr_tpu.eval.rescore import apply_lm_rescore
             from e2e_asr_tpu.models import ctc
             lg, enc_lens = ctc.logits(params, cfg, feats, feat_lens,
                                       compute_dtype=compute_dtype)
@@ -197,10 +225,14 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
                 jax.nn.log_softmax(lg, axis=-1), enc_lens, beam_size=k,
                 blank_id=ctc.BLANK_ID, lm_params=lm_params,
                 lm_weight=beam_cfg.lm_weight, bias=(tries, weight))
+            if use_rescore:
+                seqs, lens_k, scores = apply_lm_rescore(
+                    seqs, lens_k, scores, lm_params, beam_cfg.lm_rescore,
+                    eos_in_seq=False)
             return (seqs[:, 0], lens_k[:, 0],
                     scores if nbest_scores else scores[:, 0])
     else:
-        if nbest_scores and beam_cfg.beam_size < k:
+        if (nbest_scores or use_rescore) and beam_cfg.beam_size < k:
             import dataclasses
             beam_cfg = dataclasses.replace(beam_cfg, beam_size=k)
 
@@ -208,23 +240,31 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
         def run(params, feats, feat_lens, tries):
             params = quant.maybe_dequantize(params)
             from e2e_asr_tpu.eval.beam import beam_decode
+            from e2e_asr_tpu.eval.rescore import apply_lm_rescore
             from e2e_asr_tpu.models import rnn_lm, seq2seq
             lm_p = lm_params
-            if lm_p is None and use_lm:
+            if lm_p is None and (use_lm or use_rescore):
                 lm_p = rnn_lm.shared_lm_params(params)
             attn_states, _, enc_lens = seq2seq.encode(
                 params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
             depth = cfg.num_layers["char"]
-            if nbest_scores:
+            if nbest_scores or use_rescore:
                 (_, _, _), (seqs, lens_k, scores) = beam_decode(
                     params["decoder_char"], cfg.decoders["char"], beam_cfg,
                     attn_states[depth], enc_lens[depth], lm_params=lm_p,
                     bias=(tries, weight), return_nbest=True)
-                order = jnp.argsort(-scores, axis=1, stable=True)[:, :k]
-                return (jnp.take_along_axis(
-                            seqs, order[:, :, None], axis=1)[:, 0],
-                        jnp.take_along_axis(lens_k, order, axis=1)[:, 0],
-                        jnp.take_along_axis(scores, order, axis=1))
+                if use_rescore:
+                    seqs, lens_k, scores = apply_lm_rescore(
+                        seqs, lens_k, scores, lm_p, beam_cfg.lm_rescore,
+                        eos_in_seq=True)
+                else:
+                    order = jnp.argsort(-scores, axis=1, stable=True)
+                    seqs = jnp.take_along_axis(seqs, order[:, :, None],
+                                               axis=1)
+                    lens_k = jnp.take_along_axis(lens_k, order, axis=1)
+                    scores = jnp.take_along_axis(scores, order, axis=1)
+                return (seqs[:, 0], lens_k[:, 0],
+                        scores[:, :k] if nbest_scores else scores[:, 0])
             return beam_decode(params["decoder_char"], cfg.decoders["char"],
                                beam_cfg, attn_states[depth],
                                enc_lens[depth], lm_params=lm_p,

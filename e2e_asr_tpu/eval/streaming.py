@@ -118,6 +118,11 @@ class StreamingTranscriber:
         self._enc_state = None          # exact mode: carried cell states
         self.seg = seg_enc_frames
         self.beam_cfg = beam_cfg or BeamConfig()
+        if self.beam_cfg.lm_rescore != 0.0:
+            raise ValueError(
+                "-lm_rescore is a second pass over a FINAL n-best; "
+                "incremental streaming emits deltas as segments close — "
+                "use per-step fusion (-lm_weight) when streaming")
         self.compute_dtype = compute_dtype
         self.sr, self.frame_length, self.hop = (sample_rate, frame_length,
                                                 hop_length)
@@ -383,6 +388,11 @@ class BatchedStreamingServer:
         self._enc_state = None           # exact mode: [S, ...] cell states
         self.seg = seg_enc_frames
         self.beam_cfg = beam_cfg or BeamConfig()
+        if self.beam_cfg.lm_rescore != 0.0:
+            raise ValueError(
+                "-lm_rescore is a second pass over a FINAL n-best; "
+                "incremental streaming emits deltas as segments close — "
+                "use per-step fusion (-lm_weight) when streaming")
         self.compute_dtype = compute_dtype
         self.sr, self.frame_length, self.hop = (sample_rate, frame_length,
                                                 hop_length)

@@ -24,6 +24,13 @@ Array = jax.Array
 def shared_lm_params(params: dict) -> dict:
     """View of the char-decoder leaves the LM shares."""
     dec = params["decoder_char"]
+    if "lm_cell" not in dec:
+        # Transformer decoders have no internal weight-tied LM LSTM
+        # (config.py guards -lm_prob; this guards the decode-time
+        # shared-LM fallback that -lm_weight/-lm_rescore reach).
+        raise ValueError(
+            "this decoder has no weight-tied internal LM to fall back to "
+            "(-decoder_type transformer); pass an external LM via -lm_path")
     out = {"lstm": dec["lm_cell"], "output_proj": dec["output_proj"],
            "embedding": dec["embedding"]}
     if "simple_proj" in dec:

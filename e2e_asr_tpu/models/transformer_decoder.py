@@ -274,22 +274,17 @@ def apply_train(params: dict, cfg: DecoderConfig, dec_inputs: Array,
 # Incremental (inference) step
 # ---------------------------------------------------------------------------
 
-def step_beam(params: dict, cfg: DecoderConfig, xctx: CrossCtx, caches: tuple,
-              inp_emb: Array, t: Array, *, compute_dtype=None,
-              zero_cross: bool = False
-              ) -> tuple[tuple, Array, Array, Array]:
-    """One incremental decode step over a [B, k] beam.
+def _step_body(params: dict, cfg: DecoderConfig, xctx: CrossCtx,
+               caches: tuple, inp_emb: Array, t: Array, self_attn, *,
+               compute_dtype=None, zero_cross: bool = False
+               ) -> tuple[tuple, Array, Array, Array]:
+    """Shared incremental-step block math for step_beam/step_beam_indirect.
 
-    inp_emb: [B, k, D] current-position token embedding (positions added
-    here from `t`). caches: zero_caches(cfg, (B, k), S) pytree; `t` is the
-    write position (scalar int32, 0-based).
-    Returns (new_caches, context [B,k,H_enc], alpha [B,k,T_enc],
-    log_probs [B,k,V]). context/alpha come from the LAST block's
-    head-averaged cross-attention — the RNN decoder's coverage/anchor
-    contract.
-
-    zero_cross: the internal-LM recurrence (ILME) — cross-attention values
-    forced to zeros exactly as in _full_forward; context/alpha return ().
+    The two public variants differ ONLY in how self-attention routes the
+    cached K/V along the beam axis; `self_attn(q, ck, cv, step_mask)`
+    supplies that routing and returns the [B,k,nh,hd] attention output.
+    Everything else — cache writes, cross-attention, FFN, LNs, logits,
+    the zero_cross (ILME) contract — lives once, here.
     """
     nh, hd = _heads(cfg)
     B, k, D = inp_emb.shape
@@ -298,7 +293,6 @@ def step_beam(params: dict, cfg: DecoderConfig, xctx: CrossCtx, caches: tuple,
     pos = jnp.asarray(_sinusoidal(S, D))
     h = inp_emb + jax.lax.dynamic_index_in_dim(pos, t, keepdims=True)[None]
     step_mask = (jnp.arange(S) <= t)                              # [S]
-    alpha = None
     probs = None
     new_caches = []
     for i, blk in enumerate(params["blocks"]):
@@ -313,14 +307,7 @@ def step_beam(params: dict, cfg: DecoderConfig, xctx: CrossCtx, caches: tuple,
             caches[i]["v"], vv[:, :, None].astype(caches[i]["v"].dtype),
             t, axis=2)
         new_caches.append({"k": ck, "v": cv})
-        s = jnp.einsum("bkhd,bkshd->bkhs", q, ck,
-                       preferred_element_type=jnp.float32) / math.sqrt(hd)
-        s = jnp.where(step_mask[None, None, None, :], s, NEG_INF)
-        a = jax.nn.softmax(s, axis=-1)
-        if cd is not None:
-            a = a.astype(cd)
-        o = jnp.einsum("bkhs,bkshd->bkhd", a, cv,
-                       preferred_element_type=jnp.float32)
+        o = self_attn(q, ck, cv, step_mask)
         h = h + dense(blk["self_o"], _merge_heads(o), compute_dtype=cd)
 
         y = _layer_norm(blk["ln2"], h)
@@ -351,6 +338,40 @@ def step_beam(params: dict, cfg: DecoderConfig, xctx: CrossCtx, caches: tuple,
     alpha = jnp.mean(probs.astype(jnp.float32), axis=2)           # [B,k,T]
     context = jnp.einsum("bkt,bth->bkh", alpha, xctx.enc_states)
     return tuple(new_caches), context, alpha, jax.nn.log_softmax(logits, -1)
+
+
+def step_beam(params: dict, cfg: DecoderConfig, xctx: CrossCtx, caches: tuple,
+              inp_emb: Array, t: Array, *, compute_dtype=None,
+              zero_cross: bool = False
+              ) -> tuple[tuple, Array, Array, Array]:
+    """One incremental decode step over a [B, k] beam.
+
+    inp_emb: [B, k, D] current-position token embedding (positions added
+    here from `t`). caches: zero_caches(cfg, (B, k), S) pytree; `t` is the
+    write position (scalar int32, 0-based).
+    Returns (new_caches, context [B,k,H_enc], alpha [B,k,T_enc],
+    log_probs [B,k,V]). context/alpha come from the LAST block's
+    head-averaged cross-attention — the RNN decoder's coverage/anchor
+    contract.
+
+    zero_cross: the internal-LM recurrence (ILME) — cross-attention values
+    forced to zeros exactly as in _full_forward; context/alpha return ().
+    """
+    _, hd = _heads(cfg)
+    cd = compute_dtype
+
+    def self_attn(q, ck, cv, step_mask):
+        s = jnp.einsum("bkhd,bkshd->bkhs", q, ck,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        s = jnp.where(step_mask[None, None, None, :], s, NEG_INF)
+        a = jax.nn.softmax(s, axis=-1)
+        if cd is not None:
+            a = a.astype(cd)
+        return jnp.einsum("bkhs,bkshd->bkhd", a, cv,
+                          preferred_element_type=jnp.float32)
+
+    return _step_body(params, cfg, xctx, caches, inp_emb, t, self_attn,
+                      compute_dtype=cd, zero_cross=zero_cross)
 
 
 def step_beam_indirect(params: dict, cfg: DecoderConfig, xctx: CrossCtx,
@@ -373,36 +394,21 @@ def step_beam_indirect(params: dict, cfg: DecoderConfig, xctx: CrossCtx,
     Numerically identical to step_beam on gathered caches (pinned by
     tests/test_transformer_decoder.py).
     """
-    nh, hd = _heads(cfg)
-    B, k, D = inp_emb.shape
-    S = caches[0]["k"].shape[2]
+    _, hd = _heads(cfg)
     cd = compute_dtype
-    pos = jnp.asarray(_sinusoidal(S, D))
-    h = inp_emb + jax.lax.dynamic_index_in_dim(pos, t, keepdims=True)[None]
-    step_mask = (jnp.arange(S) <= t)                              # [S]
+    k = inp_emb.shape[1]
+    S = caches[0]["k"].shape[2]
     # probs selected by ancestry: position s of hypothesis j lives in
     # source row ancestry[b,j,s]; onehot [B,k,k_src,S] routes both the
     # score selection and the value aggregation.
+    t_mask = (jnp.arange(S) <= t) & (jnp.arange(S) != t)          # [S]
     cur = jnp.arange(k, dtype=ancestry.dtype)
-    anc = jnp.where(step_mask[None, None, :] & (jnp.arange(S) != t)[None,
-                                                                    None, :],
+    anc = jnp.where(t_mask[None, None, :],
                     ancestry, cur[None, :, None])  # position t = own row
     onehot = (anc[:, :, None, :] == cur[None, None, :, None]).astype(
         jnp.float32)                                              # [B,k,c,S]
-    probs = None
-    new_caches = []
-    for i, blk in enumerate(params["blocks"]):
-        y = _layer_norm(blk["ln1"], h)
-        q = _split_heads(dense(blk["self_q"], y, compute_dtype=cd), nh, hd)
-        kk = _split_heads(dense(blk["self_k"], y, compute_dtype=cd), nh, hd)
-        vv = _split_heads(dense(blk["self_v"], y, compute_dtype=cd), nh, hd)
-        ck = jax.lax.dynamic_update_slice_in_dim(
-            caches[i]["k"], kk[:, :, None].astype(caches[i]["k"].dtype),
-            t, axis=2)
-        cv = jax.lax.dynamic_update_slice_in_dim(
-            caches[i]["v"], vv[:, :, None].astype(caches[i]["v"].dtype),
-            t, axis=2)
-        new_caches.append({"k": ck, "v": cv})
+
+    def self_attn(q, ck, cv, step_mask):
         # Scores against EVERY source row, then ancestry-select.
         s_all = jnp.einsum("bkhd,bcshd->bkchs", q, ck,
                            preferred_element_type=jnp.float32) / math.sqrt(hd)
@@ -412,38 +418,11 @@ def step_beam_indirect(params: dict, cfg: DecoderConfig, xctx: CrossCtx,
         a_all = jnp.einsum("bkhs,bkcs->bkchs", a, onehot)
         if cd is not None:
             a_all = a_all.astype(cd)
-        o = jnp.einsum("bkchs,bcshd->bkhd", a_all, cv,
-                       preferred_element_type=jnp.float32)
-        h = h + dense(blk["self_o"], _merge_heads(o), compute_dtype=cd)
+        return jnp.einsum("bkchs,bcshd->bkhd", a_all, cv,
+                          preferred_element_type=jnp.float32)
 
-        y = _layer_norm(blk["ln2"], h)
-        if zero_cross:
-            o = jnp.zeros_like(y)
-        else:
-            q = _split_heads(dense(blk["cross_q"], y, compute_dtype=cd),
-                             nh, hd)
-            s = jnp.einsum("bkhd,bthd->bkht", q, xctx.xk[i],
-                           preferred_element_type=jnp.float32) / math.sqrt(hd)
-            s = jnp.where(xctx.mask[:, None, None, :] > 0, s, NEG_INF)
-            a = jax.nn.softmax(s, axis=-1)                        # [B,k,nh,T]
-            probs = a
-            if cd is not None:
-                a = a.astype(cd)
-            o = _merge_heads(jnp.einsum("bkht,bthd->bkhd", a, xctx.xv[i],
-                                        preferred_element_type=jnp.float32))
-        h = h + dense(blk["cross_o"], o, compute_dtype=cd)
-
-        y = _layer_norm(blk["ln3"], h)
-        h = h + dense(blk["ffn2"],
-                      jax.nn.gelu(dense(blk["ffn1"], y, compute_dtype=cd)),
-                      compute_dtype=cd)
-    logits = dense(params["output_proj"], _layer_norm(params["ln_out"], h),
-                   compute_dtype=cd)
-    if zero_cross:
-        return tuple(new_caches), (), (), jax.nn.log_softmax(logits, -1)
-    alpha = jnp.mean(probs.astype(jnp.float32), axis=2)           # [B,k,T]
-    context = jnp.einsum("bkt,bth->bkh", alpha, xctx.enc_states)
-    return tuple(new_caches), context, alpha, jax.nn.log_softmax(logits, -1)
+    return _step_body(params, cfg, xctx, caches, inp_emb, t, self_attn,
+                      compute_dtype=cd, zero_cross=zero_cross)
 
 
 # ---------------------------------------------------------------------------

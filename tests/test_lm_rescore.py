@@ -260,3 +260,163 @@ def test_guards(rng):
     with pytest.raises(ValueError, match="second-pass rescorer"):
         BeamEvaluator(cfg, BeamConfig(beam_size=2, lm_rescore=0.5,
                                       ctc_rescore=0.3), ["x"] * 11, "/tmp/x")
+
+
+def test_serving_family_decoder_lm_rescore_ctc(rng):
+    """The serving engine's CTC path applies -lm_rescore exactly like the
+    eval CLI: _make_family_decoder's top-1 == manual rerank of the CTC
+    beam's n-best under the shared apply_lm_rescore recipe."""
+    from e2e_asr_tpu.config import EncoderConfig, Seq2SeqConfig
+    from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
+    from e2e_asr_tpu.eval.serving import _make_family_decoder
+    from e2e_asr_tpu.models import ctc
+
+    cfg = Seq2SeqConfig(tasks=["char"], num_layers={"char": 2},
+                        max_output={"char": 8},
+                        encoder=EncoderConfig(hidden_size=8, out_prob=1.0),
+                        feat_length=4, model_family="ctc")
+    params = ctc.init(jax.random.PRNGKey(0), cfg, vocab_size=11)
+    lm = _tiny_rnn_lm()
+    feats = jnp.asarray(rng.normal(size=(2, 12, 4)).astype(np.float32))
+    flens = jnp.array([12, 9])
+    decode = _make_family_decoder(
+        cfg, BeamConfig(beam_size=3, max_steps=8, lm_rescore=0.6),
+        lm_params=lm)
+    toks, lens1, sc1 = decode(params, {"logmel": feats,
+                                       "logmel_len": flens})
+    lg, el = ctc.logits(params, cfg, feats, flens)
+    seqs, lens, scores = ctc_beam_decode(jax.nn.log_softmax(lg, axis=-1),
+                                         el, beam_size=3,
+                                         blank_id=ctc.BLANK_ID)
+    lm_s = rescore.lm_nbest_scores(lm, seqs, lens, eos_in_seq=False)
+    comb = jnp.where(scores <= -1e29, scores, scores + 0.6 * lm_s)
+    best = np.asarray(jnp.argmax(comb, axis=1))
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(toks[i]),
+                                      np.asarray(seqs[i, best[i]]))
+        np.testing.assert_allclose(float(sc1[i]), float(comb[i, best[i]]),
+                                   rtol=1e-5)
+
+
+def test_serving_family_decoder_lm_rescore_transducer(rng):
+    """Transducer serving path: top-1 == manual rerank (terminal-eos
+    convention)."""
+    from e2e_asr_tpu.config import (DecoderConfig, EncoderConfig,
+                                    Seq2SeqConfig)
+    from e2e_asr_tpu.eval.serving import _make_family_decoder
+    from e2e_asr_tpu.eval.transducer_beam import transducer_beam_decode
+    from e2e_asr_tpu.models import transducer
+
+    cfg = Seq2SeqConfig(tasks=["char"], num_layers={"char": 2},
+                        max_output={"char": 10},
+                        encoder=EncoderConfig(hidden_size=8, out_prob=1.0),
+                        feat_length=4, model_family="transducer")
+    cfg.decoders["char"] = DecoderConfig(hidden_size_dec=16, emb_size=8,
+                                         vocab_size=11, joint_dim=16,
+                                         out_prob_dec=1.0, max_output=10)
+    params = transducer.init(jax.random.PRNGKey(0), cfg, vocab_size=11)
+    lm = _tiny_rnn_lm()
+    feats = jnp.asarray(rng.normal(size=(2, 12, 4)).astype(np.float32))
+    flens = jnp.array([12, 9])
+    decode = _make_family_decoder(
+        cfg, BeamConfig(beam_size=3, max_steps=10, lm_rescore=0.6),
+        lm_params=lm)
+    toks, lens1, sc1 = decode(params, {"logmel": feats,
+                                       "logmel_len": flens})
+    attn_states, _, enc_lens = seq2seq.encode(params, cfg, feats, flens)
+    d = cfg.num_layers["char"]
+    seqs, lens, scores = transducer_beam_decode(
+        params, cfg, attn_states[d], enc_lens[d], beam_size=3)
+    lm_s = rescore.lm_nbest_scores(lm, seqs, lens, eos_in_seq=False)
+    comb = jnp.where(scores <= -1e29, scores, scores + 0.6 * lm_s)
+    best = np.asarray(jnp.argmax(comb, axis=1))
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(toks[i]),
+                                      np.asarray(seqs[i, best[i]]))
+
+
+def test_serving_per_request_bias_decoder_lm_rescore(rng):
+    """-lm_rescore composes with per-request biasing: with empty tries the
+    biased decoder's top-1 must equal the unbiased manual rerank
+    (attention family, eos-in-seq convention)."""
+    from e2e_asr_tpu.eval import biasing as biasing_lib
+    from e2e_asr_tpu.eval.serving import _make_per_request_bias_decoder
+
+    lm = _tiny_rnn_lm()
+    cfg, params, batch, bc, _ = _setup_decode(rng, 0.7, lm_params=lm)
+    decode = _make_per_request_bias_decoder(cfg, bc, lm_params=lm,
+                                            weight=1.0)
+    V = cfg.decoders["char"].vocab_size
+    empty = jax.tree_util.tree_map(
+        np.asarray, biasing_lib.build_bias_trie([], V, pad_to=4))
+    B = batch["logmel"].shape[0]
+    batch = dict(batch)
+    batch["bias_tries"] = {k: jnp.asarray(np.stack([empty[k]] * B))
+                           for k in ("trans", "depth", "final")}
+    toks, lens1, sc1 = decode(params, batch)
+    seqs_all, lens_all, combined = _manual_rerank(cfg, params, batch, bc,
+                                                  lm)
+    best = np.asarray(jnp.argmax(combined, axis=1))
+    for i in range(toks.shape[0]):
+        np.testing.assert_array_equal(np.asarray(toks[i]),
+                                      np.asarray(seqs_all[i, best[i]]))
+        np.testing.assert_allclose(float(sc1[i]),
+                                   float(combined[i, best[i]]), rtol=1e-5)
+
+
+def test_serving_guards_lm_rescore(rng):
+    """Engine-level guards: conflict with -lm_weight; CTC/transducer need
+    an external LM; streaming rejects the second pass outright."""
+    from e2e_asr_tpu.config import EncoderConfig, Seq2SeqConfig
+    from e2e_asr_tpu.eval.serving import (_make_family_decoder,
+                                          _make_per_request_bias_decoder)
+    from e2e_asr_tpu.eval.streaming import StreamingTranscriber
+
+    cfg = tiny_cfg()
+    with pytest.raises(ValueError, match="pick one"):
+        _make_family_decoder(cfg, BeamConfig(beam_size=2, lm_rescore=0.5,
+                                             lm_weight=0.3))
+    with pytest.raises(ValueError, match="pick one"):
+        _make_per_request_bias_decoder(
+            cfg, BeamConfig(beam_size=2, lm_rescore=0.5, lm_weight=0.3),
+            weight=1.0)
+    ctc_cfg = Seq2SeqConfig(tasks=["char"], num_layers={"char": 2},
+                            max_output={"char": 8},
+                            encoder=EncoderConfig(hidden_size=8,
+                                                  out_prob=1.0),
+                            feat_length=4, model_family="ctc")
+    with pytest.raises(ValueError, match="rescoring needs"):
+        _make_family_decoder(ctc_cfg, BeamConfig(beam_size=2,
+                                                 lm_rescore=0.5))
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="second pass"):
+        StreamingTranscriber(params, cfg, ["x"] * 11, window=16, margin=4,
+                             beam_cfg=BeamConfig(beam_size=2,
+                                                 lm_rescore=0.5))
+
+
+def test_transformer_decoder_shared_lm_fallback_clear_error(rng):
+    """-lm_rescore/-lm_weight with no -lm_path on a transformer decoder
+    must fail with an actionable message (the transformer decoder has no
+    weight-tied internal LM), not a KeyError inside the trace."""
+    from e2e_asr_tpu.config import (DecoderConfig, EncoderConfig,
+                                    Seq2SeqConfig)
+    from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
+
+    cfg = Seq2SeqConfig(
+        tasks=["char"], num_layers={"char": 2}, max_output={"char": 10},
+        encoder=EncoderConfig(hidden_size=8, out_prob=1.0, skip_step=2,
+                              max_scaling_down=2),
+        decoders={"char": DecoderConfig(
+            decoder_type="transformer", hidden_size_dec=16,
+            num_layers_dec=1, dec_heads=2, dec_ffn_mult=2, vocab_size=11,
+            samp_prob=0.0, out_prob_dec=1.0, max_output=10)},
+        feat_length=6)
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    feats = jnp.asarray(rng.normal(size=(2, 12, 6)).astype(np.float32))
+    batch = {"logmel": feats, "logmel_len": jnp.array([12, 9])}
+    for bc in (BeamConfig(beam_size=2, max_steps=8, lm_rescore=0.5),
+               BeamConfig(beam_size=2, max_steps=8, lm_weight=0.3)):
+        decode = make_beam_decoder(cfg, bc)
+        with pytest.raises(ValueError, match="weight-tied internal LM"):
+            decode(params, batch)

@@ -294,7 +294,8 @@ def test_lm_fused_serving_transducer_and_attention(setup):
     from e2e_asr_tpu.models import ctc as ctc_lib
     c_params = ctc_lib.init(jax.random.PRNGKey(2), c_cfg,
                             vocab_size=dec.vocab_size)
-    with pytest.raises(ValueError, match="CTC LM fusion needs lm_params"):
+    with pytest.raises(ValueError, match="CTC LM fusion/rescoring needs "
+                                         "lm_params"):
         BatchingTranscriber(c_params, c_cfg, rev_vocab, beam_cfg=bc,
                             bucket_frames=(32,))
 
