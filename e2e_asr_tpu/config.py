@@ -197,6 +197,9 @@ class TrainConfig:
                                      # selection + -eval_ema use them
     eval_ema: bool = False           # eval CLI decodes the EMA weights
                                      # (requires a -ema_decay checkpoint)
+    compile_cache: str = ""          # persistent XLA compilation-cache dir:
+                                     # recompiles across process restarts
+                                     # become disk hits (serving cold-start)
     quantize: str = ""               # "int8": eval/serving decodes int8
                                      # weight-only quantized params
                                      # (core/quant.py)
@@ -314,6 +317,12 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-pretrain_phone_path", default="", type=str)
     parser.add_argument("-chaos", default=False, action="store_true")
     parser.add_argument("-subset_file", default="", type=str)
+    parser.add_argument("-compile_cache", default="", type=str,
+                        help="persistent XLA compilation-cache directory "
+                             "(extension): every jitted program hits disk "
+                             "instead of recompiling across process "
+                             "restarts — train, eval, serving, and "
+                             "exported-artifact loads all benefit")
     # Encoder (encoder.py:182-200)
     parser.add_argument("-out_prob", "--out_prob", default=0.9, type=float)
     parser.add_argument("-use_lstm", "--use_lstm", default=True,
@@ -704,6 +713,8 @@ def process_args(options: dict[str, Any],
     train = _from_options(TrainConfig, options)
     train.train_dir = train_dir
     train.best_model_dir = best_model_dir
+    if train.compile_cache:
+        enable_compilation_cache(train.compile_cache)
     if options.get("buck_batch_sizes"):
         train.buck_batch_size = [int(x) for x in
                                  str(options["buck_batch_sizes"]).split(",")]
@@ -718,6 +729,19 @@ def process_args(options: dict[str, Any],
     return ExperimentConfig(model=model, train=train, lm=lm, beam=beam,
                             dev=options.get("dev", False),
                             test=options.get("test", False))
+
+
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Point XLA's persistent compilation cache at `cache_dir` (created on
+    first write). Every jit compile — training steps, decode programs,
+    deserialized export artifacts — is keyed by (IR, flags, platform) and
+    reused across process restarts; min-time/min-size floors are dropped so
+    the many small decode programs qualify too."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def _from_options(cls, options: dict[str, Any]):

@@ -1,0 +1,315 @@
+"""AOT-exported serving artifacts (jax.export / StableHLO).
+
+Extension (no reference counterpart — the reference redeploys Python code
+plus checkpoints and rebuilds its TF graph at startup,
+/root/reference/main.py:173-215). An exported artifact pins the EXACT
+decode computation at export time:
+
+- **Pinned behavior**: the serialized StableHLO is what runs — later model-
+  code changes, flag drift, or dependency bumps cannot silently change a
+  deployed model's transcripts (jax.export versions its calling convention
+  and IR compatibility window).
+- **No tracing at startup**: serving hosts skip Python tracing/lowering
+  entirely (the usual multi-second cold-start per (bucket, batch) shape);
+  XLA still compiles the deserialized IR once per process, which the
+  persistent compilation cache (``-compile_cache``, core/cache.py) then
+  eliminates across restarts.
+- **Self-contained**: one directory holds the per-bucket programs, the
+  parameters (float or int8 QuantState — the dequantize lives INSIDE the
+  exported program), the vocab, and the config; `load_artifact()` needs no
+  run dir, vocab dir, or flags.
+
+The exported function is the SAME family decoder the serving engine batches
+(eval/serving._make_family_decoder), so attention/CTC/transducer beams, LM
+fusion/rescoring, and int8 dequantize all ride along; parity with the live
+decoder is pinned by tests/test_export_model.py.
+
+Usage:
+    python -m e2e_asr_tpu.tools.export_model -out DIR \
+        -vocab_dir VOCAB -tb_dir MODELS [-run_id N ...model flags...] \
+        [-buckets 128,256,512] [-batch 8] [-platforms cpu,tpu] \
+        [-beam_size 4] [-lm_path ... -lm_weight w] [-int8]
+
+Then, anywhere (no flags, no vocab, no checkpoints):
+    from e2e_asr_tpu.tools.export_model import load_artifact
+    dec = load_artifact("DIR")
+    print(dec.transcribe(feats))          # [T, feat] float32 log-mels
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from os import path
+
+import numpy as np
+
+FORMAT_VERSION = 1
+_MANIFEST = "manifest.json"
+_PARAMS = "params.npz"
+
+
+def _program_name(bucket: int, batch: int) -> str:
+    return f"program_b{bucket}_n{batch}.bin"
+
+
+_REGISTERED = False
+
+
+def _register_serializations() -> None:
+    """jax.export serializes input PyTreeDefs; custom containers (the int8
+    QuantState NamedTuple) must be registered once per process."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from jax import export as jax_export
+
+    from e2e_asr_tpu.core import quant
+    jax_export.register_namedtuple_serialization(
+        quant.QuantState, serialized_name="e2e_asr_tpu.core.quant.QuantState")
+    _REGISTERED = True
+
+
+def export_artifact(out_dir: str, params, cfg, rev_vocab: list[str], *,
+                    beam_cfg=None, bucket_frames=(128, 256, 512),
+                    batch_size: int = 8, lm_params=None, compute_dtype=None,
+                    platforms=None) -> dict:
+    """Export `params` + the family decoder as a self-contained artifact.
+
+    params: float pytree or core.quant.QuantState (int8 weight-only —
+    dequantize is traced into the program, so the artifact stays ~4x
+    smaller AND the program serves it directly).
+    platforms: lowering targets, e.g. ("cpu", "tpu"); None = the current
+    default backend only. Cross-platform export works from any host — the
+    TPU lowering does not need a TPU attached.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from e2e_asr_tpu import config as config_lib
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+    from e2e_asr_tpu.core import quant
+    from e2e_asr_tpu.eval.serving import _make_family_decoder
+
+    _register_serializations()
+    beam_cfg = beam_cfg or config_lib.BeamConfig(
+        beam_size=4, max_steps=cfg.max_output["char"])
+    bucket_frames = tuple(sorted(int(b) for b in bucket_frames))
+    platforms = tuple(platforms) if platforms else (
+        jax.default_backend(),)
+    fam = _make_family_decoder(cfg, beam_cfg, compute_dtype=compute_dtype,
+                               lm_params=lm_params)
+
+    @jax.jit
+    def fn(p, feats, lens):
+        return fam(p, {"logmel": feats, "logmel_len": lens})
+
+    p_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        params)
+    os.makedirs(out_dir, exist_ok=True)
+    sizes = {}
+    for bucket in bucket_frames:
+        f_spec = jax.ShapeDtypeStruct(
+            (batch_size, bucket, cfg.feat_length), jnp.float32)
+        l_spec = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+        exp = jax_export.export(fn, platforms=platforms)(
+            p_spec, f_spec, l_spec)
+        blob = exp.serialize()
+        name = _program_name(bucket, batch_size)
+        with open(path.join(out_dir, name), "wb") as f:
+            f.write(blob)
+        sizes[name] = len(blob)
+
+    named = ckpt_lib.flatten_named(params)
+    with open(path.join(out_dir, _PARAMS), "wb") as f:
+        np.savez(f, **named)
+
+    exp_cfg = config_lib.ExperimentConfig(model=cfg, beam=beam_cfg)
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "family": cfg.model_family,
+        "feat_length": cfg.feat_length,
+        "bucket_frames": list(bucket_frames),
+        "batch_size": batch_size,
+        "platforms": list(platforms),
+        "quantized": isinstance(params, quant.QuantState),
+        "has_lm": lm_params is not None,
+        "compute_dtype": ("bfloat16" if compute_dtype == jnp.bfloat16
+                          else "float32"),
+        "vocab": list(rev_vocab),
+        "config_text": config_lib.config_to_text(exp_cfg),
+        "jax_version": jax.__version__,
+        "program_bytes": sizes,
+    }
+    with open(path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+class ExportedDecoder:
+    """Serve an exported artifact: pick the bucket, pad, run the pinned
+    program, detokenize — the serving engine's per-batch recipe without
+    any model code in the decode path."""
+
+    def __init__(self, art_dir: str):
+        import jax
+        from jax import export as jax_export
+
+        from e2e_asr_tpu import config as config_lib
+        from e2e_asr_tpu.core import checkpoint as ckpt_lib
+        from e2e_asr_tpu.core import quant
+        from e2e_asr_tpu.train import step as step_lib
+
+        _register_serializations()
+        with open(path.join(art_dir, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest["format_version"] != FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {self.manifest['format_version']} != "
+                f"this framework's {FORMAT_VERSION}")
+        self.rev_vocab = self.manifest["vocab"]
+        self.buckets = tuple(self.manifest["bucket_frames"])
+        self.batch_size = int(self.manifest["batch_size"])
+        self.feat_length = int(self.manifest["feat_length"])
+        exp_cfg = config_lib.config_from_text(self.manifest["config_text"])
+        self.cfg = exp_cfg.model
+        self.beam_cfg = exp_cfg.beam
+
+        # Rebuild the exact params pytree: template from the config's own
+        # init (quantized artifacts re-derive the QuantState skeleton —
+        # quantize() is shape-deterministic), leaves from the npz.
+        template = step_lib.init_params(jax.random.PRNGKey(0), self.cfg)
+        if self.manifest["quantized"]:
+            template = quant.quantize(template)
+        with np.load(path.join(art_dir, _PARAMS)) as z:
+            named = {k: z[k] for k in z.files}
+        self.params = ckpt_lib.unflatten_named(template, named)
+
+        self.programs = {}
+        for bucket in self.buckets:
+            name = _program_name(bucket, self.batch_size)
+            with open(path.join(art_dir, name), "rb") as f:
+                self.programs[bucket] = jax_export.deserialize(f.read())
+
+    def decode_batch(self, feats_list: list[np.ndarray]) -> list[str]:
+        """Transcribe up to batch_size utterances ([T, feat] float32 each)
+        in one program call (same padding contract as eval/serving.py)."""
+        from e2e_asr_tpu.data import text
+
+        if len(feats_list) > self.batch_size:
+            raise ValueError(f"{len(feats_list)} utterances > artifact "
+                             f"batch size {self.batch_size}")
+        longest = max(f.shape[0] for f in feats_list)
+        try:
+            bucket = next(b for b in self.buckets if longest <= b)
+        except StopIteration:
+            raise ValueError(
+                f"utterance of {longest} frames exceeds the largest "
+                f"exported bucket ({self.buckets[-1]})") from None
+        B = self.batch_size
+        feats = np.zeros((B, bucket, self.feat_length), np.float32)
+        lens = np.ones((B,), np.int32)
+        for i, f in enumerate(feats_list):
+            feats[i, : f.shape[0]] = np.asarray(f, np.float32)
+            lens[i] = f.shape[0]
+        tokens, _, _ = self.programs[bucket].call(self.params, feats, lens)
+        tokens = np.asarray(tokens)
+        out = []
+        for i in range(len(feats_list)):
+            sent = text.ids_to_sentence(tokens[i], self.rev_vocab)
+            _, words = text.get_relevant_words(sent)
+            out.append(" ".join(words))
+        return out
+
+    def transcribe(self, feats: np.ndarray) -> str:
+        return self.decode_batch([feats])[0]
+
+
+def load_artifact(art_dir: str) -> ExportedDecoder:
+    return ExportedDecoder(art_dir)
+
+
+def build_parser():
+    import argparse
+
+    from e2e_asr_tpu import config as config_lib
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-out", required=True, help="artifact directory")
+    parser.add_argument("-buckets", default="128,256,512",
+                        help="comma-separated frame buckets to export")
+    parser.add_argument("-batch", type=int, default=8,
+                        help="batch size baked into every program")
+    parser.add_argument("-platforms", default="",
+                        help="comma-separated lowering targets (cpu,tpu); "
+                             "default = the current backend")
+    parser.add_argument("-int8", action="store_true",
+                        help="quantize weights (core/quant.py) before "
+                             "export; dequantize is traced into the "
+                             "programs")
+    parser.add_argument("-ckpt", type=str, default="",
+                        help="explicit checkpoint file (else best/latest "
+                             "from the run dir)")
+    config_lib.add_parse_options(parser)
+    return parser
+
+
+def main(argv=None) -> dict:
+    import jax
+
+    from e2e_asr_tpu import config as config_lib
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+    from e2e_asr_tpu.core import quant
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.train import step as step_lib
+
+    args = vars(build_parser().parse_args(argv))
+    out_dir = args.pop("out")
+    buckets = [int(b) for b in args.pop("buckets").split(",")]
+    batch = args.pop("batch")
+    platforms = [p for p in args.pop("platforms").split(",") if p]
+    int8 = args.pop("int8")
+    ckpt_file = args.pop("ckpt")
+
+    _, rev_vocab = text.initialize_vocabulary(
+        path.join(args["vocab_dir"], "char.vocab"))
+    cfg = config_lib.process_args(args, {"char": len(rev_vocab)})
+    tc = cfg.train
+
+    params = step_lib.init_params(jax.random.PRNGKey(10), cfg.model)
+    state = step_lib.create_state(params, cfg.model, cfg.lm)
+    ckpt_path = ckpt_file or None
+    if ckpt_file:
+        state = ckpt_lib.restore(ckpt_file, state)
+    else:
+        for d in (tc.best_model_dir, tc.train_dir):
+            found = ckpt_lib.latest_path(d)
+            if found:
+                ckpt_path = found[0]
+                state = ckpt_lib.restore(ckpt_path, state)
+                break
+    print(f"Exporting the model from: {ckpt_path}")
+    params = state.params
+    if int8:
+        params = quant.quantize(params)
+
+    from e2e_asr_tpu.eval.lm_loader import load_fusion_lm
+    lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab)
+
+    import jax.numpy as jnp
+    cd = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else None
+    manifest = export_artifact(
+        out_dir, params, cfg.model, rev_vocab, beam_cfg=cfg.beam,
+        bucket_frames=buckets, batch_size=batch, lm_params=lm_params,
+        compute_dtype=cd, platforms=platforms or None)
+    total = sum(manifest["program_bytes"].values())
+    print(f"Exported {len(buckets)} program(s) ({total/1e6:.2f} MB) + "
+          f"params to {out_dir} for platforms="
+          f"{','.join(manifest['platforms'])}")
+    return manifest
+
+
+if __name__ == "__main__":
+    main()
