@@ -185,13 +185,22 @@ class ExportedDecoder:
             template = quant.quantize(template)
         with np.load(path.join(art_dir, _PARAMS)) as z:
             named = {k: z[k] for k in z.files}
-        self.params = ckpt_lib.unflatten_named(template, named)
+        # Device-resident once: numpy leaves would re-transfer the whole
+        # tree host->device on EVERY program call.
+        self.params = jax.tree_util.tree_map(
+            jax.device_put, ckpt_lib.unflatten_named(template, named))
 
         self.programs = {}
+        self._calls = {}
         for bucket in self.buckets:
             name = _program_name(bucket, self.batch_size)
             with open(path.join(art_dir, name), "rb") as f:
-                self.programs[bucket] = jax_export.deserialize(f.read())
+                exp = jax_export.deserialize(f.read())
+            self.programs[bucket] = exp
+            # Exported.call re-stages on every invocation (measured 2.5 s
+            # per warm call vs 0.12 s live on the chip); one jit wrapper
+            # restores the compiled-executable fast path.
+            self._calls[bucket] = jax.jit(exp.call)
 
     def decode_batch(self, feats_list: list[np.ndarray]) -> list[str]:
         """Transcribe up to batch_size utterances ([T, feat] float32 each)
@@ -214,7 +223,7 @@ class ExportedDecoder:
         for i, f in enumerate(feats_list):
             feats[i, : f.shape[0]] = np.asarray(f, np.float32)
             lens[i] = f.shape[0]
-        tokens, _, _ = self.programs[bucket].call(self.params, feats, lens)
+        tokens, _, _ = self._calls[bucket](self.params, feats, lens)
         tokens = np.asarray(tokens)
         out = []
         for i in range(len(feats_list)):
