@@ -28,7 +28,12 @@ Usage:
     python -m e2e_asr_tpu.tools.export_model -out DIR \
         -vocab_dir VOCAB -tb_dir MODELS [-run_id N ...model flags...] \
         [-buckets 128,256,512] [-batch 8] [-platforms cpu,tpu] \
-        [-beam_size 4] [-lm_path ... -lm_weight w] [-int8]
+        [-beam_size 4] [-lm_path ... -lm_weight w] [-int8] \
+        [-eval_ema] [-eval_avg_ckpts N] [-boost_phrases F -boost_weight w]
+
+The CLI honors the SAME weight-selection and decode flags as the eval CLI
+(-eval_ema, -eval_avg_ckpts, -quantize int8, -boost_phrases), so the flag
+line that produced a validated WER exports exactly those weights/behavior.
 
 Then, anywhere (no flags, no vocab, no checkpoints):
     from e2e_asr_tpu.tools.export_model import load_artifact
@@ -37,14 +42,14 @@ Then, anywhere (no flags, no vocab, no checkpoints):
 """
 from __future__ import annotations
 
-import dataclasses
+import contextlib
 import json
 import os
 from os import path
 
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 _MANIFEST = "manifest.json"
 _PARAMS = "params.npz"
 
@@ -70,18 +75,61 @@ def _register_serializations() -> None:
     _REGISTERED = True
 
 
+@contextlib.contextmanager
+def _force_xla_compute():
+    """Trace the pure-XLA compute paths (no Pallas, no mega-kernel).
+
+    Kernel selection (core/rnn.use_pallas_lstm and every ops/_interpret())
+    happens at TRACE time from the HOST's default backend — it knows nothing
+    about the export's target platforms. Tracing Pallas for a non-TPU
+    target fails to lower (tpu_custom_call on cpu); tracing from a non-TPU
+    host for a TPU target would silently bake interpret-mode EMULATION HLO
+    into the deployed program. Forcing the XLA scan paths produces programs
+    that lower and run natively on every requested platform."""
+    old = os.environ.get("E2E_ASR_NO_PALLAS")
+    os.environ["E2E_ASR_NO_PALLAS"] = "1"
+    try:
+        yield
+    finally:
+        if old is None:
+            del os.environ["E2E_ASR_NO_PALLAS"]
+        else:
+            os.environ["E2E_ASR_NO_PALLAS"] = old
+
+
+def _nest_named(named: dict[str, np.ndarray]) -> dict:
+    """Rebuild a plain nested-dict pytree from "/"-joined leaf names (the
+    fusion-LM trees are plain dicts — lm_loader.load_fusion_lm — so their
+    structure is fully determined by the names, no template needed)."""
+    root: dict = {}
+    for name, leaf in named.items():
+        parts = name.split("/")
+        d = root
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = leaf
+    return root
+
+
 def export_artifact(out_dir: str, params, cfg, rev_vocab: list[str], *,
                     beam_cfg=None, bucket_frames=(128, 256, 512),
-                    batch_size: int = 8, lm_params=None, compute_dtype=None,
-                    platforms=None) -> dict:
+                    batch_size: int = 8, lm_params=None, bias=None,
+                    compute_dtype=None, platforms=None) -> dict:
     """Export `params` + the family decoder as a self-contained artifact.
 
     params: float pytree or core.quant.QuantState (int8 weight-only —
     dequantize is traced into the program, so the artifact stays ~4x
     smaller AND the program serves it directly).
+    lm_params: fusion-LM tree (eval/lm_loader.py) — a PROGRAM INPUT stored
+    once in params.npz (never baked as per-bucket StableHLO constants).
+    bias: (trie, boost_weight) engine-level contextual biasing
+    (eval/biasing.py); trie arrays are small and baked into the programs.
     platforms: lowering targets, e.g. ("cpu", "tpu"); None = the current
     default backend only. Cross-platform export works from any host — the
-    TPU lowering does not need a TPU attached.
+    TPU lowering does not need a TPU attached. The fused Pallas kernels are
+    traced in only for a single-target TPU export from a TPU host; every
+    other combination pins the (equivalent, exactness-tested) XLA paths so
+    the program is native on each target.
     """
     import jax
     import jax.numpy as jnp
@@ -98,31 +146,41 @@ def export_artifact(out_dir: str, params, cfg, rev_vocab: list[str], *,
     bucket_frames = tuple(sorted(int(b) for b in bucket_frames))
     platforms = tuple(platforms) if platforms else (
         jax.default_backend(),)
-    fam = _make_family_decoder(cfg, beam_cfg, compute_dtype=compute_dtype,
-                               lm_params=lm_params)
+    native = platforms == ("tpu",) and jax.default_backend() == "tpu"
+    guard = contextlib.nullcontext() if native else _force_xla_compute()
 
-    @jax.jit
-    def fn(p, feats, lens):
-        return fam(p, {"logmel": feats, "logmel_len": lens})
+    # The params AND the fusion LM ride as one input pytree; the decoder
+    # closure is rebuilt per trace so the LM leaves are traced arguments.
+    bundle = {"model": params}
+    if lm_params is not None:
+        bundle["lm"] = lm_params
 
-    p_spec = jax.tree_util.tree_map(
+    def fn(b, feats, lens):
+        fam = _make_family_decoder(cfg, beam_cfg,
+                                   compute_dtype=compute_dtype,
+                                   lm_params=b.get("lm"), bias=bias)
+        return fam(b["model"], {"logmel": feats, "logmel_len": lens})
+
+    b_spec = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-        params)
+        bundle)
     os.makedirs(out_dir, exist_ok=True)
     sizes = {}
-    for bucket in bucket_frames:
-        f_spec = jax.ShapeDtypeStruct(
-            (batch_size, bucket, cfg.feat_length), jnp.float32)
-        l_spec = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
-        exp = jax_export.export(fn, platforms=platforms)(
-            p_spec, f_spec, l_spec)
-        blob = exp.serialize()
-        name = _program_name(bucket, batch_size)
-        with open(path.join(out_dir, name), "wb") as f:
-            f.write(blob)
-        sizes[name] = len(blob)
+    with guard:
+        jitted = jax.jit(fn)
+        for bucket in bucket_frames:
+            f_spec = jax.ShapeDtypeStruct(
+                (batch_size, bucket, cfg.feat_length), jnp.float32)
+            l_spec = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+            exp = jax_export.export(jitted, platforms=platforms)(
+                b_spec, f_spec, l_spec)
+            blob = exp.serialize()
+            name = _program_name(bucket, batch_size)
+            with open(path.join(out_dir, name), "wb") as f:
+                f.write(blob)
+            sizes[name] = len(blob)
 
-    named = ckpt_lib.flatten_named(params)
+    named = ckpt_lib.flatten_named(bundle)
     with open(path.join(out_dir, _PARAMS), "wb") as f:
         np.savez(f, **named)
 
@@ -134,8 +192,11 @@ def export_artifact(out_dir: str, params, cfg, rev_vocab: list[str], *,
         "bucket_frames": list(bucket_frames),
         "batch_size": batch_size,
         "platforms": list(platforms),
+        "kernels": "tpu-pallas" if native else "xla",
         "quantized": isinstance(params, quant.QuantState),
         "has_lm": lm_params is not None,
+        "has_bias": bias is not None,
+        "boost_weight": float(bias[1]) if bias is not None else 0.0,
         "compute_dtype": ("bfloat16" if compute_dtype == jnp.bfloat16
                           else "float32"),
         "vocab": list(rev_vocab),
@@ -177,18 +238,26 @@ class ExportedDecoder:
         self.cfg = exp_cfg.model
         self.beam_cfg = exp_cfg.beam
 
-        # Rebuild the exact params pytree: template from the config's own
-        # init (quantized artifacts re-derive the QuantState skeleton —
-        # quantize() is shape-deterministic), leaves from the npz.
+        # Rebuild the exact input pytree: model template from the config's
+        # own init (quantized artifacts re-derive the QuantState skeleton —
+        # quantize() is shape-deterministic), fusion-LM tree from the leaf
+        # names alone (plain nested dicts), leaves from the npz.
         template = step_lib.init_params(jax.random.PRNGKey(0), self.cfg)
         if self.manifest["quantized"]:
             template = quant.quantize(template)
         with np.load(path.join(art_dir, _PARAMS)) as z:
             named = {k: z[k] for k in z.files}
+        model_named = {k[len("model/"):]: v for k, v in named.items()
+                       if k.startswith("model/")}
+        bundle = {"model": ckpt_lib.unflatten_named(template, model_named)}
+        lm_named = {k[len("lm/"):]: v for k, v in named.items()
+                    if k.startswith("lm/")}
+        if lm_named:
+            bundle["lm"] = _nest_named(lm_named)
         # Device-resident once: numpy leaves would re-transfer the whole
         # tree host->device on EVERY program call.
-        self.params = jax.tree_util.tree_map(
-            jax.device_put, ckpt_lib.unflatten_named(template, named))
+        self.bundle = jax.tree_util.tree_map(jax.device_put, bundle)
+        self.params = self.bundle["model"]
 
         self.programs = {}
         self._calls = {}
@@ -207,6 +276,8 @@ class ExportedDecoder:
         in one program call (same padding contract as eval/serving.py)."""
         from e2e_asr_tpu.data import text
 
+        if not feats_list:
+            return []
         if len(feats_list) > self.batch_size:
             raise ValueError(f"{len(feats_list)} utterances > artifact "
                              f"batch size {self.batch_size}")
@@ -223,7 +294,7 @@ class ExportedDecoder:
         for i, f in enumerate(feats_list):
             feats[i, : f.shape[0]] = np.asarray(f, np.float32)
             lens[i] = f.shape[0]
-        tokens, _, _ = self._calls[bucket](self.params, feats, lens)
+        tokens, _, _ = self._calls[bucket](self.bundle, feats, lens)
         tokens = np.asarray(tokens)
         out = []
         for i in range(len(feats_list)):
@@ -261,6 +332,11 @@ def build_parser():
     parser.add_argument("-ckpt", type=str, default="",
                         help="explicit checkpoint file (else best/latest "
                              "from the run dir)")
+    parser.add_argument("-allow_fresh_init", action="store_true",
+                        help="export random-init weights when no "
+                             "checkpoint is found (default: error — a "
+                             "deploy artifact of untrained weights is "
+                             "almost always a typo'd -tb_dir/-run_id)")
     config_lib.add_parse_options(parser)
     return parser
 
@@ -281,38 +357,74 @@ def main(argv=None) -> dict:
     platforms = [p for p in args.pop("platforms").split(",") if p]
     int8 = args.pop("int8")
     ckpt_file = args.pop("ckpt")
+    allow_fresh = args.pop("allow_fresh_init")
 
-    _, rev_vocab = text.initialize_vocabulary(
+    vocab, rev_vocab = text.initialize_vocabulary(
         path.join(args["vocab_dir"], "char.vocab"))
     cfg = config_lib.process_args(args, {"char": len(rev_vocab)})
     tc = cfg.train
+    if tc.platform:
+        # Same contract as the train/eval CLI (cli/main.py): -platform
+        # forces the backend BEFORE first device use (startup hooks may
+        # pin JAX_PLATFORMS at interpreter start, so env vars are too
+        # late by now).
+        jax.config.update("jax_platforms", tc.platform)
 
+    # Weight selection mirrors the eval CLI (cli/main.py) so the flag line
+    # that produced a validated WER exports exactly those weights:
+    # -eval_avg_ckpts, -eval_ema (EMA shadow leaves), -quantize int8.
     params = step_lib.init_params(jax.random.PRNGKey(10), cfg.model)
-    state = step_lib.create_state(params, cfg.model, cfg.lm)
-    ckpt_path = ckpt_file or None
+    state = step_lib.create_state(params, cfg.model, cfg.lm,
+                                  ema=tc.ema_decay > 0 or tc.eval_ema)
+    ckpt_path = None
     if ckpt_file:
+        ckpt_path = ckpt_file
         state = ckpt_lib.restore(ckpt_file, state)
-    else:
+    elif tc.eval_avg_ckpts > 1:
+        found = ckpt_lib.restore_averaged(tc.train_dir, state,
+                                          tc.eval_avg_ckpts)
+        if found:
+            state, used = found
+            ckpt_path = f"avg of {[path.basename(p) for p in used]}"
+    if ckpt_path is None and not ckpt_file:
         for d in (tc.best_model_dir, tc.train_dir):
             found = ckpt_lib.latest_path(d)
             if found:
                 ckpt_path = found[0]
                 state = ckpt_lib.restore(ckpt_path, state)
                 break
+    if ckpt_path is None and not allow_fresh:
+        raise SystemExit(
+            f"no checkpoint found under {tc.best_model_dir} or "
+            f"{tc.train_dir} — refusing to export random-init weights "
+            f"(pass -allow_fresh_init to override)")
     print(f"Exporting the model from: {ckpt_path}")
-    params = state.params
-    if int8:
+    params = state.ema_params if tc.eval_ema else state.params
+    if int8 or tc.quantize == "int8":
         params = quant.quantize(params)
+        print("Quantized params to int8 (weight-only, per-channel)")
 
     from e2e_asr_tpu.eval.lm_loader import load_fusion_lm
     lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab)
+
+    # Engine-level contextual biasing (same recipe as the eval CLI).
+    bias = None
+    if cfg.beam.boost_phrases and cfg.beam.boost_weight != 0.0:
+        from e2e_asr_tpu.data.bpe import is_bpe_vocab
+        from e2e_asr_tpu.eval import biasing
+        phrases = biasing.load_phrases(cfg.beam.boost_phrases, vocab,
+                                       bpe=is_bpe_vocab(rev_vocab))
+        bias = (biasing.build_bias_trie(phrases, len(rev_vocab)),
+                cfg.beam.boost_weight)
+        print(f"Contextual biasing: {len(phrases)} phrases, "
+              f"boost {cfg.beam.boost_weight}")
 
     import jax.numpy as jnp
     cd = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else None
     manifest = export_artifact(
         out_dir, params, cfg.model, rev_vocab, beam_cfg=cfg.beam,
         bucket_frames=buckets, batch_size=batch, lm_params=lm_params,
-        compute_dtype=cd, platforms=platforms or None)
+        bias=bias, compute_dtype=cd, platforms=platforms or None)
     total = sum(manifest["program_bytes"].values())
     print(f"Exported {len(buckets)} program(s) ({total/1e6:.2f} MB) + "
           f"params to {out_dir} for platforms="

@@ -130,22 +130,31 @@ def test_export_ctc_family_and_guards(setup, tmp_path):
         dec.decode_batch([_feats(rng, 10)] * 3)
 
 
+def _cli_flags(root, tmp_path, art):
+    return ["-out", art, "-buckets", "24", "-batch", "2",
+            "-vocab_dir", str(root / "vocab"),
+            "-tb_dir", str(tmp_path / "models"),
+            "-hsize", "16", "-hsize_dec", "16", "-emb_size", "12",
+            "-attn_vec_size", "8", "-lm_hsize", "16",
+            "-feat_len", "8", "-max_out_char", "16",
+            "-compute_dtype", "float32", "-beam_size", "2"]
+
+
 def test_export_cli_end_to_end(setup, tmp_path):
-    """The CLI exports from a run dir's checkpoint (falling back to fresh
-    init when none exists) and the artifact transcribes."""
+    """The CLI refuses to export without a checkpoint (deploy artifacts of
+    random weights are a typo, not a fallback), exports with
+    -allow_fresh_init, and the artifact transcribes. On this CPU host the
+    programs must pin the XLA compute paths (kernels != tpu-pallas)."""
     from e2e_asr_tpu.tools import export_model
 
     root, cfg, params, rev_vocab = setup
     art = str(tmp_path / "artcli")
-    manifest = export_model.main([
-        "-out", art, "-buckets", "24", "-batch", "2",
-        "-vocab_dir", str(root / "vocab"),
-        "-tb_dir", str(tmp_path / "models"),
-        "-hsize", "16", "-hsize_dec", "16", "-emb_size", "12",
-        "-attn_vec_size", "8", "-lm_hsize", "16",
-        "-feat_len", "8", "-max_out_char", "16",
-        "-compute_dtype", "float32", "-beam_size", "2"])
+    with pytest.raises(SystemExit, match="refusing to export"):
+        export_model.main(_cli_flags(root, tmp_path, art))
+    manifest = export_model.main(
+        _cli_flags(root, tmp_path, art) + ["-allow_fresh_init"])
     assert manifest["family"] == "attention"
+    assert manifest["kernels"] == "xla"
     with open(os.path.join(art, "manifest.json")) as f:
         on_disk = json.load(f)
     assert on_disk["bucket_frames"] == [24]
@@ -153,6 +162,117 @@ def test_export_cli_end_to_end(setup, tmp_path):
     rng = np.random.default_rng(3)
     out = dec.transcribe(_feats(rng, 20))
     assert isinstance(out, str)
+    assert dec.decode_batch([]) == []
+
+
+def test_export_cli_honors_eval_ema(setup, tmp_path):
+    """-eval_ema exports the EMA shadow weights (the ones the eval CLI
+    validated), not the raw params — pinned by comparing the artifact's
+    npz leaves to the checkpoint's ema_params."""
+    from e2e_asr_tpu.cli.main import parse_options
+    from e2e_asr_tpu.core import checkpoint as ckpt_lib
+    from e2e_asr_tpu.tools import export_model
+    from e2e_asr_tpu.train import step as step_lib
+
+    root, cfg, params, rev_vocab = setup
+    art = str(tmp_path / "artema")
+    flags = _cli_flags(root, tmp_path, art) + ["-eval_ema"]
+    exp_cfg = parse_options(flags[6:])  # model/run flags only
+    p0 = step_lib.init_params(jax.random.PRNGKey(4), exp_cfg.model)
+    state = step_lib.create_state(p0, exp_cfg.model, exp_cfg.lm, ema=True)
+    ema = jax.tree_util.tree_map(lambda x: x + 1.0, p0)
+    state = state._replace(ema_params=ema)
+    os.makedirs(exp_cfg.train.train_dir, exist_ok=True)
+    ckpt_lib.save(exp_cfg.train.train_dir, "asr.ckpt", 3, state)
+
+    export_model.main(flags)
+    with np.load(os.path.join(art, "params.npz")) as z:
+        named = {k: z[k] for k in z.files}
+    want = ckpt_lib.flatten_named(ema)
+    for k, v in want.items():
+        np.testing.assert_array_equal(named["model/" + k], v)
+
+
+def test_export_lm_fusion_stored_once_not_baked(setup, tmp_path):
+    """A fusion LM rides as a PROGRAM INPUT: the trigram table lands once
+    in params.npz (lm/ngram), the per-bucket programs do NOT grow by the
+    table size, and decode == the live fused decoder."""
+    root, cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(5)
+    V = len(rev_vocab)
+    logits = rng.normal(size=(V, V, V)).astype(np.float32)
+    table = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    lm = {"ngram": table}
+    bc = BeamConfig(beam_size=2, max_steps=12, lm_weight=0.4)
+
+    art0 = str(tmp_path / "art_nolm")
+    m0 = export_artifact(art0, params, cfg, rev_vocab,
+                         beam_cfg=BeamConfig(beam_size=2, max_steps=12),
+                         bucket_frames=(24,), batch_size=2)
+    art1 = str(tmp_path / "art_lm")
+    m1 = export_artifact(art1, params, cfg, rev_vocab, beam_cfg=bc,
+                         bucket_frames=(24,), batch_size=2, lm_params=lm)
+    assert m1["has_lm"]
+    with np.load(os.path.join(art1, "params.npz")) as z:
+        np.testing.assert_array_equal(z["lm/ngram"], table)
+    # The table (V^3 floats) must NOT be duplicated into the program blob.
+    grow = (m1["program_bytes"]["program_b24_n2.bin"]
+            - m0["program_bytes"]["program_b24_n2.bin"])
+    assert grow < table.nbytes // 2, (grow, table.nbytes)
+
+    dec = load_artifact(art1)
+    batch = [_feats(rng, 20), _feats(rng, 14)]
+    got = dec.decode_batch(batch)
+    live = _make_family_decoder(cfg, bc, lm_params=lm)
+    feats = np.zeros((2, 24, cfg.feat_length), np.float32)
+    lens = np.ones((2,), np.int32)
+    for i, f in enumerate(batch):
+        feats[i, : f.shape[0]] = f
+        lens[i] = f.shape[0]
+    want_tokens, _, _ = live(params, {"logmel": feats, "logmel_len": lens})
+    for i, g in enumerate(got):
+        sent = text.ids_to_sentence(np.asarray(want_tokens)[i], rev_vocab)
+        _, words = text.get_relevant_words(sent)
+        assert g == " ".join(words)
+
+
+def test_export_contextual_biasing_rides_along(setup, tmp_path):
+    """An engine-level bias glossary is traced into the programs: biased
+    artifact == biased live decoder, != the unbiased artifact."""
+    from e2e_asr_tpu.eval import biasing
+
+    root, cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(6)
+    vocab = {tok: i for i, tok in enumerate(rev_vocab)}
+
+    def ids(word):
+        return [vocab[c] for c in word if c in vocab]
+
+    phrases = [p for p in (ids("abe"), ids("bad")) if p]
+    assert phrases, "synthetic vocab must cover some letters"
+    trie = biasing.build_bias_trie(phrases, len(rev_vocab))
+    bias = (trie, 3.0)
+    bc = BeamConfig(beam_size=2, max_steps=12)
+
+    art = str(tmp_path / "artbias")
+    m = export_artifact(art, params, cfg, rev_vocab, beam_cfg=bc,
+                        bucket_frames=(24,), batch_size=2, bias=bias)
+    assert m["has_bias"] and m["boost_weight"] == 3.0
+    dec = load_artifact(art)
+    batch = [_feats(rng, 20), _feats(rng, 14)]
+    got = dec.decode_batch(batch)
+
+    live = _make_family_decoder(cfg, bc, bias=bias)
+    feats = np.zeros((2, 24, cfg.feat_length), np.float32)
+    lens = np.ones((2,), np.int32)
+    for i, f in enumerate(batch):
+        feats[i, : f.shape[0]] = f
+        lens[i] = f.shape[0]
+    want_tokens, _, _ = live(params, {"logmel": feats, "logmel_len": lens})
+    for i, g in enumerate(got):
+        sent = text.ids_to_sentence(np.asarray(want_tokens)[i], rev_vocab)
+        _, words = text.get_relevant_words(sent)
+        assert g == " ".join(words)
 
 
 def test_compile_cache_flag(setup, tmp_path):
