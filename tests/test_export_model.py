@@ -236,6 +236,50 @@ def test_export_lm_fusion_stored_once_not_baked(setup, tmp_path):
         assert g == " ".join(words)
 
 
+def test_export_transducer_and_transformer_decoder_families(setup, tmp_path):
+    """The remaining decode families export and round-trip: the transducer
+    time-synchronous beam (while_loop decode) and the transformer decoder
+    (KV caches riding the beam state) both serialize through jax.export
+    and match the live decoder token-for-token."""
+    import dataclasses
+
+    from e2e_asr_tpu.config import DecoderConfig
+    from e2e_asr_tpu.train import step as step_lib
+
+    root, cfg, params, rev_vocab = setup
+    rng = np.random.default_rng(7)
+
+    def roundtrip(c, tag, bc):
+        p = step_lib.init_params(jax.random.PRNGKey(0), c)
+        art = str(tmp_path / f"art_{tag}")
+        export_artifact(art, p, c, rev_vocab, beam_cfg=bc,
+                        bucket_frames=(24,), batch_size=2)
+        dec = load_artifact(art)
+        batch = [_feats(rng, 20), _feats(rng, 14)]
+        got = dec.decode_batch(batch)
+        want = _live_transcripts(c, p, bc, batch, 24, 2)
+        for i, g in enumerate(got):
+            sent = text.ids_to_sentence(want[i], rev_vocab)
+            _, words = text.get_relevant_words(sent)
+            assert g == " ".join(words), (tag, i)
+
+    # replace() shallow-copies: build fresh decoders dicts, never mutate
+    # the module-scoped fixture's.
+    c_t = dataclasses.replace(cfg, model_family="transducer", decoders={
+        "char": DecoderConfig(
+            hidden_size_dec=16, emb_size=8, vocab_size=len(rev_vocab),
+            joint_dim=16, out_prob_dec=1.0, max_output=16)})
+    roundtrip(c_t, "transducer", BeamConfig(beam_size=2, max_steps=16))
+
+    c_x = dataclasses.replace(cfg, decoders={
+        "char": DecoderConfig(
+            decoder_type="transformer", hidden_size_dec=16,
+            num_layers_dec=2, dec_heads=2, dec_ffn_mult=2,
+            vocab_size=len(rev_vocab), samp_prob=0.0, out_prob_dec=1.0,
+            max_output=16)})
+    roundtrip(c_x, "xfdec", BeamConfig(beam_size=2, max_steps=12))
+
+
 def test_export_contextual_biasing_rides_along(setup, tmp_path):
     """An engine-level bias glossary is traced into the programs: biased
     artifact == biased live decoder, != the unbiased artifact."""
