@@ -51,6 +51,10 @@ def parse_options(argv=None) -> ExperimentConfig:
 
 
 def launch_train(cfg: ExperimentConfig) -> None:
+    if cfg.train.ssl:
+        from e2e_asr_tpu.train.ssl import SSLTrainer
+        SSLTrainer(cfg).train()
+        return
     from e2e_asr_tpu.train.loop import Trainer
     Trainer(cfg).train()
 

@@ -167,6 +167,23 @@ class TrainConfig:
     steps_per_checkpoint: int = 500
     pretrain_lm_path: str = ""
     pretrain_phone_path: str = ""
+    pretrain_enc_path: str = ""      # extension: SSL-pretrained encoder
+                                     # checkpoint (train/ssl.py) merged into
+                                     # a supervised run by pytree path —
+                                     # same mechanism as pretrain_lm_path
+    ssl: bool = False                # extension: BEST-RQ-style masked-
+                                     # prediction pretraining of the encoder
+                                     # on unlabeled audio (train/ssl.py)
+    ssl_codebook_size: int = 256     # frozen random codebook entries
+    ssl_codebook_dim: int = 16       # projection / codebook dimension
+    ssl_mask_prob: float = 0.06      # span-start prob per encoder-output
+                                     # frame (~27% of frames masked at the
+                                     # default span)
+    ssl_mask_span: int = 5           # span length in encoder-output frames
+                                     # (5 x 80 ms = 400 ms at the flagship's
+                                     # 8x reduction — BEST-RQ's choice)
+    ssl_steps: int = 0               # stop after this many SSL updates
+                                     # (0 = run to max_epochs)
     chaos: bool = False
     subset_file: str = ""
     num_buckets: int = 5
@@ -287,6 +304,10 @@ def get_run_dir_name(opts: dict[str, Any]) -> str:
         xfmr_string += "ctcfam_"
     if opts.get("model_family", "attention") == "transducer":
         xfmr_string += "rnnt_"
+    if opts.get("ssl"):
+        # SSL pretraining runs get their own run-dir namespace so a
+        # same-config supervised run never resumes from an SSL checkpoint.
+        xfmr_string = "ssl_" + xfmr_string
     return (xfmr_string + skip_string + num_layer_string +
             ("lstm_" if opts["use_lstm"] else "") +
             (("stack_" + str(opts["stack_cons"]) + "_")
@@ -315,6 +336,23 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-max_epochs", default=30, type=int)
     parser.add_argument("-pretrain_lm_path", default="", type=str)
     parser.add_argument("-pretrain_phone_path", default="", type=str)
+    parser.add_argument("-pretrain_enc_path", default="", type=str,
+                        help="SSL-pretrained encoder checkpoint "
+                             "(train/ssl.py) partially restored into this "
+                             "supervised run at init (extension)")
+    parser.add_argument("-ssl", default=False, action="store_true",
+                        help="BEST-RQ-style self-supervised encoder "
+                             "pretraining on the corpus's features; targets "
+                             "come from a frozen random-projection "
+                             "quantizer, no transcripts are read "
+                             "(extension; train/ssl.py)")
+    parser.add_argument("-ssl_codebook_size", default=256, type=int)
+    parser.add_argument("-ssl_codebook_dim", default=16, type=int)
+    parser.add_argument("-ssl_mask_prob", default=0.06, type=float)
+    parser.add_argument("-ssl_mask_span", default=5, type=int)
+    parser.add_argument("-ssl_steps", default=0, type=int,
+                        help="stop SSL pretraining after this many updates "
+                             "(0 = run to -max_epochs)")
     parser.add_argument("-chaos", default=False, action="store_true")
     parser.add_argument("-subset_file", default="", type=str)
     parser.add_argument("-compile_cache", default="", type=str,
@@ -682,6 +720,25 @@ def process_args(options: dict[str, Any],
         if options.get("spec_augment") or options.get("speed_perturb"):
             raise ValueError("-mwer scores the n-best on CLEAN features; "
                              "augmentation belongs to the CE phase")
+    if options.get("ssl"):
+        # SSL pretraining trains the ENCODER only on unlabeled features —
+        # no decoder, no LM task, no sequence-level objectives.
+        for bad, why in (("lm_prob", options.get("lm_prob", 0.0) > 0),
+                         ("mwer", options.get("mwer")),
+                         ("distill_dir", options.get("distill_dir")),
+                         ("ctc_weight", options.get("ctc_weight", 0.0) > 0)):
+            if why:
+                raise ValueError(f"-ssl is encoder-only pretraining; -{bad} "
+                                 "belongs to the supervised phase")
+        if (options.get("pp_stages", 1) > 1 or options.get("sp_shards", 1) > 1
+                or options.get("ep_shards", 1) > 1
+                or options.get("fsdp")):
+            raise ValueError("-ssl currently runs data-parallel only "
+                             "(-data_axis); pp/sp/ep/fsdp cover the "
+                             "supervised phase")
+        if options.get("ema_decay", 0.0) > 0:
+            raise ValueError("-ssl has no EMA shadows; the supervised "
+                             "fine-tune phase owns -ema_decay")
 
     run_dir = get_run_dir_name(options)
     train_dir = os.path.join(options["train_base_dir"], run_dir)

@@ -338,6 +338,13 @@ class Trainer:
             if tc.pretrain_phone_path:
                 state = state._replace(params=ckpt_lib.partial_restore(
                     state.params, tc.pretrain_phone_path))
+            if tc.pretrain_enc_path:
+                # SSL-pretrained encoder (train/ssl.py): merge the encoder
+                # subtree only — the SSL head/quantizer have no counterpart
+                # here and the scope guard keeps any same-named non-encoder
+                # leaf from matching.
+                state = state._replace(params=ckpt_lib.partial_restore(
+                    state.params, tc.pretrain_enc_path, scope="encoder"))
         if self.mesh is not None:
             # Replicates everywhere except the vocab-sized projections, which
             # shard over the model axis when model_axis > 1.
