@@ -238,9 +238,9 @@ def _lm_step(lm_params: dict, state, x) -> tuple[Any, Array]:
     return new_state, logp
 
 
-def _fusion_init(lm_params: dict, batch_shape):
+def _fusion_init(lm_params: dict, batch_shape, steps: int | None = None):
     from e2e_asr_tpu.models.rnn_lm import fusion_init
-    return fusion_init(lm_params, batch_shape, GO_ID)
+    return fusion_init(lm_params, batch_shape, GO_ID, steps)
 
 
 def _gather_beam(tree, idx: Array):
@@ -350,8 +350,10 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         dec_lm_state=init_dec_lm,
         context=jnp.zeros((B, k, enc_states.shape[-1])),
         inputs=emb[go],
-        lm_state=(_fusion_init(lm_params, (B, k))[0] if use_lm else ()),
-        lm_inputs=(_fusion_init(lm_params, (B, k))[1] if use_lm else ()),
+        lm_state=(_fusion_init(lm_params, (B, k), max_steps)[0]
+                  if use_lm else ()),
+        lm_inputs=(_fusion_init(lm_params, (B, k), max_steps)[1]
+                   if use_lm else ()),
         num_finished=jnp.zeros((B,), jnp.int32),
         fin_scores=jnp.full((B, k), NEG_INF),
         fin_seqs=jnp.zeros((B, k, max_steps), jnp.int32),

@@ -102,8 +102,10 @@ def ctc_beam_decode(log_probs: Array, lens: Array, *, beam_size: int = 8,
         # Checkpoint-loaded LMs arrive as numpy arrays; embedding gathers
         # below index with traced ids, which numpy rejects.
         lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params)
+        # Horizon bound: one LM advance per emitting frame + the terminal
+        # <eos> scoring call.
         carry0["lm_state"], carry0["lm_in"] = fusion_init(
-            lm_params, (B, k), text.GO_ID)
+            lm_params, (B, k), text.GO_ID, T + 1)
 
     b_idx = jnp.arange(B)[:, None]
 

@@ -2,9 +2,11 @@
 server, grid search): resolves a `-lm_path` file into the `lm_params` tree
 the beam decoders fuse.
 
-Two artifact kinds, discriminated by content:
+Three artifact kinds, discriminated by content:
 - tools/train_ngram.py dense trigram tables ({"ngram": [V,V,V]}), fused
   through the same hooks as an RNN-LM (models/rnn_lm.fusion_step);
+- tools/train_lm.py transformer LMs (self-describing named-npz with a
+  "pos_emb" leaf, models/transformer_lm.py);
 - RNN-LM checkpoints — possibly from a DIFFERENTLY-SHAPED run (an external
   LM, /root/reference/main.py:220-223; beam_search.py:111-134 reads the
   rnn_decoder_char tensors by name): merged by name-matching partial
@@ -27,8 +29,22 @@ def load_fusion_lm(lm_path: str, model_cfg, rev_vocab: list[str],
 
     with np.load(lm_path) as z:
         is_ngram = "ngram" in z.files
+        is_tlm = "pos_emb" in z.files
         if is_ngram:
             table = z["ngram"]
+    if is_tlm:
+        from e2e_asr_tpu.models import transformer_lm
+        lm = transformer_lm.load_artifact(lm_path)
+        V = lm["embedding"].shape[0]
+        if V != len(rev_vocab):
+            raise ValueError(
+                f"transformer LM vocab {V} != {len(rev_vocab)} "
+                f"(train it on this run's vocab)")
+        if verbose:
+            tc = transformer_lm.config_of(lm)
+            print(f"Fusion LM: transformer {tc.blocks}x{tc.d_model} "
+                  f"(heads {tc.heads}, horizon {tc.max_len})")
+        return lm
     if is_ngram:
         if table.shape[-1] != len(rev_vocab):
             raise ValueError(

@@ -105,7 +105,8 @@ def lm_nbest_scores(lm_params: dict, seqs: Array, lens: Array, *,
     B, N, S = seqs.shape
     flat = seqs.reshape(B * N, S)
     flat_lens = lens.reshape(B * N).astype(jnp.int32)
-    state0, x0 = rnn_lm.fusion_init(lm_params, (B * N,), GO_ID)
+    # S scan steps + the post-scan terminal <eos> step (eos_in_seq=False).
+    state0, x0 = rnn_lm.fusion_init(lm_params, (B * N,), GO_ID, S + 1)
 
     def step(carry, inp):
         state, x, acc = carry

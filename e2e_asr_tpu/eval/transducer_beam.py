@@ -118,8 +118,10 @@ def transducer_beam_decode(params: dict, cfg, enc: Array, enc_lens: Array, *,
         # Checkpoint-loaded LMs arrive as numpy arrays; the embedding gather
         # below indexes with traced ids, which numpy rejects.
         lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params)
+        # Horizon bound: the LM advances once per label emission (at most
+        # `cap` of them) + the terminal <eos> scoring call.
         carry0["lm_state"], carry0["lm_in"] = fusion_init(
-            lm_params, (B, k), text.GO_ID)
+            lm_params, (B, k), text.GO_ID, cap + 1)
 
     def logprobs(enc_t, pred_p):
         logits = dense(joint["out"], jnp.tanh(enc_t[:, None, :] + pred_p),

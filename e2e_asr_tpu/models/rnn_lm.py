@@ -41,7 +41,7 @@ def shared_lm_params(params: dict) -> dict:
 def fusion_step(lm_params: dict, x, state):
     """One shallow-fusion LM step — the single definition every family's
     beam uses (attention, CTC prefix, transducer), so fusion semantics
-    cannot drift. Two LM kinds share the (state, input) -> (log-probs,
+    cannot drift. Three LM kinds share the (state, input) -> (log-probs,
     state') flow:
 
     - RNN (shared_lm_params layout): x = last-token embedding(s) [..., E],
@@ -49,6 +49,9 @@ def fusion_step(lm_params: dict, x, state):
     - trigram table ({"ngram": [V, V, V] logp}, tools/train_ngram.py):
       x = prev-token ids [...], state = prev-prev ids [...]; the step is
       ONE gather (logp = table[state, x]) and the new state is x.
+    - transformer LM ("tlm_blocks" layout, models/transformer_lm.py):
+      x = prev-token ids [...], state = {per-block KV caches, per-row
+      positions}; one incremental causal-attention step.
 
     Returns (next-token log-probs [..., V] f32, advanced state)."""
     from e2e_asr_tpu.core import cells
@@ -56,6 +59,9 @@ def fusion_step(lm_params: dict, x, state):
 
     if "ngram" in lm_params:
         return lm_params["ngram"][state, x], x
+    if "tlm_blocks" in lm_params:
+        from e2e_asr_tpu.models import transformer_lm
+        return transformer_lm.fusion_step(lm_params, x, state)
     out, new_state = cells.lstm_step(lm_params["lstm"], x, state)
     if "simple_proj" in lm_params:
         out = dense(lm_params["simple_proj"], out)
@@ -64,15 +70,34 @@ def fusion_step(lm_params: dict, x, state):
     return logp, new_state
 
 
-def fusion_init(lm_params: dict, batch_shape, go_id: int):
+def fusion_init(lm_params: dict, batch_shape, go_id: int,
+                steps: int | None = None):
     """(state, input) seeding a fusion carry at the sentence start:
     zero LSTM state + <go> embedding for RNN LMs; (<go>, <go>) id history
-    for trigram tables (the table's sentence-initial context)."""
+    for trigram tables (the table's sentence-initial context); zeroed KV
+    caches + <go> ids for transformer LMs.
+
+    steps: the caller's maximum number of fusion_step calls on this carry
+    (beam max_steps, CTC frame count + terminal, rescore scan length).
+    RNN/trigram LMs are horizon-free; a transformer LM raises here — at
+    trace time, with static shapes — if its trained context would be
+    exceeded, instead of silently degrading mid-decode."""
     from e2e_asr_tpu.core import cells
 
     if "ngram" in lm_params:
         ids = jnp.full(tuple(batch_shape), go_id, jnp.int32)
         return ids, ids
+    if "tlm_blocks" in lm_params:
+        from e2e_asr_tpu.models import transformer_lm
+        horizon = lm_params["pos_emb"].shape[0]
+        if steps is not None and steps > horizon:
+            raise ValueError(
+                f"transformer-LM context horizon {horizon} < {steps} fusion "
+                f"steps this decode may take; retrain the LM with "
+                f"-max_len >= {steps} (tools/train_lm.py) or fuse an "
+                f"RNN/trigram LM")
+        return (transformer_lm.fusion_state(lm_params, tuple(batch_shape)),
+                jnp.full(tuple(batch_shape), go_id, jnp.int32))
     state = cells.lstm_zero_state(
         tuple(batch_shape), lm_params["lstm"]["bias"].shape[0] // 4)
     return state, lm_params["embedding"][
@@ -81,8 +106,8 @@ def fusion_init(lm_params: dict, batch_shape, go_id: int):
 
 def fusion_next_input(lm_params: dict, token_ids):
     """The fusion carry's next input after emitting `token_ids`: the token
-    embedding for RNN LMs, the raw ids for trigram tables."""
-    if "ngram" in lm_params:
+    embedding for RNN LMs, the raw ids for trigram/transformer kinds."""
+    if "ngram" in lm_params or "tlm_blocks" in lm_params:
         return token_ids.astype(jnp.int32)
     return lm_params["embedding"][token_ids]
 

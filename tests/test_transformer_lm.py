@@ -1,0 +1,265 @@
+"""Standalone transformer LM (models/transformer_lm.py, tools/train_lm.py):
+incremental-vs-parallel parity, per-row fusion positions, horizon guards,
+artifact IO, and fusion through the shared rnn_lm hooks in every consumer
+(CTC beam with an exact oracle, attention beam, transducer beam, n-best
+rescoring, the -lm_path loader)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_tpu.models import rnn_lm
+from e2e_asr_tpu.models import transformer_lm as tlm
+
+GO, EOS = 1, 2
+
+
+def _tiny(vocab=11, max_len=16, seed=0):
+    cfg = tlm.TLMConfig(vocab_size=vocab, d_model=16, blocks=2, heads=2,
+                        ffn_mult=2, max_len=max_len)
+    return cfg, tlm.init(jax.random.PRNGKey(seed), cfg)
+
+
+def _prefix_logprob(params, prefix, eos_id=EOS, go_id=GO):
+    """Oracle log p(prefix + <eos>) via the PARALLEL forward."""
+    seq = [go_id] + list(int(t) for t in prefix) + [eos_id]
+    ids = jnp.asarray(seq, jnp.int32)[:, None]              # [T, 1]
+    logits = tlm.apply(params, ids, jnp.array([len(seq) - 1], jnp.int32))
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)[:, 0]
+    return float(sum(logp[t, seq[t + 1]] for t in range(len(seq) - 1)))
+
+
+def test_incremental_matches_parallel(rng):
+    cfg, p = _tiny()
+    T, B = 9, 3
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (T, B)), jnp.int32)
+    ids = ids.at[0].set(GO)
+    logits = tlm.apply(p, ids, jnp.array([T - 1] * B, jnp.int32))
+    par = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+
+    state, x = rnn_lm.fusion_init(p, (B,), GO, steps=T)
+    outs = []
+    for t in range(T - 1):
+        lp, state = rnn_lm.fusion_step(p, x, state)
+        outs.append(lp)
+        x = rnn_lm.fusion_next_input(p, ids[t + 1])
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs)), np.asarray(par),
+                               atol=1e-5)
+
+
+def test_per_row_staggered_positions(rng):
+    """Rows advanced by different emission counts (the CTC/transducer stay
+    semantics) stay independent: a selectively-advanced state gives each row
+    exactly its own chain's distribution."""
+    cfg, p = _tiny()
+    B = 3
+    adv = jnp.array([True, False, False])
+    state0, x0 = rnn_lm.fusion_init(p, (B,), GO)
+    lp1, st1 = rnn_lm.fusion_step(p, x0, state0)
+    tok = jnp.array([5, 5, 5], jnp.int32)
+
+    def sel(new, old):
+        return jnp.where(adv.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+
+    st_mixed = jax.tree_util.tree_map(sel, st1, state0)
+    x_mixed = jnp.where(adv, rnn_lm.fusion_next_input(p, tok), x0)
+    lp_mixed, _ = rnn_lm.fusion_step(p, x_mixed, st_mixed)
+    lp_chain, _ = rnn_lm.fusion_step(p, rnn_lm.fusion_next_input(p, tok), st1)
+    np.testing.assert_array_equal(np.asarray(lp_mixed[0]),
+                                  np.asarray(lp_chain[0]))
+    np.testing.assert_array_equal(np.asarray(lp_mixed[1:]),
+                                  np.asarray(lp1[1:]))
+
+
+def test_causality(rng):
+    cfg, p = _tiny()
+    T, B = 8, 2
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (T, B)), jnp.int32)
+    ids = ids.at[0].set(GO)
+    lens = jnp.array([T - 1] * B, jnp.int32)
+    base = tlm.apply(p, ids, lens)
+    bumped = tlm.apply(p, ids.at[5].set((ids[5] + 1) % cfg.vocab_size), lens)
+    # Positions before the edit (logits rows 0..3 read inputs 0..4) match.
+    np.testing.assert_array_equal(np.asarray(base[:4]),
+                                  np.asarray(bumped[:4]))
+    assert float(jnp.abs(base[5:] - bumped[5:]).max()) > 0
+
+
+def test_horizon_guards():
+    cfg, p = _tiny(max_len=8)
+    with pytest.raises(ValueError, match="horizon"):
+        rnn_lm.fusion_init(p, (2,), GO, steps=9)
+    rnn_lm.fusion_init(p, (2,), GO, steps=8)        # exactly at the horizon
+    ids = jnp.ones((10, 2), jnp.int32)              # 9 positions > 8
+    with pytest.raises(ValueError, match="horizon"):
+        tlm.apply(p, ids, jnp.array([9, 9], jnp.int32))
+    # RNN/trigram kinds are horizon-free: steps is accepted and ignored.
+    table = jnp.zeros((4, 4, 4))
+    rnn_lm.fusion_init({"ngram": table}, (2,), GO, steps=10_000)
+
+
+def test_artifact_and_loader(tmp_path, rng):
+    from e2e_asr_tpu.data.synth import make_vocab_dir
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.eval.lm_loader import load_fusion_lm
+
+    make_vocab_dir(str(tmp_path / "v"))
+    _, rev = text.initialize_vocabulary(str(tmp_path / "v" / "char.vocab"))
+    cfg, p = _tiny(vocab=len(rev))
+    tlm.save_artifact(str(tmp_path / "tlm.npz"), p)
+
+    lm = load_fusion_lm(str(tmp_path / "tlm.npz"), None, rev, verbose=False)
+    assert "tlm_blocks" in lm and len(lm["tlm_blocks"]) == cfg.blocks
+    for a, b in zip(jax.tree_util.tree_leaves(lm),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (jax.tree_util.tree_structure(lm)
+            == jax.tree_util.tree_structure(p))
+
+    # Vocab mismatch is rejected at load time.
+    cfg2, p2 = _tiny(vocab=len(rev) + 3)
+    tlm.save_artifact(str(tmp_path / "bad.npz"), p2)
+    with pytest.raises(ValueError, match="vocab"):
+        load_fusion_lm(str(tmp_path / "bad.npz"), None, rev, verbose=False)
+
+
+def test_ctc_beam_tlm_fusion_exact(rng):
+    """The fused-enumeration oracle holds with a transformer fusion LM:
+    merged beam masses == exact CTC mass x the LM factor (the same oracle
+    the trigram kind is pinned by, tests/test_ngram.py)."""
+    from e2e_asr_tpu.eval.ctc_beam import ctc_beam_decode
+    from tests.test_ctc_beam import _exact_prefix_probs, _merged_beam_masses
+
+    T, V = 3, 3
+    lm_weight = 0.7
+    cfg, p = _tiny(vocab=V, max_len=8, seed=3)
+    logits = rng.normal(size=(1, T, V)).astype(np.float32) * 1.5
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    seqs, lens, scores = ctc_beam_decode(
+        log_probs, jnp.array([T]), beam_size=32, lm_params=p,
+        lm_weight=lm_weight, lm_eos_id=EOS)
+    got = _merged_beam_masses(np.asarray(seqs[0]), np.asarray(lens[0]),
+                              np.asarray(scores[0]))
+    exact_ctc = _exact_prefix_probs(np.exp(np.asarray(log_probs[0])))
+    exact_fused = {
+        key: mass * np.exp(lm_weight * _prefix_logprob(p, key))
+        for key, mass in exact_ctc.items()}
+    for key, mass in got.items():
+        if mass < 1e-12:
+            continue
+        np.testing.assert_allclose(mass, exact_fused[key], rtol=2e-4,
+                                   err_msg=str(key))
+
+
+def test_attention_beam_tlm_fusion(rng):
+    """Fusion engages in the attention beam (weight 0 == strict no-op; a
+    heavily-biased LM steers the decode toward its preferred token)."""
+    from e2e_asr_tpu.config import BeamConfig
+    from e2e_asr_tpu.eval.beam import beam_decode
+    from e2e_asr_tpu.models import seq2seq
+    from tests.test_seq2seq import make_batch, tiny_cfg
+
+    cfg = tiny_cfg()
+    V = cfg.decoders["char"].vocab_size
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(rng, cfg, B=2, T=16, T_dec=5)
+    attn_states, _, enc_lens = seq2seq.encode(
+        params, cfg, batch["logmel"], batch["logmel_len"])
+    d = cfg.num_layers["char"]
+    enc, el = attn_states[d], enc_lens[d]
+    _, lmp = _tiny(vocab=V, max_len=8, seed=5)
+
+    plain, plens, pscores = beam_decode(
+        params["decoder_char"], cfg.decoders["char"],
+        BeamConfig(beam_size=2, max_steps=7), enc, el)
+    zero, zlens, zscores = beam_decode(
+        params["decoder_char"], cfg.decoders["char"],
+        BeamConfig(beam_size=2, max_steps=7, lm_weight=0.0), enc, el,
+        lm_params=lmp)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(zero))
+    np.testing.assert_allclose(np.asarray(pscores), np.asarray(zscores))
+
+    # Bias the LM's output projection hard toward <eos>: fused decodes end
+    # immediately.
+    biased = jax.tree_util.tree_map(lambda x: x, lmp)
+    biased["output_proj"] = dict(biased["output_proj"])
+    biased["output_proj"]["bias"] = (
+        biased["output_proj"]["bias"].at[EOS].set(50.0))
+    toks, lens, _ = beam_decode(
+        params["decoder_char"], cfg.decoders["char"],
+        BeamConfig(beam_size=2, max_steps=7, lm_weight=3.0), enc, el,
+        lm_params=biased)
+    assert int(np.asarray(lens).max()) <= 1        # <eos> straight away
+
+
+def test_transducer_beam_tlm_runs(rng):
+    from e2e_asr_tpu.eval.transducer_beam import transducer_beam_decode
+    from e2e_asr_tpu.models import transducer
+    from tests.test_transducer_beam import _cfg
+
+    cfg = _cfg()
+    params = transducer.init(jax.random.PRNGKey(2), cfg, vocab_size=12)
+    enc = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
+    el = jnp.array([6, 4])
+    _, lmp = _tiny(vocab=12, max_len=32, seed=7)
+    t0, l0, s0 = transducer_beam_decode(params, cfg, enc, el, beam_size=3)
+    t1, l1, s1 = transducer_beam_decode(params, cfg, enc, el, beam_size=3,
+                                        lm_params=lmp, lm_weight=0.5)
+    assert np.all(np.isfinite(np.asarray(s1)[np.asarray(s1) > -1e29]))
+    t2, l2, s2 = transducer_beam_decode(params, cfg, enc, el, beam_size=3,
+                                        lm_params=lmp, lm_weight=0.0)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s2))
+
+
+def test_rescore_tlm_matches_oracle(rng):
+    """lm_nbest_scores (the -lm_rescore scorer) == per-candidate parallel
+    forward, terminal-eos convention included."""
+    from e2e_asr_tpu.eval.rescore import lm_nbest_scores
+
+    V = 7
+    cfg, p = _tiny(vocab=V, max_len=12, seed=9)
+    B, N, S = 2, 3, 4
+    seqs = jnp.asarray(rng.integers(3, V, (B, N, S)), jnp.int32)
+    lens = jnp.asarray([[4, 2, 0], [1, 3, 4]], jnp.int32)
+    got = np.asarray(lm_nbest_scores(p, seqs, lens, eos_in_seq=False))
+    for b in range(B):
+        for n in range(N):
+            L = int(lens[b, n])
+            want = _prefix_logprob(p, [int(x) for x in seqs[b, n, :L]])
+            np.testing.assert_allclose(got[b, n], want, atol=1e-4)
+
+
+def test_train_lm_tool_end_to_end(tmp_path):
+    """tools/train_lm.py on a tiny corpus: loss drops, the artifact loads
+    through lm_loader, and the attention beam fuses it."""
+    from e2e_asr_tpu.data.synth import make_vocab_dir
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.eval.lm_loader import load_fusion_lm
+    from e2e_asr_tpu.tools import train_lm
+    from e2e_asr_tpu.tools.prepare_corpus import write_lm_from_transcripts
+
+    make_vocab_dir(str(tmp_path / "v"))
+    vocab, rev = text.initialize_vocabulary(str(tmp_path / "v" / "char.vocab"))
+    write_lm_from_transcripts(["hello world", "hello there"] * 10, vocab,
+                              str(tmp_path / "lm" / "lm.0001"))
+    out = str(tmp_path / "tlm.npz")
+    stats = train_lm.main([
+        "-lm_glob", str(tmp_path / "lm" / "lm.*"),
+        "-dev_glob", str(tmp_path / "lm" / "lm.*"),
+        "-vocab", str(tmp_path / "v" / "char.vocab"),
+        "-out", out, "-dim", "16", "-blocks", "1", "-heads", "2",
+        "-ffn_mult", "2", "-max_len", "32", "-batch", "8",
+        "-epochs", "8", "-log_every", "5"])
+    assert stats["dev_loss"] < np.log(len(rev)) * 0.8   # well under uniform
+
+    lm = load_fusion_lm(out, None, rev, verbose=False)
+    assert "tlm_blocks" in lm
+    # The trained LM prefers the corpus continuation: after "he" comes 'l'.
+    h, e, l = vocab["h"], vocab["e"], vocab["l"]
+    state, x = rnn_lm.fusion_init(lm, (1,), GO)
+    for tok in (h, e):
+        lp, state = rnn_lm.fusion_step(lm, x, state)
+        x = rnn_lm.fusion_next_input(lm, jnp.array([tok], jnp.int32))
+    lp, _ = rnn_lm.fusion_step(lm, x, state)
+    assert int(jnp.argmax(lp[0])) == l
