@@ -105,6 +105,9 @@ def launch_eval(cfg: ExperimentConfig) -> None:
                 break
     print(f"Using the model from: {ckpt_path}")
     eval_params = state.ema_params if tc.eval_ema else state.params
+    # LoRA runs decode the merged view (adapters folded into the kernels,
+    # core/lora.py) — downstream beams/kernels/quantization see a plain tree.
+    eval_params = step_lib.lora_merged(eval_params, cfg.model)
     if tc.quantize == "int8":
         from e2e_asr_tpu.core import quant
         eval_params = quant.quantize(eval_params)

@@ -113,6 +113,11 @@ class Seq2SeqConfig:
     ctc_weight: float = 0.0          # extension: hybrid CTC/attention when >0
     model_family: str = "attention"  # extension: "attention" | "ctc"
                                      #            | "transducer"
+    lora_rank: int = 0               # extension: LoRA adapters on 2-D
+                                     # kernels; base frozen (core/lora.py)
+    lora_alpha: float = 0.0          # delta scale alpha/r; 0 = rank (scale 1)
+    lora_targets: str = ""           # comma path substrings narrowing the
+                                     # adapted kernels ("" = all 2-D kernels)
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoders: dict[str, DecoderConfig] = field(default_factory=dict)
     feat_length: int = 80
@@ -308,6 +313,10 @@ def get_run_dir_name(opts: dict[str, Any]) -> str:
         # SSL pretraining runs get their own run-dir namespace so a
         # same-config supervised run never resumes from an SSL checkpoint.
         xfmr_string = "ssl_" + xfmr_string
+    if opts.get("lora_rank", 0):
+        # LoRA fine-tunes get their own run dir so they never resume (or
+        # shadow) the base run they warm-start from (-pretrain_lm_path).
+        xfmr_string += "lora_r" + str(opts["lora_rank"]) + "_"
     return (xfmr_string + skip_string + num_layer_string +
             ("lstm_" if opts["use_lstm"] else "") +
             (("stack_" + str(opts["stack_cons"]) + "_")
@@ -582,6 +591,19 @@ def add_parse_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-mwer_ce", default=0.01, type=float,
                         help="cross-entropy anchor weight inside the MWER "
                              "objective (Prabhavalkar et al. 2018)")
+    parser.add_argument("-lora_rank", default=0, type=int,
+                        help="LoRA parameter-efficient fine-tuning: rank of "
+                             "the trainable low-rank deltas attached to 2-D "
+                             "kernel leaves; the base weights freeze. "
+                             "Decode surfaces merge the deltas after "
+                             "restore (core/lora.py). 0 disables")
+    parser.add_argument("-lora_alpha", default=0.0, type=float,
+                        help="LoRA delta scale alpha/rank; 0 = rank "
+                             "(unit scale)")
+    parser.add_argument("-lora_targets", default="", type=str,
+                        help="comma-separated path substrings selecting "
+                             "which kernels get adapters (e.g. "
+                             "'decoder_char'); empty = all 2-D kernels")
     parser.add_argument("-pp_stages", default=1, type=int,
                         help="Pipeline-parallel stages for the transformer "
                              "encoder's block stack (blocks sharded over a "
@@ -720,6 +742,16 @@ def process_args(options: dict[str, Any],
         if options.get("spec_augment") or options.get("speed_perturb"):
             raise ValueError("-mwer scores the n-best on CLEAN features; "
                              "augmentation belongs to the CE phase")
+    if options.get("lora_rank", 0):
+        if options.get("lora_rank", 0) < 0:
+            raise ValueError("-lora_rank must be >= 1 (0 disables)")
+        if options.get("mwer"):
+            raise ValueError("-mwer has its own stepper that does not "
+                             "apply LoRA adapters; merge the LoRA run "
+                             "first, then MWER-tune the merged weights")
+        if options.get("ssl"):
+            raise ValueError("-ssl pretrains the base encoder; LoRA "
+                             "belongs to the supervised fine-tune phase")
     if options.get("ssl"):
         # SSL pretraining trains the ENCODER only on unlabeled features —
         # no decoder, no LM task, no sequence-level objectives.

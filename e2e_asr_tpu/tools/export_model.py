@@ -400,6 +400,7 @@ def main(argv=None) -> dict:
             f"(pass -allow_fresh_init to override)")
     print(f"Exporting the model from: {ckpt_path}")
     params = state.ema_params if tc.eval_ema else state.params
+    params = step_lib.lora_merged(params, cfg.model)
     if int8 or tc.quantize == "int8":
         params = quant.quantize(params)
         print("Quantized params to int8 (weight-only, per-channel)")

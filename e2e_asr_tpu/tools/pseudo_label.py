@@ -106,7 +106,7 @@ def main(argv=None) -> dict:
     if ckpt_path:
         state = ckpt_lib.restore(ckpt_path, state)
     print(f"Using the model from: {ckpt_path}")
-    params = state.params
+    params = step_lib.lora_merged(state.params, cfg.model)
     compute_dtype = (jnp.bfloat16 if tc.compute_dtype == "bfloat16" else None)
     decode = _make_family_decoder(cfg.model, cfg.beam,
                                   compute_dtype=compute_dtype)

@@ -36,6 +36,21 @@ def quantize_checkpoint(in_path: str, out_path: str, *,
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = arr
+    if "lora" in params:
+        # LoRA checkpoints quantize the MERGED view. alpha comes from the
+        # run's own parameters.txt when the checkpoint sits in its run dir;
+        # otherwise the -lora_alpha default (alpha = rank, unit scale).
+        from e2e_asr_tpu.core import lora as lora_lib
+        alpha = 0.0
+        ptxt = os.path.join(os.path.dirname(os.path.abspath(in_path)),
+                            "parameters.txt")
+        if os.path.isfile(ptxt):
+            from e2e_asr_tpu import config as config_lib
+            mcfg = config_lib.config_from_text(open(ptxt).read()).model
+            alpha = lora_lib.resolve_alpha(max(mcfg.lora_rank, 1),
+                                           mcfg.lora_alpha)
+        params = lora_lib.maybe_merge(params, alpha)
+        print("Merged LoRA adapters into the kernels before quantization")
     quant.save_artifact(out_path, params,
                         meta={"source": os.path.basename(in_path),
                               "ema": use_ema})

@@ -129,6 +129,8 @@ def run(args, extra_flags: list[str]) -> str:
         raise SystemExit(f"pipeline: no checkpoint under "
                          f"{cfg.train.best_model_dir} — did training run?")
     state, meta = restored
+    state = state._replace(
+        params=step_lib.lora_merged(state.params, cfg.model))
     print(f"[pipeline] grid: restored checkpoint meta={meta}")
 
     _, rev_vocab = text.initialize_vocabulary(

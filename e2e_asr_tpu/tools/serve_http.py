@@ -409,7 +409,7 @@ def main(argv=None) -> None:
                     break
         if ckpt_path:
             state = ckpt_lib.restore(ckpt_path, state)
-        params = state.params
+        params = step_lib.lora_merged(state.params, cfg.model)
     print(f"Serving the model from: {ckpt_path}")
 
     lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab)

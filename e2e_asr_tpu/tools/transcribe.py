@@ -115,6 +115,7 @@ def main(argv=None) -> list[str]:
                 state = ckpt_lib.restore(ckpt_path, state)
                 break
         params = state.params
+    params = step_lib.lora_merged(params, cfg.model)
     print(f"Using the model from: {ckpt_path}")
 
     compute_dtype = (jnp.bfloat16 if tc.compute_dtype == "bfloat16" else None)

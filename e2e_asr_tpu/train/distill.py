@@ -143,6 +143,8 @@ def load_teacher(distill_dir: str, *, vocab_size: int):
         raise FileNotFoundError(
             f"no teacher checkpoint under {distill_dir}")
     print(f"Distillation teacher: {ckpt_path}")
+    # A LoRA-trained teacher serves its merged view (core/lora.py).
+    t_params = step_lib.lora_merged(state.params, tcfg.model)
     # Checkpoint-restored leaves arrive as numpy arrays; the teacher's
     # embedding gather indexes with traced ids, which numpy rejects.
-    return tcfg.model, jax.tree_util.tree_map(jnp.asarray, state.params)
+    return tcfg.model, jax.tree_util.tree_map(jnp.asarray, t_params)

@@ -537,6 +537,8 @@ class Trainer:
             # training; both live in the checkpoint).
             eval_params = (state.ema_params if tc.ema_decay > 0
                            else state.params)
+            # LoRA runs decode the merged view (adapters folded in).
+            eval_params = step_lib.lora_merged(eval_params, self.model_cfg)
             asr_err_cur = evaluator(eval_params, dev_set.epoch(),
                                     write_files=self._primary)
             print(f"ASR error: {asr_err_cur:.4f}, Decoding time: "

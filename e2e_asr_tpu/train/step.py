@@ -98,19 +98,45 @@ def init_params(key, model_cfg: Seq2SeqConfig) -> dict:
     """Model-family-aware parameter init: the hybrid CTC/attention family
     (ctc_weight > 0) is the seq2seq tree plus a CTC head — eval and
     checkpoints treat it as a superset; the pure-CTC family
-    (model_family == "ctc") is the encoder plus a CTC head only."""
+    (model_family == "ctc") is the encoder plus a CTC head only.
+
+    lora_rank > 0 additionally attaches the LoRA adapter subtree
+    (core/lora.py) — HERE, so every surface that builds a template from the
+    config (trainer, eval CLI, transcribe, serving, export) matches the
+    checkpoint's leaf names automatically."""
     if model_cfg.model_family == "ctc":
         from e2e_asr_tpu.models import ctc
-        return ctc.init(key, model_cfg,
-                        vocab_size=model_cfg.decoders["char"].vocab_size)
-    if model_cfg.model_family == "transducer":
+        params = ctc.init(key, model_cfg,
+                          vocab_size=model_cfg.decoders["char"].vocab_size)
+    elif model_cfg.model_family == "transducer":
         from e2e_asr_tpu.models import transducer
-        return transducer.init(key, model_cfg,
-                               vocab_size=model_cfg.decoders["char"].vocab_size)
-    if model_cfg.ctc_weight > 0:
+        params = transducer.init(
+            key, model_cfg, vocab_size=model_cfg.decoders["char"].vocab_size)
+    elif model_cfg.ctc_weight > 0:
         from e2e_asr_tpu.models import hybrid
-        return hybrid.init(key, model_cfg)
-    return seq2seq.init(key, model_cfg)
+        params = hybrid.init(key, model_cfg)
+    else:
+        params = seq2seq.init(key, model_cfg)
+    if getattr(model_cfg, "lora_rank", 0) > 0:
+        from e2e_asr_tpu.core import lora
+        targets = tuple(t for t in model_cfg.lora_targets.split(",") if t)
+        params = lora.attach(jax.random.fold_in(key, 0x10ae),
+                             params, model_cfg.lora_rank, targets)
+    return params
+
+
+def lora_merged(params: dict, model_cfg: Seq2SeqConfig) -> dict:
+    """Decode-surface view of a (possibly LoRA-carrying) tree: deltas folded
+    into the kernels at the config's alpha, adapters stripped. Identity for
+    plain trees."""
+    from e2e_asr_tpu.core import lora
+    if not isinstance(params, dict) or lora.SCOPE not in params:
+        return params
+    alpha = lora.resolve_alpha(getattr(model_cfg, "lora_rank", 0) or
+                               next(iter(params[lora.SCOPE].values())
+                                    )["a"].shape[1],
+                               getattr(model_cfg, "lora_alpha", 0.0))
+    return lora.merge(params, alpha)
 
 
 def _ctc_labels(batch: dict):
@@ -220,16 +246,34 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
+    lora_alpha = None
+    if getattr(model_cfg, "lora_rank", 0) > 0:
+        from e2e_asr_tpu.core import lora as lora_lib
+        lora_alpha = lora_lib.resolve_alpha(model_cfg.lora_rank,
+                                            model_cfg.lora_alpha)
+
+    def with_lora(params):
+        """Effective weights for any loss: kernels += adapter deltas.
+        Applied INSIDE the loss functions so value_and_grad over the input
+        tree reaches the adapters; the base kernels' (nonzero) gradients
+        are zeroed by apply_freeze — LoRA trains the adapters only."""
+        if lora_alpha is None:
+            return params
+        from e2e_asr_tpu.core import lora as lora_lib
+        return lora_lib.apply(params, lora_alpha)
+
     def apply_freeze(grads):
-        if not freeze:
+        if not freeze and lora_alpha is None:
             return grads
         flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
         out = []
         for path, g in flat:
             name = "/".join(getattr(k, "key", getattr(k, "name", str(k)))
                             for k in path)
-            out.append(jnp.zeros_like(g)
-                       if any(f in name for f in freeze) else g)
+            dead = any(f in name for f in freeze)
+            if lora_alpha is not None and not name.startswith("lora"):
+                dead = True            # LoRA mode: base weights frozen
+            out.append(jnp.zeros_like(g) if dead else g)
         return jax.tree_util.tree_unflatten(treedef, out)
 
     def finite_guard(state: TrainState, new_state: TrainState, total,
@@ -258,6 +302,7 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
 
     def batch_loss(params, batch: dict, rng: Array):
         """(total, per_task) for one (micro-)batch, any model family."""
+        params = with_lora(params)
         if model_cfg.model_family == "ctc":
             from e2e_asr_tpu.models import ctc
             cb = dict(batch)
@@ -348,8 +393,8 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     def lm_step(state: TrainState, token_ids: Array, seq_len: Array,
                 rng: Array, valid: Array | None = None):
         def loss_fn(params):
-            return rnn_lm.loss(params, lm_cfg, token_ids, seq_len, train=True,
-                               rng=rng, valid=valid,
+            return rnn_lm.loss(with_lora(params), lm_cfg, token_ids, seq_len,
+                               train=True, rng=rng, valid=valid,
                                compute_dtype=compute_dtype)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
