@@ -9,6 +9,13 @@ stdlib HTTP front so any client can POST audio:
         -> {"text": ..., "duration_s": ..., "frames": N, "path": "batched"}
         optional query params:
           boost=phrase1|phrase2   per-request hotwords (needs -boost_weight)
+          timestamps=1            word timestamps: adds "words":
+                                  [{"word", "start_s", "end_s"}, ...] —
+                                  CTC Viterbi spans / transducer exact
+                                  emission frames (greedy) / attention
+                                  segment-replay anchors (eval/align.py);
+                                  the request takes the aligned long-form
+                                  path at any length
     POST /stream/open           -> {"sid": N, "pcm": "s16le mono", ...}
     POST /stream/<sid>/push     body = raw little-endian PCM16 mono audio
     GET  /stream/<sid>/read     -> {"delta": newly finalized text}
@@ -83,7 +90,8 @@ class TranscriptionService:
         self._longform_lock = threading.Lock()
 
     def transcribe_wav(self, body: bytes,
-                       boost_phrases: list[str] | None = None) -> dict:
+                       boost_phrases: list[str] | None = None,
+                       timestamps: bool = False) -> dict:
         """Decode one WAV request body -> response dict (raises ValueError /
         wave.Error on malformed input)."""
         from e2e_asr_tpu.data.audio import read_wav
@@ -96,6 +104,14 @@ class TranscriptionService:
                                     n_mels=self.cfg.feat_length)
         out = {"duration_s": round(len(wave_f32) / sr, 3),
                "frames": int(feats.shape[0])}
+        if timestamps:
+            if boost_phrases:
+                raise ValueError("timestamps and per-request boosting do "
+                                 "not combine (timestamped decodes take "
+                                 "the aligned long-form path)")
+            out["text"], out["words"] = self._timestamped(feats, sr)
+            out["path"] = "timestamps"
+            return out
         if feats.shape[0] <= self.max_frames:
             res = self.engine.submit(feats, boost_phrases).result()
             if self.with_confidence:
@@ -144,6 +160,52 @@ class TranscriptionService:
         sent = text.ids_to_sentence(np.asarray(ids), self.rev_vocab)
         _, words = text.get_relevant_words(sent)
         return " ".join(words)
+
+    def _timestamped(self, feats: np.ndarray, sr: int
+                     ) -> tuple[str, list[dict]]:
+        """Word-timestamped decode (the transcribe -timestamps semantics):
+        CTC Viterbi spans, transducer exact emission frames (greedy-only),
+        attention segment-replay anchors. Serialized like long-form —
+        alignment decodes are whole-chip batches of chunks already."""
+        import jax.numpy as jnp
+
+        from e2e_asr_tpu.data import text
+        from e2e_asr_tpu.eval import longform
+        from e2e_asr_tpu.eval.align import word_timestamps
+
+        kw = dict(window=self.window, margin=self.margin,
+                  compute_dtype=self.compute_dtype)
+        with self._longform_lock:
+            if self.cfg.model_family == "ctc":
+                ids, t0, t1 = longform.transcribe_ctc_longform(
+                    self.params, self.cfg, jnp.asarray(feats),
+                    beam_size=(self.beam_cfg.beam_size if self.beam_cfg
+                               else 1),
+                    return_timestamps=True, **kw)
+            elif self.cfg.model_family == "transducer":
+                if self.beam_cfg and self.beam_cfg.beam_size > 1:
+                    raise ValueError(
+                        "transducer timestamps are greedy-only (exact "
+                        "emission frames); serve with beam_size 1")
+                ids, t0, t1 = longform.transcribe_transducer_longform(
+                    self.params, self.cfg, jnp.asarray(feats),
+                    beam_size=1, return_timestamps=True, **kw)
+            else:
+                if self.segment <= 0:
+                    raise ValueError("attention-family timestamps need "
+                                     "-segment > 0 (frames come from the "
+                                     "segmented decode's attention replay)")
+                ids, t0, t1 = longform.transcribe_segmented(
+                    self.params, self.cfg, jnp.asarray(feats),
+                    seg_enc_frames=self.segment, beam_cfg=self.beam_cfg,
+                    return_timestamps=True, **kw)
+        sent = text.ids_to_sentence(np.asarray(ids), self.rev_vocab)
+        _, kept = text.get_relevant_words(sent)
+        words = [{"word": w, "start_s": round(a, 3), "end_s": round(b, 3)}
+                 for w, a, b in word_timestamps(
+                     np.asarray(ids), np.asarray(t0), np.asarray(t1),
+                     self.rev_vocab, self.cfg, sample_rate=sr)]
+        return " ".join(kept), words
 
     def close(self) -> None:
         self.engine.close()
@@ -288,7 +350,10 @@ class _Handler(BaseHTTPRequestHandler):
                 boost = None
                 if q.get("boost"):
                     boost = [p for p in q["boost"][0].split("|") if p]
-                self._json(200, self.service.transcribe_wav(body, boost))
+                ts = bool(q.get("timestamps")
+                          and q["timestamps"][0] not in ("0", "false"))
+                self._json(200, self.service.transcribe_wav(
+                    body, boost, timestamps=ts))
                 return
             if url.path == "/stream/open" and self.streaming is not None:
                 try:

@@ -240,3 +240,64 @@ def test_per_request_boost_query(tmp_path):
     finally:
         srv.shutdown()
         service.close()
+
+
+def test_timestamps_query(server):
+    """?timestamps=1: the response carries word spans (attention family =
+    segment-replay anchors); combining with ?boost= is a 400."""
+    base, _, _ = server
+    rng = np.random.default_rng(6)
+    wav = rng.normal(size=_samples_for_frames(30)).astype(np.float32) * 0.3
+    status, got = _post(base + "/transcribe?timestamps=1", _wav_bytes(wav))
+    assert status == 200 and got["path"] == "timestamps"
+    assert isinstance(got["words"], list) and isinstance(got["text"], str)
+    for w in got["words"]:
+        assert set(w) == {"word", "start_s", "end_s"}
+        assert 0.0 <= w["start_s"] < w["end_s"]
+    # Spans are ordered by start time.
+    starts = [w["start_s"] for w in got["words"]]
+    assert starts == sorted(starts)
+    # timestamps=0 keeps the normal path.
+    status, plain = _post(base + "/transcribe?timestamps=0", _wav_bytes(wav))
+    assert status == 200 and plain["path"] == "batched"
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/transcribe?timestamps=1&boost=hello",
+              _wav_bytes(wav))
+    assert e.value.code == 400
+
+
+def test_timestamps_ctc_family(tmp_path):
+    """CTC-family service: ?timestamps=1 returns Viterbi word spans inside
+    the utterance duration."""
+    import dataclasses
+
+    from e2e_asr_tpu.models import ctc as ctc_lib
+
+    sizes = make_vocab_dir(str(tmp_path / "vocab"))
+    cfg = dataclasses.replace(small_model_cfg(sizes["char"]),
+                              model_family="ctc")
+    params = ctc_lib.init(jax.random.PRNGKey(2), cfg,
+                          vocab_size=sizes["char"])
+    _, rev_vocab = text.initialize_vocabulary(
+        str(tmp_path / "vocab" / "char.vocab"))
+    service = TranscriptionService(
+        params, cfg, rev_vocab, bucket_frames=(32,), max_batch=1,
+        max_wait_ms=1, window=32, margin=8)
+    srv = make_server(service)
+    import threading
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(7)
+        wav = rng.normal(size=_samples_for_frames(24)).astype(
+            np.float32) * 0.3
+        status, got = _post(base + "/transcribe?timestamps=1",
+                            _wav_bytes(wav))
+        assert status == 200 and got["path"] == "timestamps"
+        for w in got["words"]:
+            assert 0.0 <= w["start_s"] < w["end_s"]
+            assert w["end_s"] <= got["duration_s"] + 0.25
+    finally:
+        srv.shutdown()
+        service.close()

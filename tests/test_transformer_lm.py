@@ -230,6 +230,38 @@ def test_rescore_tlm_matches_oracle(rng):
             np.testing.assert_allclose(got[b, n], want, atol=1e-4)
 
 
+def test_serving_engine_tlm_fusion_and_rescore(tmp_path):
+    """The batching engine fuses/rescoring-consumes a transformer LM via
+    the same lm_params slot: fused batched == fused one-by-one."""
+    from e2e_asr_tpu.config import BeamConfig
+    from e2e_asr_tpu.data.synth import make_vocab_dir
+    from e2e_asr_tpu.data import text
+    from e2e_asr_tpu.eval.serving import BatchingTranscriber
+    from e2e_asr_tpu.models import seq2seq
+    from tests.test_e2e import small_model_cfg
+
+    sizes = make_vocab_dir(str(tmp_path / "vocab"))
+    cfg = small_model_cfg(sizes["char"])
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    _, rev_vocab = text.initialize_vocabulary(
+        str(tmp_path / "vocab" / "char.vocab"))
+    _, lmp = _tiny(vocab=sizes["char"], max_len=32, seed=11)
+
+    r = np.random.default_rng(3)
+    feats = [r.normal(size=(T, 8)).astype(np.float32) for T in (16, 40, 25)]
+    for bc in (BeamConfig(beam_size=2, max_steps=16, lm_weight=0.4),
+               BeamConfig(beam_size=2, max_steps=16, lm_rescore=0.4)):
+        kw = dict(beam_cfg=bc, bucket_frames=(32, 64), lm_params=lmp)
+        with BatchingTranscriber(params, cfg, rev_vocab, max_batch=4,
+                                 max_wait_ms=50, **kw) as b:
+            got = [f.result(timeout=120) for f in
+                   [b.submit(x) for x in feats]]
+        with BatchingTranscriber(params, cfg, rev_vocab, max_batch=1,
+                                 max_wait_ms=1, **kw) as s:
+            want = [s.transcribe(x) for x in feats]
+        assert got == want, bc
+
+
 def test_train_lm_tool_end_to_end(tmp_path):
     """tools/train_lm.py on a tiny corpus: loss drops, the artifact loads
     through lm_loader, and the attention beam fuses it."""
