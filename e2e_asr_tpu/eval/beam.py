@@ -238,9 +238,11 @@ def _lm_step(lm_params: dict, state, x) -> tuple[Any, Array]:
     return new_state, logp
 
 
-def _fusion_init(lm_params: dict, batch_shape, steps: int | None = None):
+def _fusion_init(lm_params: dict, batch_shape, steps: int | None = None,
+                 indirect: bool = False):
     from e2e_asr_tpu.models.rnn_lm import fusion_init
-    return fusion_init(lm_params, batch_shape, GO_ID, steps)
+    return fusion_init(lm_params, batch_shape, GO_ID, steps,
+                       indirect=indirect)
 
 
 def _gather_beam(tree, idx: Array):
@@ -286,6 +288,19 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     V = dec_cfg.vocab_size
     max_steps = beam_cfg.max_steps
     use_lm = lm_params is not None and beam_cfg.lm_weight != 0.0
+    lm_indirect = False
+    if use_lm:
+        import os as _os
+        from e2e_asr_tpu.models.rnn_lm import fusion_supports_indirect
+        # Transformer fusion LMs: route the per-position KV caches by an
+        # ancestry map instead of gathering the multi-MB caches every step
+        # (transformer_lm.fusion_step_indirect — the transformer decoder's
+        # own xf_indirect trick). Default on: per-step tlm fusion was
+        # measured HBM-bound on exactly that cache traffic (VALIDATION
+        # round-3, fifteenth session). E2E_ASR_TLM_GATHER=1 forces the
+        # gathered mode (test oracle / fallback).
+        lm_indirect = (fusion_supports_indirect(lm_params)
+                       and not _os.environ.get("E2E_ASR_TLM_GATHER"))
     use_ilm = beam_cfg.ilm_weight != 0.0
     is_xf = dec_cfg.decoder_type == "transformer"
     xf_indirect = False
@@ -350,9 +365,9 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         dec_lm_state=init_dec_lm,
         context=jnp.zeros((B, k, enc_states.shape[-1])),
         inputs=emb[go],
-        lm_state=(_fusion_init(lm_params, (B, k), max_steps)[0]
+        lm_state=(_fusion_init(lm_params, (B, k), max_steps, lm_indirect)[0]
                   if use_lm else ()),
-        lm_inputs=(_fusion_init(lm_params, (B, k), max_steps)[1]
+        lm_inputs=(_fusion_init(lm_params, (B, k), max_steps, lm_indirect)[1]
                    if use_lm else ()),
         num_finished=jnp.zeros((B,), jnp.int32),
         fin_scores=jnp.full((B, k), NEG_INF),
@@ -398,8 +413,13 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             cand_ps = ()
             combined = logp
         if use_lm:
-            new_lm_state, lm_logp = _lm_step(lm_params, state.lm_state,
-                                             state.lm_inputs)
+            if lm_indirect:
+                from e2e_asr_tpu.models.rnn_lm import fusion_step_indirect
+                lm_logp, new_lm_state = fusion_step_indirect(
+                    lm_params, state.lm_inputs, state.lm_state, state.t)
+            else:
+                new_lm_state, lm_logp = _lm_step(lm_params, state.lm_state,
+                                                 state.lm_inputs)
             combined = combined + beam_cfg.lm_weight * lm_logp
         else:
             new_lm_state = state.lm_state
@@ -490,8 +510,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             # The caches stay in place; only the ancestry map reorders
             # (a [B,k,S] int32 gather instead of the multi-MB cache copy),
             # then position t records which rank computed this step.
-            g_context, g_lm_state, g_cum_alpha = _gather_beam(
-                (new_context, new_lm_state, cum_all), sel_parent)
+            g_context, g_cum_alpha = _gather_beam(
+                (new_context, cum_all), sel_parent)
             g_cell_states = new_cell_states
             anc = jnp.take_along_axis(state.dec_lm_state,
                                       sel_parent[:, :, None], axis=1)
@@ -500,10 +520,21 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
                 axis=2)
         else:
             new_state_tree = _gather_beam(
-                (new_cell_states, new_dec_lm, new_context, new_lm_state,
-                 cum_all), sel_parent)
-            (g_cell_states, g_dec_lm, g_context, g_lm_state,
-             g_cum_alpha) = new_state_tree
+                (new_cell_states, new_dec_lm, new_context, cum_all),
+                sel_parent)
+            (g_cell_states, g_dec_lm, g_context, g_cum_alpha) = new_state_tree
+        if lm_indirect:
+            # Same trick for the fusion LM's caches: in place, ancestry
+            # reordered + position t set to the parent's rank.
+            lm_anc = jnp.take_along_axis(new_lm_state["anc"],
+                                         sel_parent[:, :, None], axis=1)
+            lm_anc = jax.lax.dynamic_update_slice_in_dim(
+                lm_anc, sel_parent.astype(lm_anc.dtype)[:, :, None], state.t,
+                axis=2)
+            g_lm_state = {"pos": new_lm_state["pos"],
+                          "kv": new_lm_state["kv"], "anc": lm_anc}
+        else:
+            g_lm_state = _gather_beam(new_lm_state, sel_parent)
         if use_ilm:
             if xf_indirect:
                 g_ilm_cells, g_ilm_dec_lm = new_ilm_cells, ()

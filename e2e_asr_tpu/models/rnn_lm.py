@@ -70,8 +70,23 @@ def fusion_step(lm_params: dict, x, state):
     return logp, new_state
 
 
+def fusion_supports_indirect(lm_params: dict) -> bool:
+    """Whether this LM kind carries per-position caches worth ancestry
+    indirection (only the transformer kind — RNN/trigram states are tiny
+    and reorder for free)."""
+    return "tlm_blocks" in lm_params
+
+
+def fusion_step_indirect(lm_params: dict, x, state, t):
+    """fusion_step for a [B, k] beam with in-place KV caches routed by the
+    ancestry map in state["anc"] (transformer kind only; see
+    transformer_lm.fusion_step_indirect). `t` is the uniform scalar step."""
+    from e2e_asr_tpu.models import transformer_lm
+    return transformer_lm.fusion_step_indirect(lm_params, x, state, t)
+
+
 def fusion_init(lm_params: dict, batch_shape, go_id: int,
-                steps: int | None = None):
+                steps: int | None = None, indirect: bool = False):
     """(state, input) seeding a fusion carry at the sentence start:
     zero LSTM state + <go> embedding for RNN LMs; (<go>, <go>) id history
     for trigram tables (the table's sentence-initial context); zeroed KV
@@ -81,7 +96,10 @@ def fusion_init(lm_params: dict, batch_shape, go_id: int,
     (beam max_steps, CTC frame count + terminal, rescore scan length).
     RNN/trigram LMs are horizon-free; a transformer LM raises here — at
     trace time, with static shapes — if its trained context would be
-    exceeded, instead of silently degrading mid-decode."""
+    exceeded, instead of silently degrading mid-decode.
+
+    indirect: seed the fusion_step_indirect carry instead (transformer kind
+    on a [B, k] beam): adds the zeroed ancestry map state["anc"]."""
     from e2e_asr_tpu.core import cells
 
     if "ngram" in lm_params:
@@ -96,7 +114,13 @@ def fusion_init(lm_params: dict, batch_shape, go_id: int,
                 f"steps this decode may take; retrain the LM with "
                 f"-max_len >= {steps} (tools/train_lm.py) or fuse an "
                 f"RNN/trigram LM")
-        return (transformer_lm.fusion_state(lm_params, tuple(batch_shape)),
+        state = transformer_lm.fusion_state(lm_params, tuple(batch_shape))
+        if indirect:
+            if len(batch_shape) != 2:
+                raise ValueError("indirect fusion needs a [B, k] beam shape")
+            state["anc"] = jnp.zeros(
+                tuple(batch_shape) + (horizon,), jnp.int32)
+        return (state,
                 jnp.full(tuple(batch_shape), go_id, jnp.int32))
     state = cells.lstm_zero_state(
         tuple(batch_shape), lm_params["lstm"]["bias"].shape[0] // 4)

@@ -203,6 +203,35 @@ def fusion_state(params: dict, batch_shape: tuple) -> dict:
     }
 
 
+def _fusion_body(params: dict, x: Array, kv_caches, update_cache, attend
+                 ) -> tuple[Array, list]:
+    """Shared per-step block math for fusion_step/fusion_step_indirect.
+
+    The two variants differ ONLY in how the K/V caches are written
+    (`update_cache(cache_leaf, new_row) -> updated leaf`) and how
+    self-attention routes the cached rows (`attend(q, ck, cv) -> [..., nh,
+    hd]` output); embeddings, residuals, FFNs, LNs, and logits live once,
+    here. Returns (next-token log-probs [..., V] f32, new kv list).
+    """
+    nh, hd = _heads(params)
+    h = x
+    new_kv = []
+    for blk, kv in zip(params["tlm_blocks"], kv_caches):
+        y = _layer_norm(blk["ln1"], h)
+        q = _split(dense(blk["self_q"], y), nh, hd)         # [..., nh, hd]
+        kk = _split(dense(blk["self_k"], y), nh, hd)
+        vv = _split(dense(blk["self_v"], y), nh, hd)
+        ck = update_cache(kv["k"], kk)
+        cv = update_cache(kv["v"], vv)
+        new_kv.append({"k": ck, "v": cv})
+        o = attend(q, ck, cv)
+        h = h + dense(blk["self_o"], _merge(o))
+        y = _layer_norm(blk["ln2"], h)
+        h = h + dense(blk["ffn2"], jax.nn.gelu(dense(blk["ffn1"], y)))
+    logits = dense(params["output_proj"], _layer_norm(params["ln_out"], h))
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), new_kv
+
+
 def fusion_step(params: dict, ids: Array, state: dict
                 ) -> tuple[Array, dict]:
     """Consume one token per row at that row's own position.
@@ -213,7 +242,6 @@ def fusion_step(params: dict, ids: Array, state: dict
     horizon) drop the cache write and attend to the full cache — callers
     guard against ever getting there (rnn_lm.fusion_init's `steps` check).
     """
-    nh, hd = _heads(params)
     S = params["pos_emb"].shape[0]
     pos = state["pos"]                                      # [...]
     x = (params["embedding"][ids]
@@ -222,28 +250,77 @@ def fusion_step(params: dict, ids: Array, state: dict
         x.dtype)[..., :, None, None]                        # [..., S, 1, 1]
     mask = (jnp.arange(S) <= pos[..., None])[..., None, :]  # [..., 1(h), S]
 
-    h = x
-    new_kv = []
-    for blk, kv in zip(params["tlm_blocks"], state["kv"]):
-        y = _layer_norm(blk["ln1"], h)
-        q = _split(dense(blk["self_q"], y), nh, hd)         # [..., nh, hd]
-        kk = _split(dense(blk["self_k"], y), nh, hd)
-        vv = _split(dense(blk["self_v"], y), nh, hd)
-        ck = kv["k"] * (1.0 - write) + kk[..., None, :, :] * write
-        cv = kv["v"] * (1.0 - write) + vv[..., None, :, :] * write
-        new_kv.append({"k": ck, "v": cv})
+    def update_cache(cache, new_row):
+        return cache * (1.0 - write) + new_row[..., None, :, :] * write
+
+    def attend(q, ck, cv):
+        hd = q.shape[-1]
         s = jnp.einsum("...hd,...shd->...hs", q, ck,
                        preferred_element_type=jnp.float32) / math.sqrt(hd)
         s = jnp.where(mask, s, NEG_INF)
         a = jax.nn.softmax(s, axis=-1).astype(ck.dtype)
-        o = jnp.einsum("...hs,...shd->...hd", a, cv,
-                       preferred_element_type=jnp.float32)
-        h = h + dense(blk["self_o"], _merge(o))
-        y = _layer_norm(blk["ln2"], h)
-        h = h + dense(blk["ffn2"], jax.nn.gelu(dense(blk["ffn1"], y)))
-    logits = dense(params["output_proj"], _layer_norm(params["ln_out"], h))
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.einsum("...hs,...shd->...hd", a, cv,
+                          preferred_element_type=jnp.float32)
+
+    logp, new_kv = _fusion_body(params, x, state["kv"], update_cache, attend)
     return logp, {"pos": pos + 1, "kv": tuple(new_kv)}
+
+
+def fusion_step_indirect(params: dict, ids: Array, state: dict, t: Array
+                         ) -> tuple[Array, dict]:
+    """fusion_step for a [B, k] beam WITHOUT per-step cache reorders.
+
+    The attention beam's uniform step makes every row's position equal to
+    the scalar step counter `t`, so the cache write is one
+    dynamic_update_slice (not the one-hot full-cache rewrite fusion_step's
+    per-row positions force), and — the point — the caches are NEVER
+    gathered along the beam axis on selection. Cache row j, position s
+    holds the K/V computed by whatever hypothesis occupied rank j at step
+    s; `state["anc"]` [B, k, S] int32 maps each CURRENT hypothesis's
+    position s to the rank that computed it (maintained by eval/beam.py
+    exactly like the transformer decoder's ancestry: gather the parent's
+    map on selection, then set position t to the parent's rank).
+    Self-attention scores every source row and selects by ancestry — the
+    transformer decoder's step_beam_indirect trick (k x the score FLOPs,
+    negligible; the multi-MB caches are read once and never rewritten).
+
+    Numerically identical to fusion_step on gathered caches (exact in f32:
+    the ancestry one-hot selects, it never mixes rows — pinned by
+    tests/test_transformer_lm.py).
+    """
+    S = params["pos_emb"].shape[0]
+    pos = state["pos"]                                      # [B, k]
+    k = pos.shape[1]
+    x = (params["embedding"][ids]
+         + params["pos_emb"][jnp.clip(pos, 0, S - 1)])      # [B, k, D]
+    step_mask = jnp.arange(S) <= t                          # [S]
+    # Position t's K/V is being written to the OWN row this step.
+    t_mask = step_mask & (jnp.arange(S) != t)
+    cur = jnp.arange(k, dtype=state["anc"].dtype)
+    anc = jnp.where(t_mask[None, None, :],
+                    state["anc"], cur[None, :, None])       # [B, k, S]
+    onehot = (anc[:, :, None, :] == cur[None, None, :, None]).astype(
+        jnp.float32)                                        # [B, k, c, S]
+
+    def update_cache(cache, new_row):
+        return jax.lax.dynamic_update_slice_in_dim(
+            cache, new_row[:, :, None].astype(cache.dtype), t, axis=2)
+
+    def attend(q, ck, cv):
+        hd = q.shape[-1]
+        # Scores against EVERY source row, then ancestry-select (exact:
+        # one 1 per (b, k, s)).
+        s_all = jnp.einsum("bkhd,bcshd->bkchs", q, ck,
+                           preferred_element_type=jnp.float32) / math.sqrt(hd)
+        s = jnp.einsum("bkchs,bkcs->bkhs", s_all, onehot)
+        s = jnp.where(step_mask[None, None, None, :], s, NEG_INF)
+        a = jax.nn.softmax(s, axis=-1)                      # [B, k, h, S]
+        a_all = jnp.einsum("bkhs,bkcs->bkchs", a, onehot).astype(ck.dtype)
+        return jnp.einsum("bkchs,bcshd->bkhd", a_all, cv,
+                          preferred_element_type=jnp.float32)
+
+    logp, new_kv = _fusion_body(params, x, state["kv"], update_cache, attend)
+    return logp, {"pos": pos + 1, "kv": tuple(new_kv), "anc": state["anc"]}
 
 
 # ---------------------------------------------------------------------------

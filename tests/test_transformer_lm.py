@@ -192,6 +192,67 @@ def test_attention_beam_tlm_fusion(rng):
     assert int(np.asarray(lens).max()) <= 1        # <eos> straight away
 
 
+def test_fusion_step_indirect_matches_gathered(rng):
+    """fusion_step_indirect on in-place caches + ancestry == fusion_step on
+    caches gathered every selection — driven through random selection
+    histories exactly the way eval/beam.py maintains both forms."""
+    cfg, p = _tiny(vocab=9, max_len=10, seed=13)
+    B, k, S = 2, 3, 10
+    st_g, x = rnn_lm.fusion_init(p, (B, k), GO, steps=8)
+    st_i, _ = rnn_lm.fusion_init(p, (B, k), GO, steps=8, indirect=True)
+    for t in range(8):
+        lp_g, st_g = rnn_lm.fusion_step(p, x, st_g)
+        lp_i, st_i = rnn_lm.fusion_step_indirect(p, x, st_i,
+                                                 jnp.int32(t))
+        np.testing.assert_allclose(np.asarray(lp_i), np.asarray(lp_g),
+                                   atol=1e-5, err_msg=f"step {t}")
+        sel = jnp.asarray(rng.integers(0, k, (B, k)), jnp.int32)
+        # Gathered form: reorder the whole state (eval/beam._gather_beam).
+        expand = sel[:, :, None]
+        st_g = jax.tree_util.tree_map(
+            lambda leaf: jnp.take_along_axis(
+                leaf, sel.reshape((B, k) + (1,) * (leaf.ndim - 2)), axis=1),
+            st_g)
+        # Indirect form: caches in place; ancestry gathered + position t
+        # set to the parent rank (the eval/beam.py selection update).
+        anc = jnp.take_along_axis(st_i["anc"], expand, axis=1)
+        anc = jax.lax.dynamic_update_slice_in_dim(
+            anc, expand.astype(anc.dtype), t, axis=2)
+        st_i = {"pos": st_i["pos"], "kv": st_i["kv"], "anc": anc}
+        tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, k)), jnp.int32)
+        x = rnn_lm.fusion_next_input(p, tok)
+
+
+def test_attention_beam_tlm_indirect_matches_gathered(rng, monkeypatch):
+    """End to end: the attention beam's default indirect tlm fusion decodes
+    the same tokens/scores as the forced-gathered oracle mode."""
+    from e2e_asr_tpu.config import BeamConfig
+    from e2e_asr_tpu.eval.beam import beam_decode
+    from e2e_asr_tpu.models import seq2seq
+    from tests.test_seq2seq import make_batch, tiny_cfg
+
+    cfg = tiny_cfg()
+    V = cfg.decoders["char"].vocab_size
+    params = seq2seq.init(jax.random.PRNGKey(1), cfg)
+    batch = make_batch(rng, cfg, B=2, T=16, T_dec=5)
+    attn_states, _, enc_lens = seq2seq.encode(
+        params, cfg, batch["logmel"], batch["logmel_len"])
+    d = cfg.num_layers["char"]
+    enc, el = attn_states[d], enc_lens[d]
+    _, lmp = _tiny(vocab=V, max_len=16, seed=17)
+    bc = BeamConfig(beam_size=3, max_steps=9, lm_weight=0.6)
+
+    monkeypatch.setenv("E2E_ASR_TLM_GATHER", "1")
+    gt, gl, gs = beam_decode(params["decoder_char"], cfg.decoders["char"],
+                             bc, enc, el, lm_params=lmp)
+    monkeypatch.delenv("E2E_ASR_TLM_GATHER")
+    it, il, is_ = beam_decode(params["decoder_char"], cfg.decoders["char"],
+                              bc, enc, el, lm_params=lmp)
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(it))
+    np.testing.assert_array_equal(np.asarray(gl), np.asarray(il))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(is_), atol=1e-5)
+
+
 def test_transducer_beam_tlm_runs(rng):
     from e2e_asr_tpu.eval.transducer_beam import transducer_beam_decode
     from e2e_asr_tpu.models import transducer
