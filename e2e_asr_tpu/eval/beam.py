@@ -295,12 +295,21 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         # Transformer fusion LMs: route the per-position KV caches by an
         # ancestry map instead of gathering the multi-MB caches every step
         # (transformer_lm.fusion_step_indirect — the transformer decoder's
-        # own xf_indirect trick). Default on: per-step tlm fusion was
-        # measured HBM-bound on exactly that cache traffic (VALIDATION
-        # round-3, fifteenth session). E2E_ASR_TLM_GATHER=1 forces the
-        # gathered mode (test oracle / fallback).
-        lm_indirect = (fusion_supports_indirect(lm_params)
-                       and not _os.environ.get("E2E_ASR_TLM_GATHER"))
+        # own xf_indirect trick). Measured crossover is on d_model, not
+        # head count: at B=8/k=4/S=128 indirect wins 1.7-2.8x for
+        # d_model >= 128 (4x256: 73.4->35.6 ms; 4x128: 72.5->25.8;
+        # 2x128: 25.6->13.0) and LOSES for d_model = 64 at any head
+        # split (4x64 h4: 8.6->21.6; h1: 10.9->13.6) — tiny head dims
+        # lane-pad the cache so the gather is cheap while the all-rows
+        # routing einsums stay underutilized (VALIDATION round-3).
+        # E2E_ASR_TLM_GATHER=1 / E2E_ASR_TLM_INDIRECT=1 force a mode.
+        if fusion_supports_indirect(lm_params):
+            if _os.environ.get("E2E_ASR_TLM_GATHER"):
+                lm_indirect = False
+            elif _os.environ.get("E2E_ASR_TLM_INDIRECT"):
+                lm_indirect = True
+            else:
+                lm_indirect = lm_params["embedding"].shape[1] >= 128
     use_ilm = beam_cfg.ilm_weight != 0.0
     is_xf = dec_cfg.decoder_type == "transformer"
     xf_indirect = False

@@ -246,6 +246,9 @@ def test_attention_beam_tlm_indirect_matches_gathered(rng, monkeypatch):
     gt, gl, gs = beam_decode(params["decoder_char"], cfg.decoders["char"],
                              bc, enc, el, lm_params=lmp)
     monkeypatch.delenv("E2E_ASR_TLM_GATHER")
+    # The tiny LM (d_model 16) defaults to gathered; force the indirect
+    # path (the d_model >= 128 production default).
+    monkeypatch.setenv("E2E_ASR_TLM_INDIRECT", "1")
     it, il, is_ = beam_decode(params["decoder_char"], cfg.decoders["char"],
                               bc, enc, el, lm_params=lmp)
     np.testing.assert_array_equal(np.asarray(gt), np.asarray(it))
