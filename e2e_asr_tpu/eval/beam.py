@@ -36,6 +36,7 @@ different (equally scored) hypothesis.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -245,6 +246,16 @@ def _fusion_init(lm_params: dict, batch_shape, steps: int | None = None,
                        indirect=indirect)
 
 
+def _advance_ancestry(anc: Array, sel_parent: Array, t: Array) -> Array:
+    """Selection-time ancestry maintenance for in-place beam caches (the
+    transformer decoder's KV caches and the indirect fusion LM's): gather
+    the parent's map — a [B,k,S] int32 gather instead of the multi-MB cache
+    copy — then record at position t which rank computed this step."""
+    anc = jnp.take_along_axis(anc, sel_parent[:, :, None], axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        anc, sel_parent.astype(anc.dtype)[:, :, None], t, axis=2)
+
+
 def _gather_beam(tree, idx: Array):
     """Gather along the beam axis (1): leaf [B,k,...] selected by idx [B,k]."""
     def g(leaf):
@@ -290,7 +301,6 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     use_lm = lm_params is not None and beam_cfg.lm_weight != 0.0
     lm_indirect = False
     if use_lm:
-        import os as _os
         from e2e_asr_tpu.models.rnn_lm import fusion_supports_indirect
         # Transformer fusion LMs: route the per-position KV caches by an
         # ancestry map instead of gathering the multi-MB caches every step
@@ -304,9 +314,9 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         # routing einsums stay underutilized (VALIDATION round-3).
         # E2E_ASR_TLM_GATHER=1 / E2E_ASR_TLM_INDIRECT=1 force a mode.
         if fusion_supports_indirect(lm_params):
-            if _os.environ.get("E2E_ASR_TLM_GATHER"):
+            if os.environ.get("E2E_ASR_TLM_GATHER"):
                 lm_indirect = False
-            elif _os.environ.get("E2E_ASR_TLM_INDIRECT"):
+            elif os.environ.get("E2E_ASR_TLM_INDIRECT"):
                 lm_indirect = True
             else:
                 lm_indirect = lm_params["embedding"].shape[1] >= 128
@@ -314,7 +324,6 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
     is_xf = dec_cfg.decoder_type == "transformer"
     xf_indirect = False
     if is_xf:
-        import os
         from e2e_asr_tpu.models import transformer_decoder as td
         # Ancestry-indirect KV caches pay off once the cache-reorder
         # gathers dominate the extra all-rows score work: measured
@@ -364,6 +373,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
                                        dec_cfg.lm_hidden_size)
     emb = dec_params["embedding"]
     go = jnp.full((B, k), GO_ID, dtype=jnp.int32)
+    init_lm_fusion = (_fusion_init(lm_params, (B, k), max_steps, lm_indirect)
+                      if use_lm else ((), ()))
 
     init = BeamState(
         t=jnp.zeros((), jnp.int32),
@@ -374,10 +385,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         dec_lm_state=init_dec_lm,
         context=jnp.zeros((B, k, enc_states.shape[-1])),
         inputs=emb[go],
-        lm_state=(_fusion_init(lm_params, (B, k), max_steps, lm_indirect)[0]
-                  if use_lm else ()),
-        lm_inputs=(_fusion_init(lm_params, (B, k), max_steps, lm_indirect)[1]
-                   if use_lm else ()),
+        lm_state=init_lm_fusion[0],
+        lm_inputs=init_lm_fusion[1],
         num_finished=jnp.zeros((B,), jnp.int32),
         fin_scores=jnp.full((B, k), NEG_INF),
         fin_seqs=jnp.zeros((B, k, max_steps), jnp.int32),
@@ -522,11 +531,8 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             g_context, g_cum_alpha = _gather_beam(
                 (new_context, cum_all), sel_parent)
             g_cell_states = new_cell_states
-            anc = jnp.take_along_axis(state.dec_lm_state,
-                                      sel_parent[:, :, None], axis=1)
-            g_dec_lm = jax.lax.dynamic_update_slice_in_dim(
-                anc, sel_parent.astype(anc.dtype)[:, :, None], state.t,
-                axis=2)
+            g_dec_lm = _advance_ancestry(state.dec_lm_state, sel_parent,
+                                         state.t)
         else:
             new_state_tree = _gather_beam(
                 (new_cell_states, new_dec_lm, new_context, cum_all),
@@ -535,13 +541,10 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         if lm_indirect:
             # Same trick for the fusion LM's caches: in place, ancestry
             # reordered + position t set to the parent's rank.
-            lm_anc = jnp.take_along_axis(new_lm_state["anc"],
-                                         sel_parent[:, :, None], axis=1)
-            lm_anc = jax.lax.dynamic_update_slice_in_dim(
-                lm_anc, sel_parent.astype(lm_anc.dtype)[:, :, None], state.t,
-                axis=2)
             g_lm_state = {"pos": new_lm_state["pos"],
-                          "kv": new_lm_state["kv"], "anc": lm_anc}
+                          "kv": new_lm_state["kv"],
+                          "anc": _advance_ancestry(new_lm_state["anc"],
+                                                   sel_parent, state.t)}
         else:
             g_lm_state = _gather_beam(new_lm_state, sel_parent)
         if use_ilm:

@@ -102,6 +102,10 @@ def fusion_init(lm_params: dict, batch_shape, go_id: int,
     on a [B, k] beam): adds the zeroed ancestry map state["anc"]."""
     from e2e_asr_tpu.core import cells
 
+    if indirect and not fusion_supports_indirect(lm_params):
+        raise ValueError("indirect fusion carries apply only to the "
+                         "transformer LM kind (RNN/trigram states are tiny "
+                         "and reorder for free)")
     if "ngram" in lm_params:
         ids = jnp.full(tuple(batch_shape), go_id, jnp.int32)
         return ids, ids

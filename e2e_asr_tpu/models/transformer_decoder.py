@@ -374,6 +374,43 @@ def step_beam(params: dict, cfg: DecoderConfig, xctx: CrossCtx, caches: tuple,
                       compute_dtype=cd, zero_cross=zero_cross)
 
 
+def ancestry_onehot(ancestry: Array, t: Array, k: int) -> Array:
+    """[B,k,c,S] routing one-hot from an ancestry map: position s of
+    hypothesis j selects source row ancestry[b,j,s], except position t
+    (the row being written this step) which is the own row. Exactly one 1
+    per (b,k,s) — selection, never mixing, so routing through it is exact
+    in f32. Shared by the transformer decoder's and the fusion LM's
+    indirect beam steps."""
+    S = ancestry.shape[-1]
+    t_mask = (jnp.arange(S) <= t) & (jnp.arange(S) != t)          # [S]
+    cur = jnp.arange(k, dtype=ancestry.dtype)
+    anc = jnp.where(t_mask[None, None, :],
+                    ancestry, cur[None, :, None])  # position t = own row
+    return (anc[:, :, None, :] == cur[None, None, :, None]).astype(
+        jnp.float32)                                              # [B,k,c,S]
+
+
+def ancestry_attend(q: Array, ck: Array, cv: Array, onehot: Array,
+                    step_mask: Array, cast=None) -> Array:
+    """Self-attention over in-place beam caches: scores against EVERY
+    source row [B,c,S,nh,hd], then ancestry-selects via `onehot`
+    (ancestry_onehot). q [B,k,nh,hd]; step_mask [S] bounds valid
+    positions; `cast` optionally downcasts the routed probabilities
+    before the value aggregation (the gathered paths' compute_dtype
+    contract). Returns [B,k,nh,hd]."""
+    hd = q.shape[-1]
+    s_all = jnp.einsum("bkhd,bcshd->bkchs", q, ck,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+    s = jnp.einsum("bkchs,bkcs->bkhs", s_all, onehot)
+    s = jnp.where(step_mask[None, None, None, :], s, NEG_INF)
+    a = jax.nn.softmax(s, axis=-1)                                # [B,k,h,S]
+    a_all = jnp.einsum("bkhs,bkcs->bkchs", a, onehot)
+    if cast is not None:
+        a_all = a_all.astype(cast)
+    return jnp.einsum("bkchs,bcshd->bkhd", a_all, cv,
+                      preferred_element_type=jnp.float32)
+
+
 def step_beam_indirect(params: dict, cfg: DecoderConfig, xctx: CrossCtx,
                        caches: tuple, ancestry: Array, inp_emb: Array,
                        t: Array, *, compute_dtype=None,
@@ -394,32 +431,15 @@ def step_beam_indirect(params: dict, cfg: DecoderConfig, xctx: CrossCtx,
     Numerically identical to step_beam on gathered caches (pinned by
     tests/test_transformer_decoder.py).
     """
-    _, hd = _heads(cfg)
     cd = compute_dtype
     k = inp_emb.shape[1]
-    S = caches[0]["k"].shape[2]
     # probs selected by ancestry: position s of hypothesis j lives in
     # source row ancestry[b,j,s]; onehot [B,k,k_src,S] routes both the
-    # score selection and the value aggregation.
-    t_mask = (jnp.arange(S) <= t) & (jnp.arange(S) != t)          # [S]
-    cur = jnp.arange(k, dtype=ancestry.dtype)
-    anc = jnp.where(t_mask[None, None, :],
-                    ancestry, cur[None, :, None])  # position t = own row
-    onehot = (anc[:, :, None, :] == cur[None, None, :, None]).astype(
-        jnp.float32)                                              # [B,k,c,S]
+    # score selection and the value aggregation (ancestry_onehot).
+    onehot = ancestry_onehot(ancestry, t, k)
 
     def self_attn(q, ck, cv, step_mask):
-        # Scores against EVERY source row, then ancestry-select.
-        s_all = jnp.einsum("bkhd,bcshd->bkchs", q, ck,
-                           preferred_element_type=jnp.float32) / math.sqrt(hd)
-        s = jnp.einsum("bkchs,bkcs->bkhs", s_all, onehot)
-        s = jnp.where(step_mask[None, None, None, :], s, NEG_INF)
-        a = jax.nn.softmax(s, axis=-1)                            # [B,k,h,S]
-        a_all = jnp.einsum("bkhs,bkcs->bkchs", a, onehot)
-        if cd is not None:
-            a_all = a_all.astype(cd)
-        return jnp.einsum("bkchs,bcshd->bkhd", a_all, cv,
-                          preferred_element_type=jnp.float32)
+        return ancestry_attend(q, ck, cv, onehot, step_mask, cast=cd)
 
     return _step_body(params, cfg, xctx, caches, inp_emb, t, self_attn,
                       compute_dtype=cd, zero_cross=zero_cross)

@@ -286,38 +286,28 @@ def fusion_step_indirect(params: dict, ids: Array, state: dict, t: Array
 
     Numerically identical to fusion_step on gathered caches (exact in f32:
     the ancestry one-hot selects, it never mixes rows — pinned by
-    tests/test_transformer_lm.py).
+    tests/test_transformer_lm.py). Past-horizon divergence: where
+    fusion_step drops the write at pos >= S, the dynamic-slice write here
+    clamps t to S-1 and would overwrite that position — callers MUST bound
+    steps by the horizon (rnn_lm.fusion_init's `steps` check; beam_decode
+    always passes max_steps).
     """
+    from e2e_asr_tpu.models.transformer_decoder import (ancestry_attend,
+                                                        ancestry_onehot)
     S = params["pos_emb"].shape[0]
     pos = state["pos"]                                      # [B, k]
     k = pos.shape[1]
     x = (params["embedding"][ids]
          + params["pos_emb"][jnp.clip(pos, 0, S - 1)])      # [B, k, D]
     step_mask = jnp.arange(S) <= t                          # [S]
-    # Position t's K/V is being written to the OWN row this step.
-    t_mask = step_mask & (jnp.arange(S) != t)
-    cur = jnp.arange(k, dtype=state["anc"].dtype)
-    anc = jnp.where(t_mask[None, None, :],
-                    state["anc"], cur[None, :, None])       # [B, k, S]
-    onehot = (anc[:, :, None, :] == cur[None, None, :, None]).astype(
-        jnp.float32)                                        # [B, k, c, S]
+    onehot = ancestry_onehot(state["anc"], t, k)            # [B, k, c, S]
 
     def update_cache(cache, new_row):
         return jax.lax.dynamic_update_slice_in_dim(
             cache, new_row[:, :, None].astype(cache.dtype), t, axis=2)
 
     def attend(q, ck, cv):
-        hd = q.shape[-1]
-        # Scores against EVERY source row, then ancestry-select (exact:
-        # one 1 per (b, k, s)).
-        s_all = jnp.einsum("bkhd,bcshd->bkchs", q, ck,
-                           preferred_element_type=jnp.float32) / math.sqrt(hd)
-        s = jnp.einsum("bkchs,bkcs->bkhs", s_all, onehot)
-        s = jnp.where(step_mask[None, None, None, :], s, NEG_INF)
-        a = jax.nn.softmax(s, axis=-1)                      # [B, k, h, S]
-        a_all = jnp.einsum("bkhs,bkcs->bkchs", a, onehot).astype(ck.dtype)
-        return jnp.einsum("bkchs,bcshd->bkhd", a_all, cv,
-                          preferred_element_type=jnp.float32)
+        return ancestry_attend(q, ck, cv, onehot, step_mask, cast=ck.dtype)
 
     logp, new_kv = _fusion_body(params, x, state["kv"], update_cache, attend)
     return logp, {"pos": pos + 1, "kv": tuple(new_kv), "anc": state["anc"]}
