@@ -319,7 +319,13 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
             elif os.environ.get("E2E_ASR_TLM_INDIRECT"):
                 lm_indirect = True
             else:
-                lm_indirect = lm_params["embedding"].shape[1] >= 128
+                # The d_model crossover above was measured at B*k=32 only;
+                # at tiny beam volume the gathered cache is small in absolute
+                # terms, so (mirroring the xf_indirect gate below) require
+                # both a wide LM and enough rows to amortize the all-rows
+                # routing einsums before picking indirect.
+                lm_indirect = (lm_params["embedding"].shape[1] >= 128
+                               and B * k >= 16)
     use_ilm = beam_cfg.ilm_weight != 0.0
     is_xf = dec_cfg.decoder_type == "transformer"
     xf_indirect = False
@@ -541,8 +547,10 @@ def beam_decode(dec_params: dict, dec_cfg: DecoderConfig, beam_cfg: BeamConfig,
         if lm_indirect:
             # Same trick for the fusion LM's caches: in place, ancestry
             # reordered + position t set to the parent's rank.
-            g_lm_state = {"pos": new_lm_state["pos"],
-                          "kv": new_lm_state["kv"],
+            # Pass every non-ancestry field through untouched so a future
+            # addition to transformer_lm.fusion_state can't be silently
+            # dropped from the carry.
+            g_lm_state = {**new_lm_state,
                           "anc": _advance_ancestry(new_lm_state["anc"],
                                                    sel_parent, state.t)}
         else:

@@ -27,6 +27,9 @@ class GreedyEvaluator:
     # for character-based languages. Set `evaluator.score_unit = "char"`
     # (CLI: -score_unit char).
     score_unit = "word"
+    # Class-level defaults so stubs built via __new__ (tests) and subclasses
+    # that skip __init__ resolve every attribute __call__ touches.
+    mesh = None
 
     def __init__(self, cfg: Seq2SeqConfig, rev_vocab: list[str],
                  out_dir: str, *, compute_dtype=None, file_prefix: str = "asr",
