@@ -33,6 +33,24 @@ import numpy as np
 
 TF_BASELINE_FRAMES_PER_SEC = 50_000.0  # documented estimate, see module docstring
 
+
+def _mfu(cfg, dt: float, *, B: int, T: int, L: int, lm_blend=None):
+    """Analytic-model-FLOPs MFU for one train step (core/flops.py: matmul
+    FLOPs, train = 3x fwd; v5e bf16 peak 197 TFLOP/s). Returns (mfu|None,
+    tflops_per_step). lm_blend = (lm_prob, t_mt, t_lm) blends the interleaved
+    LM task's FLOPs/time the same way the throughput row does."""
+    import jax
+
+    from e2e_asr_tpu.core import flops as fl
+    f = fl.train_flops(fl.seq2seq_fwd_flops(cfg, B, T, L))
+    if lm_blend is not None:
+        p, t_mt, t_lm = lm_blend
+        f_lm = fl.train_flops(fl.rnn_lm_fwd_flops(cfg, B, L))
+        f = (1 - p) * f + p * f_lm
+        dt = (1 - p) * t_mt + p * t_lm
+    kind = jax.devices()[0].device_kind
+    return fl.mfu(f, dt, kind), f / 1e12
+
 # Measured by `python -m e2e_asr_tpu.tools.tf_baseline` (2026-08-17); static
 # because it takes ~2 min of pure-CPU TF time and the graph/host don't change.
 TF_BASELINE_MEASURED = {
@@ -147,12 +165,16 @@ def _measure_full_recipe(jax, jnp, rng):
 
     blended = ((1 - LM_PROB) * TRAIN_B * TRAIN_T
                / ((1 - LM_PROB) * t_mt + LM_PROB * t_lm))
+    mfu, tflops = _mfu(cfg, t_mt, B=TRAIN_B, T=TRAIN_T, L=TRAIN_L - 1,
+                       lm_blend=(LM_PROB, t_mt, t_lm))
     return {
         "multitask_step_ms": t_mt * 1e3,
         "lm_step_ms": t_lm * 1e3,
         "lm_prob": LM_PROB,
         "phone_vocab": PHONE_VOCAB,
         "frames_per_sec_blended": blended,
+        "mfu": mfu,
+        "tflops_per_step_blended": tflops,
     }
 
 
@@ -189,8 +211,10 @@ def _measure_transformer(jax, jnp, rng):
     dt = (time.perf_counter() - t0) / 20
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
+    mfu, tflops = _mfu(cfg, dt, B=TRAIN_B, T=TRAIN_T, L=TRAIN_L - 1)
     return {"step_ms": dt * 1e3, "frames_per_sec": TRAIN_B * TRAIN_T / dt,
-            "params": n_params, "blocks": 4, "d_model": 512}
+            "params": n_params, "blocks": 4, "d_model": 512,
+            "mfu": mfu, "tflops_per_step": tflops}
 
 
 def _measure_transformer_decoder(jax, jnp, rng):
@@ -244,9 +268,10 @@ def _measure_transformer_decoder(jax, jnp, rng):
     bc = BeamConfig(beam_size=BEAM, max_steps=120)
     # params was donated into the train step; read the live copy from state.
     dec_params = state.params["decoder_char"]
+    mfu, tflops = _mfu(cfg, best, B=TRAIN_B, T=TRAIN_T, L=TRAIN_L - 1)
     out = {"step_ms": best * 1e3,
            "frames_per_sec": TRAIN_B * TRAIN_T / best,
-           "dec_blocks": 2}
+           "dec_blocks": 2, "mfu": mfu, "tflops_per_step": tflops}
     for Bd in (8, 64):
         enc = jnp.asarray(rng.normal(size=(Bd, DECODE_T, H_enc))
                           .astype(np.float32))
@@ -301,8 +326,10 @@ def _measure_gru(jax, jnp, rng):
             state, m = asr_step(state, batch, key)
         float(m["loss"])
         best = min(best, (time.perf_counter() - t0) / 10)
+    mfu, tflops = _mfu(cfg, best, B=TRAIN_B, T=TRAIN_T, L=TRAIN_L - 1)
     return {"step_ms": best * 1e3,
-            "frames_per_sec": TRAIN_B * TRAIN_T / best}
+            "frames_per_sec": TRAIN_B * TRAIN_T / best,
+            "mfu": mfu, "tflops_per_step": tflops}
 
 
 def _measure_transducer(jax, jnp, rng):
@@ -355,11 +382,13 @@ def _measure_transducer(jax, jnp, rng):
         float(toks.sum())
         dec_best = min(dec_best, (time.perf_counter() - t0) / 5)
     audio_s = B_dec * DECODE_T * FRAME_HOP_S
+    mfu, tflops = _mfu(cfg, best, B=TRAIN_B, T=TRAIN_T, L=TRAIN_L - 1)
     return {"step_ms": best * 1e3,
             "frames_per_sec": TRAIN_B * TRAIN_T / best,
             "greedy_decode_ms": dec_best * 1e3,
             "greedy_decode_rtfx": audio_s / dec_best,
-            "greedy_decode_B": B_dec}
+            "greedy_decode_B": B_dec,
+            "mfu": mfu, "tflops_per_step": tflops}
 
 
 def _measure_driver(jax, jnp):
@@ -538,6 +567,8 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     frames_per_sec, train_dt = _measure_train(jax, jnp, cfg, lm_cfg, rng)
+    flagship_mfu, flagship_tflops = _mfu(cfg, train_dt, B=TRAIN_B,
+                                         T=TRAIN_T, L=TRAIN_L - 1)
     full_recipe = _measure_full_recipe(jax, jnp, rng)
     transformer = _measure_transformer(jax, jnp, rng)
     all_transformer = _measure_transformer_decoder(jax, jnp, rng)
@@ -547,9 +578,53 @@ def main() -> None:
     decode_rows = _measure_decode(jax, jnp, cfg, rng)
     serving = _measure_serving(jax, jnp, cfg, rng)
 
+    vs_baseline = frames_per_sec / TF_BASELINE_FRAMES_PER_SEC
+    b1 = decode_rows.get("1", {})
+    # Explicit north-star verdicts (BASELINE.md:22-23) so the artifact
+    # self-reports instead of leaving sub-target-looking numbers to be
+    # explained by buried notes.
+    targets = {
+        "train_10x": {
+            "target": ">=10x TF-baseline train frames/sec/chip",
+            "value": round(vs_baseline, 2),
+            "pass": bool(vs_baseline >= 10.0),
+            "note": ("ratio divides by the documented 50k GPU-era ESTIMATE; "
+                     "the measured TF baseline on this host is CPU-only "
+                     "(1,636 frames/s, hardware-incomparable)"),
+        },
+        "rtfx_200": {
+            "target": ">=200x real-time on-device beam decode",
+            "value_b1_pipelined": round(b1.get("pipelined_rtfx", 0.0), 1),
+            "value_b1_per_call": round(b1.get("per_call_rtfx", 0.0), 1),
+            "pass": bool(b1.get("pipelined_rtfx", 0.0) >= 200.0),
+            "note": ("pipelined = back-to-back dispatch, one final sync: the "
+                     "serving model and the on-device number. per_call rows "
+                     "are bound by this environment's ~36 ms RPC round trip "
+                     "(decode-only on-device is 1.19 ms; VALIDATION.md) — on "
+                     "a production host per_call ~= pipelined."),
+        },
+        "wer_parity": {
+            "target": "WER parity on eval2000",
+            "pass": None,
+            "note": ("environment-blocked: no speech corpus + zero egress; "
+                     "trained-TF-checkpoint decode equivalence is pinned "
+                     "token-for-token (tests/test_tf_fixture.py) and the "
+                     "one-command corpus->WER pipeline is ready "
+                     "(docs/REALDATA.md)"),
+        },
+    }
+
     details = {
         "train_frames_per_sec_per_chip": frames_per_sec,
         "train_step_ms": train_dt * 1e3,
+        "train_mfu": flagship_mfu,
+        "train_tflops_per_step": flagship_tflops,
+        "mfu_note": ("MFU = analytic model FLOPs (core/flops.py: matmul "
+                     "FLOPs, train = 3x fwd) / step time / bf16 peak "
+                     "(v5e: 197 TFLOP/s). Small-dim LSTM stacks are "
+                     "latency-chain-bound, not MXU-bound — MFU is reported "
+                     "for scale, the frames/sec metric is the target."),
+        "targets": targets,
         "train_shape": {"B": TRAIN_B, "T": TRAIN_T, "feat": FEAT,
                         "L": TRAIN_L, "vocab": VOCAB},
         "full_recipe": full_recipe,
@@ -594,7 +669,9 @@ def main() -> None:
         "metric": "train_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(frames_per_sec / TF_BASELINE_FRAMES_PER_SEC, 2),
+        "vs_baseline": round(vs_baseline, 2),
+        "mfu": (round(flagship_mfu, 4) if flagship_mfu is not None else None),
+        "targets": {k: v["pass"] for k, v in targets.items()},
     }))
 
 
