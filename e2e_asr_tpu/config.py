@@ -706,12 +706,12 @@ def process_args(options: dict[str, Any],
             raise ValueError("-decoder_type transformer is the ATTENTION "
                              "family's decoder; the ctc/transducer families "
                              "have their own decoders")
-        if options.get("lm_prob", 0.0) > 0 or options.get("pretrain_lm_path"):
-            raise ValueError(
-                "the weight-tied LM task shares the RNN decoder's internal "
-                "LM-LSTM + softmax (lm_encoder.py:101-109); the transformer "
-                "decoder has no such cell — use -lm_prob 0 and fuse an "
-                "external LM at decode time (-lm_path/-lm_weight) instead")
+        # The weight-tied LM task spans this decoder too: -lm_prob trains
+        # the decoder's self-attention stack + embedding/softmax through a
+        # causal LM head with cross-attention dropped
+        # (transformer_decoder.apply_lm), mirroring the reference's
+        # LM/decoder parameter sharing (lm_model.py:94-106);
+        # -pretrain_lm_path partial-restores by pytree path as usual.
     if options.get("attn_chunk", 0) > 0:
         if options.get("encoder_type", "rnn") != "transformer":
             raise ValueError("-attn_chunk is the transformer encoder's "

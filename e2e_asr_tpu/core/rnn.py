@@ -183,7 +183,7 @@ def rnn_layer_stateful(params: dict, x_seq: Array, lens: Array, state, *,
 
 def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
               bidirectional: bool = True, compute_dtype=None,
-              impl: str = "auto") -> Array:
+              impl: str = "auto", out_dropout: tuple | None = None) -> Array:
     """One (optionally bidirectional) RNN layer.
 
     params: {"fw": cell_params[, "bw": cell_params]}.
@@ -195,10 +195,20 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
     the whole array (cheap) and runs the carry-through-masked kernel, which is
     mathematically identical. When both LSTM directions fit VMEM together,
     fw+bw run in ONE fused kernel launch (ops/lstm_pallas.lstm_seq_bidir).
+
+    out_dropout: (key, keep_prob) — this layer OWNS its output dropout. On
+    the fused-bidir Pallas path the masks are generated by the core PRNG
+    inside the kernel (no HBM mask traffic, replayed exactly in the custom
+    VJP); every other path applies layers.dropout(key, out, keep) on the
+    concatenated output — byte-identical to the caller having done it.
     """
     import os
 
+    from e2e_asr_tpu.core.layers import dropout as xla_dropout
+
     scan = lstm_scan if cell == "lstm" else gru_scan
+    keep = out_dropout[1] if out_dropout is not None else 1.0
+    use_drop = out_dropout is not None and keep < 1.0
 
     if (bidirectional and cell == "lstm"
             and (impl == "pallas" or (impl == "auto" and use_pallas_lstm()))
@@ -206,6 +216,10 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
         from e2e_asr_tpu.ops import lstm_pallas
         T, B, in_dim = x_seq.shape
         hidden = params["fw"]["bias"].shape[0] // 4
+        kernel_drop = (use_drop
+                       and not os.environ.get("E2E_ASR_NO_KERNEL_DROPOUT")
+                       and lstm_pallas.kernel_dropout_ok(
+                           T, B, hidden, compute_dtype is not None))
         if lstm_pallas.bidir_fits(T, B, hidden, compute_dtype is not None):
             x_proj_fw = cells.lstm_precompute_inputs(
                 params["fw"], x_seq, in_dim, compute_dtype=compute_dtype)
@@ -215,16 +229,28 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
             t = jnp.arange(T)[:, None]
             valid = (t >= T - lens.astype(jnp.int32)[None, :]
                      ).astype(jnp.float32)
+            if kernel_drop:
+                seeds = jax.random.randint(out_dropout[0], (2,), 0,
+                                           jnp.iinfo(jnp.int32).max,
+                                           dtype=jnp.int32)
+            else:
+                seeds = None
             h_fw, h_bw_flip = lstm_pallas.lstm_seq_bidir(
                 x_proj_fw, x_proj_bw, params["fw"]["kernel"][in_dim:],
                 params["bw"]["kernel"][in_dim:], valid[:, :, None],
-                compute_dtype is not None)
+                seeds, compute_dtype is not None,
+                keep if kernel_drop else 1.0)
             fw_out = h_fw * length_mask(lens, T)[:, :, None]
             bw_out = jnp.flip(h_bw_flip * valid[:, :, None], axis=0)
-            return jnp.concatenate([fw_out, bw_out], axis=-1)
+            out = jnp.concatenate([fw_out, bw_out], axis=-1)
+            if use_drop and not kernel_drop:
+                out = xla_dropout(out_dropout[0], out, keep)
+            return out
     fw_out = scan(params["fw"], x_seq, lens, compute_dtype=compute_dtype,
                   impl=impl)
     if not bidirectional:
+        if use_drop:
+            fw_out = xla_dropout(out_dropout[0], fw_out, keep)
         return fw_out
 
     use_pal = impl == "pallas" or (impl == "auto" and use_pallas_lstm())
@@ -268,7 +294,10 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
         bw_out_rev = scan(params["bw"], x_rev, lens,
                           compute_dtype=compute_dtype, impl="xla")
         bw_out = reverse_sequence(bw_out_rev, lens)
-    return jnp.concatenate([fw_out, bw_out], axis=-1)
+    out = jnp.concatenate([fw_out, bw_out], axis=-1)
+    if use_drop:
+        out = xla_dropout(out_dropout[0], out, keep)
+    return out
 
 
 def rnn_layer_init(key: Array, in_dim: int, hidden: int, *, cell: str = "lstm",

@@ -46,7 +46,9 @@ def make_beam_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
         # derived inside the jit so it sees the dequantized tree
         # (beam_search.py:111-134 weight-tying semantics).
         if lm_p is None and (beam_cfg.lm_weight != 0.0 or use_lm_rescore):
-            lm_p = rnn_lm.shared_lm_params(params)
+            lm_p = rnn_lm.shared_lm_params(
+                params, dec_cfg=cfg.decoders["char"],
+                horizon=max(512, beam_cfg.max_steps + 2))
         attn_states, _, enc_lens = seq2seq.encode(
             params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
         depth = cfg.num_layers["char"]

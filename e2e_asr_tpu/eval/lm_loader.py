@@ -56,4 +56,5 @@ def load_fusion_lm(lm_path: str, model_cfg, rev_vocab: list[str],
     lm_tree = ckpt_lib.partial_restore(
         seq2seq.init(jax.random.PRNGKey(0), model_cfg), lm_path,
         scope="decoder_char")
-    return rnn_lm.shared_lm_params(lm_tree)
+    return rnn_lm.shared_lm_params(lm_tree,
+                                   dec_cfg=model_cfg.decoders.get("char"))

@@ -244,7 +244,9 @@ def _make_per_request_bias_decoder(cfg: Seq2SeqConfig, beam_cfg: BeamConfig,
             from e2e_asr_tpu.models import rnn_lm, seq2seq
             lm_p = lm_params
             if lm_p is None and (use_lm or use_rescore):
-                lm_p = rnn_lm.shared_lm_params(params)
+                lm_p = rnn_lm.shared_lm_params(
+                    params, dec_cfg=cfg.decoders["char"],
+                    horizon=max(512, beam_cfg.max_steps + 2))
             attn_states, _, enc_lens = seq2seq.encode(
                 params, cfg, feats, feat_lens, compute_dtype=compute_dtype)
             depth = cfg.num_layers["char"]

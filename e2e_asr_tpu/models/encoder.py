@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from e2e_asr_tpu.config import EncoderConfig
 from e2e_asr_tpu.core import rnn
-from e2e_asr_tpu.core.layers import dropout, uniform_init
+from e2e_asr_tpu.core.layers import uniform_init
 
 Array = jax.Array
 
@@ -232,12 +232,15 @@ def apply(params: dict, cfg: EncoderConfig, x: Array, seq_len: Array,
     seq_lens: dict[int, Array] = {}
 
     def run_layer(layer_params, x_tm, lens, key):
-        out = rnn.rnn_layer(layer_params, x_tm, lens, cell=cell,
-                            bidirectional=cfg.bi_dir,
-                            compute_dtype=compute_dtype)
-        if train and cfg.out_prob < 1.0:
-            out = dropout(key, out, cfg.out_prob)
-        return out
+        # rnn_layer owns output dropout: on the fused-bidir Pallas path the
+        # masks are PRNG'd inside the kernel (no HBM mask pass); elsewhere it
+        # applies layers.dropout(key, out, keep) — identical to the old
+        # post-hoc call here (same key, same shape).
+        drop = ((key, cfg.out_prob)
+                if train and cfg.out_prob < 1.0 else None)
+        return rnn.rnn_layer(layer_params, x_tm, lens, cell=cell,
+                             bidirectional=cfg.bi_dir,
+                             compute_dtype=compute_dtype, out_dropout=drop)
 
     if train and cfg.remat:
         # Per-layer rematerialization: the backward pass recomputes each

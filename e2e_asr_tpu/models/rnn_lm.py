@@ -21,16 +21,25 @@ from e2e_asr_tpu.core.layers import dense, dropout
 Array = jax.Array
 
 
-def shared_lm_params(params: dict) -> dict:
-    """View of the char-decoder leaves the LM shares."""
+def shared_lm_params(params: dict, dec_cfg=None, horizon: int = 512) -> dict:
+    """View of the char-decoder leaves the LM shares.
+
+    Recurrent decoders: the internal LM-LSTM + softmax leaves (the
+    reference tying, lm_encoder.py:101-109). Transformer decoders: the
+    tied causal LM over the decoder's self-attention stack, materialized in
+    the transformer-LM fusion layout (transformer_decoder.tied_lm_view) —
+    requires `dec_cfg` (the char DecoderConfig) for the head count;
+    `horizon` bounds the decode length the view's position table covers."""
     dec = params["decoder_char"]
     if "lm_cell" not in dec:
-        # Transformer decoders have no internal weight-tied LM LSTM
-        # (config.py guards -lm_prob; this guards the decode-time
-        # shared-LM fallback that -lm_weight/-lm_rescore reach).
+        if "blocks" in dec and dec_cfg is not None:
+            from e2e_asr_tpu.models import transformer_decoder as td
+            return td.tied_lm_view(dec, dec_cfg, horizon=horizon)
         raise ValueError(
-            "this decoder has no weight-tied internal LM to fall back to "
-            "(-decoder_type transformer); pass an external LM via -lm_path")
+            "this decoder carries no weight-tied internal LM view here "
+            "(transformer decoders need the decoder config passed as "
+            "shared_lm_params(params, dec_cfg)); or pass an external LM "
+            "via -lm_path")
     out = {"lstm": dec["lm_cell"], "output_proj": dec["output_proj"],
            "embedding": dec["embedding"]}
     if "simple_proj" in dec:
@@ -142,15 +151,28 @@ def fusion_next_input(lm_params: dict, token_ids):
 
 def apply(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,
           train: bool = False, rng: Array | None = None,
-          compute_dtype=None) -> Array:
+          compute_dtype=None, dec_cfg=None) -> Array:
     """LM forward: logits over shifted positions.
 
     token_ids: [T, B] time-major ids (row 0 is <go>); the model consumes
     rows [0, T-1) and predicts rows [1, T) (lm_encoder.py:93).
     Returns logits [T-1, B, V].
+
+    dec_cfg: the char DecoderConfig — required when the tied decoder is a
+    transformer (-decoder_type transformer), whose LM task runs the causal
+    self-attention stack with cross-attention dropped
+    (transformer_decoder.apply_lm); ignored for recurrent decoders.
     """
     from e2e_asr_tpu.core import rnn
 
+    dec = params["decoder_char"]
+    if "lm_cell" not in dec and "blocks" in dec:
+        if dec_cfg is None:
+            raise ValueError("the transformer decoder's tied LM task needs "
+                             "dec_cfg (the char DecoderConfig)")
+        from e2e_asr_tpu.models import transformer_decoder as td
+        return td.apply_lm(dec, dec_cfg, token_ids, seq_len, train=train,
+                           rng=rng, compute_dtype=compute_dtype)
     lm = shared_lm_params(params)
     emb_in = lm["embedding"][token_ids[:-1]]          # [T-1, B, emb]
     # Length-aware LSTM scan (Pallas fused kernel on TPU); output masking past
@@ -170,11 +192,12 @@ def apply(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,
 
 def loss(params: dict, cfg: LMConfig, token_ids: Array, seq_len: Array, *,
          train: bool = True, rng: Array | None = None,
-         valid: Array | None = None, compute_dtype=None) -> Array:
+         valid: Array | None = None, compute_dtype=None,
+         dec_cfg=None) -> Array:
     """Shifted-target CE with the reference normalization (lm_model.py:94-106).
 
     valid: optional [B] row validity for padded tail batches (data/lm.py)."""
     logits = apply(params, cfg, token_ids, seq_len, train=train, rng=rng,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, dec_cfg=dec_cfg)
     targets, _ = losses.shifted_targets(token_ids, seq_len)
     return losses.cross_entropy_loss(logits, targets, seq_len, weights=valid)

@@ -270,6 +270,75 @@ def apply_train(params: dict, cfg: DecoderConfig, dec_inputs: Array,
     return jnp.transpose(logits, (1, 0, 2))                       # [S, B, V]
 
 
+def apply_lm(params: dict, cfg: DecoderConfig, token_ids: Array,
+             seq_len: Array, *, train: bool = False,
+             rng: Array | None = None, compute_dtype=None) -> Array:
+    """The weight-tied LM task on the transformer decoder: a causal LM
+    forward through the decoder's own self-attention stack + embedding +
+    softmax, with cross-attention dropped (zero_cross — the ILME forward).
+
+    This is the transformer analogue of the reference's LM/decoder
+    parameter sharing (/root/reference/lm_model.py:94-106,
+    lm_encoder.py:101-109): training this LM updates the decoder's leaves
+    directly, so `-lm_prob` interleaving and `-pretrain_lm_path` transfer
+    work for `-decoder_type transformer` exactly as they do for the
+    recurrent decoder (rnn_lm.apply dispatches here).
+
+    token_ids: [T, B] time-major (row 0 is <go>). Returns logits
+    [T-1, B, V]. seq_len is unused under causal attention (the loss masks);
+    kept for the rnn_lm.apply contract.
+    """
+    del seq_len
+    T, B = token_ids.shape
+    steps = T - 1
+    pos = jnp.asarray(_sinusoidal(steps, cfg.hidden_size_dec))
+    x = params["embedding"][jnp.transpose(token_ids[:-1], (1, 0))] + pos[None]
+    # zero_cross never reads the encoder; a [B, 1, attn_size] dummy only
+    # carries shapes through _full_forward's signature.
+    attn_size = params["blocks"][0]["cross_k"]["kernel"].shape[0]
+    dummy_enc = jnp.zeros((B, 1, attn_size), x.dtype)
+    dummy_mask = jnp.ones((B, 1), jnp.float32)
+    use_drop = train and rng is not None and cfg.out_prob_dec < 1.0
+    logits, _ = _full_forward(params, cfg, x, dummy_enc, dummy_mask,
+                              rng=rng if use_drop else None,
+                              compute_dtype=compute_dtype, zero_cross=True)
+    return jnp.transpose(logits, (1, 0, 2))                       # [S, B, V]
+
+
+def tied_lm_view(params: dict, cfg: DecoderConfig,
+                 horizon: int = 512) -> dict:
+    """Materialize the decoder's tied causal LM as a transformer-LM-layout
+    params dict (models/transformer_lm.py), so every fusion surface
+    (beam shallow fusion, -lm_rescore, CTC/transducer beams, serving)
+    consumes the tied weights through the standard hooks — the transformer
+    mirror of rnn_lm.shared_lm_params for the recurrent decoder.
+
+    Layout mapping per block: {ln1, self_q/k/v/o} verbatim; the decoder's
+    ffn pre-norm is ln3 (ln2 normalizes the dropped cross-attention input
+    and is unused); "cross_bias" carries the cross_o BIAS that the
+    zero-crossed residual still adds (apply_lm/_full_forward zero_cross:
+    dense(cross_o, zeros) == bias), so fused scores equal apply_lm exactly.
+    pos_emb is the decoder's sinusoidal table, materialized to `horizon`
+    steps (the decoder itself is horizon-free; rnn_lm.fusion_init checks
+    this length against the decode's max steps)."""
+    view = {
+        "embedding": params["embedding"],
+        "pos_emb": jnp.asarray(_sinusoidal(horizon, cfg.hidden_size_dec)),
+        "heads_marker": jnp.zeros((cfg.dec_heads,), jnp.float32),
+        "ln_out": params["ln_out"],
+        "output_proj": params["output_proj"],
+        "tlm_blocks": [
+            {"ln1": blk["ln1"],
+             "self_q": blk["self_q"], "self_k": blk["self_k"],
+             "self_v": blk["self_v"], "self_o": blk["self_o"],
+             "cross_bias": blk["cross_o"]["bias"],
+             "ln2": blk["ln3"],
+             "ffn1": blk["ffn1"], "ffn2": blk["ffn2"]}
+            for blk in params["blocks"]],
+    }
+    return view
+
+
 # ---------------------------------------------------------------------------
 # Incremental (inference) step
 # ---------------------------------------------------------------------------

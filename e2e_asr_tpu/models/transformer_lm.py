@@ -163,6 +163,11 @@ def apply(params: dict, token_ids: Array, seq_len: Array, *,
         o = jnp.einsum("bhqk,bkhd->bqhd", a, v,
                        preferred_element_type=jnp.float32)
         h = h + maybe_drop(dense(blk["self_o"], _merge(o), compute_dtype=cd))
+        if "cross_bias" in blk:
+            # Tied transformer-decoder LM view (transformer_decoder.
+            # tied_lm_view): the zero-crossed cross-attention residual
+            # still adds cross_o's bias.
+            h = h + blk["cross_bias"]
         y = _layer_norm(blk["ln2"], h)
         h = h + maybe_drop(dense(blk["ffn2"],
                                  jax.nn.gelu(dense(blk["ffn1"], y,
@@ -226,6 +231,9 @@ def _fusion_body(params: dict, x: Array, kv_caches, update_cache, attend
         new_kv.append({"k": ck, "v": cv})
         o = attend(q, ck, cv)
         h = h + dense(blk["self_o"], _merge(o))
+        if "cross_bias" in blk:
+            # Tied decoder view: the zero-crossed residual's cross_o bias.
+            h = h + blk["cross_bias"]
         y = _layer_norm(blk["ln2"], h)
         h = h + dense(blk["ffn2"], jax.nn.gelu(dense(blk["ffn1"], y)))
     logits = dense(params["output_proj"], _layer_norm(params["ln_out"], h))

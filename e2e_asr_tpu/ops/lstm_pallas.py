@@ -154,6 +154,32 @@ def fwd_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
             or _chunk_size(H, B, bf16) is not None)
 
 
+def _drop_mask(B: int, H: int, keep: float) -> Array:
+    """[B, H] inverted-dropout multiplier (1/keep or 0) from the core PRNG.
+
+    The caller must pltpu.prng_seed(...) with the absolute time step first;
+    fwd and bwd kernels then regenerate IDENTICAL masks from the same seed —
+    no mask tensor ever touches HBM (the whole point: the XLA-side dropout
+    was a ~1.2 ms/step extra HBM pass over [T,B,2H] per layer).
+
+    Note: Pallas CPU interpret mode implements prng_random_bits as zeros, so
+    off-TPU the mask degenerates to all-keep (x 1/keep). Replay consistency
+    (fwd mask == bwd mask) still holds there; distribution is pinned by the
+    TPU-only test (tests/test_lstm_dropout.py)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits((B, H)), jnp.int32)
+    # Low 24 uniform bits -> [0, 1) float (Mosaic has no uint32->f32 cast).
+    u = (bits & 0x00FFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.where(u < keep, 1.0 / keep, 0.0)
+
+
+def _interp_mode():
+    """interpret= value: the dropout kernels need TPU-interpret mode off-TPU
+    (plain interpret has no prng lowering)."""
+    if not _interpret():
+        return False
+    return pltpu.InterpretParams()
+
+
 def _cell_math(gates: Array, c: Array, H: int) -> tuple[Array, Array]:
     i, j, f, o = (gates[:, :H], gates[:, H:2 * H], gates[:, 2 * H:3 * H],
                   gates[:, 3 * H:])
@@ -363,11 +389,19 @@ def bidir_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
     return 2 * _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE
 
 
-def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool):
+def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
+                      drop_keep: float | None = None):
     it = iter(refs)
+    seeds_ref = next(it) if drop_keep is not None else None
     x_fw_ref, x_bw_ref, w_fw_ref, w_bw_ref, mask_ref = (
         next(it), next(it), next(it), next(it), next(it))
     out_fw_ref, out_bw_ref = next(it), next(it)
+    # Training + dropout: the dropped tensor feeds the next layer, but the
+    # backward pass recomputes gates from the UN-dropped recurrent h — emit
+    # both (the extra write is still far cheaper than the XLA-side dropout's
+    # full read+write pass over the outputs).
+    clean_fw_ref = next(it) if (save_c and drop_keep is not None) else None
+    clean_bw_ref = next(it) if (save_c and drop_keep is not None) else None
     c_out_fw_ref = next(it) if save_c else None
     c_out_bw_ref = next(it) if save_c else None
     c_fw_ref, h_fw_ref, c_bw_ref, h_bw_ref = (
@@ -392,7 +426,16 @@ def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool):
         gates = x_fw_ref[s] + jnp.dot(h, w,
                                       preferred_element_type=jnp.float32)
         new_c, new_h = _cell_math(gates, c_fw_ref[:], H)
-        out_fw_ref[s] = new_h
+        if drop_keep is not None:
+            # Output dropout fused into the write: the RECURRENT h stays
+            # un-dropped (dropout sits between layers, not inside the
+            # recurrence — encoder.py:74 DropoutWrapper output semantics).
+            pltpu.prng_seed(seeds_ref[0], t * steps + s)
+            out_fw_ref[s] = new_h * _drop_mask(new_h.shape[0], H, drop_keep)
+            if clean_fw_ref is not None:
+                clean_fw_ref[s] = new_h
+        else:
+            out_fw_ref[s] = new_h
         c_fw_ref[:] = new_c
         h_fw_ref[:] = new_h
         if save_c:
@@ -410,7 +453,13 @@ def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool):
         valid = mask_ref[s]
         new_c = valid * new_c + (1.0 - valid) * c_bw_ref[:]
         new_h = valid * new_h + (1.0 - valid) * h_bw_ref[:]
-        out_bw_ref[s] = new_h
+        if drop_keep is not None:
+            pltpu.prng_seed(seeds_ref[1], t * steps + s)
+            out_bw_ref[s] = new_h * _drop_mask(new_h.shape[0], H, drop_keep)
+            if clean_bw_ref is not None:
+                clean_bw_ref[s] = new_h
+        else:
+            out_bw_ref[s] = new_h
         c_bw_ref[:] = new_c
         h_bw_ref[:] = new_h
         if save_c:
@@ -419,7 +468,8 @@ def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool):
 
 def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
                w_h_bw: Array, mask_bw: Array, *, save_c: bool,
-               bf16_matmul: bool) -> tuple:
+               bf16_matmul: bool, drop: tuple | None = None) -> tuple:
+    """drop: (seeds [2] int32 array — fw/bw PRNG seeds, keep float)."""
     T, B, H4 = x_proj_fw.shape
     H = H4 // 4
     wbytes = 2 if bf16_matmul else 4
@@ -439,13 +489,20 @@ def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
         pl.BlockSpec((H, H4), rep, memory_space=pltpu.VMEM),
         pl.BlockSpec((S, B, 1), blk, memory_space=pltpu.VMEM),
     ]
-    n_out = 4 if save_c else 2
+    args = [x_proj_fw, x_proj_bw, w_fw_arg, w_bw_arg, mask_bw]
+    if drop is not None:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, drop[0])
+    n_out = 2
+    if save_c:
+        n_out += 2 + (2 if drop is not None else 0)   # [clean pair,] c pair
     out_specs = [pl.BlockSpec((S, B, H), blk, memory_space=pltpu.VMEM)
                  for _ in range(n_out)]
     out_shapes = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)
                   for _ in range(n_out)]
     kernel = functools.partial(_fwd_bidir_kernel, steps=S, save_c=save_c,
-                               bf16_matmul=bf16_matmul)
+                               bf16_matmul=bf16_matmul,
+                               drop_keep=None if drop is None else drop[1])
     extra = {"compiler_params": _wide_params()} if extended else {}
     return tuple(pl.pallas_call(
         kernel,
@@ -454,15 +511,17 @@ def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32) for _ in range(4)],
-        interpret=_interpret(),
+        interpret=_interpret() if drop is None else _interp_mode(),
         **extra,
-    )(x_proj_fw, x_proj_bw, w_fw_arg, w_bw_arg, mask_bw))
+    )(*args))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def lstm_seq_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
                    w_h_bw: Array, mask_bw: Array,
-                   bf16_matmul: bool = False) -> tuple[Array, Array]:
+                   drop_seeds: Array | None = None,
+                   bf16_matmul: bool = False,
+                   drop_keep: float = 1.0) -> tuple[Array, Array]:
     """Both directions of a bidirectional LSTM layer in ONE kernel launch.
 
     x_proj_fw: [T,B,4H] input projection in natural time order;
@@ -473,30 +532,51 @@ def lstm_seq_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
 
     One launch halves the per-layer dispatch count and interleaves the two
     directions' MXU matmuls in one pipeline (VERDICT round-1 item 9).
+
+    drop_seeds [2] int32 + drop_keep < 1: in-kernel PRNG output dropout —
+    masks are generated from the core PRNG inside the kernel (never touch
+    HBM) and regenerated bit-identically in the backward (seeded by the
+    absolute time step). The recurrent state stays un-dropped; only the
+    emitted outputs are masked. Gate with kernel_dropout_ok().
     """
-    h_fw, h_bw = _fwd_bidir(x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
-                            save_c=False, bf16_matmul=bf16_matmul)
-    return h_fw, h_bw
+    use_drop = drop_keep < 1.0
+    outs = _fwd_bidir(x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
+                      save_c=False, bf16_matmul=bf16_matmul,
+                      drop=(drop_seeds, drop_keep) if use_drop else None)
+    return outs[0], outs[1]
 
 
 def _lstm_seq_bidir_fwd(x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
-                        bf16_matmul):
-    h_fw, h_bw, c_fw, c_bw = _fwd_bidir(
+                        drop_seeds, bf16_matmul, drop_keep):
+    use_drop = drop_keep < 1.0
+    outs = _fwd_bidir(
         x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw, save_c=True,
-        bf16_matmul=bf16_matmul)
+        bf16_matmul=bf16_matmul,
+        drop=(drop_seeds, drop_keep) if use_drop else None)
+    if use_drop:
+        # Residual h is the CLEAN (un-dropped) state the recurrence used.
+        h_fw, h_bw, clean_fw, clean_bw, c_fw, c_bw = outs
+    else:
+        h_fw, h_bw, c_fw, c_bw = outs
+        clean_fw, clean_bw = h_fw, h_bw
     return (h_fw, h_bw), (x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
-                          h_fw, h_bw, c_fw, c_bw)
+                          drop_seeds, clean_fw, clean_bw, c_fw, c_bw)
 
 
-def _lstm_seq_bidir_bwd(bf16_matmul, res, g):
+def _lstm_seq_bidir_bwd(bf16_matmul, drop_keep, res, g):
     (x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
-     h_fw, h_bw, c_fw, c_bw) = res
+     drop_seeds, h_fw, h_bw, c_fw, c_bw) = res
     g_fw, g_bw = g
+    use_drop = drop_keep < 1.0
+    d_fw = (drop_seeds[0:1], drop_keep) if use_drop else None
+    d_bw = (drop_seeds[1:2], drop_keep) if use_drop else None
     dx_fw, dw_fw = _bwd_seq(w_h_fw, h_fw, c_fw, x_proj_fw, g_fw,
-                            bf16_matmul=bf16_matmul)
+                            bf16_matmul=bf16_matmul, drop=d_fw)
     dx_bw, dw_bw = _bwd_seq(w_h_bw, h_bw, c_bw, x_proj_bw, g_bw,
-                            bf16_matmul=bf16_matmul, mask=mask_bw)
-    return dx_fw, dx_bw, dw_fw, dw_bw, jnp.zeros_like(mask_bw)
+                            bf16_matmul=bf16_matmul, mask=mask_bw,
+                            drop=d_bw)
+    d_seeds = None if drop_seeds is None else jnp.zeros_like(drop_seeds)
+    return (dx_fw, dx_bw, dw_fw, dw_bw, jnp.zeros_like(mask_bw), d_seeds)
 
 
 lstm_seq_bidir.defvjp(_lstm_seq_bidir_fwd, _lstm_seq_bidir_bwd)
@@ -549,17 +629,11 @@ def _bwd_seq_xla(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     return dx, dwh
 
 
-def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
-             g: Array, *, bf16_matmul: bool = False,
-             mask: Array | None = None) -> tuple[Array, Array]:
-    """Returns (dx_proj [T,B,4H], dw_h [H,4H])."""
-    T, B, H = h_seq.shape
-    H4 = 4 * H
-    # Pick (steps-per-block, batch-chunk) to fit the VMEM budget: prefer
-    # 2-step blocks and the full batch; chunk the batch before giving up.
-    choice = None
-    emit_dw = True
-    extended = False
+def _bwd_choice(T: int, B: int, H: int, bf16_matmul: bool):
+    """Pick the Pallas backward config: (S, BC, emit_dw, extended) or None
+    (caller falls back to the XLA scan backward). Prefer 2-step blocks and
+    the full batch; chunk the batch before giving up; very wide layers
+    (H~2048) drop the in-kernel dW accumulator (see _bwd_nodw_vmem_bytes)."""
     s_opts = tuple(S for S in STEP_BLOCKS if T % S == 0)
     for div in (1, 2, 4, 8):
         if B % div:
@@ -567,34 +641,44 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
         for s_try in s_opts:
             for budget in (VMEM_BUDGET, VMEM_BUDGET_WIDE):
                 if _bwd_vmem_bytes(s_try, B // div, H) <= budget:
-                    choice = (s_try, B // div)
-                    extended = budget != VMEM_BUDGET
-                    break
-            if choice:
-                break
-        if choice:
-            break
-    if choice is None:
-        # Very wide layers (H~2048): even the raised limit can't hold W, its
-        # transposed layout copy AND the [H,4H] f32 dW accumulator. Drop the
-        # accumulator from the kernel (emit dgates only; dW is one big
-        # external MXU matmul) and keep ONE W copy resident in scratch — in
-        # bf16 under bf16 compute, halving its footprint.
-        wbytes = 2 if bf16_matmul else 4
-        for div in (1, 2, 4, 8, 16):
-            if B % div:
-                continue
-            for s_try in s_opts:
-                if _bwd_nodw_fits(s_try, B // div, H, wbytes):
-                    choice = (s_try, B // div)
-                    emit_dw = False
-                    extended = True
-                    break
-            if choice:
-                break
-    if choice is None:
+                    return (s_try, B // div, True, budget != VMEM_BUDGET)
+    wbytes = 2 if bf16_matmul else 4
+    for div in (1, 2, 4, 8, 16):
+        if B % div:
+            continue
+        for s_try in s_opts:
+            if _bwd_nodw_fits(s_try, B // div, H, wbytes):
+                return (s_try, B // div, False, True)
+    return None
+
+
+def kernel_dropout_ok(T: int, B: int, H: int, bf16: bool = False) -> bool:
+    """Whether the fused bidir layer can take in-kernel PRNG dropout: both
+    the forward and the BACKWARD must run as Pallas kernels (the XLA-scan
+    backward fallback cannot regenerate the core PRNG's mask stream)."""
+    return bidir_fits(T, B, H, bf16) and _bwd_choice(T, B, H, bf16) is not None
+
+
+def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
+             g: Array, *, bf16_matmul: bool = False,
+             mask: Array | None = None,
+             drop: tuple | None = None) -> tuple[Array, Array]:
+    """Returns (dx_proj [T,B,4H], dw_h [H,4H]).
+
+    drop: (seed [1] int32 array, keep float) — regenerate the forward's
+    per-step dropout masks from the SAME seeds and scale the incoming g
+    before the cell backprop (out = h * mask, so dL/dh = g * mask + the
+    recurrent contribution)."""
+    T, B, H = h_seq.shape
+    H4 = 4 * H
+    choice4 = _bwd_choice(T, B, H, bf16_matmul)
+    if choice4 is None:
+        if drop is not None:
+            raise RuntimeError(
+                "in-kernel dropout requires the Pallas backward; gate "
+                "callers with kernel_dropout_ok()")
         return _bwd_seq_xla(w_h, h_seq, c_seq, x_proj, g, mask=mask)
-    S, BC_sel = choice
+    S, BC_sel, emit_dw, extended = choice4
     w_arg = (w_h.astype(jnp.bfloat16)
              if (not emit_dw and bf16_matmul) else w_h)
     # pad[t] = state_{t-1} (pad[0] = zeros). S-1 extra trailing zero rows
@@ -634,7 +718,9 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
         args = [w_arg, h_pad, c_pad, c_pad, x_proj, g]
         kernel = functools.partial(_bwd_kernel_s1, bf16_matmul=bf16_matmul,
                                    with_mask=mask is not None,
-                                   emit_dw=emit_dw)
+                                   emit_dw=emit_dw,
+                                   drop_keep=None if drop is None else drop[1],
+                                   full_B=B, n_blocks=T)
         mask_spec = pl.BlockSpec((1, BC, 1), rev_x, memory_space=pltpu.VMEM)
     else:
         # S >= 2: padded arrays have T+S rows; block r needs window
@@ -658,12 +744,17 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
         kernel = functools.partial(_bwd_kernel_blocked, steps=S,
                                    bf16_matmul=bf16_matmul,
                                    with_mask=mask is not None,
-                                   emit_dw=emit_dw)
+                                   emit_dw=emit_dw,
+                                   drop_keep=None if drop is None else drop[1],
+                                   full_B=B, n_blocks=n_blocks)
         mask_spec = pl.BlockSpec((S, BC, 1), rev_x, memory_space=pltpu.VMEM)
 
     if mask is not None:
         in_specs.append(mask_spec)
         args.append(mask)
+    if drop is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(drop[0])
 
     out_specs = [pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((T, B, H4), jnp.float32)]
@@ -690,7 +781,7 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
-        interpret=_interpret(),
+        interpret=_interpret() if drop is None else _interp_mode(),
         **extra,
     )(*args)
     if emit_dw:
@@ -759,10 +850,14 @@ def _bwd_step(w_mm, h_prev, c_prev, c_t, x_proj_s, g_s, valid,
 
 def _bwd_kernel_s1(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref,
                    g_ref, *refs, bf16_matmul: bool, with_mask: bool,
-                   emit_dw: bool = True):
+                   emit_dw: bool = True, drop_keep: float | None = None,
+                   full_B: int = 0, n_blocks: int = 0):
     mask_ref = None
     if with_mask:
         mask_ref, refs = refs[0], refs[1:]
+    seed_ref = None
+    if drop_keep is not None:
+        seed_ref, refs = refs[0], refs[1:]
     if emit_dw:
         dx_ref, dwh_acc_ref, dc_ref, dh_ref = refs
         w_buf_ref = w_sem = None
@@ -796,9 +891,20 @@ def _bwd_kernel_s1(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref,
     H = dh_ref.shape[-1]
     w_mm = w.astype(jnp.bfloat16) if bf16_matmul else w
     valid = mask_ref[0] if mask_ref is not None else None
+    g_s = g_ref[0]
+    if seed_ref is not None:
+        # Regenerate the forward's per-step dropout mask (out = h * m, so
+        # dL/dh = g * m + recurrent contribution). abs step = T-1-r here
+        # (S == 1: n_blocks == T).
+        pltpu.prng_seed(seed_ref[0], n_blocks - 1 - r)
+        m = _drop_mask(full_B, H, drop_keep)
+        BC = g_s.shape[0]
+        if BC != full_B:
+            m = jax.lax.dynamic_slice(m, (bc * BC, 0), (BC, H))
+        g_s = g_s * m
     dgates, dh_new, dc_new, dwh = _bwd_step(
         w_mm, h_prev_ref[0], c_prev_ref[0], c_t_ref[0], x_proj_ref[0],
-        g_ref[0], valid, dc_ref[:], dh_ref[:], H, bf16_matmul,
+        g_s, valid, dc_ref[:], dh_ref[:], H, bf16_matmul,
         want_dw=emit_dw, transpose_acts=not emit_dw)
     dx_ref[0] = dgates
     dh_ref[:] = dh_new
@@ -809,7 +915,9 @@ def _bwd_kernel_s1(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref,
 
 def _bwd_kernel_blocked(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
                         g_ref, *refs, steps: int, bf16_matmul: bool,
-                        with_mask: bool, emit_dw: bool = True):
+                        with_mask: bool, emit_dw: bool = True,
+                        drop_keep: float | None = None,
+                        full_B: int = 0, n_blocks: int = 0):
     """`steps` time steps per block, processed high-to-low.
 
     Windows (element offsets into the padded state arrays, pad[k] =
@@ -822,6 +930,9 @@ def _bwd_kernel_blocked(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
     mask_ref = None
     if with_mask:
         mask_ref, refs = refs[0], refs[1:]
+    seed_ref = None
+    if drop_keep is not None:
+        seed_ref, refs = refs[0], refs[1:]
     if emit_dw:
         dx_ref, dwh_acc_ref, dc_ref, dh_ref = refs
         w_buf_ref = w_sem = None
@@ -856,8 +967,18 @@ def _bwd_kernel_blocked(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
     for s in reversed(range(steps)):
         c_t = c_hi_ref[0] if s == steps - 1 else c_lo_ref[s + 1]
         valid = mask_ref[s] if mask_ref is not None else None
+        g_s = g_ref[s]
+        if seed_ref is not None:
+            # Same seeding as the forward: absolute time step of local s in
+            # block r (blocks are visited in reverse; the seed is not).
+            pltpu.prng_seed(seed_ref[0], (n_blocks - 1 - r) * steps + s)
+            m = _drop_mask(full_B, H, drop_keep)
+            BC = g_s.shape[0]
+            if BC != full_B:
+                m = jax.lax.dynamic_slice(m, (bc * BC, 0), (BC, H))
+            g_s = g_s * m
         dgates, dh_new, dc_new, dwh = _bwd_step(
-            w_mm, h_pad_ref[s], c_lo_ref[s], c_t, x_proj_ref[s], g_ref[s],
+            w_mm, h_pad_ref[s], c_lo_ref[s], c_t, x_proj_ref[s], g_s,
             valid, dc_ref[:], dh_ref[:], H, bf16_matmul, want_dw=emit_dw,
             transpose_acts=not emit_dw)
         dx_ref[s] = dgates

@@ -81,7 +81,13 @@ def main(argv=None) -> dict:
         vocab_size=len(rev_vocab), d_model=args.dim, blocks=args.blocks,
         heads=args.heads, ffn_mult=args.ffn_mult, max_len=args.max_len,
         keep_prob=args.keep_prob)
-    params = transformer_lm.init(jax.random.PRNGKey(args.seed), cfg)
+    # Typed keys pin the impl: the Trainer sets the GLOBAL
+    # jax_default_prng_impl (train/loop.py rng_impl) — with plain PRNGKey
+    # this tool's random stream (init + dropout) would depend on whether a
+    # Trainer ran earlier in the process (observed as order-dependent test
+    # convergence).
+    params = transformer_lm.init(
+        jax.random.key(args.seed, impl="threefry2x32"), cfg)
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(params))
     print(f"Transformer LM: {cfg.blocks}x{cfg.d_model} heads={cfg.heads} "
@@ -128,7 +134,7 @@ def main(argv=None) -> dict:
             n += int(w)
         return tot / max(n, 1)
 
-    key = jax.random.PRNGKey(args.seed + 1)
+    key = jax.random.key(args.seed + 1, impl="threefry2x32")
     step = 0
     best_dev = float("inf")
     saved = False

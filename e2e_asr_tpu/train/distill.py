@@ -61,12 +61,21 @@ def _char_logits(params: dict, cfg: Seq2SeqConfig, batch: dict, *,
 def distill_loss(student_params: dict, cfg: Seq2SeqConfig,
                  teacher_params: dict, teacher_cfg: Seq2SeqConfig,
                  batch: dict, *, rng: Array, weight: float,
-                 temperature: float, compute_dtype=None):
-    """(total, per_task metrics incl. 'distill' = the KL term)."""
+                 temperature: float, compute_dtype=None,
+                 encode_fn=None):
+    """(total, per_task metrics incl. 'distill' = the KL term).
+
+    encode_fn: drop-in for seq2seq.encode applied to the STUDENT encoder
+    (pipeline/sequence parallelism — core/pipeline.encode_pipeline or
+    core/seq_parallel.encode_seq_parallel). The teacher deliberately stays
+    on the serial seq2seq.encode: it is inference-only under stop_gradient,
+    its architecture (re-read from its own parameters.txt) need not satisfy
+    the student's pp/sp divisibility constraints, and a serial teacher
+    composes with any student mesh."""
     # ONE student encoder pass feeds the char head and every aux task
     # (seq2seq.apply_train's structure); only the teacher encodes again.
     rng_enc, rng_dec = jax.random.split(rng)
-    attn_states, _, enc_lens = seq2seq.encode(
+    attn_states, _, enc_lens = (encode_fn or seq2seq.encode)(
         student_params, cfg, batch["logmel"], batch["logmel_len"],
         train=True, rng=rng_enc, compute_dtype=compute_dtype)
     depth = cfg.num_layers["char"]

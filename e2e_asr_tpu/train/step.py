@@ -224,14 +224,6 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
     if pp_mesh is not None or sp_mesh is not None:
         from functools import partial
 
-        if distill is not None:
-            # distill_loss runs TWO encoders (student + teacher with its own
-            # architecture); encode_fn is built for the student's depth/mesh
-            # and would silently not reach either. Reject rather than run
-            # serial while claiming pipeline parallelism.
-            raise NotImplementedError(
-                "-distill_dir under -pp_stages/-sp_shards is not supported; "
-                "run distillation without pipeline/sequence parallelism")
         if pp_mesh is not None:
             from e2e_asr_tpu.core import pipeline as pipeline_lib
             encode_fn = partial(pipeline_lib.encode_pipeline, mesh=pp_mesh,
@@ -332,7 +324,8 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
             t_cfg, t_params, w, temp = distill
             return distill_lib.distill_loss(
                 params, model_cfg, t_params, t_cfg, batch, rng=rng,
-                weight=w, temperature=temp, compute_dtype=compute_dtype)
+                weight=w, temperature=temp, compute_dtype=compute_dtype,
+                encode_fn=encode_fn)
         return seq2seq.apply_train(params, model_cfg, batch, rng=rng,
                                    compute_dtype=compute_dtype,
                                    encode_fn=encode_fn, ep_mesh=ep_mesh)
@@ -395,7 +388,8 @@ def make_train_step(model_cfg: Seq2SeqConfig, lm_cfg: LMConfig,
         def loss_fn(params):
             return rnn_lm.loss(with_lora(params), lm_cfg, token_ids, seq_len,
                                train=True, rng=rng, valid=valid,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               dec_cfg=model_cfg.decoders.get("char"))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         grads = apply_freeze(grads)

@@ -395,13 +395,14 @@ def test_serving_guards_lm_rescore(rng):
                                                  lm_rescore=0.5))
 
 
-def test_transformer_decoder_shared_lm_fallback_clear_error(rng):
-    """-lm_rescore/-lm_weight with no -lm_path on a transformer decoder
-    must fail with an actionable message (the transformer decoder has no
-    weight-tied internal LM), not a KeyError inside the trace."""
+def test_transformer_decoder_shared_lm_needs_dec_cfg(rng):
+    """The transformer decoder's tied LM view needs the decoder config
+    (head count is not shape-borne): shared_lm_params without dec_cfg must
+    raise an actionable error, not a KeyError inside the trace. Decode
+    surfaces pass dec_cfg and work — pinned in test_tied_transformer_lm."""
     from e2e_asr_tpu.config import (DecoderConfig, EncoderConfig,
                                     Seq2SeqConfig)
-    from e2e_asr_tpu.eval.beam_eval import make_beam_decoder
+    from e2e_asr_tpu.models import rnn_lm
 
     cfg = Seq2SeqConfig(
         tasks=["char"], num_layers={"char": 2}, max_output={"char": 10},
@@ -413,10 +414,5 @@ def test_transformer_decoder_shared_lm_fallback_clear_error(rng):
             samp_prob=0.0, out_prob_dec=1.0, max_output=10)},
         feat_length=6)
     params = seq2seq.init(jax.random.PRNGKey(0), cfg)
-    feats = jnp.asarray(rng.normal(size=(2, 12, 6)).astype(np.float32))
-    batch = {"logmel": feats, "logmel_len": jnp.array([12, 9])}
-    for bc in (BeamConfig(beam_size=2, max_steps=8, lm_rescore=0.5),
-               BeamConfig(beam_size=2, max_steps=8, lm_weight=0.3)):
-        decode = make_beam_decoder(cfg, bc)
-        with pytest.raises(ValueError, match="weight-tied internal LM"):
-            decode(params, batch)
+    with pytest.raises(ValueError, match="dec_cfg"):
+        rnn_lm.shared_lm_params(params)

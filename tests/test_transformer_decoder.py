@@ -383,8 +383,10 @@ def _base_options(**kw):
 
 
 def test_config_guards():
-    with pytest.raises(ValueError, match="weight-tied LM"):
-        process_args(_base_options(lm_prob=0.1))
+    # -lm_prob with the transformer decoder is a supported capability now
+    # (the tied causal-LM task, transformer_decoder.apply_lm).
+    cfg_lm = process_args(_base_options(lm_prob=0.1))
+    assert cfg_lm.train.lm_prob == 0.1
     with pytest.raises(ValueError, match="ATTENTION"):
         process_args(_base_options(model_family="ctc"))
     cfg = process_args(_base_options())
