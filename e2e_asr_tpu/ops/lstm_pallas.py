@@ -568,6 +568,18 @@ def _lstm_seq_bidir_bwd(bf16_matmul, drop_keep, res, g):
      drop_seeds, h_fw, h_bw, c_fw, c_bw) = res
     g_fw, g_bw = g
     use_drop = drop_keep < 1.0
+    d_seeds = None if drop_seeds is None else jnp.zeros_like(drop_seeds)
+    # Fused dual-direction backward (one launch, chains overlap — mirrors
+    # the fused forward); fall back to two launches when it doesn't fit.
+    fused = _bwd_seq_bidir(
+        w_h_fw, w_h_bw, h_fw, c_fw, x_proj_fw, g_fw,
+        h_bw, c_bw, x_proj_bw, g_bw, mask_bw,
+        bf16_matmul=bf16_matmul,
+        drop=(drop_seeds, drop_keep) if use_drop else None)
+    if fused is not None:
+        dx_fw, dw_fw, dx_bw, dw_bw = fused
+        return (dx_fw, dx_bw, dw_fw, dw_bw, jnp.zeros_like(mask_bw),
+                d_seeds)
     d_fw = (drop_seeds[0:1], drop_keep) if use_drop else None
     d_bw = (drop_seeds[1:2], drop_keep) if use_drop else None
     dx_fw, dw_fw = _bwd_seq(w_h_fw, h_fw, c_fw, x_proj_fw, g_fw,
@@ -575,7 +587,6 @@ def _lstm_seq_bidir_bwd(bf16_matmul, drop_keep, res, g):
     dx_bw, dw_bw = _bwd_seq(w_h_bw, h_bw, c_bw, x_proj_bw, g_bw,
                             bf16_matmul=bf16_matmul, mask=mask_bw,
                             drop=d_bw)
-    d_seeds = None if drop_seeds is None else jnp.zeros_like(drop_seeds)
     return (dx_fw, dx_bw, dw_fw, dw_bw, jnp.zeros_like(mask_bw), d_seeds)
 
 
@@ -986,6 +997,192 @@ def _bwd_kernel_blocked(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
         dc_ref[:] = dc_new
         if emit_dw:
             dwh_acc_ref[:] += dwh
+
+
+def _bwd_kernel_bidir(*refs, steps: int, bf16_matmul: bool,
+                      drop_keep: float | None, full_B: int, n_blocks: int):
+    """Both directions' reverse-time backprop in ONE launch.
+
+    The forward fuses fw+bw into one kernel so their dependent chains
+    overlap (lstm_seq_bidir); until round 4 the backward ran them as TWO
+    serialized pallas_calls — twice the sequential chain. This kernel mirrors
+    the fused forward: per grid block, one fw backward step block and one bw
+    backward step block, independent chains Mosaic can interleave.
+    Layout per direction = _bwd_kernel_blocked's (S >= 2 windows).
+    """
+    it = iter(refs)
+    seed_ref = next(it) if drop_keep is not None else None
+    w_fw_ref, w_bw_ref = next(it), next(it)
+    h_fw_ref, c_lo_fw_ref, c_hi_fw_ref, x_fw_ref, g_fw_ref = (
+        next(it), next(it), next(it), next(it), next(it))
+    h_bw_ref, c_lo_bw_ref, c_hi_bw_ref, x_bw_ref, g_bw_ref = (
+        next(it), next(it), next(it), next(it), next(it))
+    mask_ref = next(it)                       # bw carry-through validity
+    dx_fw_ref, dx_bw_ref, dwfw_ref, dwbw_ref = (
+        next(it), next(it), next(it), next(it))
+    dc_fw_ref, dh_fw_ref, dc_bw_ref, dh_bw_ref = (
+        next(it), next(it), next(it), next(it))
+
+    bc = pl.program_id(0)
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init_carries():
+        dc_fw_ref[:] = jnp.zeros_like(dc_fw_ref)
+        dh_fw_ref[:] = jnp.zeros_like(dh_fw_ref)
+        dc_bw_ref[:] = jnp.zeros_like(dc_bw_ref)
+        dh_bw_ref[:] = jnp.zeros_like(dh_bw_ref)
+
+    @pl.when(jnp.logical_and(bc == 0, r == 0))
+    def _init_acc():
+        dwfw_ref[:] = jnp.zeros_like(dwfw_ref)
+        dwbw_ref[:] = jnp.zeros_like(dwbw_ref)
+
+    H = dh_fw_ref.shape[-1]
+    w_fw = w_fw_ref[:]
+    w_bw = w_bw_ref[:]
+    if bf16_matmul:
+        w_fw, w_bw = w_fw.astype(jnp.bfloat16), w_bw.astype(jnp.bfloat16)
+
+    def dmask(dir_idx, s):
+        pltpu.prng_seed(seed_ref[dir_idx], (n_blocks - 1 - r) * steps + s)
+        m = _drop_mask(full_B, H, drop_keep)
+        BC = dh_fw_ref.shape[0]
+        if BC != full_B:
+            m = jax.lax.dynamic_slice(m, (bc * BC, 0), (BC, H))
+        return m
+
+    for s in reversed(range(steps)):
+        # Forward direction (no carry mask: padding trails).
+        c_t = c_hi_fw_ref[0] if s == steps - 1 else c_lo_fw_ref[s + 1]
+        g_s = g_fw_ref[s]
+        if seed_ref is not None:
+            g_s = g_s * dmask(0, s)
+        dgates, dh_new, dc_new, dwh = _bwd_step(
+            w_fw, h_fw_ref[s], c_lo_fw_ref[s], c_t, x_fw_ref[s], g_s,
+            None, dc_fw_ref[:], dh_fw_ref[:], H, bf16_matmul)
+        dx_fw_ref[s] = dgates
+        dh_fw_ref[:] = dh_new
+        dc_fw_ref[:] = dc_new
+        dwfw_ref[:] += dwh
+
+        # Backward direction (time-flipped inputs; padding leads -> valid).
+        c_t = c_hi_bw_ref[0] if s == steps - 1 else c_lo_bw_ref[s + 1]
+        g_s = g_bw_ref[s]
+        if seed_ref is not None:
+            g_s = g_s * dmask(1, s)
+        dgates, dh_new, dc_new, dwh = _bwd_step(
+            w_bw, h_bw_ref[s], c_lo_bw_ref[s], c_t, x_bw_ref[s], g_s,
+            mask_ref[s], dc_bw_ref[:], dh_bw_ref[:], H, bf16_matmul)
+        dx_bw_ref[s] = dgates
+        dh_bw_ref[:] = dh_new
+        dc_bw_ref[:] = dc_new
+        dwbw_ref[:] += dwh
+
+
+def _bwd_bidir_choice(T: int, B: int, H: int):
+    """(S, BC) for the fused dual-direction backward, or None (fall back to
+    two single-direction launches). Wide-tier budget: both directions'
+    blocked refs + W copies + two dW accumulators resident.
+
+    MEASURED NEGATIVE at the flagship shape (round 4): 17.95 vs 16.19 ms
+    full step (0.90x) despite exact numerics — the backward is
+    throughput-bound (3 MXU matmuls + heavy VPU per step leave no
+    dependency bubbles for the second chain to fill), so fusing only adds
+    VMEM pressure, unlike the latency-bound forward where the same fusion
+    won. Kept opt-in (E2E_ASR_BIDIR_BWD_FUSED=1) for re-probing on other
+    hardware; exactness is pinned either way (tests/test_lstm_pallas.py
+    runs both paths in interpret mode)."""
+    import os
+    if not os.environ.get("E2E_ASR_BIDIR_BWD_FUSED"):
+        return None
+    s_opts = tuple(S for S in STEP_BLOCKS if S > 1 and T % S == 0)
+    for div in (1, 2, 4, 8):
+        if B % div:
+            continue
+        for s_try in s_opts:
+            if 2 * _bwd_vmem_bytes(s_try, B // div, H) <= VMEM_BUDGET_WIDE:
+                return (s_try, B // div)
+    return None
+
+
+def _bwd_seq_bidir(w_fw, w_bw, h_fw, c_fw, xp_fw, g_fw,
+                   h_bw, c_bw, xp_bw, g_bw, mask_bw, *,
+                   bf16_matmul: bool, drop: tuple | None = None):
+    """Fused dual-direction backward: (dx_fw, dw_fw, dx_bw, dw_bw), or None
+    when the config doesn't fit (caller runs two _bwd_seq launches).
+    drop: (seeds [2] int32, keep)."""
+    T, B, H = h_fw.shape
+    H4 = 4 * H
+    choice = _bwd_bidir_choice(T, B, H)
+    if choice is None:
+        return None
+    S, BC = choice
+    n_blocks = T // S
+    n_bc = B // BC
+
+    def pad_states(h_seq, c_seq):
+        zrow = jnp.zeros((1, B, H), h_seq.dtype)
+        h_pad = jnp.concatenate([zrow, h_seq], axis=0)
+        c_pad = jnp.concatenate([zrow, c_seq], axis=0)
+        extra = jnp.zeros((S - 1, B, H), h_seq.dtype)
+        return (jnp.concatenate([h_pad, extra], axis=0),
+                jnp.concatenate([c_pad, extra], axis=0))
+
+    h_pad_fw, c_pad_fw = pad_states(h_fw, c_fw)
+    h_pad_bw, c_pad_bw = pad_states(h_bw, c_bw)
+
+    rev_x = lambda bc, r: (n_blocks - 1 - r, bc, 0)      # noqa: E731
+    blk = lambda bc, r: (n_blocks - 1 - r, bc, 0)        # noqa: E731
+    blk1 = lambda bc, r: (n_blocks - r, bc, 0)           # noqa: E731
+    w_spec = pl.BlockSpec((H, H4), lambda bc, r: (0, 0),
+                          memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((S, BC, H), blk, memory_space=pltpu.VMEM)
+    state_spec1 = pl.BlockSpec((S, BC, H), blk1, memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((S, BC, H), rev_x, memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((S, BC, 1), rev_x, memory_space=pltpu.VMEM)
+
+    in_specs = []
+    args = []
+    if drop is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(drop[0])
+    in_specs += [w_spec, w_spec,
+                 state_spec, state_spec, state_spec1, x_spec, g_spec,
+                 state_spec, state_spec, state_spec1, x_spec, g_spec,
+                 mask_spec]
+    args += [w_fw, w_bw,
+             h_pad_fw, c_pad_fw, c_pad_fw, xp_fw, g_fw,
+             h_pad_bw, c_pad_bw, c_pad_bw, xp_bw, g_bw,
+             mask_bw]
+    out_specs = [
+        pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H4), lambda bc, r: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H4), lambda bc, r: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+        jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+        jax.ShapeDtypeStruct((H, H4), jnp.float32),
+        jax.ShapeDtypeStruct((H, H4), jnp.float32),
+    ]
+    kernel = functools.partial(
+        _bwd_kernel_bidir, steps=S, bf16_matmul=bf16_matmul,
+        drop_keep=None if drop is None else drop[1], full_B=B,
+        n_blocks=n_blocks)
+    dx_fw, dx_bw, dw_fw, dw_bw = pl.pallas_call(
+        kernel,
+        grid=(n_bc, n_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((BC, H), jnp.float32) for _ in range(4)],
+        interpret=_interpret() if drop is None else _interp_mode(),
+        compiler_params=_wide_params(),
+    )(*args)
+    return dx_fw, dw_fw, dx_bw, dw_bw
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,124 @@
+"""Sharded checkpoint IO (core/checkpoint.save_sharded) — ZeRO-3 scale.
+
+The .npz path gathers every leaf to one host array; the sharded format
+writes per-process shard files with no full-tree gather (VERDICT round-3
+missing #6). Single-process pins here: exact save->restore round-trip from
+an FSDP-sharded state, pointer/dispatch compatibility (restore_latest,
+partial_restore), GC. The genuinely-multi-process no-gather property
+(per-worker bytes < full state) is asserted by
+tools/multihost_smoke --fsdp (tests/test_multihost_real.py).
+"""
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_tpu.config import (DecoderConfig, EncoderConfig, LMConfig,
+                                Seq2SeqConfig)
+from e2e_asr_tpu.core import checkpoint as ckpt_lib
+from e2e_asr_tpu.core import mesh as mesh_lib
+from e2e_asr_tpu.core import sharding as sharding_lib
+from e2e_asr_tpu.models import seq2seq
+from e2e_asr_tpu.train import step as step_lib
+
+
+def _cfg(V=24, H=128):
+    return Seq2SeqConfig(
+        tasks=["char"], num_layers={"char": 2}, max_output={"char": 6},
+        encoder=EncoderConfig(hidden_size=H, out_prob=1.0),
+        decoders={"char": DecoderConfig(
+            hidden_size_dec=H, emb_size=H, vocab_size=V,
+            attention_vec_size=H, lm_hidden_size=H, samp_prob=0.0,
+            out_prob_dec=1.0, max_output=6)},
+        feat_length=8)
+
+
+def _state(cfg):
+    params = seq2seq.init(jax.random.PRNGKey(0), cfg)
+    return step_lib.create_state(params, cfg, LMConfig(vocab_size=24))
+
+
+def _assert_trees_equal(a, b):
+    for (kp, x), (_, y) in zip(jax.tree_util.tree_leaves_with_path(a),
+                               jax.tree_util.tree_leaves_with_path(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=jax.tree_util.keystr(kp))
+
+
+def test_sharded_roundtrip_exact_from_fsdp_state(tmp_path):
+    cfg = _cfg()
+    state = _state(cfg)
+    mesh = mesh_lib.make_mesh(n_data=8)
+    placed = sharding_lib.place_state(state, mesh, fsdp=True)
+    # Sanity: at least one leaf genuinely sharded.
+    assert any("data" in tuple(x.sharding.spec)
+               for x in jax.tree_util.tree_leaves(placed.params)
+               if hasattr(x, "sharding"))
+    path, local_bytes = ckpt_lib.save_sharded(str(tmp_path), "asr.ckpt", 7,
+                                              placed)
+    assert path.endswith(".index.json") and os.path.isfile(path)
+    assert local_bytes > 0
+    restored = ckpt_lib.restore(path, state)
+    _assert_trees_equal(restored, state)
+
+
+def test_sharded_pointer_and_partial_restore(tmp_path):
+    cfg = _cfg()
+    state = _state(cfg)
+    mesh = mesh_lib.make_mesh(n_data=8)
+    placed = sharding_lib.place_state(state, mesh, fsdp=True)
+    ckpt_lib.save_sharded(str(tmp_path), "asr.ckpt", 3, placed,
+                          meta={"dev": 0.5})
+    # restore_latest dispatches through the pointer.
+    got, meta = ckpt_lib.restore_latest(str(tmp_path), state)
+    assert meta["sharded"] is True and meta["dev"] == 0.5
+    _assert_trees_equal(got, state)
+    # partial_restore by name works on the sharded format too.
+    fresh = seq2seq.init(jax.random.PRNGKey(9), cfg)
+    index_path = os.path.join(str(tmp_path), "asr.ckpt-3.index.json")
+    merged = ckpt_lib.partial_restore(fresh, index_path, verbose=False)
+    _assert_trees_equal(merged, state.params)
+
+
+def test_sharded_gc_keeps_last_n(tmp_path):
+    cfg = _cfg()
+    state = _state(cfg)
+    mesh = mesh_lib.make_mesh(n_data=8)
+    placed = sharding_lib.place_state(state, mesh, fsdp=True)
+    for step in (1, 2, 3):
+        ckpt_lib.save_sharded(str(tmp_path), "asr.ckpt", step, placed,
+                              max_to_keep=2)
+    names = sorted(os.listdir(tmp_path))
+    assert not any(n.startswith("asr.ckpt-1.") for n in names), names
+    assert any(n == "asr.ckpt-2.index.json" for n in names)
+    assert any(n == "asr.ckpt-3.index.json" for n in names)
+    restored, _ = ckpt_lib.restore_latest(str(tmp_path), state)
+    _assert_trees_equal(restored, state)
+
+
+def test_sharded_restore_onto_different_mesh(tmp_path):
+    """Cross-mesh portability: shards written under {data:8} fsdp restore
+    onto a host template and re-place under {data:4, model:2}."""
+    cfg = _cfg()
+    state = _state(cfg)
+    mesh_a = mesh_lib.make_mesh(n_data=8)
+    placed = sharding_lib.place_state(state, mesh_a, fsdp=True)
+    path, _ = ckpt_lib.save_sharded(str(tmp_path), "asr.ckpt", 1, placed)
+    restored = ckpt_lib.restore(path, state)
+    mesh_b = mesh_lib.make_mesh(n_data=4, n_model=2)
+    replaced = sharding_lib.place_state(restored, mesh_b, fsdp=True)
+    _assert_trees_equal(replaced, state)
+
+
+def test_sharded_detects_missing_shard_file(tmp_path):
+    cfg = _cfg()
+    state = _state(cfg)
+    mesh = mesh_lib.make_mesh(n_data=8)
+    placed = sharding_lib.place_state(state, mesh, fsdp=True)
+    path, _ = ckpt_lib.save_sharded(str(tmp_path), "asr.ckpt", 1, placed)
+    os.remove(os.path.join(str(tmp_path), "asr.ckpt-1.shards-p0.npz"))
+    import pytest
+    with pytest.raises(FileNotFoundError, match="shared filesystem"):
+        ckpt_lib.restore(path, state)
