@@ -57,17 +57,28 @@ def lstm_step(params: dict, x: Array, state: LSTMState,
 
 
 def lstm_precompute_inputs(params: dict, x_seq: Array, in_dim: int,
-                           *, compute_dtype=None) -> Array:
+                           *, compute_dtype=None, out_dtype=None) -> Array:
     """Input contribution x@W_x (+ bias) for all timesteps in one matmul.
 
     x_seq: [T, B, in_dim] -> [T, B, 4h]. The bias is folded in here so the
     recurrent step is a pure matmul-accumulate.
+
+    out_dtype: storage dtype of the result. The ENCODER paths pass bf16
+    under bf16 compute: x_proj is the largest HBM tensor of the recurrent
+    stack ([T,B,4H] — 200 MB for flagship layer 0 f32) and the forward
+    kernel is bandwidth-bound on it (measured 1.17x from halving it,
+    VALIDATION round-4); gates still accumulate in f32 (bf16 + f32 dot
+    promotes). Both the Pallas kernel and the XLA scan consume the SAME
+    rounded array, so path parity is unaffected. The fused decoder-training
+    kernels keep f32 (their x_proj is small and their exact-parity contract
+    with the decoder scan predates this knob).
     """
     w_x = params["kernel"][:in_dim]
     b = params["bias"]
     if compute_dtype is not None:
         x_seq, w_x = x_seq.astype(compute_dtype), w_x.astype(compute_dtype)
-    return jnp.dot(x_seq, w_x, preferred_element_type=jnp.float32) + b
+    out = jnp.dot(x_seq, w_x, preferred_element_type=jnp.float32) + b
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def lstm_recurrent_step(params: dict, x_proj: Array, state: LSTMState,

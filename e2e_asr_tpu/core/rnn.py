@@ -62,7 +62,8 @@ def lstm_scan(params: dict, x_seq: Array, lens: Array,
     T, B, in_dim = x_seq.shape
     hidden = params["bias"].shape[0] // 4
     x_proj = cells.lstm_precompute_inputs(params, x_seq, in_dim,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          out_dtype=compute_dtype)
 
     if impl == "pallas" or (impl == "auto" and use_pallas_lstm()):
         from e2e_asr_tpu.ops import lstm_pallas
@@ -131,7 +132,8 @@ def lstm_scan_stateful(params: dict, x_seq: Array, lens: Array, init_state,
     T, B, in_dim = x_seq.shape
     hidden = params["bias"].shape[0] // 4
     x_proj = cells.lstm_precompute_inputs(params, x_seq, in_dim,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          out_dtype=compute_dtype)
     w_h = params["kernel"][in_dim:]
     if compute_dtype is not None:
         w_h = w_h.astype(compute_dtype)
@@ -222,10 +224,12 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
                            T, B, hidden, compute_dtype is not None))
         if lstm_pallas.bidir_fits(T, B, hidden, compute_dtype is not None):
             x_proj_fw = cells.lstm_precompute_inputs(
-                params["fw"], x_seq, in_dim, compute_dtype=compute_dtype)
+                params["fw"], x_seq, in_dim, compute_dtype=compute_dtype,
+                out_dtype=compute_dtype)
             x_flip = jnp.flip(x_seq, axis=0)
             x_proj_bw = cells.lstm_precompute_inputs(
-                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype)
+                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype,
+                out_dtype=compute_dtype)
             t = jnp.arange(T)[:, None]
             valid = (t >= T - lens.astype(jnp.int32)[None, :]
                      ).astype(jnp.float32)
@@ -275,7 +279,8 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
         if cell == "lstm":
             from e2e_asr_tpu.ops import lstm_pallas
             x_proj = cells_mod.lstm_precompute_inputs(
-                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype)
+                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype,
+                out_dtype=compute_dtype)
             h_flip = lstm_pallas.lstm_seq_masked(
                 x_proj, params["bw"]["kernel"][in_dim:], valid[:, :, None],
                 compute_dtype is not None)

@@ -578,8 +578,8 @@ def _lstm_seq_bidir_bwd(bf16_matmul, drop_keep, res, g):
         drop=(drop_seeds, drop_keep) if use_drop else None)
     if fused is not None:
         dx_fw, dw_fw, dx_bw, dw_bw = fused
-        return (dx_fw, dx_bw, dw_fw, dw_bw, jnp.zeros_like(mask_bw),
-                d_seeds)
+        return (dx_fw.astype(x_proj_fw.dtype), dx_bw.astype(x_proj_bw.dtype),
+                dw_fw, dw_bw, jnp.zeros_like(mask_bw), d_seeds)
     d_fw = (drop_seeds[0:1], drop_keep) if use_drop else None
     d_bw = (drop_seeds[1:2], drop_keep) if use_drop else None
     dx_fw, dw_fw = _bwd_seq(w_h_fw, h_fw, c_fw, x_proj_fw, g_fw,
@@ -587,7 +587,8 @@ def _lstm_seq_bidir_bwd(bf16_matmul, drop_keep, res, g):
     dx_bw, dw_bw = _bwd_seq(w_h_bw, h_bw, c_bw, x_proj_bw, g_bw,
                             bf16_matmul=bf16_matmul, mask=mask_bw,
                             drop=d_bw)
-    return (dx_fw, dx_bw, dw_fw, dw_bw, jnp.zeros_like(mask_bw), d_seeds)
+    return (dx_fw.astype(x_proj_fw.dtype), dx_bw.astype(x_proj_bw.dtype),
+            dw_fw, dw_bw, jnp.zeros_like(mask_bw), d_seeds)
 
 
 lstm_seq_bidir.defvjp(_lstm_seq_bidir_fwd, _lstm_seq_bidir_bwd)
@@ -1209,7 +1210,9 @@ def _lstm_seq_fwd(x_proj, w_h, bf16_matmul):
 def _lstm_seq_bwd(bf16_matmul, res, g):
     x_proj, w_h, h_seq, c_seq = res
     dx, dwh = _bwd_seq(w_h, h_seq, c_seq, x_proj, g, bf16_matmul=bf16_matmul)
-    return dx, dwh
+    # x_proj may be stored bf16 (bandwidth; cells.lstm_precompute_inputs
+    # out_dtype) — the cotangent dtype must match the primal's.
+    return dx.astype(x_proj.dtype), dwh
 
 
 lstm_seq.defvjp(_lstm_seq_fwd, _lstm_seq_bwd)
@@ -1241,7 +1244,7 @@ def _lstm_seq_masked_bwd(bf16_matmul, res, g):
     x_proj, w_h, mask, h_seq, c_seq = res
     dx, dwh = _bwd_seq(w_h, h_seq, c_seq, x_proj, g,
                        bf16_matmul=bf16_matmul, mask=mask)
-    return dx, dwh, jnp.zeros_like(mask)
+    return dx.astype(x_proj.dtype), dwh, jnp.zeros_like(mask)
 
 
 lstm_seq_masked.defvjp(_lstm_seq_masked_fwd, _lstm_seq_masked_bwd)
