@@ -7,6 +7,14 @@ multi-chip sharding code paths are exercised on host CPU devices via
 Note: the environment pre-sets JAX_PLATFORMS=axon via a sitecustomize hook that
 imports jax config at interpreter startup, so plain os.environ assignment is
 too late — we must go through jax.config.update.
+
+Parallel runs: `python -m pytest tests/ -q -n <workers>` (pytest-xdist)
+works — every fixture here is per-worker (env vars + the 8-device topology
+are set at conftest import inside each worker process; the module-scope
+clear_caches fixture clears each worker's own caches). It only pays off on
+multi-core hosts; the round-4 build container exposes a SINGLE CPU
+(len(os.sched_getaffinity(0)) == 1), where the serial suite time is simply
+the sum of the work.
 """
 import os
 
