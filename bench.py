@@ -90,11 +90,11 @@ def _measure_train(jax, jnp, cfg, lm_cfg, rng):
     # before execution finishes; a host value fetch is the reliable sync.
     state, m = asr_step(state, batch, step_rng)  # compile
     float(m["loss"])
-    # Best-of-3: the development tunnel's run-to-run variance is large
+    # Best-of-5: the development tunnel's run-to-run variance is large
     # (VALIDATION.md); the recorded headline should not depend on catching
     # a bad RPC window.
     n_iter, dt = 15, float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(n_iter):
             state, m = asr_step(state, batch, step_rng)

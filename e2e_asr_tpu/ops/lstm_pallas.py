@@ -188,6 +188,18 @@ def _cell_math(gates: Array, c: Array, H: int) -> tuple[Array, Array]:
     return new_c, new_h
 
 
+def _cell_math_acts(gates: Array, c: Array, H: int
+                    ) -> tuple[Array, Array, Array]:
+    """_cell_math variant that also returns the ACTIVATED gates [B, 4H] (i, tanh j, sigmoid(f+1), o) for the save-gates backward."""
+    i = jax.nn.sigmoid(gates[:, :H])
+    j = jnp.tanh(gates[:, H:2 * H])
+    f = jax.nn.sigmoid(gates[:, 2 * H:3 * H] + 1.0)
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    new_c = c * f + i * j
+    new_h = o * jnp.tanh(new_c)
+    return new_c, new_h, jnp.concatenate([i, j, f, o], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -390,7 +402,8 @@ def bidir_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
 
 
 def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
-                      drop_keep: float | None = None):
+                      drop_keep: float | None = None,
+                      save_acts: bool = False):
     it = iter(refs)
     seeds_ref = next(it) if drop_keep is not None else None
     x_fw_ref, x_bw_ref, w_fw_ref, w_bw_ref, mask_ref = (
@@ -404,6 +417,10 @@ def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
     clean_bw_ref = next(it) if (save_c and drop_keep is not None) else None
     c_out_fw_ref = next(it) if save_c else None
     c_out_bw_ref = next(it) if save_c else None
+    # E2E_ASR_SAVE_GATES: activated gates (i, tanh j, sig f+1, o) in bf16 -
+    # the backward then skips its gates-recompute matmul + transcendentals.
+    acts_fw_ref = next(it) if save_acts else None
+    acts_bw_ref = next(it) if save_acts else None
     c_fw_ref, h_fw_ref, c_bw_ref, h_bw_ref = (
         next(it), next(it), next(it), next(it))
 
@@ -425,7 +442,11 @@ def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
             h, w = h.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
         gates = x_fw_ref[s] + jnp.dot(h, w,
                                       preferred_element_type=jnp.float32)
-        new_c, new_h = _cell_math(gates, c_fw_ref[:], H)
+        if save_acts:
+            new_c, new_h, acts = _cell_math_acts(gates, c_fw_ref[:], H)
+            acts_fw_ref[s] = acts.astype(jnp.bfloat16)
+        else:
+            new_c, new_h = _cell_math(gates, c_fw_ref[:], H)
         if drop_keep is not None:
             # Output dropout fused into the write: the RECURRENT h stays
             # un-dropped (dropout sits between layers, not inside the
@@ -449,7 +470,11 @@ def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
             h, w = h.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
         gates = x_bw_ref[s] + jnp.dot(h, w,
                                       preferred_element_type=jnp.float32)
-        new_c, new_h = _cell_math(gates, c_bw_ref[:], H)
+        if save_acts:
+            new_c, new_h, acts = _cell_math_acts(gates, c_bw_ref[:], H)
+            acts_bw_ref[s] = acts.astype(jnp.bfloat16)
+        else:
+            new_c, new_h = _cell_math(gates, c_bw_ref[:], H)
         valid = mask_ref[s]
         new_c = valid * new_c + (1.0 - valid) * c_bw_ref[:]
         new_h = valid * new_h + (1.0 - valid) * h_bw_ref[:]
@@ -468,8 +493,10 @@ def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
 
 def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
                w_h_bw: Array, mask_bw: Array, *, save_c: bool,
-               bf16_matmul: bool, drop: tuple | None = None) -> tuple:
-    """drop: (seeds [2] int32 array — fw/bw PRNG seeds, keep float)."""
+               bf16_matmul: bool, drop: tuple | None = None,
+               save_acts: bool = False) -> tuple:
+    """drop: (seeds [2] int32 array — fw/bw PRNG seeds, keep float).
+    save_acts appends bf16 activated-gates outputs (training only)."""
     T, B, H4 = x_proj_fw.shape
     H = H4 // 4
     wbytes = 2 if bf16_matmul else 4
@@ -500,9 +527,14 @@ def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
                  for _ in range(n_out)]
     out_shapes = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)
                   for _ in range(n_out)]
+    if save_acts:
+        out_specs += [pl.BlockSpec((S, B, H4), blk,
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shapes += [jax.ShapeDtypeStruct((T, B, H4), jnp.bfloat16)] * 2
     kernel = functools.partial(_fwd_bidir_kernel, steps=S, save_c=save_c,
                                bf16_matmul=bf16_matmul,
-                               drop_keep=None if drop is None else drop[1])
+                               drop_keep=None if drop is None else drop[1],
+                               save_acts=save_acts)
     extra = {"compiler_params": _wide_params()} if extended else {}
     return tuple(pl.pallas_call(
         kernel,
@@ -546,13 +578,23 @@ def lstm_seq_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
     return outs[0], outs[1]
 
 
+def _save_gates() -> bool:
+    import os
+    return bool(os.environ.get("E2E_ASR_SAVE_GATES"))
+
+
 def _lstm_seq_bidir_fwd(x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
                         drop_seeds, bf16_matmul, drop_keep):
     use_drop = drop_keep < 1.0
+    save_acts = _save_gates()
     outs = _fwd_bidir(
         x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw, save_c=True,
         bf16_matmul=bf16_matmul,
-        drop=(drop_seeds, drop_keep) if use_drop else None)
+        drop=(drop_seeds, drop_keep) if use_drop else None,
+        save_acts=save_acts)
+    acts_fw = acts_bw = None
+    if save_acts:
+        outs, (acts_fw, acts_bw) = outs[:-2], outs[-2:]
     if use_drop:
         # Residual h is the CLEAN (un-dropped) state the recurrence used.
         h_fw, h_bw, clean_fw, clean_bw, c_fw, c_bw = outs
@@ -560,12 +602,13 @@ def _lstm_seq_bidir_fwd(x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
         h_fw, h_bw, c_fw, c_bw = outs
         clean_fw, clean_bw = h_fw, h_bw
     return (h_fw, h_bw), (x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
-                          drop_seeds, clean_fw, clean_bw, c_fw, c_bw)
+                          drop_seeds, clean_fw, clean_bw, c_fw, c_bw,
+                          acts_fw, acts_bw)
 
 
 def _lstm_seq_bidir_bwd(bf16_matmul, drop_keep, res, g):
     (x_proj_fw, x_proj_bw, w_h_fw, w_h_bw, mask_bw,
-     drop_seeds, h_fw, h_bw, c_fw, c_bw) = res
+     drop_seeds, h_fw, h_bw, c_fw, c_bw, acts_fw, acts_bw) = res
     g_fw, g_bw = g
     use_drop = drop_keep < 1.0
     d_seeds = None if drop_seeds is None else jnp.zeros_like(drop_seeds)
@@ -583,10 +626,11 @@ def _lstm_seq_bidir_bwd(bf16_matmul, drop_keep, res, g):
     d_fw = (drop_seeds[0:1], drop_keep) if use_drop else None
     d_bw = (drop_seeds[1:2], drop_keep) if use_drop else None
     dx_fw, dw_fw = _bwd_seq(w_h_fw, h_fw, c_fw, x_proj_fw, g_fw,
-                            bf16_matmul=bf16_matmul, drop=d_fw)
+                            bf16_matmul=bf16_matmul, drop=d_fw,
+                            acts=acts_fw)
     dx_bw, dw_bw = _bwd_seq(w_h_bw, h_bw, c_bw, x_proj_bw, g_bw,
                             bf16_matmul=bf16_matmul, mask=mask_bw,
-                            drop=d_bw)
+                            drop=d_bw, acts=acts_bw)
     return (dx_fw.astype(x_proj_fw.dtype), dx_bw.astype(x_proj_bw.dtype),
             dw_fw, dw_bw, jnp.zeros_like(mask_bw), d_seeds)
 
@@ -674,13 +718,19 @@ def kernel_dropout_ok(T: int, B: int, H: int, bf16: bool = False) -> bool:
 def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
              g: Array, *, bf16_matmul: bool = False,
              mask: Array | None = None,
-             drop: tuple | None = None) -> tuple[Array, Array]:
+             drop: tuple | None = None,
+             acts: Array | None = None) -> tuple[Array, Array]:
     """Returns (dx_proj [T,B,4H], dw_h [H,4H]).
 
     drop: (seed [1] int32 array, keep float) — regenerate the forward's
     per-step dropout masks from the SAME seeds and scale the incoming g
     before the cell backprop (out = h * mask, so dL/dh = g * mask + the
-    recurrent contribution)."""
+    recurrent contribution).
+
+    acts: saved activated gates [T,B,4H] bf16 (E2E_ASR_SAVE_GATES) — the
+    blocked kernel then reads them instead of recomputing gates from
+    x_proj + a matmul (engaged on the S>=2 emit_dw path only; other
+    variants fall back to recompute)."""
     T, B, H = h_seq.shape
     H4 = 4 * H
     choice4 = _bwd_choice(T, B, H, bf16_matmul)
@@ -752,13 +802,16 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
             pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, BC, H), rev_x, memory_space=pltpu.VMEM),
         ]
-        args = [w_arg, h_pad, c_pad, c_pad, x_proj, g]
+        use_acts = acts is not None and emit_dw
+        args = [w_arg, h_pad, c_pad, c_pad,
+                acts if use_acts else x_proj, g]
         kernel = functools.partial(_bwd_kernel_blocked, steps=S,
                                    bf16_matmul=bf16_matmul,
                                    with_mask=mask is not None,
                                    emit_dw=emit_dw,
                                    drop_keep=None if drop is None else drop[1],
-                                   full_B=B, n_blocks=n_blocks)
+                                   full_B=B, n_blocks=n_blocks,
+                                   with_acts=use_acts)
         mask_spec = pl.BlockSpec((S, BC, 1), rev_x, memory_space=pltpu.VMEM)
 
     if mask is not None:
@@ -815,17 +868,27 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
 
 def _bwd_step(w_mm, h_prev, c_prev, c_t, x_proj_s, g_s, valid,
               dc_carry, dh_carry, H, bf16_matmul, want_dw=True,
-              transpose_acts=False):
+              transpose_acts=False, acts_s=None):
     """One reverse-time cell backprop. Returns (dgates, dh_new, dc_new,
     dwh_contrib) — dwh_contrib is None when want_dw=False (wide-layer
-    variant: dW is accumulated outside the kernel)."""
+    variant: dW is accumulated outside the kernel).
+
+    acts_s: optional saved ACTIVATED gates [B, 4H] (i, tanh j, sigmoid f+1,
+    o — bf16, written by the training forward under E2E_ASR_SAVE_GATES):
+    skips this step's gates-recompute matmul and its four transcendental
+    batches; x_proj_s is unused then (pass None)."""
     h_prev_mm = h_prev.astype(jnp.bfloat16) if bf16_matmul else h_prev
-    gates = x_proj_s + jnp.dot(h_prev_mm, w_mm,
-                               preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    j = jnp.tanh(gates[:, H:2 * H])
-    f = jax.nn.sigmoid(gates[:, 2 * H:3 * H] + 1.0)
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    if acts_s is not None:
+        a = acts_s.astype(jnp.float32)
+        i, j, f, o = (a[:, :H], a[:, H:2 * H], a[:, 2 * H:3 * H],
+                      a[:, 3 * H:])
+    else:
+        gates = x_proj_s + jnp.dot(h_prev_mm, w_mm,
+                                   preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :H])
+        j = jnp.tanh(gates[:, H:2 * H])
+        f = jax.nn.sigmoid(gates[:, 2 * H:3 * H] + 1.0)
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
 
     g_t = g_s if valid is None else g_s * valid
     tanh_c = jnp.tanh(c_t)
@@ -929,7 +992,8 @@ def _bwd_kernel_blocked(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
                         g_ref, *refs, steps: int, bf16_matmul: bool,
                         with_mask: bool, emit_dw: bool = True,
                         drop_keep: float | None = None,
-                        full_B: int = 0, n_blocks: int = 0):
+                        full_B: int = 0, n_blocks: int = 0,
+                        with_acts: bool = False):
     """`steps` time steps per block, processed high-to-low.
 
     Windows (element offsets into the padded state arrays, pad[k] =
@@ -990,9 +1054,11 @@ def _bwd_kernel_blocked(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
                 m = jax.lax.dynamic_slice(m, (bc * BC, 0), (BC, H))
             g_s = g_s * m
         dgates, dh_new, dc_new, dwh = _bwd_step(
-            w_mm, h_pad_ref[s], c_lo_ref[s], c_t, x_proj_ref[s], g_s,
+            w_mm, h_pad_ref[s], c_lo_ref[s], c_t,
+            None if with_acts else x_proj_ref[s], g_s,
             valid, dc_ref[:], dh_ref[:], H, bf16_matmul, want_dw=emit_dw,
-            transpose_acts=not emit_dw)
+            transpose_acts=not emit_dw,
+            acts_s=x_proj_ref[s] if with_acts else None)
         dx_ref[s] = dgates
         dh_ref[:] = dh_new
         dc_ref[:] = dc_new
