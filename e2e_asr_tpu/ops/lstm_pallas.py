@@ -711,8 +711,17 @@ def _bwd_choice(T: int, B: int, H: int, bf16_matmul: bool):
 def kernel_dropout_ok(T: int, B: int, H: int, bf16: bool = False) -> bool:
     """Whether the fused bidir layer can take in-kernel PRNG dropout: both
     the forward and the BACKWARD must run as Pallas kernels (the XLA-scan
-    backward fallback cannot regenerate the core PRNG's mask stream)."""
-    return bidir_fits(T, B, H, bf16) and _bwd_choice(T, B, H, bf16) is not None
+    backward fallback cannot regenerate the core PRNG's mask stream) AND the
+    backend must be a real TPU. Off-TPU the dropout kernels would run under
+    TPU-interpret emulation (pltpu.InterpretParams), which is pure downside:
+    its lowering contains an io_callback the SPMD partitioner rejects
+    ("side-effect HLO cannot have a replicated sharding" under jit on a
+    multi-device mesh), and its prng_random_bits are all zeros, so keep_prob
+    silently becomes 1.0. Returning False here routes callers (core/rnn.py
+    rnn_layer) to the XLA jax.random dropout, which is correct everywhere."""
+    return (jax.default_backend() == "tpu"
+            and bidir_fits(T, B, H, bf16)
+            and _bwd_choice(T, B, H, bf16) is not None)
 
 
 def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
