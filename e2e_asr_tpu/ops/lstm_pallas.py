@@ -237,7 +237,7 @@ def _fwd_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
         c_ref[:] = new_c
         h_ref[:] = new_h
         if save_c:
-            c_out_ref[s] = new_c
+            c_out_ref[s] = new_c.astype(c_out_ref.dtype)
 
 
 def _fwd_kernel_chunked(*refs, n_chunks: int, C: int, save_c: bool,
@@ -285,7 +285,7 @@ def _fwd_kernel_chunked(*refs, n_chunks: int, C: int, save_c: bool,
     c_ref[:] = new_c
     h_ref[:] = new_h
     if save_c:
-        c_out_ref[0] = new_c
+        c_out_ref[0] = new_c.astype(c_out_ref.dtype)
 
 
 def _fwd_seq_chunked(x_proj: Array, w_h: Array, *, save_c: bool,
@@ -309,6 +309,8 @@ def _fwd_seq_chunked(x_proj: Array, w_h: Array, *, save_c: bool,
                                      memory_space=pltpu.VMEM))
         args.append(mask)
     n_out = 2 if save_c else 1
+    c_dtype = jnp.bfloat16 if bf16_matmul else jnp.float32
+    out_dtypes = [jnp.float32, c_dtype][:n_out]
     kernel = functools.partial(
         _fwd_kernel_chunked, n_chunks=H // C, C=C, save_c=save_c,
         bf16_matmul=bf16_matmul, with_mask=mask is not None)
@@ -318,8 +320,7 @@ def _fwd_seq_chunked(x_proj: Array, w_h: Array, *, save_c: bool,
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((1, B, H), blk, memory_space=pltpu.VMEM)
                    for _ in range(n_out)],
-        out_shape=[jax.ShapeDtypeStruct((T, B, H), jnp.float32)
-                   for _ in range(n_out)],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), d) for d in out_dtypes],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),           # c carry
             pltpu.VMEM((B, H), jnp.float32),           # h carry
@@ -356,7 +357,9 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
     out_specs = [pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
                               memory_space=pltpu.VMEM)]
     if save_c:
-        out_shapes.append(jax.ShapeDtypeStruct((T, B, H), jnp.float32))
+        # c is a pure VJP residual: bf16 under bf16 compute (see _fwd_bidir).
+        c_dtype = jnp.bfloat16 if bf16_matmul else jnp.float32
+        out_shapes.append(jax.ShapeDtypeStruct((T, B, H), c_dtype))
         out_specs.append(pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
                                       memory_space=pltpu.VMEM))
     in_specs = [
@@ -454,13 +457,13 @@ def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
             pltpu.prng_seed(seeds_ref[0], t * steps + s)
             out_fw_ref[s] = new_h * _drop_mask(new_h.shape[0], H, drop_keep)
             if clean_fw_ref is not None:
-                clean_fw_ref[s] = new_h
+                clean_fw_ref[s] = new_h.astype(clean_fw_ref.dtype)
         else:
             out_fw_ref[s] = new_h
         c_fw_ref[:] = new_c
         h_fw_ref[:] = new_h
         if save_c:
-            c_out_fw_ref[s] = new_c
+            c_out_fw_ref[s] = new_c.astype(c_out_fw_ref.dtype)
 
         # Backward direction on time-flipped inputs (padding LEADS: carry
         # through on masked steps).
@@ -482,13 +485,13 @@ def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
             pltpu.prng_seed(seeds_ref[1], t * steps + s)
             out_bw_ref[s] = new_h * _drop_mask(new_h.shape[0], H, drop_keep)
             if clean_bw_ref is not None:
-                clean_bw_ref[s] = new_h
+                clean_bw_ref[s] = new_h.astype(clean_bw_ref.dtype)
         else:
             out_bw_ref[s] = new_h
         c_bw_ref[:] = new_c
         h_bw_ref[:] = new_h
         if save_c:
-            c_out_bw_ref[s] = new_c
+            c_out_bw_ref[s] = new_c.astype(c_out_bw_ref.dtype)
 
 
 def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
@@ -520,13 +523,23 @@ def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
     if drop is not None:
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         args.insert(0, drop[0])
-    n_out = 2
-    if save_c:
-        n_out += 2 + (2 if drop is not None else 0)   # [clean pair,] c pair
     out_specs = [pl.BlockSpec((S, B, H), blk, memory_space=pltpu.VMEM)
-                 for _ in range(n_out)]
+                 for _ in range(2)]
     out_shapes = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)
-                  for _ in range(n_out)]
+                  for _ in range(2)]
+    if save_c:
+        # VJP residuals ([clean pair,] c pair): stored bf16 under bf16
+        # compute. Exactly neutral for h (the backward only feeds h_prev to
+        # bf16 MXU matmuls, which round identically); c rounding perturbs
+        # only the VPU terms tanh(c_t)/df (~bf16-eps rel on grads). Halves
+        # the residual HBM traffic the backward re-reads — the same
+        # discipline as bf16 x_proj storage (VALIDATION round-4 item 2).
+        n_res = 2 + (2 if drop is not None else 0)
+        res_dtype = jnp.bfloat16 if bf16_matmul else jnp.float32
+        out_specs += [pl.BlockSpec((S, B, H), blk, memory_space=pltpu.VMEM)
+                      for _ in range(n_res)]
+        out_shapes += [jax.ShapeDtypeStruct((T, B, H), res_dtype)
+                       for _ in range(n_res)]
     if save_acts:
         out_specs += [pl.BlockSpec((S, B, H4), blk,
                                    memory_space=pltpu.VMEM)] * 2
@@ -648,15 +661,19 @@ def _bwd_seq_xla(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     """Reverse-time backward as an XLA scan (VMEM-safe fallback for wide
     layers where the Pallas backward kernel would exceed the scoped limit)."""
     T, B, H = h_seq.shape
-    zrow = jnp.zeros((1, B, H), h_seq.dtype)
-    h_prev_seq = jnp.concatenate([zrow, h_seq[:-1]], axis=0)
-    c_prev_seq = jnp.concatenate([zrow, c_seq[:-1]], axis=0)
+    h_prev_seq = jnp.concatenate(
+        [jnp.zeros((1, B, H), h_seq.dtype), h_seq[:-1]], axis=0)
+    c_prev_seq = jnp.concatenate(
+        [jnp.zeros((1, B, H), c_seq.dtype), c_seq[:-1]], axis=0)
     mask_seq = (mask if mask is not None
-                else jnp.ones((T, B, 1), h_seq.dtype))
+                else jnp.ones((T, B, 1), jnp.float32))
 
     def body(carry, xs):
         dc, dh, dwh = carry
         h_prev, c_prev, c_t, xp, g_t, valid = xs
+        h_prev = h_prev.astype(jnp.float32)
+        c_prev = c_prev.astype(jnp.float32)
+        c_t = c_t.astype(jnp.float32)
         gates = xp + jnp.dot(h_prev, w_h, preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(gates[:, :H])
         j = jnp.tanh(gates[:, H:2 * H])
@@ -755,13 +772,18 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     # pad[t] = state_{t-1} (pad[0] = zeros). S-1 extra trailing zero rows
     # keep the c window (which reads one block above the last S-aligned
     # block) in-bounds, and make the padded length a multiple of S.
-    zrow = jnp.zeros((1, B, H), h_seq.dtype)
-    h_pad = jnp.concatenate([zrow, h_seq], axis=0)              # [T+1]
-    c_pad = jnp.concatenate([zrow, c_seq], axis=0)              # [T+1]
+    # h and c may differ in dtype (h = f32 layer output when no dropout,
+    # c = bf16 residual under bf16 compute) — pad each in its own dtype so
+    # the concat never upcasts the bf16 residual back to f32.
+    h_pad = jnp.concatenate(
+        [jnp.zeros((1, B, H), h_seq.dtype), h_seq], axis=0)     # [T+1]
+    c_pad = jnp.concatenate(
+        [jnp.zeros((1, B, H), c_seq.dtype), c_seq], axis=0)     # [T+1]
     if S > 1:
-        extra = jnp.zeros((S - 1, B, H), h_seq.dtype)
-        h_pad = jnp.concatenate([h_pad, extra], axis=0)         # [T+S]
-        c_pad = jnp.concatenate([c_pad, extra], axis=0)         # [T+S]
+        h_pad = jnp.concatenate(
+            [h_pad, jnp.zeros((S - 1, B, H), h_seq.dtype)], axis=0)  # [T+S]
+        c_pad = jnp.concatenate(
+            [c_pad, jnp.zeros((S - 1, B, H), c_seq.dtype)], axis=0)  # [T+S]
 
     n_blocks = T // S
     BC = BC_sel
@@ -830,8 +852,12 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(drop[0])
 
+    # dx is the x_proj cotangent: emit it in x_proj's dtype directly (bf16
+    # under bf16 compute) — the custom-VJP contract demands that dtype
+    # anyway, and casting OUTSIDE the kernel costs a full extra HBM
+    # read+write pass over [T,B,4H] per direction per layer.
     out_specs = [pl.BlockSpec((S, BC, H4), rev_x, memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((T, B, H4), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((T, B, H4), x_proj.dtype)]
     scratch_shapes = [
         pltpu.VMEM((BC, H), jnp.float32),   # dc carry
         pltpu.VMEM((BC, H), jnp.float32),   # dh carry
@@ -885,8 +911,15 @@ def _bwd_step(w_mm, h_prev, c_prev, c_t, x_proj_s, g_s, valid,
     acts_s: optional saved ACTIVATED gates [B, 4H] (i, tanh j, sigmoid f+1,
     o — bf16, written by the training forward under E2E_ASR_SAVE_GATES):
     skips this step's gates-recompute matmul and its four transcendental
-    batches; x_proj_s is unused then (pass None)."""
-    h_prev_mm = h_prev.astype(jnp.bfloat16) if bf16_matmul else h_prev
+    batches; x_proj_s is unused then (pass None).
+
+    h_prev/c_prev/c_t may arrive bf16 (residuals stored bf16 under bf16
+    compute): h only feeds bf16 matmuls (identical rounding either way);
+    the c terms are cast back to f32 for the VPU math."""
+    h_prev_mm = (h_prev.astype(jnp.bfloat16) if bf16_matmul
+                 else h_prev.astype(jnp.float32))
+    c_prev = c_prev.astype(jnp.float32)
+    c_t = c_t.astype(jnp.float32)
     if acts_s is not None:
         a = acts_s.astype(jnp.float32)
         i, j, f, o = (a[:, :H], a[:, H:2 * H], a[:, 2 * H:3 * H],
@@ -990,7 +1023,7 @@ def _bwd_kernel_s1(w_h_ref, h_prev_ref, c_prev_ref, c_t_ref, x_proj_ref,
         w_mm, h_prev_ref[0], c_prev_ref[0], c_t_ref[0], x_proj_ref[0],
         g_s, valid, dc_ref[:], dh_ref[:], H, bf16_matmul,
         want_dw=emit_dw, transpose_acts=not emit_dw)
-    dx_ref[0] = dgates
+    dx_ref[0] = dgates.astype(dx_ref.dtype)
     dh_ref[:] = dh_new
     dc_ref[:] = dc_new
     if emit_dw:
@@ -1068,7 +1101,7 @@ def _bwd_kernel_blocked(w_h_ref, h_pad_ref, c_lo_ref, c_hi_ref, x_proj_ref,
             valid, dc_ref[:], dh_ref[:], H, bf16_matmul, want_dw=emit_dw,
             transpose_acts=not emit_dw,
             acts_s=x_proj_ref[s] if with_acts else None)
-        dx_ref[s] = dgates
+        dx_ref[s] = dgates.astype(dx_ref.dtype)
         dh_ref[:] = dh_new
         dc_ref[:] = dc_new
         if emit_dw:
@@ -1137,7 +1170,7 @@ def _bwd_kernel_bidir(*refs, steps: int, bf16_matmul: bool,
         dgates, dh_new, dc_new, dwh = _bwd_step(
             w_fw, h_fw_ref[s], c_lo_fw_ref[s], c_t, x_fw_ref[s], g_s,
             None, dc_fw_ref[:], dh_fw_ref[:], H, bf16_matmul)
-        dx_fw_ref[s] = dgates
+        dx_fw_ref[s] = dgates.astype(dx_fw_ref.dtype)
         dh_fw_ref[:] = dh_new
         dc_fw_ref[:] = dc_new
         dwfw_ref[:] += dwh
@@ -1150,7 +1183,7 @@ def _bwd_kernel_bidir(*refs, steps: int, bf16_matmul: bool,
         dgates, dh_new, dc_new, dwh = _bwd_step(
             w_bw, h_bw_ref[s], c_lo_bw_ref[s], c_t, x_bw_ref[s], g_s,
             mask_ref[s], dc_bw_ref[:], dh_bw_ref[:], H, bf16_matmul)
-        dx_bw_ref[s] = dgates
+        dx_bw_ref[s] = dgates.astype(dx_bw_ref.dtype)
         dh_bw_ref[:] = dh_new
         dc_bw_ref[:] = dc_new
         dwbw_ref[:] += dwh
@@ -1198,12 +1231,11 @@ def _bwd_seq_bidir(w_fw, w_bw, h_fw, c_fw, xp_fw, g_fw,
     n_bc = B // BC
 
     def pad_states(h_seq, c_seq):
-        zrow = jnp.zeros((1, B, H), h_seq.dtype)
-        h_pad = jnp.concatenate([zrow, h_seq], axis=0)
-        c_pad = jnp.concatenate([zrow, c_seq], axis=0)
-        extra = jnp.zeros((S - 1, B, H), h_seq.dtype)
-        return (jnp.concatenate([h_pad, extra], axis=0),
-                jnp.concatenate([c_pad, extra], axis=0))
+        def pad(x):
+            zrow = jnp.zeros((1, B, H), x.dtype)
+            extra = jnp.zeros((S - 1, B, H), x.dtype)
+            return jnp.concatenate([zrow, x, extra], axis=0)
+        return pad(h_seq), pad(c_seq)
 
     h_pad_fw, c_pad_fw = pad_states(h_fw, c_fw)
     h_pad_bw, c_pad_bw = pad_states(h_bw, c_bw)
@@ -1239,8 +1271,8 @@ def _bwd_seq_bidir(w_fw, w_bw, h_fw, c_fw, xp_fw, g_fw,
         pl.BlockSpec((H, H4), lambda bc, r: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
-        jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+        jax.ShapeDtypeStruct((T, B, H4), xp_fw.dtype),
+        jax.ShapeDtypeStruct((T, B, H4), xp_bw.dtype),
         jax.ShapeDtypeStruct((H, H4), jnp.float32),
         jax.ShapeDtypeStruct((H, H4), jnp.float32),
     ]

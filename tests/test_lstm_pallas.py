@@ -151,3 +151,62 @@ def test_chunked_weight_streaming_fwd_matches_scan():
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(c_m[t]), c, rtol=1e-5,
                                    atol=1e-5)
+
+
+def test_bf16_residual_grads_track_bf16_oracle():
+    """Under bf16 compute the training forward stores its VJP residuals
+    (clean h / c sequences) in bf16 and the backward emits dx in x_proj's
+    dtype directly (round-5 bandwidth work). The h rounding is exactly
+    neutral (h only feeds bf16 MXU matmuls, which round identically); c
+    rounding perturbs only tanh(c_t)/df — grads must track a pure-JAX
+    bf16-matmul/f32-state oracle within ~1% rel."""
+    rng = np.random.default_rng(0)
+    T, B, H, F = 8, 4, 128, 16
+    pf = cells.lstm_init(jax.random.PRNGKey(0), F, H)
+    pb = cells.lstm_init(jax.random.PRNGKey(1), F, H)
+    x = jnp.asarray(rng.normal(size=(T, B, F)).astype(np.float32))
+    lens = jnp.array([T, T - 2, T - 3, 1], jnp.int32)
+    xpf = cells.lstm_precompute_inputs(pf, x, F, compute_dtype=jnp.bfloat16,
+                                       out_dtype=jnp.bfloat16)
+    xpb = cells.lstm_precompute_inputs(pb, jnp.flip(x, 0), F,
+                                       compute_dtype=jnp.bfloat16,
+                                       out_dtype=jnp.bfloat16)
+    t = jnp.arange(T)[:, None]
+    valid = (t >= T - lens[None, :]).astype(jnp.float32)[:, :, None]
+    wf, wb = pf["kernel"][F:], pb["kernel"][F:]
+
+    def loss(w1, w2, xf, xb):
+        a, b = lstm_pallas.lstm_seq_bidir(xf, xb, w1, w2, valid, None,
+                                          True, 1.0)
+        return jnp.sum(a * jnp.cos(a)) + jnp.sum(b * jnp.sin(b))
+
+    def run_ref(xp, w, masked):
+        def body(carry, inp):
+            c, h = carry
+            xpt, v = inp
+            gates = xpt.astype(jnp.float32) + jnp.dot(
+                h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            i, j, f, o = jnp.split(gates, 4, axis=-1)
+            nc = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+            nh = jax.nn.sigmoid(o) * jnp.tanh(nc)
+            if masked:
+                nc = v * nc + (1 - v) * c
+                nh = v * nh + (1 - v) * h
+            return (nc, nh), nh
+        init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+        _, hs = jax.lax.scan(body, init, (xp, valid))
+        return hs
+
+    def loss_ref(w1, w2, xf, xb):
+        a = run_ref(xf, w1, False)
+        b = run_ref(xb, w2, True)
+        return jnp.sum(a * jnp.cos(a)) + jnp.sum(b * jnp.sin(b))
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(wf, wb, xpf, xpb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(wf, wb, xpf, xpb)
+    for a, b in zip(g, gr):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert rel < 0.01, rel
