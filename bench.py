@@ -670,7 +670,15 @@ def main() -> None:
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
+        # Denominator provenance: the ratio divides by the documented 50k
+        # GPU-era ESTIMATE (measured TF on this host is CPU-only, 1,636
+        # frames/s, hardware-incomparable) — details in BENCH_DETAILS.json.
+        "vs_baseline_basis": "estimate",
         "mfu": (round(flagship_mfu, 4) if flagship_mfu is not None else None),
+        # Both RTFx forms up front: per_call pays this environment's ~36 ms
+        # RPC round trip per decode; pipelined is the serving/on-device form.
+        "rtfx_per_call": round(b1.get("per_call_rtfx", 0.0), 1),
+        "rtfx_pipelined": round(b1.get("pipelined_rtfx", 0.0), 1),
         "targets": {k: v["pass"] for k, v in targets.items()},
     }))
 

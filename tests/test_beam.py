@@ -10,6 +10,8 @@ import pytest
 from e2e_asr_tpu.config import BeamConfig, DecoderConfig
 from e2e_asr_tpu.core import cells
 from e2e_asr_tpu.core.layers import dense
+
+pytestmark = pytest.mark.smoke
 from e2e_asr_tpu.data.text import EOS_ID, GO_ID
 from e2e_asr_tpu.eval import beam as beam_lib
 from e2e_asr_tpu.models import attn_decoder

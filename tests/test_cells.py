@@ -10,6 +10,8 @@ import pytest
 
 from e2e_asr_tpu.core import cells
 
+pytestmark = pytest.mark.smoke
+
 
 def np_sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))

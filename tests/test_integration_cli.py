@@ -41,6 +41,7 @@ def _args(root, extra=()):
             "-compute_dtype", "float32", "-run_id", "9"] + list(extra)
 
 
+@pytest.mark.smoke
 def test_cli_train_then_eval(workspace):
     root = workspace
     cfg = parse_options(_args(root))

@@ -2,8 +2,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from e2e_asr_tpu.core import losses
+
+pytestmark = pytest.mark.smoke
 
 
 def test_shifted_targets():

@@ -3,6 +3,7 @@ and data-parallel execution on the 8-device CPU mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from e2e_asr_tpu.config import LMConfig
 from e2e_asr_tpu.core import mesh as mesh_lib
@@ -17,6 +18,7 @@ def _lm_cfg():
                     out_prob=1.0)
 
 
+@pytest.mark.smoke
 def test_asr_step_decreases_loss(rng):
     cfg = tiny_cfg()
     params = seq2seq.init(jax.random.PRNGKey(0), cfg)
@@ -186,6 +188,7 @@ def test_grad_accum_rejects_indivisible_batch(rng):
         jax.jit(asr_step)(state, batch, jax.random.PRNGKey(0))
 
 
+@pytest.mark.smoke
 def test_data_parallel_step_matches_single_device(rng):
     """The sharded step on an 8-device mesh must produce (numerically) the
     same loss and updated params as single-device execution."""
