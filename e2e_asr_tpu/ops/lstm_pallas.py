@@ -82,13 +82,18 @@ def _pick_steps(T: int, fits) -> tuple[int, bool]:
     return 1, False
 
 
-def _bwd_vmem_bytes(S: int, B: int, H: int) -> int:
+def _bwd_vmem_bytes(S: int, B: int, H: int, drop_B: int = 0) -> int:
     """Rough VMEM estimate for the backward kernel: double-buffered blocked
     refs (x_proj, g, three state rows, dx) + resident weights/accumulator/
     scratch. Used to fall back to an XLA backward when a wide model would
-    blow the scoped-vmem limit (observed at H=512, B=128, S=2)."""
+    blow the scoped-vmem limit (observed at H=512, B=128, S=2).
+
+    drop_B: with in-kernel dropout the kernel materializes a transient
+    FULL-batch [drop_B, H] f32 mask per step even inside batch-chunked
+    grids (the PRNG stream is seeded per absolute step over the full
+    batch) — pass the full B so chunked configs account for it."""
     blocked = S * B * (4 * H + H + H + H + H + 4 * H)   # 12*S*B*H floats
-    resident = 8 * H * H + 2 * B * H
+    resident = 8 * H * H + 2 * B * H + drop_B * H
     return 4 * (2 * blocked + resident)
 
 
@@ -141,6 +146,23 @@ def _fwd_wide_vmem_bytes(S: int, B: int, H: int, wbytes: int) -> int:
     resident but double-buffered by Mosaic (2 copies), carries in scratch."""
     blocked = S * B * 6 * H                             # x_proj + out + c_out
     return 4 * 2 * blocked + 2 * wbytes * 4 * H * H + 4 * 2 * B * H
+
+
+def _train_fwd_extra_bytes(S: int, B: int, H: int, bf16: bool,
+                           drop: bool, save_acts: bool) -> int:
+    """Blocked-output bytes the TRAINING forward adds per direction on top
+    of the (x_proj + out + c_out) base the estimators above count: the
+    clean-h residual pair exists only with in-kernel dropout, the bf16
+    activated-gates pair only under E2E_ASR_SAVE_GATES. Double-buffered by
+    Mosaic like every blocked ref. The c residual is counted at 4 bytes in
+    the base even when stored bf16 — the overcount stays as margin
+    (CLAUDE.md: fit estimates undercount Mosaic's real allocation)."""
+    extra = 0
+    if drop:
+        extra += S * B * H * (2 if bf16 else 4)         # clean h residual
+    if save_acts:
+        extra += S * B * 4 * H * 2                      # bf16 gates
+    return 2 * extra
 
 
 def fwd_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
@@ -395,13 +417,20 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
 # Dual-direction forward (fw + bw in ONE launch)
 # ---------------------------------------------------------------------------
 
-def bidir_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
+def bidir_fits(T: int, B: int, H: int, bf16: bool = False,
+               train_drop: bool = False, save_acts: bool = False) -> bool:
     """Both directions resident at once: ~2x the single-direction footprint
-    (under the default limit, or the raised wide-layer limit)."""
-    if 2 * _fwd_vmem_bytes(1, B, H) <= VMEM_BUDGET:
+    (under the default limit, or the raised wide-layer limit).
+
+    train_drop/save_acts: account for the TRAINING forward's extra blocked
+    outputs (clean-h residual pair / bf16 activated-gates pair) — pass them
+    when admitting a training configuration (kernel_dropout_ok does)."""
+    extra = 2 * _train_fwd_extra_bytes(1, B, H, bf16, train_drop, save_acts)
+    if 2 * _fwd_vmem_bytes(1, B, H) + extra <= VMEM_BUDGET:
         return True
     wbytes = 2 if bf16 else 4
-    return 2 * _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE
+    return (2 * _fwd_wide_vmem_bytes(1, B, H, wbytes) + extra
+            <= VMEM_BUDGET_WIDE)
 
 
 def _fwd_bidir_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
@@ -503,9 +532,15 @@ def _fwd_bidir(x_proj_fw: Array, x_proj_bw: Array, w_h_fw: Array,
     T, B, H4 = x_proj_fw.shape
     H = H4 // 4
     wbytes = 2 if bf16_matmul else 4
+
+    def _extra(s):
+        return 2 * _train_fwd_extra_bytes(
+            s, B, H, bf16_matmul, save_c and drop is not None, save_acts)
+
     S, extended = _pick_steps(T, lambda s: (
-        2 * _fwd_vmem_bytes(s, B, H) <= VMEM_BUDGET,
-        2 * _fwd_wide_vmem_bytes(s, B, H, wbytes) <= VMEM_BUDGET_WIDE))
+        2 * _fwd_vmem_bytes(s, B, H) + _extra(s) <= VMEM_BUDGET,
+        (2 * _fwd_wide_vmem_bytes(s, B, H, wbytes) + _extra(s)
+         <= VMEM_BUDGET_WIDE)))
     w_fw_arg, w_bw_arg = w_h_fw, w_h_bw
     if extended and bf16_matmul:
         w_fw_arg = w_h_fw.astype(jnp.bfloat16)
@@ -702,18 +737,21 @@ def _bwd_seq_xla(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     return dx, dwh
 
 
-def _bwd_choice(T: int, B: int, H: int, bf16_matmul: bool):
+def _bwd_choice(T: int, B: int, H: int, bf16_matmul: bool,
+                drop_B: int = 0):
     """Pick the Pallas backward config: (S, BC, emit_dw, extended) or None
     (caller falls back to the XLA scan backward). Prefer 2-step blocks and
     the full batch; chunk the batch before giving up; very wide layers
-    (H~2048) drop the in-kernel dW accumulator (see _bwd_nodw_vmem_bytes)."""
+    (H~2048) drop the in-kernel dW accumulator (see _bwd_nodw_vmem_bytes).
+    drop_B: full batch size when in-kernel dropout will run (the mask
+    transient is full-batch even in chunked grids)."""
     s_opts = tuple(S for S in STEP_BLOCKS if T % S == 0)
     for div in (1, 2, 4, 8):
         if B % div:
             continue
         for s_try in s_opts:
             for budget in (VMEM_BUDGET, VMEM_BUDGET_WIDE):
-                if _bwd_vmem_bytes(s_try, B // div, H) <= budget:
+                if _bwd_vmem_bytes(s_try, B // div, H, drop_B) <= budget:
                     return (s_try, B // div, True, budget != VMEM_BUDGET)
     wbytes = 2 if bf16_matmul else 4
     for div in (1, 2, 4, 8, 16):
@@ -735,10 +773,15 @@ def kernel_dropout_ok(T: int, B: int, H: int, bf16: bool = False) -> bool:
     ("side-effect HLO cannot have a replicated sharding" under jit on a
     multi-device mesh), and its prng_random_bits are all zeros, so keep_prob
     silently becomes 1.0. Returning False here routes callers (core/rnn.py
-    rnn_layer) to the XLA jax.random dropout, which is correct everywhere."""
+    rnn_layer) to the XLA jax.random dropout, which is correct everywhere.
+
+    Fit checks use the TRAINING shape: the dropout forward's extra clean-h
+    residual outputs (+ saved gates under E2E_ASR_SAVE_GATES) and the
+    backward's full-batch mask transient are included."""
     return (jax.default_backend() == "tpu"
-            and bidir_fits(T, B, H, bf16)
-            and _bwd_choice(T, B, H, bf16) is not None)
+            and bidir_fits(T, B, H, bf16, train_drop=True,
+                           save_acts=_save_gates())
+            and _bwd_choice(T, B, H, bf16, drop_B=B) is not None)
 
 
 def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
@@ -759,7 +802,8 @@ def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
     variants fall back to recompute)."""
     T, B, H = h_seq.shape
     H4 = 4 * H
-    choice4 = _bwd_choice(T, B, H, bf16_matmul)
+    choice4 = _bwd_choice(T, B, H, bf16_matmul,
+                          drop_B=B if drop is not None else 0)
     if choice4 is None:
         if drop is not None:
             raise RuntimeError(

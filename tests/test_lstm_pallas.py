@@ -93,7 +93,7 @@ def test_wide_layer_nodw_backward_matches_xla(T, monkeypatch):
     scratch) must match the XLA oracle. Forced here by making the in-kernel-dW
     estimate blow every budget, so only the no-dW tier fits."""
     monkeypatch.setattr(lstm_pallas, "_bwd_vmem_bytes",
-                        lambda S, B, H: 1 << 40)
+                        lambda S, B, H, drop_B=0: 1 << 40)
     B, F, H = 4, 5, 8
     params = rnn.rnn_layer_init(jax.random.PRNGKey(9), F, H, cell="lstm")
     x = jax.random.normal(jax.random.PRNGKey(10), (T, B, F))
