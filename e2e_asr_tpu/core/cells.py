@@ -125,10 +125,16 @@ def gru_zero_state(batch_shape, hidden: int, dtype=jnp.float32) -> Array:
 
 
 def gru_precompute_inputs(params: dict, x_seq: Array, in_dim: int,
-                          *, compute_dtype=None) -> tuple[Array, Array]:
+                          *, compute_dtype=None,
+                          out_dtype=None) -> tuple[Array, Array]:
     """GRU input contributions for all timesteps as two large MXU matmuls
     (the analogue of lstm_precompute_inputs): returns
-    (gates_x [T,B,2H] = x@W_gx + b_g, cand_x [T,B,H] = x@W_cx + b_c)."""
+    (gates_x [T,B,2H] = x@W_gx + b_g, cand_x [T,B,H] = x@W_cx + b_c).
+
+    out_dtype: storage dtype of the results (bf16 under bf16 compute — the
+    same bandwidth discipline as lstm_precompute_inputs out_dtype: the
+    sequential kernel re-reads these arrays every step and is
+    bandwidth-bound on them; gates still accumulate f32 in-kernel)."""
     gk = params["gates"]["kernel"][:in_dim]
     ck = params["candidate"]["kernel"][:in_dim]
     x = x_seq
@@ -139,6 +145,9 @@ def gru_precompute_inputs(params: dict, x_seq: Array, in_dim: int,
                + params["gates"]["bias"])
     cand_x = (jnp.dot(x, ck, preferred_element_type=jnp.float32)
               + params["candidate"]["bias"])
+    if out_dtype is not None:
+        gates_x = gates_x.astype(out_dtype)
+        cand_x = cand_x.astype(out_dtype)
     return gates_x, cand_x
 
 

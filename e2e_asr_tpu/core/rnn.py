@@ -90,10 +90,14 @@ def lstm_scan(params: dict, x_seq: Array, lens: Array,
 
 
 def gru_scan(params: dict, x_seq: Array, lens: Array,
-             *, compute_dtype=None, impl: str = "auto") -> Array:
+             *, compute_dtype=None, impl: str = "auto",
+             drop: tuple | None = None) -> Array:
     """Unidirectional GRU over x_seq [T, B, F] -> outputs [T, B, H].
 
     impl: "auto" (Pallas fused kernel where available), "pallas", or "xla".
+    drop: (seed [1] int32, keep) — in-kernel PRNG output dropout on the
+    Pallas path (caller gates with gru_pallas.kernel_dropout_ok; the XLA
+    path ignores it — rnn_layer applies xla_dropout there instead).
     """
     T, B, in_dim = x_seq.shape
     hidden = params["candidate"]["bias"].shape[0]
@@ -103,11 +107,14 @@ def gru_scan(params: dict, x_seq: Array, lens: Array,
         if impl == "pallas" or gru_pallas.fwd_fits(T, B, hidden,
                                                    compute_dtype is not None):
             gates_x, cand_x = cells.gru_precompute_inputs(
-                params, x_seq, in_dim, compute_dtype=compute_dtype)
+                params, x_seq, in_dim, compute_dtype=compute_dtype,
+                out_dtype=compute_dtype)
             outputs = gru_pallas.gru_seq(
                 gates_x, cand_x, params["gates"]["kernel"][in_dim:],
                 params["candidate"]["kernel"][in_dim:],
-                compute_dtype is not None)
+                None if drop is None else drop[0],
+                compute_dtype is not None,
+                1.0 if drop is None else drop[1])
             return outputs * length_mask(lens, T)[:, :, None]
 
     def step(h, x):
@@ -250,6 +257,43 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
             if use_drop and not kernel_drop:
                 out = xla_dropout(out_dropout[0], out, keep)
             return out
+    if (bidirectional and cell == "gru"
+            and (impl == "pallas" or (impl == "auto" and use_pallas_lstm()))):
+        # GRU analogue of the LSTM fused-bidir dropout wiring: the two
+        # direction kernels take per-direction PRNG seeds (masks generated
+        # in-kernel, replayed in the Pallas backward); everything else
+        # falls through to the generic path + xla_dropout below.
+        from e2e_asr_tpu.core import cells as cells_mod
+        from e2e_asr_tpu.ops import gru_pallas
+        T, B, in_dim = x_seq.shape
+        hidden = params["bw"]["candidate"]["bias"].shape[0]
+        kernel_drop = (use_drop
+                       and not os.environ.get("E2E_ASR_NO_KERNEL_DROPOUT")
+                       and gru_pallas.kernel_dropout_ok(
+                           T, B, hidden, compute_dtype is not None))
+        if kernel_drop:
+            seeds = jax.random.randint(out_dropout[0], (2,), 0,
+                                       jnp.iinfo(jnp.int32).max,
+                                       dtype=jnp.int32)
+            fw_out = gru_scan(params["fw"], x_seq, lens,
+                              compute_dtype=compute_dtype, impl=impl,
+                              drop=(seeds[0:1], keep))
+            x_flip = jnp.flip(x_seq, axis=0)
+            t = jnp.arange(T)[:, None]
+            valid = (t >= T - lens.astype(jnp.int32)[None, :]
+                     ).astype(jnp.float32)
+            gates_x, cand_x = cells_mod.gru_precompute_inputs(
+                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype,
+                out_dtype=compute_dtype)
+            h_flip = gru_pallas.gru_seq_masked(
+                gates_x, cand_x,
+                params["bw"]["gates"]["kernel"][in_dim:],
+                params["bw"]["candidate"]["kernel"][in_dim:],
+                valid[:, :, None], seeds[1:2],
+                compute_dtype is not None, keep)
+            bw_out = jnp.flip(h_flip * valid[:, :, None], axis=0)
+            return jnp.concatenate([fw_out, bw_out], axis=-1)
+
     fw_out = scan(params["fw"], x_seq, lens, compute_dtype=compute_dtype,
                   impl=impl)
     if not bidirectional:
@@ -287,12 +331,13 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
         else:
             from e2e_asr_tpu.ops import gru_pallas
             gates_x, cand_x = cells_mod.gru_precompute_inputs(
-                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype)
+                params["bw"], x_flip, in_dim, compute_dtype=compute_dtype,
+                out_dtype=compute_dtype)
             h_flip = gru_pallas.gru_seq_masked(
                 gates_x, cand_x,
                 params["bw"]["gates"]["kernel"][in_dim:],
                 params["bw"]["candidate"]["kernel"][in_dim:],
-                valid[:, :, None], compute_dtype is not None)
+                valid[:, :, None], None, compute_dtype is not None)
         bw_out = jnp.flip(h_flip * valid[:, :, None], axis=0)
     else:
         x_rev = reverse_sequence(x_seq, lens)

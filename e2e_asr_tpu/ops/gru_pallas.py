@@ -67,11 +67,16 @@ def fwd_fits(T: int, B: int, H: int, bf16: bool = False) -> bool:
     return _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE
 
 
-def _fwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
+def _fwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool,
+                drop_keep: float | None = None, save_clean: bool = False):
+    from e2e_asr_tpu.ops.lstm_pallas import _drop_mask
+
     it = iter(refs)
+    seed_ref = next(it) if drop_keep is not None else None
     gx_ref, cx_ref, w_g_ref, w_c_ref = next(it), next(it), next(it), next(it)
     mask_ref = next(it) if with_mask else None
     out_ref = next(it)
+    clean_ref = next(it) if save_clean else None
     h_ref = next(it)
 
     t = pl.program_id(0)
@@ -99,21 +104,42 @@ def _fwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
         if mask_ref is not None:
             valid = mask_ref[s]
             new_h = valid * new_h + (1.0 - valid) * h
-        out_ref[s] = new_h
+        if drop_keep is not None:
+            # In-kernel PRNG output dropout, seeded per ABSOLUTE time step
+            # (identical scheme to ops/lstm_pallas: the backward regenerates
+            # the same stream; the recurrent h stays un-dropped).
+            pltpu.prng_seed(seed_ref[0], t * steps + s)
+            out_ref[s] = new_h * _drop_mask(new_h.shape[0], H, drop_keep)
+            if clean_ref is not None:
+                clean_ref[s] = new_h.astype(clean_ref.dtype)
+        else:
+            out_ref[s] = new_h
         h_ref[:] = new_h
 
 
 def _fwd_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array, *,
-             bf16_matmul: bool, mask: Array | None) -> Array:
-    from e2e_asr_tpu.ops.lstm_pallas import (VMEM_BUDGET_WIDE, _pick_steps,
-                                             _wide_params)
+             bf16_matmul: bool, mask: Array | None,
+             drop: tuple | None = None, save_clean: bool = False):
+    """drop: (seed [1] int32 array, keep float) — in-kernel PRNG output
+    dropout. save_clean additionally emits the un-dropped h (the VJP
+    residual; bf16 under bf16 compute). Returns out or (out, clean)."""
+    from e2e_asr_tpu.ops.lstm_pallas import (VMEM_BUDGET_WIDE, _interp_mode,
+                                             _pick_steps, _wide_params)
 
     T, B, H2 = gates_x.shape
     H = H2 // 2
     wbytes = 2 if bf16_matmul else 4
+
+    def _extra_bytes(s):
+        # Double-buffered clean-h residual output (training forward only).
+        if not save_clean:
+            return 0
+        return 2 * s * B * H * (2 if bf16_matmul else 4)
+
     S, extended = _pick_steps(T, lambda s: (
-        _fwd_vmem_bytes(s, B, H) <= VMEM_BUDGET,
-        _fwd_wide_vmem_bytes(s, B, H, wbytes) <= VMEM_BUDGET_WIDE))
+        _fwd_vmem_bytes(s, B, H) + _extra_bytes(s) <= VMEM_BUDGET,
+        (_fwd_wide_vmem_bytes(s, B, H, wbytes) + _extra_bytes(s)
+         <= VMEM_BUDGET_WIDE)))
     if extended and bf16_matmul:
         w_gh = w_gh.astype(jnp.bfloat16)
         w_ch = w_ch.astype(jnp.bfloat16)
@@ -125,25 +151,37 @@ def _fwd_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array, *,
         pl.BlockSpec((H, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
     ]
     args = [gates_x, cand_x, w_gh, w_ch]
+    if drop is not None:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, drop[0])
     if mask is not None:
         in_specs.append(pl.BlockSpec((S, B, 1), lambda t: (t, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask)
+    out_specs = [pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
+    if save_clean:
+        res_dtype = jnp.bfloat16 if bf16_matmul else jnp.float32
+        out_specs.append(pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, B, H), res_dtype))
     kernel = functools.partial(_fwd_kernel, steps=S, bf16_matmul=bf16_matmul,
-                               with_mask=mask is not None)
+                               with_mask=mask is not None,
+                               drop_keep=None if drop is None else drop[1],
+                               save_clean=save_clean)
     extra = {"compiler_params": _wide_params()} if extended else {}
-    (out,) = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(T // S,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((T, B, H), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
-        interpret=_interpret(),
+        interpret=_interpret() if drop is None else _interp_mode(),
         **extra,
     )(*args)
-    return out
+    return tuple(outs) if save_clean else outs[0]
 
 
 def _gru_cell_bwd(dh_total, h_prev, r, u, c, w_gh, w_ch, bf16):
@@ -170,8 +208,12 @@ def _gru_cell_bwd(dh_total, h_prev, r, u, c, w_gh, w_ch, bf16):
     return dgpre, dcpre, dh_prev
 
 
-def _bwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
+def _bwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool,
+                drop_keep: float | None = None, n_blocks: int = 0):
+    from e2e_asr_tpu.ops.lstm_pallas import _drop_mask
+
     it = iter(refs)
+    seed_ref = next(it) if drop_keep is not None else None
     w_g_ref, w_c_ref = next(it), next(it)
     h_ref, gx_ref, cx_ref, g_ref = next(it), next(it), next(it), next(it)
     mask_ref = next(it) if with_mask else None
@@ -189,7 +231,9 @@ def _bwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
     H = dh_ref.shape[-1]
     w_g, w_c = w_g_ref[:], w_c_ref[:]
     for s in reversed(range(steps)):
-        h_prev = h_ref[s]
+        # h may be the bf16 clean residual (dropout training forward) —
+        # cast back for the VPU math; the matmuls cast to bf16 themselves.
+        h_prev = h_ref[s].astype(jnp.float32)
         h_mm = h_prev.astype(jnp.bfloat16) if bf16_matmul else h_prev
         w_g_mm = w_g.astype(jnp.bfloat16) if bf16_matmul else w_g
         w_c_mm = w_c.astype(jnp.bfloat16) if bf16_matmul else w_c
@@ -202,7 +246,14 @@ def _bwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
         c = jnp.tanh(cx_ref[s] + jnp.dot(rh_mm, w_c_mm,
                                          preferred_element_type=jnp.float32))
 
-        dh_total = g_ref[s] + dh_ref[:]
+        g_s = g_ref[s]
+        if seed_ref is not None:
+            # Regenerate the forward's per-step mask (out = h * m, so
+            # dL/dh = g * m + the recurrent contribution). Absolute step of
+            # local s in block r_id: blocks are visited in reverse order.
+            pltpu.prng_seed(seed_ref[0], (n_blocks - 1 - r_id) * steps + s)
+            g_s = g_s * _drop_mask(g_s.shape[0], H, drop_keep)
+        dh_total = g_s + dh_ref[:]
         dgpre, dcpre, dh_prev = _gru_cell_bwd(dh_total, h_prev, r, u, c,
                                               w_g, w_c, bf16_matmul)
         if mask_ref is not None:
@@ -210,8 +261,8 @@ def _bwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
             dgpre = dgpre * valid
             dcpre = dcpre * valid
             dh_prev = valid * dh_prev + (1.0 - valid) * dh_total
-        dgx_ref[s] = dgpre
-        dcx_ref[s] = dcpre
+        dgx_ref[s] = dgpre.astype(dgx_ref.dtype)
+        dcx_ref[s] = dcpre.astype(dcx_ref.dtype)
         dh_ref[:] = dh_prev
         hp_mm = h_prev.T.astype(jnp.bfloat16) if bf16_matmul else h_prev.T
         dg_mm = dgpre.astype(jnp.bfloat16) if bf16_matmul else dgpre
@@ -223,30 +274,49 @@ def _bwd_kernel(*refs, steps: int, bf16_matmul: bool, with_mask: bool):
                               preferred_element_type=jnp.float32)
 
 
-def _bwd_vmem_bytes(S: int, B: int, H: int) -> int:
+def _bwd_vmem_bytes(S: int, B: int, H: int, drop_B: int = 0) -> int:
     """Blocked (x2 double-buffered): h_prev, gx, cx, g, dgx, dcx (+mask);
     resident: W_gh, W_ch (+~2x for Mosaic's transposed layout copies),
-    dW accumulators, dh carry."""
+    dW accumulators, dh carry (+the transient dropout mask when drop_B)."""
     blocked = S * B * (H + 2 * H + H + H + 2 * H + H + 1)
-    resident = 2 * 3 * H * H + 3 * H * H + B * H
+    resident = 2 * 3 * H * H + 3 * H * H + B * H + drop_B * H
     return 4 * (2 * blocked + resident)
+
+
+def kernel_dropout_ok(T: int, B: int, H: int, bf16: bool = False) -> bool:
+    """Whether the GRU layer can take in-kernel PRNG output dropout: real
+    TPU backend only (same rationale as lstm_pallas.kernel_dropout_ok —
+    off-TPU the emulation breaks the SPMD partitioner and yields all-keep
+    masks) and BOTH directions' Pallas kernels must fit (the XLA replay
+    fallback cannot regenerate the core PRNG's mask stream)."""
+    from e2e_asr_tpu.ops.lstm_pallas import VMEM_BUDGET_WIDE
+    return (jax.default_backend() == "tpu"
+            and fwd_fits(T, B, H, bf16)
+            and _bwd_vmem_bytes(1, B, H, drop_B=B) <= VMEM_BUDGET_WIDE)
 
 
 def _bwd_seq(w_gh: Array, w_ch: Array, h_seq: Array, gates_x: Array,
              cand_x: Array, g: Array, mask: Array | None,
-             bf16_matmul: bool):
+             bf16_matmul: bool, drop: tuple | None = None):
     """Fused reverse-time backward. Returns (dgates_x, dcand_x, dw_gh,
     dw_ch), or None when the VMEM estimate doesn't fit (caller falls back
-    to the XLA replay)."""
-    from e2e_asr_tpu.ops.lstm_pallas import (VMEM_BUDGET_WIDE, _pick_steps,
-                                             _wide_params)
+    to the XLA replay). drop: (seed [1] int32, keep) — regenerate the
+    forward's dropout masks; requires the Pallas path (gate callers with
+    kernel_dropout_ok)."""
+    from e2e_asr_tpu.ops.lstm_pallas import (VMEM_BUDGET_WIDE, _interp_mode,
+                                             _pick_steps, _wide_params)
 
     T, B, H = h_seq.shape
-    if _bwd_vmem_bytes(1, B, H) > VMEM_BUDGET_WIDE:
+    drop_B = B if drop is not None else 0
+    if _bwd_vmem_bytes(1, B, H, drop_B) > VMEM_BUDGET_WIDE:
+        if drop is not None:
+            raise RuntimeError(
+                "in-kernel dropout requires the Pallas backward; gate "
+                "callers with kernel_dropout_ok()")
         return None
     S, extended = _pick_steps(T, lambda s: (
-        _bwd_vmem_bytes(s, B, H) <= VMEM_BUDGET,
-        _bwd_vmem_bytes(s, B, H) <= VMEM_BUDGET_WIDE))
+        _bwd_vmem_bytes(s, B, H, drop_B) <= VMEM_BUDGET,
+        _bwd_vmem_bytes(s, B, H, drop_B) <= VMEM_BUDGET_WIDE))
     # pad[t] = h_{t-1}; S-1 trailing zero rows make the length S-aligned.
     zrow = jnp.zeros((1, B, H), h_seq.dtype)
     h_pad = jnp.concatenate([zrow, h_seq[:-1]], axis=0)
@@ -263,13 +333,18 @@ def _bwd_seq(w_gh: Array, w_ch: Array, h_seq: Array, gates_x: Array,
         pl.BlockSpec((S, B, H), rev, memory_space=pltpu.VMEM),
     ]
     args = [w_gh, w_ch, h_pad, gates_x, cand_x, g]
+    if drop is not None:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, drop[0])
     if mask is not None:
         in_specs.append(pl.BlockSpec((S, B, 1), rev,
                                      memory_space=pltpu.VMEM))
         args.append(mask)
     kernel = functools.partial(_bwd_kernel, steps=S,
                                bf16_matmul=bf16_matmul,
-                               with_mask=mask is not None)
+                               with_mask=mask is not None,
+                               drop_keep=None if drop is None else drop[1],
+                               n_blocks=n_blocks)
     extra = {"compiler_params": _wide_params()} if extended else {}
     dgx, dcx, dwg, dwc = pl.pallas_call(
         kernel,
@@ -283,13 +358,16 @@ def _bwd_seq(w_gh: Array, w_ch: Array, h_seq: Array, gates_x: Array,
             pl.BlockSpec((H, H), lambda r: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, 2 * H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            # dgx/dcx are the gates_x/cand_x cotangents: emit in the
+            # primal's dtype directly (bf16 under bf16 storage) — no
+            # external cast pass (same as lstm_pallas dx).
+            jax.ShapeDtypeStruct((T, B, 2 * H), gates_x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), cand_x.dtype),
             jax.ShapeDtypeStruct((H, 2 * H), jnp.float32),
             jax.ShapeDtypeStruct((H, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
-        interpret=_interpret(),
+        interpret=_interpret() if drop is None else _interp_mode(),
         **extra,
     )(*args)
     return dgx, dcx, dwg, dwc
@@ -321,64 +399,99 @@ def _replay_scan(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def gru_seq(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array,
-            bf16_matmul: bool = False) -> Array:
+            drop_seed: Array | None = None, bf16_matmul: bool = False,
+            drop_keep: float = 1.0) -> Array:
     """Fused GRU over time from zero initial state (unmasked — caller masks).
 
     gates_x: [T,B,2H] = x@W_gx + b_g; cand_x: [T,B,H] = x@W_cx + b_c;
     w_gh: [H,2H]; w_ch: [H,H]. Returns h_seq [T,B,H].
-    """
-    return _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
-                    mask=None)
 
-
-def _gru_seq_fwd(gates_x, cand_x, w_gh, w_ch, bf16_matmul):
+    drop_seed [1] int32 + drop_keep < 1: in-kernel PRNG output dropout,
+    seeded per absolute time step and regenerated bit-identically in the
+    backward (ops/lstm_pallas scheme). The recurrent h stays un-dropped.
+    Gate with kernel_dropout_ok()."""
+    use_drop = drop_keep < 1.0
     out = _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
-                   mask=None)
-    return out, (gates_x, cand_x, w_gh, w_ch, out)
+                   mask=None,
+                   drop=(drop_seed, drop_keep) if use_drop else None)
+    return out
 
 
-def _gru_seq_bwd(bf16_matmul, res, g):
-    gates_x, cand_x, w_gh, w_ch, h_seq = res
+def _gru_seq_fwd(gates_x, cand_x, w_gh, w_ch, drop_seed, bf16_matmul,
+                 drop_keep):
+    use_drop = drop_keep < 1.0
+    if use_drop:
+        out, clean = _fwd_seq(gates_x, cand_x, w_gh, w_ch,
+                              bf16_matmul=bf16_matmul, mask=None,
+                              drop=(drop_seed, drop_keep), save_clean=True)
+    else:
+        out = _fwd_seq(gates_x, cand_x, w_gh, w_ch,
+                       bf16_matmul=bf16_matmul, mask=None)
+        clean = out
+    return out, (gates_x, cand_x, w_gh, w_ch, drop_seed, clean)
+
+
+def _gru_seq_bwd(bf16_matmul, drop_keep, res, g):
+    gates_x, cand_x, w_gh, w_ch, drop_seed, h_seq = res
+    use_drop = drop_keep < 1.0
+    d_seed = None if drop_seed is None else jnp.zeros_like(drop_seed)
     outs = _bwd_seq(w_gh, w_ch, h_seq, gates_x, cand_x, g, None,
-                    bf16_matmul)
+                    bf16_matmul,
+                    drop=(drop_seed, drop_keep) if use_drop else None)
     if outs is not None:
-        return outs
+        return outs + (d_seed,)
     _, vjp = jax.vjp(lambda gx, cx, wg, wc: _replay_scan(gx, cx, wg, wc, None),
                      gates_x, cand_x, w_gh, w_ch)
-    return vjp(g)
+    return vjp(g) + (d_seed,)
 
 
 gru_seq.defvjp(_gru_seq_fwd, _gru_seq_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def gru_seq_masked(gates_x: Array, cand_x: Array, w_gh: Array, w_ch: Array,
-                   mask: Array, bf16_matmul: bool = False) -> Array:
+                   mask: Array, drop_seed: Array | None = None,
+                   bf16_matmul: bool = False,
+                   drop_keep: float = 1.0) -> Array:
     """Fused GRU with per-step carry-through masking (mask [T,B,1], 1=valid).
 
     Padded steps leave h unchanged; emitted h at padded steps is the carried
-    state, NOT zero — callers mask outside (rnn.rnn_layer does)."""
+    state, NOT zero — callers mask outside (rnn.rnn_layer does).
+    drop_seed/drop_keep: see gru_seq."""
+    use_drop = drop_keep < 1.0
     return _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
-                    mask=mask)
+                    mask=mask,
+                    drop=(drop_seed, drop_keep) if use_drop else None)
 
 
-def _gru_seq_masked_fwd(gates_x, cand_x, w_gh, w_ch, mask, bf16_matmul):
-    out = _fwd_seq(gates_x, cand_x, w_gh, w_ch, bf16_matmul=bf16_matmul,
-                   mask=mask)
-    return out, (gates_x, cand_x, w_gh, w_ch, mask, out)
+def _gru_seq_masked_fwd(gates_x, cand_x, w_gh, w_ch, mask, drop_seed,
+                        bf16_matmul, drop_keep):
+    use_drop = drop_keep < 1.0
+    if use_drop:
+        out, clean = _fwd_seq(gates_x, cand_x, w_gh, w_ch,
+                              bf16_matmul=bf16_matmul, mask=mask,
+                              drop=(drop_seed, drop_keep), save_clean=True)
+    else:
+        out = _fwd_seq(gates_x, cand_x, w_gh, w_ch,
+                       bf16_matmul=bf16_matmul, mask=mask)
+        clean = out
+    return out, (gates_x, cand_x, w_gh, w_ch, mask, drop_seed, clean)
 
 
-def _gru_seq_masked_bwd(bf16_matmul, res, g):
-    gates_x, cand_x, w_gh, w_ch, mask, h_seq = res
+def _gru_seq_masked_bwd(bf16_matmul, drop_keep, res, g):
+    gates_x, cand_x, w_gh, w_ch, mask, drop_seed, h_seq = res
+    use_drop = drop_keep < 1.0
+    d_seed = None if drop_seed is None else jnp.zeros_like(drop_seed)
     outs = _bwd_seq(w_gh, w_ch, h_seq, gates_x, cand_x, g, mask,
-                    bf16_matmul)
+                    bf16_matmul,
+                    drop=(drop_seed, drop_keep) if use_drop else None)
     if outs is not None:
-        return outs + (jnp.zeros_like(mask),)
+        return outs + (jnp.zeros_like(mask), d_seed)
     _, vjp = jax.vjp(lambda gx, cx, wg, wc: _replay_scan(gx, cx, wg, wc, mask),
                      gates_x, cand_x, w_gh, w_ch)
-    return vjp(g) + (jnp.zeros_like(mask),)
+    return vjp(g) + (jnp.zeros_like(mask), d_seed)
 
 
 gru_seq_masked.defvjp(_gru_seq_masked_fwd, _gru_seq_masked_bwd)
