@@ -131,7 +131,8 @@ def launch_eval(cfg: ExperimentConfig) -> None:
     # Trigram table or (possibly differently-shaped) RNN-LM checkpoint —
     # see eval/lm_loader.py for the artifact semantics.
     from e2e_asr_tpu.eval.lm_loader import load_fusion_lm
-    lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab)
+    lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab,
+                               max_steps=cfg.beam.max_steps)
 
     # -data_axis > 1 at eval: decode batches shard over a ("data",) mesh
     # (utterances are independent, so DP decoding is exact; batches whose

@@ -18,8 +18,13 @@ import numpy as np
 
 
 def load_fusion_lm(lm_path: str, model_cfg, rev_vocab: list[str],
-                   *, verbose: bool = True):
-    """Returns the lm_params tree for `lm_path`, or None when empty."""
+                   *, verbose: bool = True, max_steps: int | None = None):
+    """Returns the lm_params tree for `lm_path`, or None when empty.
+
+    max_steps: the decode's step cap — sizes the tied transformer-decoder
+    LM view's position table as max(512, max_steps + 2), matching how
+    beam_eval/serving size the in-jit fallback view (a too-small table is
+    a trace-time error at fusion_init for long decodes)."""
     if not lm_path:
         return None
     import jax
@@ -56,5 +61,7 @@ def load_fusion_lm(lm_path: str, model_cfg, rev_vocab: list[str],
     lm_tree = ckpt_lib.partial_restore(
         seq2seq.init(jax.random.PRNGKey(0), model_cfg), lm_path,
         scope="decoder_char")
+    horizon = 512 if max_steps is None else max(512, max_steps + 2)
     return rnn_lm.shared_lm_params(lm_tree,
-                                   dec_cfg=model_cfg.decoders.get("char"))
+                                   dec_cfg=model_cfg.decoders.get("char"),
+                                   horizon=horizon)

@@ -406,7 +406,8 @@ def main(argv=None) -> dict:
         print("Quantized params to int8 (weight-only, per-channel)")
 
     from e2e_asr_tpu.eval.lm_loader import load_fusion_lm
-    lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab)
+    lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab,
+                               max_steps=cfg.beam.max_steps)
 
     # Engine-level contextual biasing (same recipe as the eval CLI).
     bias = None

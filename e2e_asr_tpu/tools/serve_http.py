@@ -477,7 +477,8 @@ def main(argv=None) -> None:
         params = step_lib.lora_merged(state.params, cfg.model)
     print(f"Serving the model from: {ckpt_path}")
 
-    lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab)
+    lm_params = load_fusion_lm(cfg.beam.lm_path, cfg.model, rev_vocab,
+                               max_steps=cfg.beam.max_steps)
     # -boost_phrases FILE + -boost_weight W: engine-level glossary on every
     # request (the eval CLI semantic). -boost_weight alone: per-request
     # hotwords via the ?boost= query parameter.
