@@ -51,13 +51,17 @@ def use_pallas_lstm() -> bool:
 
 
 def lstm_scan(params: dict, x_seq: Array, lens: Array,
-              *, compute_dtype=None, impl: str = "auto") -> Array:
+              *, compute_dtype=None, impl: str = "auto",
+              drop: tuple | None = None) -> Array:
     """Unidirectional LSTM over x_seq [T, B, F] -> outputs [T, B, H].
 
     Outputs at t >= lens are zeroed. Final state is not returned (the
     reference never consumes RNN final states).
 
     impl: "auto" (Pallas fused kernel where available), "pallas", or "xla".
+    drop: (seed [1] int32, keep) — in-kernel PRNG output dropout on the
+    Pallas path (caller gates with lstm_pallas.kernel_dropout_ok_uni; the
+    XLA path ignores it — rnn_layer applies xla_dropout there instead).
     """
     T, B, in_dim = x_seq.shape
     hidden = params["bias"].shape[0] // 4
@@ -70,7 +74,9 @@ def lstm_scan(params: dict, x_seq: Array, lens: Array,
         if impl == "pallas" or lstm_pallas.fwd_fits(T, B, hidden,
                                                     compute_dtype is not None):
             outputs = lstm_pallas.lstm_seq(x_proj, params["kernel"][in_dim:],
-                                           compute_dtype is not None)
+                                           None if drop is None else drop[0],
+                                           compute_dtype is not None,
+                                           1.0 if drop is None else drop[1])
             return outputs * length_mask(lens, T)[:, :, None]
         # Layer too wide for the kernel's VMEM budget: XLA scan below.
 
@@ -294,6 +300,30 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
             bw_out = jnp.flip(h_flip * valid[:, :, None], axis=0)
             return jnp.concatenate([fw_out, bw_out], axis=-1)
 
+    if (not bidirectional and use_drop
+            and (impl == "pallas" or (impl == "auto" and use_pallas_lstm()))
+            and not os.environ.get("E2E_ASR_NO_KERNEL_DROPOUT")):
+        # Forward-only (streaming-trainable) layers: single-direction
+        # in-kernel dropout when the kernels admit it.
+        T, B, _ = x_seq.shape
+        if cell == "lstm":
+            from e2e_asr_tpu.ops import lstm_pallas
+            hidden = params["fw"]["bias"].shape[0] // 4
+            ok = lstm_pallas.kernel_dropout_ok_uni(
+                T, B, hidden, compute_dtype is not None)
+        else:
+            from e2e_asr_tpu.ops import gru_pallas
+            hidden = params["fw"]["candidate"]["bias"].shape[0]
+            ok = gru_pallas.kernel_dropout_ok(
+                T, B, hidden, compute_dtype is not None)
+        if ok:
+            seed = jax.random.randint(out_dropout[0], (1,), 0,
+                                      jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            return scan(params["fw"], x_seq, lens,
+                        compute_dtype=compute_dtype, impl=impl,
+                        drop=(seed, keep))
+
     fw_out = scan(params["fw"], x_seq, lens, compute_dtype=compute_dtype,
                   impl=impl)
     if not bidirectional:
@@ -327,7 +357,7 @@ def rnn_layer(params: dict, x_seq: Array, lens: Array, *, cell: str = "lstm",
                 out_dtype=compute_dtype)
             h_flip = lstm_pallas.lstm_seq_masked(
                 x_proj, params["bw"]["kernel"][in_dim:], valid[:, :, None],
-                compute_dtype is not None)
+                None, compute_dtype is not None)
         else:
             from e2e_asr_tpu.ops import gru_pallas
             gates_x, cand_x = cells_mod.gru_precompute_inputs(

@@ -227,11 +227,15 @@ def _cell_math_acts(gates: Array, c: Array, H: int
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
-                with_mask: bool):
+                with_mask: bool, drop_keep: float | None = None):
     it = iter(refs)
+    seed_ref = next(it) if drop_keep is not None else None
     x_proj_ref, w_h_ref = next(it), next(it)
     mask_ref = next(it) if with_mask else None
     out_ref = next(it)
+    # With dropout + save_c the clean (un-dropped) h is the VJP residual —
+    # the dropped out feeds the next layer (see _fwd_bidir_kernel).
+    clean_ref = next(it) if (save_c and drop_keep is not None) else None
     c_out_ref = next(it) if save_c else None
     c_ref, h_ref = next(it), next(it)
 
@@ -255,7 +259,13 @@ def _fwd_kernel(*refs, steps: int, save_c: bool, bf16_matmul: bool,
             valid = mask_ref[s]
             new_c = valid * new_c + (1.0 - valid) * c_ref[:]
             new_h = valid * new_h + (1.0 - valid) * h_ref[:]
-        out_ref[s] = new_h
+        if drop_keep is not None:
+            pltpu.prng_seed(seed_ref[0], t * steps + s)
+            out_ref[s] = new_h * _drop_mask(new_h.shape[0], H, drop_keep)
+            if clean_ref is not None:
+                clean_ref[s] = new_h.astype(clean_ref.dtype)
+        else:
+            out_ref[s] = new_h
         c_ref[:] = new_c
         h_ref[:] = new_h
         if save_c:
@@ -355,47 +365,71 @@ def _fwd_seq_chunked(x_proj: Array, w_h: Array, *, save_c: bool,
 
 
 def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
-             bf16_matmul: bool = False, mask: Array | None = None) -> tuple:
+             bf16_matmul: bool = False, mask: Array | None = None,
+             drop: tuple | None = None) -> tuple:
     """x_proj: [T, B, 4H] f32 (input projection + bias); w_h: [H, 4H];
-    mask: optional [T, B, 1] f32 validity (carry-through on zeros).
+    mask: optional [T, B, 1] f32 validity (carry-through on zeros);
+    drop: (seed [1] int32, keep) — in-kernel PRNG output dropout (gate
+    callers with kernel_dropout_ok_uni; not supported on the
+    weight-streaming chunked variant).
 
-    Returns (h_seq [T, B, H][, c_seq]). Dispatches to the weight-streaming
-    variant when W_h cannot stay resident in VMEM."""
+    Returns (h_seq [T, B, H][, clean_seq when drop+save_c][, c_seq]).
+    Dispatches to the weight-streaming variant when W_h cannot stay
+    resident in VMEM."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
     wbytes = 2 if bf16_matmul else 4
     if not (_weights_resident_fits(1, B, H)
             or _fwd_wide_vmem_bytes(1, B, H, wbytes) <= VMEM_BUDGET_WIDE):
+        if drop is not None:
+            raise RuntimeError("in-kernel dropout is not supported on the "
+                               "chunked forward; gate with "
+                               "kernel_dropout_ok_uni()")
         # Too wide to keep W resident even under the raised limit: stream
         # W from HBM in double-buffered tiles.
         return _fwd_seq_chunked(x_proj, w_h, save_c=save_c,
                                 bf16_matmul=bf16_matmul, mask=mask)
+    res_dtype = jnp.bfloat16 if bf16_matmul else jnp.float32
+    save_clean = save_c and drop is not None
+
+    def _extra_bytes(s):
+        return (2 * s * B * H * (2 if bf16_matmul else 4)
+                if save_clean else 0)
+
     S, extended = _pick_steps(T, lambda s: (
-        _fwd_vmem_bytes(s, B, H) <= VMEM_BUDGET,
-        _fwd_wide_vmem_bytes(s, B, H, wbytes) <= VMEM_BUDGET_WIDE))
+        _fwd_vmem_bytes(s, B, H) + _extra_bytes(s) <= VMEM_BUDGET,
+        (_fwd_wide_vmem_bytes(s, B, H, wbytes) + _extra_bytes(s)
+         <= VMEM_BUDGET_WIDE)))
     # bf16 W halves its resident footprint under bf16 compute (wide tier).
     w_arg = w_h.astype(jnp.bfloat16) if (extended and bf16_matmul) else w_h
+    blk3 = lambda t: (t, 0, 0)                        # noqa: E731
     out_shapes = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
-    out_specs = [pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
-                              memory_space=pltpu.VMEM)]
+    out_specs = [pl.BlockSpec((S, B, H), blk3, memory_space=pltpu.VMEM)]
+    if save_clean:
+        out_shapes.append(jax.ShapeDtypeStruct((T, B, H), res_dtype))
+        out_specs.append(pl.BlockSpec((S, B, H), blk3,
+                                      memory_space=pltpu.VMEM))
     if save_c:
         # c is a pure VJP residual: bf16 under bf16 compute (see _fwd_bidir).
-        c_dtype = jnp.bfloat16 if bf16_matmul else jnp.float32
-        out_shapes.append(jax.ShapeDtypeStruct((T, B, H), c_dtype))
-        out_specs.append(pl.BlockSpec((S, B, H), lambda t: (t, 0, 0),
+        out_shapes.append(jax.ShapeDtypeStruct((T, B, H), res_dtype))
+        out_specs.append(pl.BlockSpec((S, B, H), blk3,
                                       memory_space=pltpu.VMEM))
     in_specs = [
-        pl.BlockSpec((S, B, H4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, B, H4), blk3, memory_space=pltpu.VMEM),
         pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
     ]
     args = [x_proj, w_arg]
+    if drop is not None:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, drop[0])
     if mask is not None:
-        in_specs.append(pl.BlockSpec((S, B, 1), lambda t: (t, 0, 0),
+        in_specs.append(pl.BlockSpec((S, B, 1), blk3,
                                      memory_space=pltpu.VMEM))
         args.append(mask)
     kernel = functools.partial(_fwd_kernel, steps=S, save_c=save_c,
                                bf16_matmul=bf16_matmul,
-                               with_mask=mask is not None)
+                               with_mask=mask is not None,
+                               drop_keep=None if drop is None else drop[1])
     extra = {"compiler_params": _wide_params()} if extended else {}
     outs = pl.pallas_call(
         kernel,
@@ -407,7 +441,7 @@ def _fwd_seq(x_proj: Array, w_h: Array, *, save_c: bool,
             pltpu.VMEM((B, H), jnp.float32),   # c carry
             pltpu.VMEM((B, H), jnp.float32),   # h carry
         ],
-        interpret=_interpret(),
+        interpret=_interpret() if drop is None else _interp_mode(),
         **extra,
     )(*args)
     return tuple(outs)
@@ -782,6 +816,22 @@ def kernel_dropout_ok(T: int, B: int, H: int, bf16: bool = False) -> bool:
             and bidir_fits(T, B, H, bf16, train_drop=True,
                            save_acts=_save_gates())
             and _bwd_choice(T, B, H, bf16, drop_B=B) is not None)
+
+
+def kernel_dropout_ok_uni(T: int, B: int, H: int, bf16: bool = False) -> bool:
+    """kernel_dropout_ok for the SINGLE-direction kernels (forward-only /
+    streaming-trainable encoders, rnn_layer(bidirectional=False)): real TPU
+    backend, a non-chunked forward that fits with the clean-h residual
+    output, and a Pallas backward (the XLA fallback cannot replay the
+    PRNG stream)."""
+    if jax.default_backend() != "tpu":
+        return False
+    wbytes = 2 if bf16 else 4
+    extra = 2 * 1 * B * H * (2 if bf16 else 4)        # clean residual, S=1
+    fwd_ok = (_fwd_vmem_bytes(1, B, H) + extra <= VMEM_BUDGET
+              or (_fwd_wide_vmem_bytes(1, B, H, wbytes) + extra
+                  <= VMEM_BUDGET_WIDE))
+    return fwd_ok and _bwd_choice(T, B, H, bf16, drop_B=B) is not None
 
 
 def _bwd_seq(w_h: Array, h_seq: Array, c_seq: Array, x_proj: Array,
@@ -1341,61 +1391,92 @@ def _bwd_seq_bidir(w_fw, w_bw, h_fw, c_fw, xp_fw, g_fw,
 # Public API (custom VJP)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def lstm_seq(x_proj: Array, w_h: Array, bf16_matmul: bool = False) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def lstm_seq(x_proj: Array, w_h: Array, drop_seed: Array | None = None,
+             bf16_matmul: bool = False, drop_keep: float = 1.0) -> Array:
     """Fused LSTM over time. x_proj: [T,B,4H] = x@W_x + b; w_h: [H,4H].
 
     Returns h_seq [T,B,H] from zero initial state (unmasked — caller masks).
     bf16_matmul runs the recurrent matmuls on the MXU in bfloat16 (gates and
-    states stay f32).
+    states stay f32). drop_seed [1] int32 + drop_keep < 1: in-kernel PRNG
+    output dropout (per-absolute-step seeding, replayed in the Pallas
+    backward; the recurrent state stays un-dropped) — gate with
+    kernel_dropout_ok_uni().
     """
-    (h_seq,) = _fwd_seq(x_proj, w_h, save_c=False, bf16_matmul=bf16_matmul)
+    use_drop = drop_keep < 1.0
+    (h_seq,) = _fwd_seq(x_proj, w_h, save_c=False, bf16_matmul=bf16_matmul,
+                        drop=(drop_seed, drop_keep) if use_drop else None)
     return h_seq
 
 
-def _lstm_seq_fwd(x_proj, w_h, bf16_matmul):
-    h_seq, c_seq = _fwd_seq(x_proj, w_h, save_c=True, bf16_matmul=bf16_matmul)
-    return h_seq, (x_proj, w_h, h_seq, c_seq)
+def _lstm_seq_fwd(x_proj, w_h, drop_seed, bf16_matmul, drop_keep):
+    use_drop = drop_keep < 1.0
+    outs = _fwd_seq(x_proj, w_h, save_c=True, bf16_matmul=bf16_matmul,
+                    drop=(drop_seed, drop_keep) if use_drop else None)
+    if use_drop:
+        h_seq, clean, c_seq = outs
+    else:
+        h_seq, c_seq = outs
+        clean = h_seq
+    return h_seq, (x_proj, w_h, drop_seed, clean, c_seq)
 
 
-def _lstm_seq_bwd(bf16_matmul, res, g):
-    x_proj, w_h, h_seq, c_seq = res
-    dx, dwh = _bwd_seq(w_h, h_seq, c_seq, x_proj, g, bf16_matmul=bf16_matmul)
+def _lstm_seq_bwd(bf16_matmul, drop_keep, res, g):
+    x_proj, w_h, drop_seed, h_seq, c_seq = res
+    use_drop = drop_keep < 1.0
+    d_seed = None if drop_seed is None else jnp.zeros_like(drop_seed)
+    dx, dwh = _bwd_seq(w_h, h_seq, c_seq, x_proj, g, bf16_matmul=bf16_matmul,
+                       drop=(drop_seed, drop_keep) if use_drop else None)
     # x_proj may be stored bf16 (bandwidth; cells.lstm_precompute_inputs
     # out_dtype) — the cotangent dtype must match the primal's.
-    return dx.astype(x_proj.dtype), dwh
+    return dx.astype(x_proj.dtype), dwh, d_seed
 
 
 lstm_seq.defvjp(_lstm_seq_fwd, _lstm_seq_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def lstm_seq_masked(x_proj: Array, w_h: Array, mask: Array,
-                    bf16_matmul: bool = False) -> Array:
+                    drop_seed: Array | None = None,
+                    bf16_matmul: bool = False,
+                    drop_keep: float = 1.0) -> Array:
     """Fused LSTM with per-step carry-through masking.
 
     mask: [T, B, 1] f32 (1=valid frame, 0=padding): padded steps leave (c, h)
     unchanged. Used for the backward direction of bidirectional layers (inputs
     time-flipped, padding leading). The emitted h at padded steps is the
     carried state, NOT zero — callers multiply by the mask afterwards
-    (rnn.rnn_layer does).
+    (rnn.rnn_layer does). drop_seed/drop_keep: see lstm_seq.
     """
+    use_drop = drop_keep < 1.0
     (h_seq,) = _fwd_seq(x_proj, w_h, save_c=False, bf16_matmul=bf16_matmul,
-                        mask=mask)
+                        mask=mask,
+                        drop=(drop_seed, drop_keep) if use_drop else None)
     return h_seq
 
 
-def _lstm_seq_masked_fwd(x_proj, w_h, mask, bf16_matmul):
-    h_seq, c_seq = _fwd_seq(x_proj, w_h, save_c=True, bf16_matmul=bf16_matmul,
-                            mask=mask)
-    return h_seq, (x_proj, w_h, mask, h_seq, c_seq)
+def _lstm_seq_masked_fwd(x_proj, w_h, mask, drop_seed, bf16_matmul,
+                         drop_keep):
+    use_drop = drop_keep < 1.0
+    outs = _fwd_seq(x_proj, w_h, save_c=True, bf16_matmul=bf16_matmul,
+                    mask=mask,
+                    drop=(drop_seed, drop_keep) if use_drop else None)
+    if use_drop:
+        h_seq, clean, c_seq = outs
+    else:
+        h_seq, c_seq = outs
+        clean = h_seq
+    return h_seq, (x_proj, w_h, mask, drop_seed, clean, c_seq)
 
 
-def _lstm_seq_masked_bwd(bf16_matmul, res, g):
-    x_proj, w_h, mask, h_seq, c_seq = res
+def _lstm_seq_masked_bwd(bf16_matmul, drop_keep, res, g):
+    x_proj, w_h, mask, drop_seed, h_seq, c_seq = res
+    use_drop = drop_keep < 1.0
+    d_seed = None if drop_seed is None else jnp.zeros_like(drop_seed)
     dx, dwh = _bwd_seq(w_h, h_seq, c_seq, x_proj, g,
-                       bf16_matmul=bf16_matmul, mask=mask)
-    return dx.astype(x_proj.dtype), dwh, jnp.zeros_like(mask)
+                       bf16_matmul=bf16_matmul, mask=mask,
+                       drop=(drop_seed, drop_keep) if use_drop else None)
+    return dx.astype(x_proj.dtype), dwh, jnp.zeros_like(mask), d_seed
 
 
 lstm_seq_masked.defvjp(_lstm_seq_masked_fwd, _lstm_seq_masked_bwd)
