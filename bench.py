@@ -291,6 +291,43 @@ def _measure_transformer_decoder(jax, jnp, rng):
     return out
 
 
+def _measure_forward_only(jax, jnp, rng):
+    """Train-step throughput for the forward-only (-bi_dir false) flagship —
+    the exact-zero-lookahead streaming configuration (eval/streaming.py):
+    single-direction fused kernels with round-5 in-kernel dropout."""
+    import dataclasses
+
+    from __graft_entry__ import _batch, _model_cfg
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.models import seq2seq
+    from e2e_asr_tpu.train import step as step_lib
+
+    cfg = _model_cfg(vocab_size=VOCAB, feat=FEAT)
+    cfg = dataclasses.replace(cfg, encoder=dataclasses.replace(
+        cfg.encoder, bi_dir=False))
+    lm_cfg = LMConfig(vocab_size=VOCAB)
+    state = step_lib.create_state(
+        seq2seq.init(jax.random.PRNGKey(0), cfg), cfg, lm_cfg)
+    asr_step = jax.jit(step_lib.make_train_step(
+        cfg, lm_cfg, compute_dtype=jnp.bfloat16)[0], donate_argnums=0)
+    batch = _batch(rng, B=TRAIN_B, T=TRAIN_T, feat=FEAT, L=TRAIN_L,
+                   vocab=VOCAB)
+    key = jax.random.PRNGKey(1)
+    state, m = asr_step(state, batch, key)
+    float(m["loss"])
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, m = asr_step(state, batch, key)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / 10)
+    mfu, tflops = _mfu(cfg, best, B=TRAIN_B, T=TRAIN_T, L=TRAIN_L - 1)
+    return {"step_ms": best * 1e3,
+            "frames_per_sec": TRAIN_B * TRAIN_T / best,
+            "mfu": mfu, "tflops_per_step": tflops}
+
+
 def _measure_gru(jax, jnp, rng):
     """Train-step throughput for the GRU family (reference use_lstm=False):
     fused encoder fwd+bwd and fused training-decoder kernels
@@ -573,6 +610,7 @@ def main() -> None:
     transformer = _measure_transformer(jax, jnp, rng)
     all_transformer = _measure_transformer_decoder(jax, jnp, rng)
     gru = _measure_gru(jax, jnp, rng)
+    fwd_only = _measure_forward_only(jax, jnp, rng)
     rnnt = _measure_transducer(jax, jnp, rng)
     driver_fps, driver_resident_fps = _measure_driver(jax, jnp)
     decode_rows = _measure_decode(jax, jnp, cfg, rng)
@@ -631,6 +669,7 @@ def main() -> None:
         "transformer_encoder": transformer,
         "all_transformer": all_transformer,
         "gru_family": gru,
+        "forward_only_streaming": fwd_only,
         "transducer_family": rnnt,
         "driver_frames_per_sec": driver_fps,
         "driver_over_step_ratio": driver_fps / frames_per_sec,
