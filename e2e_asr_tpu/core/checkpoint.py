@@ -264,70 +264,57 @@ def save_sharded(ckpt_dir: str, prefix: str, step: int, state,
     with open(tmp, "wb") as f:
         np.savez(f, **entries)
     os.replace(tmp, shard_path)
-    # Commit protocol: every process marks its shard durable with a .done
-    # file; process 0 publishes the index + pointer only after ALL markers
-    # exist. Without this, a reader following the pointer (or a crash
-    # between p0's write and a lagging worker's) could observe a published
-    # checkpoint whose shards-p{i}.npz are missing/partial — _assemble_
-    # sharded would raise and "latest" would point at an unrestorable step.
-    done_path = os.path.join(ckpt_dir, f"{prefix}-{step}.done-p{pidx}")
-    with open(done_path, "w") as f:
-        f.write("ok")
+    # Commit protocol: a REAL cross-process barrier between every process's
+    # atomic shard write and process 0's index/pointer publication. Without
+    # it, a reader following the pointer (or a crash between p0's write and
+    # a lagging worker's) could observe a published checkpoint whose
+    # shards-p{i}.npz are missing or stale — _assemble_sharded would raise,
+    # or worse, silently mix shards from two save attempts at the same step
+    # (filesystem markers cannot distinguish attempts; a collective can).
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(
+            f"save_sharded:{prefix}:{step}")
     if pidx != 0:
         return "", local_bytes
-    nprocs = jax.process_count()
-    _wait_for_done_markers(ckpt_dir, prefix, step, nprocs)
     index_path = os.path.join(ckpt_dir, f"{prefix}-{step}.index.json")
     with open(index_path + ".tmp", "w") as f:
-        json.dump({"leaves": index, "nprocs": nprocs,
+        json.dump({"leaves": index, "nprocs": jax.process_count(),
                    "step": step, "meta": meta or {}}, f)
     os.replace(index_path + ".tmp", index_path)
-    with open(os.path.join(ckpt_dir, "checkpoint"), "w") as f:
+    # Pointer last, and atomically — a crash mid-publish must leave either
+    # the previous pointer or the new one, never a half-written file.
+    pointer = os.path.join(ckpt_dir, "checkpoint")
+    with open(pointer + ".tmp", "w") as f:
         json.dump({"latest": os.path.basename(index_path), "step": step,
                    "meta": {**(meta or {}), "sharded": True}}, f)
+    os.replace(pointer + ".tmp", pointer)
     if max_to_keep:
         _gc_sharded(ckpt_dir, prefix, max_to_keep)
     return index_path, local_bytes
 
 
-def _wait_for_done_markers(ckpt_dir: str, prefix: str, step: int,
-                           nprocs: int, timeout_s: float = 600.0) -> None:
-    """Block until every process's {prefix}-{step}.done-p{i} exists (shared
-    filesystem). Raises after timeout_s — an unrestorable published pointer
-    is worse than a loud failed save."""
-    import time as _time
-    deadline = _time.monotonic() + timeout_s
-    while True:
-        missing = [p for p in range(nprocs)
-                   if not os.path.isfile(
-                       os.path.join(ckpt_dir, f"{prefix}-{step}.done-p{p}"))]
-        if not missing:
-            return
-        if _time.monotonic() > deadline:
-            raise TimeoutError(
-                f"sharded save step {step}: processes {missing} never "
-                f"marked their shards durable within {timeout_s:.0f}s — "
-                "not publishing the checkpoint pointer")
-        _time.sleep(0.05)
-
-
 def _gc_sharded(ckpt_dir: str, prefix: str, keep: int) -> None:
-    """Delete old steps' files. Runs on process 0 only, AFTER the current
-    step's barrier (_wait_for_done_markers), so every live process has
-    finished writing all steps <= the one just committed; only steps
-    strictly older than the kept window are removed. Fully-committed steps
-    are identified by their index file — a step whose index was never
-    published (crashed mid-save) is also swept once it falls out of the
-    window of .shards- files."""
-    pat = re.compile(re.escape(prefix) + r"-(\d+)\.(?:index\.json|done-p0)$")
-    steps = sorted({int(m.group(1)) for name in os.listdir(ckpt_dir)
-                    if (m := pat.match(name))})
-    for step in steps[:-keep]:
-        for name in os.listdir(ckpt_dir):
-            if (name.startswith(f"{prefix}-{step}.index.json")
-                    or name.startswith(f"{prefix}-{step}.shards-")
-                    or name.startswith(f"{prefix}-{step}.done-")):
-                os.remove(os.path.join(ckpt_dir, name))
+    """Keep the `keep` newest COMMITTED steps (those with a published
+    index); delete every other step's files — including orphan shards from
+    save attempts that crashed before publication. Runs on process 0 only,
+    AFTER the current step's barrier, so no live process is mid-write of
+    any step when this sweeps; orphans from a previous (dead) incarnation
+    are stale by definition. External readers mid-assemble of an evicted
+    step can still lose the race — inherent to any retention window."""
+    idx_pat = re.compile(re.escape(prefix) + r"-(\d+)\.index\.json$")
+    file_pat = re.compile(
+        re.escape(prefix) + r"-(\d+)\.(?:index\.json(?:\.tmp)?|"
+        r"shards-p\d+\.npz(?:\.tmp)?|done-p\d+)$")
+    committed = sorted(int(m.group(1)) for name in os.listdir(ckpt_dir)
+                       if (m := idx_pat.match(name)))
+    keep_steps = set(committed[-keep:])
+    if not keep_steps:
+        return
+    for name in os.listdir(ckpt_dir):
+        m = file_pat.match(name)
+        if m and int(m.group(1)) not in keep_steps:
+            os.remove(os.path.join(ckpt_dir, name))
 
 
 def _assemble_sharded(index_path: str) -> dict[str, np.ndarray]:

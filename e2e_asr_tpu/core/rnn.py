@@ -12,6 +12,7 @@ sequential.
 """
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -107,29 +108,63 @@ def gru_scan(params: dict, x_seq: Array, lens: Array,
     """
     T, B, in_dim = x_seq.shape
     hidden = params["candidate"]["bias"].shape[0]
+    # BOTH paths consume the SAME precomputed (and, under bf16 compute,
+    # bf16-rounded) input projections — the lstm_scan discipline: never
+    # round in only one path (Pallas<->XLA consistency across the
+    # fwd_fits boundary and E2E_ASR_NO_PALLAS).
+    gates_x, cand_x = cells.gru_precompute_inputs(
+        params, x_seq, in_dim, compute_dtype=compute_dtype,
+        out_dtype=compute_dtype)
+    w_gh = params["gates"]["kernel"][in_dim:]
+    w_ch = params["candidate"]["kernel"][in_dim:]
 
     if impl == "pallas" or (impl == "auto" and use_pallas_lstm()):
         from e2e_asr_tpu.ops import gru_pallas
         if impl == "pallas" or gru_pallas.fwd_fits(T, B, hidden,
                                                    compute_dtype is not None):
-            gates_x, cand_x = cells.gru_precompute_inputs(
-                params, x_seq, in_dim, compute_dtype=compute_dtype,
-                out_dtype=compute_dtype)
             outputs = gru_pallas.gru_seq(
-                gates_x, cand_x, params["gates"]["kernel"][in_dim:],
-                params["candidate"]["kernel"][in_dim:],
+                gates_x, cand_x, w_gh, w_ch,
                 None if drop is None else drop[0],
                 compute_dtype is not None,
                 1.0 if drop is None else drop[1])
             return outputs * length_mask(lens, T)[:, :, None]
 
-    def step(h, x):
-        out, new_h = cells.gru_step(params, x, h, compute_dtype=compute_dtype)
-        return new_h, out
-
-    init = cells.gru_zero_state((B,), hidden)
-    _, outputs = jax.lax.scan(step, init, x_seq)
+    _, outputs = jax.lax.scan(
+        functools.partial(_gru_split_step, w_gh, w_ch, hidden, compute_dtype,
+                          None),
+        cells.gru_zero_state((B,), hidden), (gates_x, cand_x))
     return outputs * length_mask(lens, T)[:, :, None]
+
+
+def _gru_split_step(w_gh, w_ch, hidden, compute_dtype, freeze, h, xs):
+    """One GRU step over precomputed input projections — the exact math of
+    the fused kernel (ops/gru_pallas._fwd_kernel): value = sigmoid(gx +
+    h@W_gh), c = tanh(cx + (r*h)@W_ch), h' = u*h + (1-u)*c, with the
+    matmuls in compute_dtype accumulated f32. freeze: optional (t, lens)
+    threading for the stateful/streaming variant."""
+    if freeze is None:
+        gx, cx = xs
+    else:
+        gx, cx = xs
+        t, h = h
+    w_g, w_c = w_gh, w_ch
+    hh = h
+    if compute_dtype is not None:
+        hh = hh.astype(compute_dtype)
+        w_g = w_g.astype(compute_dtype)
+        w_c = w_c.astype(compute_dtype)
+    value = jax.nn.sigmoid(
+        gx + jnp.dot(hh, w_g, preferred_element_type=jnp.float32))
+    r, u = value[:, :hidden], value[:, hidden:]
+    rh = r * h
+    rh_c = rh.astype(compute_dtype) if compute_dtype is not None else rh
+    c = jnp.tanh(cx + jnp.dot(rh_c, w_c,
+                              preferred_element_type=jnp.float32))
+    new_h = u * h + (1.0 - u) * c
+    if freeze is None:
+        return new_h, new_h
+    alive = (t < freeze)[:, None]
+    return (t + 1, jnp.where(alive, new_h, h)), new_h
 
 
 def lstm_scan_stateful(params: dict, x_seq: Array, lens: Array, init_state,
@@ -171,19 +206,23 @@ def lstm_scan_stateful(params: dict, x_seq: Array, lens: Array, init_state,
 def gru_scan_stateful(params: dict, x_seq: Array, lens: Array, init_state,
                       *, compute_dtype=None):
     """Unidirectional GRU with explicit initial state + length-frozen final
-    state (see lstm_scan_stateful)."""
-    T, B, _ = x_seq.shape
+    state (see lstm_scan_stateful). Consumes the same precomputed (and
+    bf16-rounded under bf16 compute) input projections and split-matmul
+    math as gru_scan/the fused kernel, so streaming chunks reproduce the
+    offline encode's numerics."""
+    T, B, in_dim = x_seq.shape
+    hidden = params["candidate"]["bias"].shape[0]
+    gates_x, cand_x = cells.gru_precompute_inputs(
+        params, x_seq, in_dim, compute_dtype=compute_dtype,
+        out_dtype=compute_dtype)
     lens_i = lens.astype(jnp.int32)
 
-    def step(carry, x):
-        t, h = carry
-        out, new_h = cells.gru_step(params, x, h, compute_dtype=compute_dtype)
-        alive = (t < lens_i)[:, None]
-        new_h = jnp.where(alive, new_h, h)
-        return (t + 1, new_h), out
-
     (_, final), outputs = jax.lax.scan(
-        step, (jnp.zeros((), jnp.int32), init_state), x_seq)
+        functools.partial(_gru_split_step,
+                          params["gates"]["kernel"][in_dim:],
+                          params["candidate"]["kernel"][in_dim:],
+                          hidden, compute_dtype, lens_i),
+        (jnp.zeros((), jnp.int32), init_state), (gates_x, cand_x))
     return outputs * length_mask(lens, T)[:, :, None], final
 
 

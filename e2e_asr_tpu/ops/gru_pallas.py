@@ -287,12 +287,18 @@ def kernel_dropout_ok(T: int, B: int, H: int, bf16: bool = False) -> bool:
     """Whether the GRU layer can take in-kernel PRNG output dropout: real
     TPU backend only (same rationale as lstm_pallas.kernel_dropout_ok —
     off-TPU the emulation breaks the SPMD partitioner and yields all-keep
-    masks) and BOTH directions' Pallas kernels must fit (the XLA replay
+    masks) and BOTH directions' Pallas kernels must fit INCLUDING the
+    training forward's extra clean-h residual output (the XLA replay
     fallback cannot regenerate the core PRNG's mask stream)."""
     from e2e_asr_tpu.ops.lstm_pallas import VMEM_BUDGET_WIDE
-    return (jax.default_backend() == "tpu"
-            and fwd_fits(T, B, H, bf16)
-            and _bwd_vmem_bytes(1, B, H, drop_B=B) <= VMEM_BUDGET_WIDE)
+    if jax.default_backend() != "tpu":
+        return False
+    wbytes = 2 if bf16 else 4
+    extra = 2 * 1 * B * H * (2 if bf16 else 4)   # clean residual, S=1
+    fwd_ok = (_fwd_vmem_bytes(1, B, H) + extra <= VMEM_BUDGET
+              or (_fwd_wide_vmem_bytes(1, B, H, wbytes) + extra
+                  <= VMEM_BUDGET_WIDE))
+    return fwd_ok and _bwd_vmem_bytes(1, B, H, drop_B=B) <= VMEM_BUDGET_WIDE
 
 
 def _bwd_seq(w_gh: Array, w_ch: Array, h_seq: Array, gates_x: Array,

@@ -101,19 +101,23 @@ def _bwd_fits(S: int, B: int, H: int) -> bool:
     return _bwd_vmem_bytes(S, B, H) <= VMEM_BUDGET
 
 
-def _bwd_nodw_vmem_bytes(S: int, B: int, H: int, wbytes: int) -> int:
+def _bwd_nodw_vmem_bytes(S: int, B: int, H: int, wbytes: int,
+                         drop_B: int = 0) -> int:
     """VMEM estimate for the wide-layer backward variant: same blocked refs,
     but W held ONCE in scratch (DMA'd from HBM at the first grid step; a
     VMEM-blocked W would be double-buffered by Mosaic — 2x8.4MB at H=1024
     bf16, observed OOM) and NO in-kernel dW accumulator (the [H,4H] f32
     accumulator is what blows VMEM at H>=1024 — dW is instead one big
-    external MXU matmul over the emitted dgates)."""
+    external MXU matmul over the emitted dgates). drop_B: the full-batch
+    dropout-mask transient, same as _bwd_vmem_bytes."""
     blocked = S * B * (4 * H + H + H + H + H + 4 * H)   # 12*S*B*H floats
-    return 4 * 2 * blocked + wbytes * 4 * H * H + 4 * 2 * B * H
+    return (4 * 2 * blocked + wbytes * 4 * H * H + 4 * 2 * B * H
+            + 4 * drop_B * H)
 
 
-def _bwd_nodw_fits(S: int, B: int, H: int, wbytes: int) -> bool:
-    return _bwd_nodw_vmem_bytes(S, B, H, wbytes) <= VMEM_BUDGET_WIDE
+def _bwd_nodw_fits(S: int, B: int, H: int, wbytes: int,
+                   drop_B: int = 0) -> bool:
+    return _bwd_nodw_vmem_bytes(S, B, H, wbytes, drop_B) <= VMEM_BUDGET_WIDE
 
 
 def _fwd_vmem_bytes(S: int, B: int, H: int) -> int:
@@ -792,7 +796,7 @@ def _bwd_choice(T: int, B: int, H: int, bf16_matmul: bool,
         if B % div:
             continue
         for s_try in s_opts:
-            if _bwd_nodw_fits(s_try, B // div, H, wbytes):
+            if _bwd_nodw_fits(s_try, B // div, H, wbytes, drop_B):
                 return (s_try, B // div, False, True)
     return None
 
