@@ -91,9 +91,13 @@ def _write_named(ckpt_dir: str, prefix: str, step: int,
     with open(tmp, "wb") as f:
         np.savez(f, **named)
     os.replace(tmp, path)
-    with open(os.path.join(ckpt_dir, "checkpoint"), "w") as f:
+    # Pointer atomically too: a crash mid-publish must leave the previous
+    # pointer or the new one, never a truncated file.
+    pointer = os.path.join(ckpt_dir, "checkpoint")
+    with open(pointer + ".tmp", "w") as f:
         json.dump({"latest": os.path.basename(path), "step": step,
                    "meta": meta or {}}, f)
+    os.replace(pointer + ".tmp", pointer)
     if max_to_keep:
         _gc(ckpt_dir, prefix, max_to_keep)
     return path
