@@ -122,3 +122,60 @@ def test_sharded_detects_missing_shard_file(tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError, match="shared filesystem"):
         ckpt_lib.restore(path, state)
+
+
+def test_sharded_gc_sweeps_crashed_attempt_orphans(tmp_path):
+    """Orphan shard/tmp files from a save attempt that crashed before its
+    index was published must be swept by GC — and phantom steps (shards
+    with no index) must NOT count toward max_to_keep (round-5 review
+    findings: counting them evicted restorable checkpoints early)."""
+    cfg = _cfg()
+    state = _state(cfg)
+    mesh = mesh_lib.make_mesh(n_data=8)
+    placed = sharding_lib.place_state(state, mesh, fsdp=True)
+    ckpt_lib.save_sharded(str(tmp_path), "asr.ckpt", 100, placed,
+                          max_to_keep=2)
+    ckpt_lib.save_sharded(str(tmp_path), "asr.ckpt", 200, placed,
+                          max_to_keep=2)
+    # Simulate a crash at step 250: shards + a half-written tmp, no index,
+    # plus a stale legacy .done marker from the old protocol.
+    for name in ("asr.ckpt-250.shards-p0.npz", "asr.ckpt-250.shards-p1.npz",
+                 "asr.ckpt-250.shards-p2.npz.tmp", "asr.ckpt-250.done-p0"):
+        with open(os.path.join(tmp_path, name), "wb") as f:
+            f.write(b"junk")
+    ckpt_lib.save_sharded(str(tmp_path), "asr.ckpt", 300, placed,
+                          max_to_keep=2)
+    names = sorted(os.listdir(tmp_path))
+    # Phantom 250 didn't count toward keep: 200 and 300 both survive.
+    assert any(n == "asr.ckpt-200.index.json" for n in names), names
+    assert any(n == "asr.ckpt-300.index.json" for n in names), names
+    assert not any(n.startswith("asr.ckpt-100.") for n in names), names
+    # The crashed attempt's orphans are gone.
+    assert not any(n.startswith("asr.ckpt-250.") for n in names), names
+    restored, _ = ckpt_lib.restore_latest(str(tmp_path), state)
+    _assert_trees_equal(restored, state)
+    # Both committed survivors assemble.
+    ckpt_lib.load_named(os.path.join(tmp_path, "asr.ckpt-200.index.json"))
+
+
+def test_pointer_file_is_replaced_atomically(tmp_path, monkeypatch):
+    """The 'checkpoint' pointer is published via tmp + os.replace on both
+    formats: interpose os.replace and assert the pointer path only ever
+    appears as a replace TARGET (never opened for direct write)."""
+    import e2e_asr_tpu.core.checkpoint as C
+
+    replaced = []
+    real_replace = os.replace
+
+    def spy(src, dst):
+        replaced.append(os.path.basename(dst))
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(C.os, "replace", spy)
+    cfg = _cfg()
+    state = _state(cfg)
+    ckpt_lib.save(str(tmp_path / "plain"), "asr.ckpt", 1, state)
+    mesh = mesh_lib.make_mesh(n_data=8)
+    placed = sharding_lib.place_state(state, mesh, fsdp=True)
+    ckpt_lib.save_sharded(str(tmp_path / "sharded"), "asr.ckpt", 1, placed)
+    assert replaced.count("checkpoint") == 2, replaced
